@@ -1,0 +1,71 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline declared queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized via a count-ish action that forces
+every operator (df.write would add sink cost; .count() after a
+deterministic plan is the standard engine-bench convention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from glonassdatamining_spark import registry
+from glonassdatamining_spark.session import get_spark
+
+# Headline set: the flagship + the heaviest representative per section.
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def pick_headline() -> list[str]:
+    available = registry.all_queries()
+    return [n for n in HEADLINE if n in available]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("gdm-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    def materialize(df):
+        # JVM-side noop sink: computes every row, writes nothing, never
+        # serializes results to Python — measures the engine only.
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in pick_headline():
+        builder = queries[name]
+        materialize(builder(spark, sf_dir))  # warm JVM/IO once
+        t0 = time.perf_counter()
+        materialize(builder(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

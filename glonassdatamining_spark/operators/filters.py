@@ -1,0 +1,115 @@
+"""§2.B — projection, filters, predicates, distinct.
+
+All pure JVM column expressions — whole-stage-codegen'd, pushdown-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+
+
+@register(
+    "b1_project_compute",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS disc_price, "
+        "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS charge, "
+        "l_quantity AS qty "
+        "FROM lineitem"
+    ),
+    section="B1",
+)
+def b1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project + rename + computed columns. Per-row double arithmetic is
+    IEEE-deterministic, so no decimal discipline needed (no aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_price"),
+        (disc * (1 + F.col("l_tax"))).alias("charge"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@register(
+    "b2_filter_bool",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE (o_orderstatus = 'F' AND o_totalprice > 100000.0) "
+        "OR (o_orderstatus = 'O' AND NOT o_totalprice > 50000.0)"
+    ),
+    section="B2",
+)
+def b2_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive/negated predicates."""
+    o = load(spark, sf_dir, "orders")
+    pred = ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)) | (
+        (F.col("o_orderstatus") == "O") & ~(F.col("o_totalprice") > 50000.0)
+    )
+    return o.filter(pred).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "b3_predicates",
+    oracle=(
+        "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
+        "AND c_acctbal BETWEEN 0.0 AND 5000.0 "
+        "AND c_name LIKE '%5%' "
+        "AND c_nationkey IS NOT NULL"
+    ),
+    section="B3",
+)
+def b3_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / IS NULL membership-range-pattern-null tests."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_acctbal").between(0.0, 5000.0)
+        & F.col("c_name").like("%5%")
+        & F.col("c_nationkey").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "b4_conditional_projection",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_totalprice > 200000.0 THEN 'big' "
+        "     WHEN o_totalprice > 100000.0 THEN 'mid' "
+        "     ELSE 'small' END AS bucket, "
+        "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label, "
+        "LEAST(o_totalprice, 150000.0) AS capped, "
+        "GREATEST(o_totalprice, 1000.0) AS floored "
+        "FROM orders"
+    ),
+    section="B4",
+)
+def b4_conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / least / greatest."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 200000.0, "big").when(p > 100000.0, "mid").otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_label"),
+        F.least(p, F.lit(150000.0)).alias("capped"),
+        F.greatest(p, F.lit(1000.0)).alias("floored"),
+    )
+
+
+@register(
+    "b5_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    section="B5",
+)
+def b5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination — hash aggregate under the hood; partial
+    (map-side) distinct keeps the shuffle tiny for low-cardinality keys."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

@@ -1,0 +1,41 @@
+"""Sources & sinks (SURVEY.md §2.A)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A1 Parquet scan — schema from footer, vectorized reader.
+
+    Column pruning (A2) and predicate pushdown (A3) happen automatically
+    when callers ``.select``/``.filter`` on the returned frame: Catalyst
+    pushes both into this scan (verify via ``.explain`` →
+    ``PushedFilters`` / ``ReadSchema``).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    default (PARQUET_TYPE_ILLEGAL). We read it via the legacy
+    nanos-as-long path and truncate to millisecond TimestampType — the
+    same truncation every oracle applies via ``stable.EVENTS_CTE`` — so
+    both engines compute on identical ms-grain instants (SURVEY §5.3).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,131 @@
+"""§2.A — scans, sources, sinks.
+
+Reference capability: columnar ingest of GNSS fix logs / event tables
+(reconstructed; reference tree empty — SURVEY.md §0). Spark-first: the
+vectorized Parquet reader plus Catalyst's automatic column pruning and
+filter pushdown replace any hand-rolled scan loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import ts_ms, o_ts_ms
+
+
+@register(
+    "a1_scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    section="A1",
+)
+def a1_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table Parquet scan, schema from footer."""
+    return load(spark, sf_dir, "region")
+
+
+@register(
+    "a2_projection_pushdown",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+    section="A2",
+)
+def a2_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: ReadSchema in the scan node carries only the two
+    projected columns (verified via explain in tests/test_plans.py)."""
+    return load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "a3_predicate_pushdown",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity > 45.0"
+    ),
+    section="A3",
+)
+def a3_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushed to the Parquet scan → row-group min/max skipping at
+    scale (PushedFilters in the scan node)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "a4_csv_source",
+    oracle=None,  # no CSV fixture; rows-only — we round-trip parquet→csv→read
+    section="A4",
+)
+def a4_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with explicit schema (GLONASS-style delimited logs).
+
+    Round-trips the nation table through CSV under the repo tmp dir,
+    then proves schema-preserving re-read; result must equal the
+    original 25 rows.
+    """
+    import os
+
+    out = f"/root/repo/.tmpdata/csv_nation_{os.path.basename(sf_dir.rstrip('/'))}"
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.csv(out, header=True, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+
+
+@register(
+    "a5_jsonl_source",
+    oracle=None,  # rows-only — parquet→jsonl→read round-trip
+    section="A5",
+)
+def a5_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON ingest."""
+    import os
+
+    out = f"/root/repo/.tmpdata/jsonl_region_{os.path.basename(sf_dir.rstrip('/'))}"
+    region = load(spark, sf_dir, "region")
+    region.write.mode("overwrite").json(out)
+    return spark.read.json(out, schema="r_regionkey INT, r_name STRING")
+
+
+@register(
+    "a6_parquet_sink",
+    oracle=None,  # side-effecting sink; rows-only on the re-read
+    section="A6",
+)
+def a6_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Parquet write + re-read with partition pruning.
+
+    Partitioning by a low-cardinality flag mirrors how a 100 TB event
+    store would lay out data (partition column → directory pruning;
+    dynamic partition pruning applies on joins against it).
+    """
+    import os
+
+    out = f"/root/repo/.tmpdata/pq_li_{os.path.basename(sf_dir.rstrip('/'))}"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # Partition-pruned read-back: only the l_returnflag=R directory scans.
+    return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+
+
+@register(
+    "a7_streaming_source_twin",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    section="A7",
+)
+def a7_streaming_source_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming file source: same plan Structured
+    Streaming runs incrementally over `readStream.parquet` (the live
+    streaming form is exercised in streaming/live.py tests)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
