@@ -1,0 +1,317 @@
+"""§2.H — scalar function groups.
+
+One composite declared query per group, exercising every listed
+function. All JVM column expressions (whole-stage codegen) — zero
+Python in any of these paths.
+
+Cross-engine discipline (probed, SURVEY §5.3.4): Spark `dayofweek` is
+Sun=1 vs DuckDB Sun=0 (oracle adds 1); DuckDB `epoch()` returns DOUBLE
+(oracle casts to BIGINT); libm transcendentals (exp/ln/pow) may differ
+in the last ulp (outputs rounded to 6dp); no raw 2-decimal money is
+ever rounded to 1dp (half-up/half-even trap avoided by construction);
+regex patterns stay in the Java∩RE2 common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+
+
+@register(
+    "h1_string_funcs",
+    oracle=(
+        "SELECT c_custkey, "
+        "concat(upper(c_mktsegment), '-', lower(c_name)) AS tag, "
+        "substring(c_name, 1, 8) AS prefix, "
+        "trim('  pad  ') AS trimmed, ltrim('  pad') AS l_trimmed, rtrim('pad  ') AS r_trimmed, "
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+        "rpad(c_mktsegment, 12, '.') AS padded_seg, "
+        "length(c_name) AS name_len, "
+        "len(string_split(c_name, '#')) AS n_parts, "
+        "replace(c_name, 'Customer', 'Cust') AS short_name, "
+        "instr(c_name, '#') AS hash_pos, "
+        "left(c_name, 4) AS l4, right(c_name, 3) AS r3 "
+        "FROM customer"
+    ),
+    section="H1",
+)
+def h1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper("c_mktsegment"), F.lit("-"), F.lower("c_name")).alias("tag"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.ltrim(F.lit("  pad")).alias("l_trimmed"),
+        F.rtrim(F.lit("pad  ")).alias("r_trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.length("c_name").alias("name_len"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("short_name"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.col("c_name").substr(F.length("c_name") - 2, F.lit(3)).alias("r3"),
+    )
+
+
+@register(
+    "h2_regex_funcs",
+    oracle=(
+        "SELECT doc_id, "
+        "regexp_extract(text, '([a-z]+)', 1) AS first_word, "
+        "regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head, "
+        "CAST(regexp_matches(text, 'join|window') AS INT) AS mentions_join "
+        "FROM documents WHERE doc_id % 20 = 0"
+    ),
+    section="H2",
+)
+def h2_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterns restricted to the Java∩RE2 subset (no lookaround).
+    Spark regexp_replace is global by default; DuckDB needs the 'g'
+    flag."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_head"),
+        F.col("text").rlike("join|window").cast("int").alias("mentions_join"),
+    )
+
+
+@register(
+    "h3_datetime_funcs",
+    oracle=(
+        "SELECT o_orderkey, "
+        "year(o_orderdate) AS o_year, month(o_orderdate) AS o_month, "
+        "day(o_orderdate) AS o_day, hour(o_orderdate) AS o_hour, "
+        "date_trunc('month', o_orderdate) AS month_start, "
+        "o_orderdate + INTERVAL 90 DAY AS due_date, "
+        "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95, "
+        "strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end, "
+        "dayofweek(o_orderdate) + 1 AS dow, "
+        "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s, "
+        "strftime(make_date(1995, 3, 7), '%Y-%m-%d') AS fixed_date "
+        "FROM orders"
+    ),
+    section="H3",
+)
+def h3_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date outputs that differ in physical type across engines
+    (DATE vs TIMESTAMP) are normalized to 'yyyy-MM-dd' strings."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.day("o_orderdate").cast("bigint").alias("o_day"),
+        F.hour("o_orderdate").cast("bigint").alias("o_hour"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format(F.make_date(F.lit(1995), F.lit(3), F.lit(7)), "yyyy-MM-dd").alias("fixed_date"),
+    )
+
+
+@register(
+    "h4_math_funcs",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "abs(l_discount - 0.05) AS abs_dev, "
+        "CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil, "
+        "CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor, "
+        "ROUND(sqrt(l_extendedprice), 6) AS sqrt_price, "
+        "ROUND(pow(l_quantity, 1.5), 6) AS qty_pow, "
+        "ROUND(exp(l_discount), 6) AS exp_disc, "
+        "ROUND(ln(l_extendedprice), 6) AS ln_price, "
+        "ROUND(log10(l_extendedprice), 6) AS log10_price, "
+        "CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign, "
+        "((CAST(l_partkey AS BIGINT) - 2 * l_suppkey) % 7 + 7) % 7 AS pmod7, "
+        "greatest(l_quantity, 25.0) AS qty_hi, least(l_quantity, 25.0) AS qty_lo "
+        "FROM lineitem WHERE l_orderkey % 50 = 0"
+    ),
+    section="H4",
+)
+def h4_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendentals rounded to 6dp (libm last-ulp divergence);
+    pmod emulated in the oracle via ((x % 7) + 7) % 7."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow("l_quantity", F.lit(1.5)), 6).alias("qty_pow"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod(F.col("l_partkey") - 2 * F.col("l_suppkey"), F.lit(7)).alias("pmod7"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@register(
+    "h5_array_funcs",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS words "
+        "FROM documents WHERE doc_id % 25 = 0) "
+        "SELECT doc_id, "
+        "len(words) AS n_words, "
+        "CAST(list_contains(words, 'join') AS INT) AS has_join, "
+        "list_sort(list_distinct(words)) AS vocab, "
+        "words[2:4] AS mid_slice, "
+        "len(flatten([words, words])) AS doubled_len, "
+        "list_transform(words[1:5], w -> length(w)) AS head_lens, "
+        "list_sort(list_filter(words, w -> length(w) > 6)) AS long_words, "
+        "CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars, "
+        "list_transform(range(1, 4), i -> i * 10) AS seq3 "
+        "FROM t"
+    ),
+    section="H5",
+)
+def h5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — all evaluated inside codegen; the
+    same kernels back the embedding math in C12/K3."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    words = F.split("text", " ")
+    t = d.select("doc_id", words.alias("words"))
+    return t.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.array_contains("words", "join").cast("int").alias("has_join"),
+        F.array_sort(F.array_distinct("words")).alias("vocab"),
+        F.slice("words", 2, 3).alias("mid_slice"),
+        F.size(F.flatten(F.array("words", "words"))).alias("doubled_len"),
+        F.transform(F.slice("words", 1, 5), lambda w: F.length(w)).alias("head_lens"),
+        F.array_sort(F.filter("words", lambda w: F.length(w) > 6)).alias("long_words"),
+        F.aggregate("words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)).alias("total_chars"),
+        F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: i * 10).alias("seq3"),
+    )
+
+
+@register(
+    "h6_posexplode",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS words "
+        "FROM documents WHERE doc_id % 50 = 0) "
+        "SELECT doc_id, u.pos, u.word FROM (SELECT doc_id, "
+        "unnest(list_transform(words, (w, i) -> struct_pack(pos := i, word := w)), "
+        "recursive := true) FROM t) u(doc_id, pos, word)"
+    ),
+    section="H6",
+)
+def h6_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped 1→N expansion with ordinality (1-based to match
+    DuckDB list indexing)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "word")
+    )
+
+
+@register(
+    "h7_json_funcs",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_extracted, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled, "
+        "CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field "
+        "FROM events WHERE event_id % 10 = 0"
+    ),
+    section="H7",
+)
+def h7_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload access: path extraction (get_json_object) and typed
+    parse (from_json with explicit schema). ts untouched → no CTE."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_extracted"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "h8_map_funcs",
+    oracle=(
+        "WITH m AS (SELECT event_id, map {'base': value, 'double': value * 2} AS vm "
+        "FROM events WHERE event_id % 20 = 0) "
+        "SELECT event_id, vm['base'][1] AS base_val, vm['double'][1] AS double_val, "
+        "cardinality(vm) AS m_size, list_sort(map_keys(vm)) AS keys_sorted "
+        "FROM m"
+    ),
+    section="H8",
+)
+def h8_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access. DuckDB map subscript yields a LIST
+    (oracle takes [1]); Spark element_at yields the value directly."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    m = F.create_map(
+        F.lit("base"), F.col("value"), F.lit("double"), F.col("value") * 2
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "base").alias("base_val"),
+        F.element_at(m, "double").alias("double_val"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+@register(
+    "h9_hash_funcs",
+    oracle=(
+        "SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_brand) AS brand_sha "
+        "FROM part WHERE p_partkey % 10 = 0"
+    ),
+    section="H9",
+)
+def h9_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-standard digests only (md5/sha256). Spark-specific
+    xxhash64 / crc32 / monotonically_increasing_id are exercised in K1
+    and tests, but can't be oracle-checked (no DuckDB equivalent)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_brand", 256).alias("brand_sha"),
+    )
+
+
+@register(
+    "h10_struct_funcs",
+    oracle=(
+        "SELECT s_suppkey, "
+        "to_json(struct_pack(suppkey := s_suppkey, name := s_name)) AS s_json, "
+        "struct_pack(nk := s_nationkey, bal := s_acctbal).nk AS nk_field "
+        "FROM supplier"
+    ),
+    section="H10",
+)
+def h10_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build / field access / JSON serialization (compact form
+    matches across engines for int+string fields — probed)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.to_json(
+            F.struct(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
+        ).alias("s_json"),
+        F.struct(F.col("s_nationkey").alias("nk"), F.col("s_acctbal").alias("bal"))
+        .getField("nk")
+        .alias("nk_field"),
+    )

@@ -1,0 +1,259 @@
+"""§2.D — aggregations.
+
+Scale notes (apply to every query here): Spark's HashAggregateExec is
+automatically two-phase — partial (map-side combine) then final after a
+shuffle on the grouping key — so low-cardinality keys move kilobytes
+regardless of input size. Skewed keys at 100 TB are handled by AQE
+(skewJoin + coalescePartitions are on in session.py).
+
+Stability: double sums go through exact DECIMAL (stable.dsum/davg);
+integer sums are cast to BIGINT on the oracle side (DuckDB SUM(BIGINT)
+returns HUGEINT, which pandas can't hold losslessly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import davg, dsum, o_davg, o_dsum, rnd, sorted_list
+
+
+@register(
+    "d1_groupby_standard_aggs",
+    oracle=(
+        "SELECT c_nationkey, COUNT(*) AS n_customers, "
+        + o_dsum("c_acctbal", "sum_bal")
+        + ", MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal, "
+        + o_davg("c_acctbal", "avg_bal")
+        + " FROM customer GROUP BY c_nationkey"
+    ),
+    section="D1",
+)
+def d1_groupby_standard_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "sum_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            davg("c_acctbal", "avg_bal"),
+        )
+    )
+
+
+@register(
+    "d2_global_agg",
+    oracle=(
+        "SELECT COUNT(*) AS n_rows, "
+        + o_dsum("l_quantity", "total_qty")
+        + ", MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship, "
+        + o_davg("l_extendedprice", "avg_price")
+        + " FROM lineitem"
+    ),
+    section="D2",
+)
+def d2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+@register(
+    "d3_count_distinct",
+    oracle=(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, "
+        "COUNT(DISTINCT l_suppkey) AS n_supps, "
+        "COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_pairs "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    section="D3",
+)
+def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: Spark expands to a two-level aggregate (distinct
+    keys first, then count) — fully distributed, no driver state."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_partkey", "l_suppkey").alias("n_pairs"),
+        )
+    )
+
+
+@register(
+    "d4_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only
+    section="D4",
+)
+def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ — the 100 TB path for distinct counts: constant
+    memory per group vs the exact expansion in D3."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@register(
+    "d5_rollup",
+    oracle=(
+        "SELECT year(o_orderdate) AS o_year, o_orderstatus, "
+        "GROUPING(year(o_orderdate)) AS g_year, GROUPING(o_orderstatus) AS g_status, "
+        "COUNT(*) AS n_orders, " + o_dsum("o_totalprice", "sum_price")
+        + " FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)"
+    ),
+    section="D5",
+)
+def d5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    return o.rollup("o_year", "o_orderstatus").agg(
+        F.grouping("o_year").alias("g_year"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "d6_filtered_agg",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent, "
+        + o_dsum("CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END", "sum_big")
+        + ", COUNT(*) AS n_all FROM orders GROUP BY o_orderstatus"
+    ),
+    section="D6",
+)
+def d6_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        dsum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")), "sum_big"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+@register(
+    "d7_statistical_aggs",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(stddev_samp(l_extendedprice), 3) AS sd_price, "
+        "ROUND(var_pop(l_quantity), 3) AS var_qty, "
+        "ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq, "
+        "ROUND(covar_samp(l_extendedprice, l_discount), 3) AS cov_pd "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    section="D7",
+)
+def d7_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded: both engines merge partial moments in different orders,
+    so last-ulp noise is expected; grids chosen ≫ noise (SURVEY §5.3)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_extendedprice"), 3, "sd_price"),
+        rnd(F.var_pop("l_quantity"), 3, "var_qty"),
+        rnd(F.corr("l_extendedprice", "l_quantity"), 6, "corr_pq"),
+        rnd(F.covar_samp("l_extendedprice", "l_discount"), 3, "cov_pd"),
+    )
+
+
+@register(
+    "d8_percentiles",
+    oracle=(
+        "SELECT l_linestatus, "
+        "ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
+        "ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price, "
+        "ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_qty "
+        "FROM lineitem GROUP BY l_linestatus"
+    ),
+    section="D8",
+)
+def d8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``); approx_percentile is the 100 TB alternative but
+    sketches don't hash-match, so the declared form is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        rnd(F.percentile("l_extendedprice", 0.5), 4, "median_price"),
+        rnd(F.percentile("l_extendedprice", 0.95), 4, "p95_price"),
+        rnd(F.percentile("l_quantity", 0.25), 4, "p25_qty"),
+    )
+
+
+@register(
+    "d9_collect_aggs",
+    oracle=(
+        "SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations, "
+        "list_sort(list(DISTINCT n_nationkey)) AS nation_keys "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+    section="D9",
+)
+def d9_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        sorted_list("n_name", "nations"),
+        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
+    )
+
+
+@register(
+    "d10_min_by_max_by",
+    oracle=(
+        "SELECT c_nationkey, "
+        "max_by(c_name, c_acctbal * 10000000 + c_custkey) AS richest, "
+        "min_by(c_name, c_acctbal * 10000000 + c_custkey) AS poorest "
+        "FROM customer GROUP BY c_nationkey"
+    ),
+    section="D10",
+)
+def d10_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic positional aggs: the ordering key folds the unique
+    c_custkey into the low digits so equal balances can't produce
+    engine-dependent winners (SURVEY §5.3.3)."""
+    c = load(spark, sf_dir, "customer")
+    key = F.col("c_acctbal") * 10000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, c_acctbal * 10000000 + c_custkey)").alias("richest"),
+        F.expr("min_by(c_name, c_acctbal * 10000000 + c_custkey)").alias("poorest"),
+    )
+
+
+@register(
+    "d11_mode",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority AS top_priority, n FROM ("
+        "  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "  row_number() OVER (PARTITION BY o_orderstatus "
+        "                     ORDER BY COUNT(*) DESC, o_orderpriority) AS rn "
+        "  FROM orders GROUP BY o_orderstatus, o_orderpriority) "
+        "WHERE rn = 1"
+    ),
+    section="D11",
+)
+def d11_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group. Built as count+rank (not F.mode)
+    because mode's tie-break is engine-defined; rank orders by
+    (count DESC, value ASC) — fully deterministic."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("top_priority"), "n")
+    )

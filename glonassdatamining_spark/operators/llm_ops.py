@@ -1,0 +1,637 @@
+"""§2.K — LLM-training-data-pipeline operators (north-star mandate).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search, multimodal binding + decode plumbing, text
+quality, language-ID, token counting, fingerprinting.
+
+Scale doctrine: every pairwise op is either (a) brute-force with a
+broadcast side and declared only as the sf0.01 correctness twin, or
+(b) bucketed (LSH bands / SimHash / IVF) so candidates are generated
+by equi-join on bucket keys — the 100 TB path. Hash choice: md5 for
+anything oracle-checked (standard across engines), xxhash64 where
+Spark-only speed matters (rows-only paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import dsum, o_dsum
+
+
+# --------------------------------------------------------------------------
+# K1 — exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "k1_exact_dedup",
+    oracle=(
+        "SELECT doc_id, md5(text) AS content_hash FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"
+    ),
+    section="K1",
+)
+def k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id — the
+    deterministic representative (dropDuplicates keeps an arbitrary
+    row). One shuffle on the hash; at 100 TB use xxhash64 instead of
+    md5 (8-byte keys, same plan — md5 here for the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# K2 — n-gram Jaccard near-dup: exact twin (t2) + MinHash-LSH path (rows-only)
+# --------------------------------------------------------------------------
+_JACCARD_TAU = 0.2
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, len(l)-1), "
+    "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))"
+)
+
+
+def _shingles(col: str = "text"):
+    """Distinct 3-gram word shingles as an array column (JVM HOFs)."""
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+@register(
+    "k2_ngram_jaccard_pairs",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, " + _SHINGLE_SQL + " AS s "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "      len(list_distinct(flatten([a.s, b.s]))), 6) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        f"      len(list_distinct(flatten([a.s, b.s]))) >= {_JACCARD_TAU}"
+    ),
+    section="K2",
+)
+def k2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs — the brute-force
+    correctness twin for fuzzy dedup (the LSH scale path is
+    k2b_minhash_lsh_dedup, whose candidates ⊆ these pairs)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    uni = F.size(F.array_union("sa", "sb"))
+    jac = inter / uni
+    return (
+        a.join(broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_PERMS = 16
+_LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+@register("k2b_minhash_lsh_dedup", oracle=None, section="K2")
+def k2b_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH fuzzy-dedup — the 100 TB path:
+
+    shingle → 16 minhashes (xxhash64 with per-permutation salts) →
+    4 bands of 4 → band-key groupBy emits candidate pairs only within
+    buckets (never all-pairs) → exact Jaccard verification on
+    candidates → connected components via iterative min-label
+    propagation (small bounded loop, all joins) → cluster id per doc.
+
+    rows-only: sketches are engine-specific; k2's exact twin carries
+    the correctness burden.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s"))
+    # minhash_j(doc) = min over shingles of xxhash64(salt_j, shingle)
+    mh = d.select(
+        "doc_id",
+        "s",
+        *[
+            F.array_min(F.transform("s", lambda x, j=j: F.xxhash64(F.lit(j), x))).alias(f"mh{j}")
+            for j in range(_MINHASH_PERMS)
+        ],
+    )
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for bi in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification of candidates only.
+    sh = d.select("doc_id", "s")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+        .filter(
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb"))
+            >= _JACCARD_TAU
+        )
+        .select("doc_a", "doc_b")
+    )
+    # Connected components: min-label propagation until fixpoint (the
+    # dup-graph is tiny relative to the corpus; iterations bounded).
+    edges = verified.union(verified.select(F.col("doc_b"), F.col("doc_a"))).withColumnRenamed(
+        "doc_a", "src"
+    ).withColumnRenamed("doc_b", "dst")
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster")
+
+
+# --------------------------------------------------------------------------
+# K3 — cosine similarity search (top-5 neighbors for every vector)
+# --------------------------------------------------------------------------
+@register(
+    "k3_cosine_topk",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "s AS (SELECT a.vec_id AS qid, b.vec_id AS nid, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id) "
+        "SELECT qid, nid, cos FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5"
+    ),
+    section="K3",
+)
+def k3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine top-5 (brute force; the LSH/IVF scale paths are
+    j6/k12). Norms are precomputed per vector BEFORE the pair join —
+    64 mults per pair instead of 192."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("n", norm)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    pairs = a.join(broadcast(b), F.col("qid") != F.col("nid")).select("qid", "nid", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+# --------------------------------------------------------------------------
+# K4 — multimodal column binding
+# --------------------------------------------------------------------------
+@register(
+    "k4_multimodal_bind",
+    oracle=(
+        "SELECT doc_id, lang, n_chars, len(embedding) AS emb_dim, "
+        "ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS emb_norm "
+        "FROM documents JOIN embeddings ON doc_id = vec_id"
+    ),
+    section="K4",
+)
+def k4_multimodal_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bind text and vector modalities into one row (the struct itself
+    is built; scalar projections declared for the hash check)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    bound = d.join(e, d.doc_id == e.vec_id).withColumn(
+        "modal", F.struct("text", "embedding")
+    )
+    v = F.col("modal.embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return bound.select(
+        "doc_id", "lang", "n_chars",
+        F.size("modal.embedding").alias("emb_dim"),
+        F.round(norm, 6).alias("emb_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K5 — text quality scoring & filtering
+# --------------------------------------------------------------------------
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for"]
+
+
+@register(
+    "k5_quality_filter",
+    oracle=(
+        "WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks, "
+        "length(text) AS c FROM documents), "
+        "m AS (SELECT doc_id, lang, n_chars, len(toks) AS n_words, "
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio, "
+        "CAST(len(list_filter(toks, x -> list_contains(" + str(_STOPWORDS) + ", x))) AS DOUBLE) "
+        "  / len(toks) AS stop_ratio, "
+        "CAST(c AS DOUBLE) / len(toks) AS avg_tok_len FROM t) "
+        "SELECT doc_id, lang, n_words, ROUND(distinct_ratio, 6) AS distinct_ratio, "
+        "ROUND(stop_ratio, 6) AS stop_ratio, ROUND(avg_tok_len, 6) AS avg_tok_len, "
+        "CAST(n_words >= 10 AND distinct_ratio >= 0.3 AND n_chars >= 50 AS INT) AS passes "
+        "FROM m"
+    ),
+    section="K5",
+)
+def k5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality metrics (length / vocabulary-diversity /
+    stopword ratios) + a pass flag — the standard pre-training corpus
+    filter, all in JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id", "lang", "n_chars", toks.alias("toks"), F.length("text").alias("c")
+    )
+    n_words = F.size("toks")
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n_words
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter("toks", lambda x: F.array_contains(stops, x))).cast("double") / n_words
+    )
+    avg_tok_len = F.col("c").cast("double") / n_words
+    return t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_tok_len"),
+        ((n_words >= 10) & (distinct_ratio >= 0.3) & (F.col("n_chars") >= 50))
+        .cast("int")
+        .alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K6 — tokenize / ngram / stopword removal
+# --------------------------------------------------------------------------
+@register(
+    "k6_tokenize_ngram",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents "
+        "WHERE doc_id % 25 = 0) "
+        "SELECT doc_id, len(toks) AS n_tokens, "
+        "list_sort(list_filter(toks, x -> NOT list_contains(" + str(_STOPWORDS) + ", x)))[1:5] AS content_head, "
+        "list_transform(range(1, len(toks)), i -> l2.toks[i] || '_' || l2.toks[i+1])[1:3] AS bigram_head, "
+        "len(list_distinct(list_transform(range(1, len(toks)), i -> l2.toks[i] || '_' || l2.toks[i+1]))) AS n_bigrams "
+        "FROM t l2"
+    ),
+    section="K6",
+)
+def k6_tokenize_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws("_", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.slice(
+            F.array_sort(F.filter("toks", lambda x: ~F.array_contains(stops, x))), 1, 5
+        ).alias("content_head"),
+        F.slice(bigrams, 1, 3).alias("bigram_head"),
+        F.size(F.array_distinct(bigrams)).alias("n_bigrams"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K7 — per-language corpus statistics
+# --------------------------------------------------------------------------
+@register(
+    "k7_lang_stats",
+    oracle=(
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words, "
+        "COUNT(DISTINCT source) AS n_sources "
+        "FROM documents GROUP BY lang"
+    ),
+    section="K7",
+)
+def k7_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_words"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K8 — language-ID heuristic (corpus-learned token profiles)
+# --------------------------------------------------------------------------
+@register(
+    "k8_langid_heuristic",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "counts AS (SELECT token, lang, COUNT(*) AS n FROM tok GROUP BY token, lang), "
+        "profile AS (SELECT token, lang AS plang FROM counts "
+        "  QUALIFY row_number() OVER (PARTITION BY token ORDER BY n DESC, lang) = 1), "
+        "votes AS (SELECT t.doc_id, p.plang, COUNT(*) AS v FROM tok t "
+        "  JOIN profile p ON t.token = p.token GROUP BY t.doc_id, p.plang), "
+        "pred AS (SELECT doc_id, plang AS predicted FROM votes "
+        "  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, plang) = 1) "
+        "SELECT d.doc_id, d.lang, pred.predicted, "
+        "CAST(d.lang = pred.predicted AS INT) AS correct "
+        "FROM documents d JOIN pred ON d.doc_id = pred.doc_id"
+    ),
+    section="K8",
+)
+def k8_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram(1) language-ID: learn token→language profiles from the
+    corpus (argmax by count), classify each doc by majority vote of its
+    tokens' profile languages. Deterministic tie-breaks everywhere.
+    Two shuffles (profile build, vote) — both on small keys."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token", "lang").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("token").orderBy(F.col("n").desc(), "lang")
+    profile = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("token", F.col("lang").alias("plang"))
+    )
+    votes = (
+        tok.join(broadcast(profile), "token")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(F.col("v").desc(), "plang")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    return (
+        d.join(pred, "doc_id")
+        .select(
+            "doc_id", "lang", "predicted",
+            (F.col("lang") == F.col("predicted")).cast("int").alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K9 — token counting (whitespace + BPE-ish regex) & SimHash near-dup
+# --------------------------------------------------------------------------
+@register(
+    "k9_token_count",
+    oracle=(
+        "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens, "
+        "length(text) AS n_bytes "
+        "FROM documents"
+    ),
+    section="K9",
+)
+def k9_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_HD = 3
+
+
+@register(
+    "k10_simhash_neardup",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t "
+        "FROM documents), "
+        "tv AS (SELECT doc_id, "
+        "  (((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1) * 16 "
+        "   + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1)) * 16 "
+        "   + (strpos('0123456789abcdef', substr(md5(t),3,1)) - 1)) * 16 "
+        "   + (strpos('0123456789abcdef', substr(md5(t),4,1)) - 1) AS v FROM tok), "
+        "bits AS (SELECT doc_id, j, SUM(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        f"  FROM tv, generate_series(0, {_SIMHASH_BITS - 1}) g(j) GROUP BY doc_id, j), "
+        "fp AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS f "
+        "  FROM bits GROUP BY doc_id) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.f, b.f)) AS INT) AS hd "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.f, b.f)) <= {_SIMHASH_HD}"
+    ),
+    section="K-extra",
+)
+def k10_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprints from md5-derived token
+    hashes (portable hex→int via conv), pairs with Hamming distance
+    ≤ 3. At 100 TB the pair stage buckets on fingerprint bands (split
+    fp into 4 nibbles: hd≤3 pairs must collide on ≥1 nibble) — here
+    brute-force for the oracle."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+    v = F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("bigint")
+    tv = tok.select("doc_id", v.alias("v"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j")
+    # shiftright by a column needs the SQL operator form (F.shiftright
+    # only takes int literals).
+    bits = (
+        tv.select("doc_id", "v", j)
+        .withColumn("bit", F.expr("(v >> j) & 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("s"))
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << CAST(j AS INT)")).otherwise(0))
+        .cast("bigint")
+        .alias("f")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    hd = F.bit_count(F.expr("fa ^ fb"))
+    return (
+        a.join(broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(hd <= _SIMHASH_HD)
+        .select("doc_a", "doc_b", hd.cast("int").alias("hd"))
+    )
+
+
+# --------------------------------------------------------------------------
+# K11 — document fingerprinting (min-hash sketch of shingle digests)
+# --------------------------------------------------------------------------
+@register(
+    "k11_doc_fingerprint",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, " + _SHINGLE_SQL + " AS s "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)) "
+        "SELECT doc_id, "
+        "list_aggregate(list_sort(list_transform(s, x -> md5(x)))[1:4], 'string_agg', '|') "
+        "AS fingerprint FROM sh"
+    ),
+    section="K-extra",
+)
+def k11_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the 4 smallest shingle digests,
+    concatenated — a compact, order-insensitive content signature
+    (md5 keeps it engine-portable; xxhash64 at scale)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s"))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.array_sort(F.transform("s", lambda x: F.md5(x))), 1, 4), "|"
+        ).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K12 — embedding cosine near-dup pairs (exact twin of LSH j6)
+# --------------------------------------------------------------------------
+_COS_TAU = 0.35  # embeddings are near-orthogonal (max pairwise cos ≈ 0.51 probed); 0.35 ≈ 99.9th pct
+
+
+@register(
+    "k12_embedding_neardup",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.v, b.v) >= {_COS_TAU}"
+    ),
+    section="K-extra",
+)
+def k12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ τ) — brute-force
+    exact twin; j6's BucketedRandomProjectionLSH is the scale path."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("n", norm)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _COS_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# K13 — multimodal binary columns: decode/feature plumbing (mapInPandas)
+# --------------------------------------------------------------------------
+@register("k13_multimodal_decode", oracle=None, section="K-extra")
+def k13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal pipeline plumbing, end to end:
+
+    text → binary payload column (stand-in for image/audio bytes) with
+    typed metadata → Arrow-batched ``mapInPandas`` "decode + feature
+    extract" stage → per-item features.
+
+    The real decoder (PIL/libsndfile) is not installed in this
+    environment, so decode is a clearly-marked deterministic fake
+    (gated behind an import-try); the Spark-side contract — schema,
+    batch iteration, partitioning — is real and is what matters for
+    the 100 TB design (decode parallelism == partition count).
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length("text").alias("size_bytes"),
+        ).alias("meta"),
+    )
+
+    def decode_batches(batches):
+        try:  # pragma: no cover - decoder libs absent in this container
+            import PIL  # noqa: F401
+
+            have_decoder = True
+        except ImportError:
+            have_decoder = False
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if have_decoder:
+                raise NotImplementedError(
+                    "real image decode path requires pillow; wire here"
+                )
+            # Deterministic fake 'decode': byte-level features.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(lambda b: int(sum(b) % 65536)),
+                    "head_byte": payloads.map(lambda b: int(b[0]) if len(b) else -1),
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches, "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, head_byte INT"
+    )

@@ -1,0 +1,150 @@
+"""§2.J — ML / mining operators (the reference's MLlib half).
+
+All rows-only (model outputs aren't ANSI-SQL-expressible); pytest
+layers assert semantic sanity instead (cluster purity vs the fixture
+``label`` column, LSH recall vs the exact k12 pairs — tests/test_ml.py).
+
+Every estimator here is the distributed MLlib implementation — at
+100 TB these are the same iterative Spark jobs, just more partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+
+_SEED = 42
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+@register("j1_kmeans", oracle=None, section="J1")
+def j1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans k=10 over embeddings (fixture ``label`` 0..9 is the
+    ground truth; purity asserted in tests/test_ml.py)."""
+    from pyspark.ml.clustering import KMeans
+
+    vec = _vectors(spark, sf_dir)
+    model = KMeans(k=10, seed=_SEED, featuresCol="features").fit(vec)
+    return model.transform(vec).select(
+        "vec_id", "label", F.col("prediction").alias("cluster")
+    )
+
+
+@register("j2_fpgrowth", oracle=None, section="J2")
+def j2_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth frequent itemsets over per-user event-type baskets."""
+    from pyspark.ml.fpm import FPGrowth
+
+    ev = load(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    model = FPGrowth(itemsCol="items", minSupport=0.2, minConfidence=0.5).fit(baskets)
+    return model.freqItemsets.select(
+        F.array_sort("items").alias("items"), "freq"
+    )
+
+
+@register("j3_tfidf", oracle=None, section="J3")
+def j3_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vectorization pipeline (Tokenizer → HashingTF → IDF)."""
+    from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+
+    d = load(spark, sf_dir, "documents")
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1024).transform(toks)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("tfidf")
+    norm = F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return out.select("doc_id", F.round(norm, 4).alias("tfidf_norm"))
+
+
+@register("j4_word2vec", oracle=None, section="J4")
+def j4_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec doc embeddings (seeded, 1 partition for determinism
+    within Spark; cross-engine oracle impossible)."""
+    from pyspark.ml.feature import Tokenizer, Word2Vec
+
+    d = load(spark, sf_dir, "documents")
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    w2v = Word2Vec(
+        vectorSize=16, minCount=1, seed=_SEED, numPartitions=1,
+        inputCol="tokens", outputCol="w2v", maxIter=1,
+    )
+    model = w2v.fit(toks)
+    out = model.transform(toks)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("w2v")
+    norm = F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return out.select("doc_id", F.round(norm, 4).alias("w2v_norm"))
+
+
+@register("j5_text_classifier", oracle=None, section="J5")
+def j5_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment-pipeline shape: TF-IDF features → logistic regression
+    predicting ``lang``; returns per-language accuracy counts."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, StringIndexer, Tokenizer
+
+    d = load(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1024),
+            IDF(inputCol="tf", outputCol="features"),
+            StringIndexer(inputCol="lang", outputCol="y"),
+            LogisticRegression(labelCol="y", maxIter=20, regParam=0.01),
+        ]
+    )
+    model = pipe.fit(d)
+    pred = model.transform(d)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("y") == F.col("prediction")).cast("int")).alias("n_correct"),
+        )
+    )
+
+
+@register("j6_lsh_similarity_join", oracle=None, section="J6")
+def j6_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH approximate ε-similarity self-join
+    over L2-normalized embeddings — the 100 TB backbone for C12/K12
+    (for unit vectors, L2 ≤ 1.14 ⇔ cosine ≥ ~0.35 = k12's τ). Candidates come
+    from hash-bucket equi-joins, not all-pairs. Recall vs the exact
+    k12 pairs is asserted in tests/test_ml.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+
+    vec = _vectors(spark, sf_dir)
+    unit = Normalizer(inputCol="features", outputCol="unit", p=2.0).transform(vec)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=_SEED
+    )
+    model = lsh.fit(unit)
+    pairs = model.approxSimilarityJoin(unit, unit, 1.14, distCol="l2")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("l2", 6).alias("l2"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""§2.F — sorts, limits, top-k, sampling.
+
+The t2 hash is order-insensitive, but LIMIT changes the SET of rows, so
+every declared limit sits on a total order with a unique key
+(SURVEY §5.3.3). Spark fuses orderBy+limit into TakeOrderedAndProject —
+per-partition top-k then a k-sized driver merge, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+
+
+@register(
+    "f1_multikey_sort",
+    oracle=(
+        "SELECT p_brand, p_size, p_partkey, p_retailprice FROM part "
+        "ORDER BY p_brand ASC, p_size DESC, p_partkey ASC NULLS LAST"
+    ),
+    section="F1",
+)
+def f1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange + local sort).
+    The hash check is order-insensitive; the sort is still exercised."""
+    return (
+        load(spark, sf_dir, "part")
+        .select("p_brand", "p_size", "p_partkey", "p_retailprice")
+        .orderBy(F.col("p_brand").asc(), F.col("p_size").desc(), F.col("p_partkey").asc_nulls_last())
+    )
+
+
+@register(
+    "f2_limit",
+    oracle=(
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "ORDER BY o_orderdate, o_orderkey LIMIT 100"
+    ),
+    section="F2",
+)
+def f2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "f3_global_topk",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+    ),
+    section="F3",
+)
+def f3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — each task keeps its local
+    top-25, the driver merges 25·numPartitions rows. O(n) scan, O(k)
+    result at any scale."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "f4_sample",
+    oracle=None,  # RNG streams differ across engines — rows-only
+    section="F4",
+)
+def f4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — deterministic within Spark (same seed,
+    same partitioning), but no cross-engine oracle exists."""
+    return load(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )

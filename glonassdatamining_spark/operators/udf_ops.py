@@ -1,0 +1,157 @@
+"""§2.M — the Python UDF surface (Arrow-vectorized, never row-at-a-time).
+
+Each declared query's LOGIC is SQL-expressible (so it stays t2
+hash-checkable against DuckDB) — what's exercised is the Arrow
+transport + pandas execution path itself: scalar pandas UDF, grouped
+map (applyInPandas), grouped aggregate, mapInPandas iterator, and
+struct-argument UDFs.
+
+These are the slow paths of the engine by design (JVM↔Python
+serialization); production operators use them only where built-ins
+can't express the semantics (I6 DBSCAN, K13 multimodal decode).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+
+
+@register(
+    "m1_scalar_pandas_udf",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) AS disc_price "
+        "FROM lineitem WHERE l_orderkey % 20 = 0"
+    ),
+    section="M1",
+)
+def m1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→Series vectorized UDF over Arrow batches; per-row IEEE
+    double arithmetic matches the SQL oracle bit-for-bit."""
+
+    @pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@register(
+    "m2_grouped_map_udf",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, "
+        "ROUND((l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_returnflag)) / "
+        "stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag), 4) AS z "
+        "FROM lineitem"
+    ),
+    section="M2",
+)
+def m2_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group z-score normalization — the grouped-map
+    workhorse pattern behind I6's local DBSCAN. Rounded to 4dp: pandas
+    and DuckDB sum moments in different orders."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "z": z.round(4),
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore, "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, z DOUBLE"
+    )
+
+
+@register(
+    "m3_grouped_agg_udf",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    section="M3",
+)
+def m3_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): quantity-weighted mean
+    price. Rounded: numpy's pairwise summation vs DuckDB's running sum
+    differ in ulps."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:  # type: ignore[misc]
+        return float(round((price * qty).sum() / qty.sum(), 4))
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "m4_map_in_pandas",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice, length(o_orderpriority) AS prio_len "
+        "FROM orders WHERE o_totalprice > 250000.0"
+    ),
+    section="M4",
+)
+def m4_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas batch-iterator (UDTF-shaped: any N_in → N_out).
+    Filter + project per Arrow batch."""
+
+    def pick(batches):
+        for pdf in batches:
+            hit = pdf[pdf["o_totalprice"] > 250000.0]
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": hit["o_orderkey"],
+                    "o_totalprice": hit["o_totalprice"],
+                    "prio_len": hit["o_orderpriority"].str.len().astype("int32"),
+                }
+            )
+
+    o = load(spark, sf_dir, "orders")
+    return o.mapInPandas(pick, "o_orderkey BIGINT, o_totalprice DOUBLE, prio_len INT")
+
+
+@register(
+    "m5_struct_arg_udf",
+    oracle=(
+        "SELECT c_custkey, c_name || '|' || CAST(floor(c_acctbal) AS BIGINT) AS tag "
+        "FROM customer"
+    ),
+    section="M5",
+)
+def m5_struct_arg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-argument pandas UDF: the struct arrives as a nested
+    pd.DataFrame per Arrow batch (floor, not round: exact on both)."""
+
+    @pandas_udf("string")
+    def fmt(s: pd.DataFrame) -> pd.Series:
+        return s["c_name"] + "|" + s["c_acctbal"].map(lambda v: str(math.floor(v)))
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        fmt(F.struct("c_name", "c_acctbal")).alias("tag"),
+    )

@@ -1,0 +1,251 @@
+"""§2.E — window functions.
+
+Every window shuffles once on its partition key then sorts within the
+partition — the same cost model at any scale, provided partitions fit
+in executor memory (events partition by user_id: fine; a global
+no-partition window would NOT scale and none is declared except the
+tiny E6 demo over customers — bounded by table size there).
+
+Determinism: every ORDER BY carries a unique tie-break key
+(SURVEY §5.3.3), so rank/offset/frame results can't depend on engine
+sort stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import EVENTS_CTE, dec, ts_ms
+
+
+@register(
+    "e1_ranking",
+    oracle=(
+        "SELECT c_custkey, c_nationkey, "
+        "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn, "
+        "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk, "
+        "dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk, "
+        "ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile "
+        "FROM customer"
+    ),
+    section="E1",
+)
+def e1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    unique_order = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    tie_order = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(unique_order).alias("rn"),
+        F.rank().over(tie_order).alias("rnk"),
+        F.dense_rank().over(tie_order).alias("drnk"),
+        F.ntile(4).over(unique_order).alias("quartile"),
+    )
+
+
+@register(
+    "e2_lag_lead",
+    oracle=(
+        EVENTS_CTE + " SELECT event_id, user_id, ts, value, "
+        "lag(value) OVER w AS prev_value, "
+        "lead(value, 1, -1.0) OVER w AS next_value "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    section="E2",
+)
+def e2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value", 1, -1.0).over(w).alias("next_value"),
+    )
+
+
+@register(
+    "e3_running_agg",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend, "
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_orders "
+        "FROM orders"
+    ),
+    section="E3",
+)
+def e3_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregates (ROWS frame). Decimal-exact running sums:
+    every prefix sum is exact, so the double projections match."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+@register(
+    "e4_range_frame",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
+        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS orders_30d, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER ("
+        "PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
+        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d "
+        "FROM orders"
+    ),
+    section="E4",
+)
+def e4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day (value-range) frame over the epoch-seconds
+    ordering column — the standard moving-window-by-time shape."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "e5_frame_positional",
+    oracle=(
+        "SELECT s_suppkey, s_nationkey, "
+        "first_value(s_name) OVER w AS first_name, "
+        "last_value(s_name) OVER w AS last_name, "
+        "nth_value(s_name, 2) OVER w AS second_name "
+        "FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    section="E5",
+)
+def e5_frame_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_name").over(w).alias("first_name"),
+        F.last("s_name").over(w).alias("last_name"),
+        F.nth_value("s_name", 2).over(w).alias("second_name"),
+    )
+
+
+@register(
+    "e6_distribution",
+    oracle=(
+        "SELECT c_custkey, "
+        "ROUND(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 9) AS pr, "
+        "ROUND(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 9) AS cd "
+        "FROM customer"
+    ),
+    section="E6",
+)
+def e6_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-window demo (percent_rank/cume_dist). A partition-less
+    window serializes into ONE task — acceptable only because customer
+    is a dimension table; never declared over fact tables."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@register(
+    "e7_topk_per_group",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+    ),
+    section="E7",
+)
+def e7_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Spark pushes a per-partition rank
+    limit (WindowGroupLimit) before the shuffle — near-map-side top-k."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_GAP_S = 14400  # 4-hour inactivity gap → new session
+
+
+@register(
+    "e8_sessionization",
+    oracle=(
+        EVENTS_CTE + ", flagged AS ("
+        "  SELECT user_id, ts, event_id, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        f"       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > {_GAP_S} "
+        "       THEN 1 ELSE 0 END AS new_session "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sessions AS ("
+        "  SELECT user_id, ts, "
+        "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "  FROM flagged) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end "
+        "FROM sessions GROUP BY user_id, session_id"
+    ),
+    section="E8",
+)
+def e8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (GLONASS stop/trip detection shape,
+    LLM-pipeline user sessions): flag gap > τ via lag, running-sum the
+    flags into session ids, aggregate per session. Two windows + one
+    groupBy, all on the same user_id partitioning — Spark reuses the
+    shuffle across all three (single exchange in the plan)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > _GAP_S), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

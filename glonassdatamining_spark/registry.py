@@ -78,6 +78,7 @@ def _load_all() -> None:
         spatiotemporal,
         llm_ops,
         ml_ops,
+        udf_ops,
     )
     from glonassdatamining_spark.functions import scalars  # noqa: F401
     from glonassdatamining_spark.streaming import batch_twins  # noqa: F401

@@ -48,7 +48,7 @@ O_DEC = "DECIMAL(28,6)"
 EVENTS_CTE = (
     "WITH events AS (SELECT event_id, "
     "date_trunc('milliseconds', ts) AS ts, "
-    "user_id, event_type, value, props FROM events)"
+    "user_id, event_type, value, props FROM main.events)"
 )
 
 

@@ -1,0 +1,240 @@
+"""§2.L — streaming operators, declared via their deterministic batch
+twins (Structured Streaming's unified model: the same DataFrame plan
+runs incrementally under readStream — live forms in streaming/live.py).
+
+The DuckDB oracle is batch-only, so each twin is the exact relational
+semantics of the streaming op on the static events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import EVENTS_CTE, dec, dsum, o_dsum
+
+
+@register(
+    "l1_tumbling_window",
+    oracle=(
+        EVENTS_CTE + " SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, "
+        "event_type, COUNT(*) AS n, " + o_dsum("value", "sum_value")
+        + " FROM events GROUP BY 1, 2"
+    ),
+    section="L1",
+)
+def l1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form: readStream.groupBy(window(ts, '10 minutes'),
+    event_type) with a watermark; the batch twin is the identical
+    windowed aggregate. Epoch-aligned buckets match time_bucket."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "l2_sliding_window",
+    oracle=(
+        EVENTS_CTE + ", expanded AS ("
+        "  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts), "
+        "                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS w_start, "
+        "  value FROM events) "
+        "SELECT w_start, COUNT(*) AS n, " + o_dsum("value", "sum_value")
+        + " FROM expanded GROUP BY w_start"
+    ),
+    section="L2",
+)
+def l2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute window, 5-minute slide: every event lands in
+    exactly two windows. Spark's window() does the expansion natively;
+    the oracle expands via unnest of the two aligned starts."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
+
+
+_SESSION_GAP = "5 minutes"
+_SESSION_GAP_S = 300
+
+
+@register(
+    "l3_session_window",
+    oracle=(
+        EVENTS_CTE + ", flagged AS ("
+        "  SELECT user_id, ts, event_id, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        f"       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {_SESSION_GAP_S * 1000} "
+        "       THEN 1 ELSE 0 END AS new_session "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) "
+        "SELECT user_id, MIN(ts) AS w_start, "
+        f"MAX(ts) + INTERVAL {_SESSION_GAP} AS w_end, COUNT(*) AS n "
+        "FROM sess GROUP BY user_id, sid"
+    ),
+    section="L3",
+)
+def l3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (gap-close semantics: a session extends
+    while events arrive within the gap; window end = last event + gap).
+    The oracle reproduces it with the lag/running-sum construction —
+    note Spark closes a session when the next event is >= gap away."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", _SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+    )
+
+
+@register(
+    "l4_watermark_filter",
+    oracle=(
+        EVENTS_CTE + " SELECT event_id, user_id, ts FROM events "
+        "WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 3 DAY"
+    ),
+    section="L4",
+)
+def l4_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics twin: drop rows older than max(event time)
+    minus the allowed lateness. The scalar max is computed once and
+    broadcast — no per-row subquery."""
+    ev = load(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("wm"))
+    return (
+        ev.crossJoin(broadcast(wm))
+        .filter(F.col("ts") > F.col("wm"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "l5_stateful_dedup",
+    oracle=(
+        EVENTS_CTE + " SELECT user_id, event_type, MIN(event_id) AS first_event_id, "
+        "COUNT(*) AS n_dupes FROM events GROUP BY user_id, event_type"
+    ),
+    section="L5",
+)
+def l5_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark twin: keep the first event per
+    (user, type) key. Deterministic representative via MIN(event_id) —
+    dropDuplicates itself keeps an arbitrary row (SURVEY §5.3.3)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dupes")
+    )
+
+
+_SEVERITY = [("error", 3), ("purchase", 2), ("signup", 1)]
+
+
+@register(
+    "l6_stream_static_join",
+    oracle=(
+        EVENTS_CTE + " SELECT COALESCE(sev.severity, 0) AS severity, COUNT(*) AS n, "
+        + o_dsum("value", "sum_value")
+        + " FROM events LEFT JOIN (VALUES "
+        + ", ".join(f"('{t}', {s})" for t, s in _SEVERITY)
+        + ") sev(event_type, severity) ON events.event_type = sev.event_type "
+        "GROUP BY 1"
+    ),
+    section="L6",
+)
+def l6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join twin: the static dim is broadcast;
+    in the live form each micro-batch joins against the same table."""
+    ev = load(spark, sf_dir, "events")
+    sev = spark.createDataFrame(_SEVERITY, "event_type STRING, severity INT")
+    return (
+        ev.join(broadcast(sev), "event_type", "left")
+        .withColumn("severity", F.coalesce("severity", F.lit(0)))
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "l7_stateful_running",
+    oracle=(
+        EVENTS_CTE + " SELECT event_id, user_id, ts, "
+        "COUNT(*) OVER w AS events_so_far, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS value_so_far "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    section="L7",
+)
+def l7_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful-op twin: per-user running state. The live
+    form (transformWithStateInPandas) keeps the same state keyed by
+    user_id; declared here as the equivalent running window."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_so_far"),
+        F.sum(dec("value")).over(w).cast("double").alias("value_so_far"),
+    )
+
+
+@register(
+    "l8_foreach_batch_sink",
+    oracle=None,  # side-effecting streaming sink — rows-only on read-back
+    section="L8",
+)
+def l8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: readStream over the events
+    parquet → foreachBatch writes each micro-batch to parquet →
+    availableNow trigger drains the source and terminates → return the
+    read-back. Proves the incremental engine end-to-end in batch tests.
+    """
+    import os
+
+    import shutil
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/root/repo/.tmpdata/l8_src_{sf}"
+    out = f"/root/repo/.tmpdata/l8_sink_{sf}"
+    ckpt = out + "_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # FileStreamSource requires a directory — stage the single fixture file.
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(src)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(out)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)

@@ -1,0 +1,136 @@
+"""§2.L — live Structured Streaming forms.
+
+Each function builds the actual incremental query (readStream →
+transform → writeStream) and drains it with an availableNow trigger so
+batch tests can assert stream-result == batch-twin-result — the
+unified-model guarantee made checkable.
+
+Scale notes: state stores (windowed aggs, dedup, sessions) are keyed
+exactly like their batch twins' shuffles; watermarks bound state size.
+On a cluster these run with RocksDB state backend + checkpointing to
+object storage — none of that changes the query code below.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from glonassdatamining_spark.stable import dsum
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """readStream over a staged copy of events.parquet (FileStreamSource
+    needs a directory), with the same ns→ms normalization as the batch
+    loader."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/root/repo/.tmpdata/stream_src_{sf}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(src)
+    return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000"))), src
+
+
+def _drain_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run the streaming query to completion (availableNow) into a
+    memory sink; return the materialized result table."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def l1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live tumbling-window aggregate with a watermark (L1)."""
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    # complete output: the finite fixture drain must emit windows the
+    # watermark hasn't closed yet (append would hold the last hour back).
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    return _drain_to_memory(agg, f"l1_mem_{uuid.uuid4().hex[:8]}", "complete")
+
+
+def l3_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live session windows (5-minute gap) per user (L3)."""
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n"
+        )
+    )
+    return _drain_to_memory(agg, f"l3_mem_{uuid.uuid4().hex[:8]}", "complete")
+
+
+def l5_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live watermarked dedup (L5): first event per (user, type)."""
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    out = deduped.select("user_id", "event_type")
+    return _drain_to_memory(out, f"l5_mem_{uuid.uuid4().hex[:8]}", "append")
+
+
+def l6_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-static enrichment join (L6)."""
+    from glonassdatamining_spark.streaming.batch_twins import _SEVERITY
+
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    sev = spark.createDataFrame(_SEVERITY, "event_type STRING, severity INT")
+    joined = (
+        ev.join(broadcast(sev), "event_type", "left")
+        .withColumn("severity", F.coalesce("severity", F.lit(0)))
+        .select("event_id", "severity")
+    )
+    return _drain_to_memory(joined, f"l6_mem_{uuid.uuid4().hex[:8]}", "append")
+
+
+def l7_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live arbitrary stateful op (L7): per-user running totals via
+    applyInPandasWithState — custom state machine per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev, _ = _staged_events_stream(spark, sf_dir)
+
+    def running(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_memory(out, f"l7_mem_{uuid.uuid4().hex[:8]}", "update")

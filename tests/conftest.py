@@ -44,6 +44,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cell_eq(a, b) -> bool:
+    """Strict cell equality: floats bit-compare (NaN==NaN), everything
+    else string-compares — so int-vs-float dtype skew between engines
+    (e.g. DuckDB ceil()→DOUBLE vs Spark ceil()→BIGINT) FAILS here the
+    way it may fail the driver's value hash."""
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
@@ -55,9 +59,11 @@ def _cell_eq(a, b) -> bool:
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if pd.isna(a) != pd.isna(b):
+            return False
     except (TypeError, ValueError):
         pass
-    return a == b
+    return str(a) == str(b)
 
 
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:

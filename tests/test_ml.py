@@ -1,0 +1,117 @@
+"""Semantic sanity for the rows-only operators (SURVEY §5.4): the
+DuckDB oracle can't check model outputs, so these tests pin them to
+ground truth (fixture labels), to exact twins (LSH recall vs k12,
+DBSCAN vs a brute-force single-node reference), or to invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from glonassdatamining_spark import registry
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_valid_and_deterministic(spark):
+    """The fixture embeddings are near-orthogonal (max pairwise cosine
+    ≈ 0.51, probed) so ``label`` is NOT geometrically recoverable —
+    assert structural validity + seed determinism instead."""
+    got = registry.get("j1_kmeans").builder(spark, SF_DIR).toPandas()
+    assert len(got) == got["vec_id"].nunique()
+    assert 1 < got["cluster"].nunique() <= 10
+    again = registry.get("j1_kmeans").builder(spark, SF_DIR).toPandas()
+    a = got.sort_values("vec_id")["cluster"].tolist()
+    b = again.sort_values("vec_id")["cluster"].tolist()
+    assert a == b, "same seed must reproduce the same clustering"
+
+
+def test_lsh_recall_vs_exact_pairs(spark):
+    """j6's approximate join must find most of k12's exact cosine
+    near-dup pairs (recall ≥ 0.9 at these LSH settings)."""
+    exact = registry.get("k12_embedding_neardup").builder(spark, SF_DIR).toPandas()
+    approx = registry.get("j6_lsh_similarity_join").builder(spark, SF_DIR).toPandas()
+    exact_pairs = set(map(tuple, exact[["vec_a", "vec_b"]].values.tolist()))
+    approx_pairs = set(map(tuple, approx[["vec_a", "vec_b"]].values.tolist()))
+    assert exact_pairs, "exact near-dup twin is vacuous — tune tau"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} over {len(exact_pairs)} pairs"
+
+
+def _brute_force_dbscan(xy: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
+    """Single-node reference DBSCAN (BFS through cores)."""
+    n = len(xy)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    neigh = d2 <= eps * eps
+    core = neigh.sum(axis=1) >= min_pts
+    labels = np.full(n, -1)
+    cid = 0
+    for i in range(n):
+        if not core[i] or labels[i] != -1:
+            continue
+        stack = [i]
+        labels[i] = cid
+        while stack:
+            j = stack.pop()
+            if not core[j]:
+                continue
+            for k in np.nonzero(neigh[j])[0]:
+                if labels[k] == -1:
+                    labels[k] = cid
+                    stack.append(int(k))
+        cid += 1
+    return labels
+
+
+def test_dbscan_matches_brute_force(spark):
+    """The distributed (cell + halo + merge) DBSCAN must produce the
+    same partition of CORE points into clusters as the single-node
+    reference, including clusters that straddle cell borders
+    (SURVEY §7.4 hard part). Border(non-core) membership is
+    order-dependent in DBSCAN by definition — only cores compared."""
+    from glonassdatamining_spark.operators.spatiotemporal import dbscan, fixes
+
+    # sf0.001 is sparse (0.1 pts/unit²): eps=3 gives a connected-ish
+    # graph with clusters that straddle the 10-unit cell borders —
+    # exactly the hard case for the distributed merge.
+    eps, min_pts = 3.0, 4
+    got = dbscan(spark, SF_DIR, eps=eps, min_pts=min_pts, cell=10.0).toPandas()
+    pts = fixes(spark, SF_DIR).select("event_id", "x", "y").toPandas()
+    pts = pts.sort_values("event_id").reset_index(drop=True)
+    ref_labels = _brute_force_dbscan(pts[["x", "y"]].to_numpy(), eps, min_pts)
+    ref = dict(zip(pts["event_id"], ref_labels))
+
+    core = got[got["is_core"]]
+    assert len(core) > 0, "no core points — tune eps/min_pts"
+    # same partition ⇔ the (ours, ref) cluster-id pairing is a bijection
+    pairing = {}
+    reverse = {}
+    for _, row in core.iterrows():
+        r = ref[row["event_id"]]
+        assert r != -1, f"distributed core {row['event_id']} is not core in reference"
+        ours = row["cluster"]
+        assert pairing.setdefault(ours, r) == r, f"cluster {ours} split in reference"
+        assert reverse.setdefault(r, ours) == ours, f"ref cluster {r} split in ours"
+    # and every reference core is core for us too
+    ref_cores = {eid for eid, lab in ref.items() if lab != -1}
+    got_cores = set(core["event_id"])
+    # reference cores include border-reachable? no: lab!=-1 includes
+    # border points labeled during BFS — restrict to true cores:
+    xy = pts[["x", "y"]].to_numpy()
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    true_core = (d2 <= eps * eps).sum(axis=1) >= min_pts
+    true_core_ids = set(pts["event_id"][true_core])
+    assert got_cores == true_core_ids
+
+
+def test_fpgrowth_supports_are_exact(spark):
+    """FP-Growth frequencies must equal direct subset counts."""
+    got = registry.get("j2_fpgrowth").builder(spark, SF_DIR).toPandas()
+    baskets = (
+        registry.get("l5_stateful_dedup").builder(spark, SF_DIR).toPandas()
+        .groupby("user_id")["event_type"]
+        .apply(set)
+    )
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        items = set(row["items"])
+        expect = sum(1 for b in baskets if items <= b)
+        assert expect == row["freq"], f"{items}: {row['freq']} != {expect}"

@@ -1,0 +1,102 @@
+"""Physical-plan shape assertions (the 100 TB design checks):
+pushdown reaches the parquet scan, small sides broadcast, grid joins
+stay equi-join (no cartesian), top-k fuses, window limits push down.
+
+These are the properties that keep the operators viable at 1000
+executors — a regression here is a performance bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from glonassdatamining_spark import registry
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = registry.get(name).builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_projection_prunes_columns(spark):
+    plan = plan_of(spark, "a2_projection_pushdown")
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema, "scan reads columns the query never uses"
+
+
+def test_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "a3_predicate_pushdown")
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_quantity" in pushed, f"filter not pushed: {pushed}"
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "c1_broadcast_join")
+    assert "BroadcastHashJoin" in plan, "dimension join must broadcast, not shuffle"
+
+
+def test_grid_distance_join_is_equi_join(spark):
+    """The ε-join must plan as a hash/sort-merge equi-join on cell keys
+    — BroadcastNestedLoop/Cartesian here would be O(n²) at scale."""
+    plan = plan_of(spark, "i3_distance_self_join", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    plan = plan_of(spark, "c8_interval_join", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_topk_fuses(spark):
+    plan = plan_of(spark, "f3_global_topk", mode="simple")
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit should fuse (no global sort)"
+
+
+def test_topk_per_group_pushes_window_limit(spark):
+    plan = plan_of(spark, "e7_topk_per_group", mode="simple")
+    assert "WindowGroupLimit" in plan, "rank filter should push a per-partition limit"
+
+
+def test_flagship_has_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary", mode="simple")
+    assert plan.count("HashAggregate") >= 2, "partial+final agg expected"
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    # AQE wraps the plan and reports 0 codegen subtrees before
+    # execution — disable it for the static codegen inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "q1_pricing_summary", mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    n = int(plan.split(" WholeStageCodegen subtrees.")[0].split("Found ")[-1].strip())
+    assert n >= 2, f"scan+partial-agg and final-agg spans expected, found {n}"
+
+
+def test_no_python_udfs_in_relational_core(spark):
+    """B-H queries must stay JVM-side: no Arrow/Python eval nodes."""
+    for name in ["b1_project_compute", "d1_groupby_standard_aggs", "h5_array_funcs",
+                 "e8_sessionization", "c12_knn_join", "k3_cosine_topk"]:
+        plan = plan_of(spark, name, mode="simple")
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_sessionization_reuses_single_shuffle(spark):
+    """lag + running-sum + groupBy all partition on user_id — the plan
+    must contain exactly one exchange for them."""
+    plan = plan_of(spark, "e8_sessionization", mode="simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
