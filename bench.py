@@ -22,9 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from glonassdatamining_spark import registry
 from glonassdatamining_spark.session import get_spark
 
-# Headline set: the flagship + the heaviest representative per section.
+# Headline set: the flagship + the heaviest representative per
+# section, favoring the SCALE paths (bucketed/LSH forms) over the
+# brute-force correctness twins.
 HEADLINE = [
-    "q1_pricing_summary",
+    "q1_pricing_summary",     # scan → filter → agg → sort (flagship)
+    "a3_predicate_pushdown",  # pushdown scan
+    "c2_shuffle_join",        # large×large sort-merge join
+    "c9_asof_join",           # as-of via union-tag + running last
+    "c12_knn_join",           # broadcast brute-force kNN
+    "d5_rollup",              # multi-granularity aggregation
+    "d8_percentiles",         # exact quantiles
+    "e8_sessionization",      # gap sessionization (single shuffle)
+    "f3_global_topk",         # TakeOrderedAndProject
+    "h5_array_funcs",         # higher-order array kernels
+    "i3_distance_self_join",  # grid-bucketed ε-join
+    "i6_dbscan",              # distributed DBSCAN (pandas UDF + merge)
+    "i11_trajectory_similarity",  # sketch-then-pair trajectory top-k
+    "k2b_minhash_lsh_dedup",  # MinHash-LSH dedup (scale path)
+    "k3_cosine_topk",         # all-pairs cosine top-k
+    "k8_langid_heuristic",    # two-stage corpus profile + classify
+    "l3_session_window",      # native session windows
+    "m2_grouped_map_udf",     # Arrow grouped-map path
 ]
 
 
