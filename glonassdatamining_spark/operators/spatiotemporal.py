@@ -506,35 +506,58 @@ def i10_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i11_trajectory_similarity",
     oracle=(
         FIXES_CTE + ", cells AS ("
-        "  SELECT obj_id, list_sort(list_distinct(list(CAST(floor(x/10.0) AS BIGINT) * 100 "
-        "    + CAST(floor(y/10.0) AS BIGINT)))) AS visited "
+        "  SELECT obj_id, list_sort(list_distinct(list(CAST(floor(x/2.0) AS BIGINT) * 100 "
+        "    + CAST(floor(y/2.0) AS BIGINT)))) AS visited "
         "  FROM fixes GROUP BY obj_id) "
         "SELECT a.obj_id AS obj_a, b.obj_id AS obj_b, "
         "ROUND(CAST(len(list_intersect(a.visited, b.visited)) AS DOUBLE) / "
         "      len(list_distinct(flatten([a.visited, b.visited]))), 6) AS jaccard "
         "FROM cells a JOIN cells b ON a.obj_id <> b.obj_id "
+        "WHERE len(list_intersect(a.visited, b.visited)) > 0 "
         "QUALIFY row_number() OVER (PARTITION BY a.obj_id ORDER BY jaccard DESC, b.obj_id) <= 3"
     ),
     section="I11",
 )
 def i11_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 similar trajectories per object by visited-cell Jaccard —
-    the sketch-then-compare shape of trajectory top-k search: each
-    trajectory collapses to a small cell set BEFORE pairing, so the
-    pairwise stage is tiny regardless of fix count (the REPOSE-style
-    sketch idea). Pairs broadcast: #objects ≪ #fixes."""
+    """Top-3 similar trajectories per object by visited-cell Jaccard
+    (jaccard > 0 — zero-overlap objects are not "similar"), via the
+    INVERTED-INDEX set-similarity join: explode each trajectory's cell
+    set, equi-join on cell, count co-visits per pair, then
+    jaccard = inter / (|a| + |b| − inter). Candidate pairs are exactly
+    the co-visiting ones — never the O(n²) all-pairs — and every step
+    is a shuffle-compatible equi-join/groupBy, so it scales to millions
+    of objects where a broadcast all-pairs cannot. The oracle is the
+    brute-force all-pairs form, proving the index loses no pairs.
+    At 100 TB: stop-cell skew (depots) is the hazard — cap or drop
+    ultra-high-document-frequency cells (IDF pruning), or AQE skew
+    splits the hot cell partitions."""
     f = fixes(spark, sf_dir)
-    cell = (F.floor(F.col("x") / 10.0).cast("bigint") * 100 + F.floor(F.col("y") / 10.0).cast("bigint"))
-    cells = f.groupBy("obj_id").agg(
-        F.array_sort(F.collect_set(cell)).alias("visited")
+    cell = (F.floor(F.col("x") / 2.0).cast("bigint") * 100 + F.floor(F.col("y") / 2.0).cast("bigint"))
+    oc = f.select("obj_id", cell.alias("cell")).distinct()
+    sizes = oc.groupBy("obj_id").agg(F.count(F.lit(1)).alias("sz"))
+    # Undirected co-visit counts (a < b), symmetrized after the agg so
+    # the heavy shuffle handles each pair once.
+    half = (
+        oc.alias("a")
+        .join(oc.alias("b"), "cell")
+        .filter(F.col("a.obj_id") < F.col("b.obj_id"))
+        .groupBy(F.col("a.obj_id").alias("obj_a"), F.col("b.obj_id").alias("obj_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    a = cells.select(F.col("obj_id").alias("obj_a"), F.col("visited").alias("va"))
-    b = cells.select(F.col("obj_id").alias("obj_b"), F.col("visited").alias("vb"))
-    inter = F.size(F.array_intersect("va", "vb")).cast("double")
-    uni = F.size(F.array_union("va", "vb"))
-    jac = F.round(inter / uni, 6)
-    pairs = a.join(F.broadcast(b), F.col("obj_a") != F.col("obj_b")).select(
-        "obj_a", "obj_b", jac.alias("jaccard")
+    pairs = half.unionByName(
+        half.select(
+            F.col("obj_b").alias("obj_a"), F.col("obj_a").alias("obj_b"), "inter"
+        )
+    )
+    sa = sizes.select(F.col("obj_id").alias("obj_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("obj_id").alias("obj_b"), F.col("sz").alias("szb"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+    )
+    scored = (
+        pairs.join(F.broadcast(sa), "obj_a")
+        .join(F.broadcast(sb), "obj_b")
+        .select("obj_a", "obj_b", jac.alias("jaccard"))
     )
     w = Window.partitionBy("obj_a").orderBy(F.col("jaccard").desc(), "obj_b")
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
