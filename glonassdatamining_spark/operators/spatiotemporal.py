@@ -177,7 +177,11 @@ def i5_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DB_EPS = 0.8
 _DB_MINPTS = 5
-_DB_CELL = 10.0
+# Cell width trades halo replication (shrinks with bigger cells)
+# against the O(n_cell²) local kernels (shrink with smaller cells);
+# must stay ≥ ε. 4.0 ≈ 5ε keeps replication < 2× while cutting local
+# pairwise work ~3× vs 10.0 on uniform density.
+_DB_CELL = 4.0
 
 
 @register("i6_dbscan", oracle=None, section="I6")

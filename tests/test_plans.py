@@ -89,7 +89,7 @@ def test_whole_stage_codegen_covers_flagship(spark):
 def test_no_python_udfs_in_relational_core(spark):
     """B-H queries must stay JVM-side: no Arrow/Python eval nodes."""
     for name in ["b1_project_compute", "d1_groupby_standard_aggs", "h5_array_funcs",
-                 "e8_sessionization", "c12_knn_join", "k3_cosine_topk"]:
+                 "e8_sessionization", "c12_knn_join", "i11_trajectory_similarity"]:
         plan = plan_of(spark, name, mode="simple")
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
 

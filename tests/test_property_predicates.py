@@ -1,0 +1,98 @@
+"""Property-style randomized predicate equivalence (SURVEY §5.4).
+
+Generates seeded random filter predicates over the fixture schemas as
+SQL fragments that are valid and IDENTICALLY-SEMANTIC in both Spark SQL
+and DuckDB (the verified common subset of §2.H: comparisons, BETWEEN,
+IN, LIKE, IS NULL, AND/OR/NOT), runs both engines on the same parquet,
+and asserts the selected key sets match. This catches semantic-subset
+violations (regex dialects, date arithmetic, null ordering) before the
+driver's t2 does.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.sources import load
+from tests.conftest import SF_DIR, compare_frames, oracle_con
+
+# Atomic predicate templates over orders. Every value grid is chosen so
+# no float equality or engine-specific rounding is involved.
+_STATUS = ["'O'", "'F'", "'P'"]
+_PRIO = ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'", "'4-NOT SPECIFIED'", "'5-LOW'"]
+_DATES = [f"TIMESTAMP '199{y}-0{m}-15'" for y in (3, 5, 7) for m in (1, 4, 8)]
+
+
+def _atom(rng: random.Random) -> str:
+    kind = rng.randrange(8)
+    if kind == 0:
+        return f"o_totalprice {rng.choice(['<', '<=', '>', '>='])} {rng.randrange(1000, 400000)}.0"
+    if kind == 1:
+        lo = rng.randrange(1000, 200000)
+        return f"o_totalprice BETWEEN {lo}.0 AND {lo + rng.randrange(1000, 150000)}.0"
+    if kind == 2:
+        return f"o_orderstatus = {rng.choice(_STATUS)}"
+    if kind == 3:
+        picks = rng.sample(_PRIO, rng.randrange(1, 4))
+        return f"o_orderpriority IN ({', '.join(picks)})"
+    if kind == 4:
+        return f"o_orderdate {rng.choice(['<', '>='])} {rng.choice(_DATES)}"
+    if kind == 5:
+        return f"o_custkey % {rng.randrange(2, 13)} = {rng.randrange(0, 2)}"
+    if kind == 6:
+        return f"o_orderpriority LIKE '%{rng.choice(['URG', 'HIGH', 'MED', 'LOW'])}%'"
+    return "o_orderkey IS NOT NULL"
+
+
+def _predicate(rng: random.Random) -> str:
+    n = rng.randrange(1, 4)
+    atoms = [_atom(rng) for _ in range(n)]
+    out = atoms[0]
+    for a in atoms[1:]:
+        op = rng.choice(["AND", "OR", "AND NOT"])
+        out = f"({out}) {op} ({a})"
+    return out
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_predicate_matches_oracle(spark, seed):
+    rng = random.Random(90210 + seed)
+    pred = _predicate(rng)
+    got = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.expr(pred))
+        .select("o_orderkey")
+        .toPandas()
+    )
+    con = oracle_con()
+    want = con.execute(f"SELECT o_orderkey FROM orders WHERE {pred}").fetchdf()
+    con.close()
+    compare_frames(got, want, f"predicate[{pred}]")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_predicate_agg_matches_oracle(spark, seed):
+    """Same predicates under an aggregate — exercises pushdown + the
+    decimal-sum stability discipline together."""
+    from glonassdatamining_spark.stable import dsum
+
+    rng = random.Random(1337 + seed)
+    pred = _predicate(rng)
+    got = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.expr(pred))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .toPandas()
+    )
+    con = oracle_con()
+    want = con.execute(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total "
+        f"FROM orders WHERE {pred} GROUP BY o_orderstatus"
+    ).fetchdf()
+    con.close()
+    compare_frames(got, want, f"agg-predicate[{pred}]")
