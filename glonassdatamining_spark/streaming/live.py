@@ -71,6 +71,78 @@ def l1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, f"l1_mem_{uuid.uuid4().hex[:8]}", "complete")
 
 
+def l2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sliding-window aggregate (L2): 10-minute windows every
+    5 minutes — each event lands in 2 overlapping windows."""
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    return _drain_to_memory(agg, f"l2_mem_{uuid.uuid4().hex[:8]}", "complete")
+
+
+def l4_streaming(spark: SparkSession, sf_dir: str):
+    """Live watermark late-data drop (L4), demonstrated for real with
+    THREE micro-batches: (1) the newest third of events arrives and
+    advances the watermark to max(ts) − 1 hour; (2) a one-row nudge
+    batch triggers the eviction pass that EMITS the now-finalized
+    windows (append emits a window the batch after the watermark passes
+    it); (3) the older two-thirds arrive — every row is beyond the
+    watermark and the state operator drops them
+    (numRowsDroppedByWatermark), so nothing old reaches the sink.
+    Returns (result_df, split_event_id); the result is exactly the
+    finalized batch-1 windows.
+
+    This is the semantics the batch twin (l4_watermark_filter) models
+    with a static max(ts) − δ filter; state stays bounded at 100 TB
+    because closed windows are evicted, and late arrivals can never
+    resurrect an emitted window.
+    """
+    from glonassdatamining_spark.sources import load
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/root/repo/.tmpdata/l4_src_{sf}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(src)
+    ev_static = load(spark, sf_dir, "events")
+    split = ev_static.approxQuantile("event_id", [2.0 / 3.0], 0.0)[0]
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ns-long ts
+    new_part = raw.filter(F.col("event_id") > split)
+    old_part = raw.filter(F.col("event_id") <= split)
+    newest_id = new_part.agg(F.max("event_id")).collect()[0][0]
+    new_part.coalesce(1).write.parquet(f"{src}/b1")
+    # Redelivery of the single newest row: advances nothing, only lands
+    # in the (never-closed) newest window — forces the emission pass.
+    raw.filter(F.col("event_id") == newest_id).coalesce(1).write.parquet(f"{src}/b2")
+    old_part.coalesce(1).write.parquet(f"{src}/b3")
+    # FileStreamSource orders files by modification time: stamp them so
+    # the batches arrive new → nudge → late.
+    import glob
+    import time
+
+    now = time.time()
+    for i, d in enumerate(("b1", "b2", "b3")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now - 100 + i * 30, now - 100 + i * 30))
+
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    result = _drain_to_memory(agg, f"l4_mem_{uuid.uuid4().hex[:8]}", "append")
+    return result, split
+
+
 def l3_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live session windows (5-minute gap) per user (L3)."""
     ev, _ = _staged_events_stream(spark, sf_dir)

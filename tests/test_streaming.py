@@ -21,6 +21,37 @@ def test_l1_stream_equals_batch(spark):
     compare_frames(got, want, "l1_stream_vs_batch")
 
 
+def test_l2_stream_equals_batch(spark):
+    got = live.l2_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l2_sliding_window")[["w_start", "n"]]
+    compare_frames(got, want.astype({"n": "int64"}), "l2_stream_vs_batch")
+
+
+def test_l4_watermark_drops_late_batch(spark):
+    """Two-micro-batch drain: the older two-thirds arrive after the
+    watermark advanced past them and must be evicted — the result is
+    exactly the finalized windows of the newest third."""
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.sources import load
+
+    got, split = live.l4_streaming(spark, SF_DIR)
+    got = got.toPandas()
+    new = load(spark, SF_DIR, "events").filter(F.col("event_id") > split)
+    wm = new.agg(F.max("ts")).collect()[0][0] - __import__("datetime").timedelta(hours=1)
+    want = (
+        new.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("w_start"), "n")
+        .toPandas()
+    )
+    assert len(want) > 0, "test is vacuous: no finalized windows"
+    n_total = load(spark, SF_DIR, "events").count()
+    assert got["n"].sum() < n_total, "late data was not dropped"
+    compare_frames(got, want.astype({"n": "int64"}), "l4_stream_late_drop")
+
+
 def test_l3_stream_equals_batch(spark):
     got = live.l3_streaming(spark, SF_DIR).toPandas()
     want = _twin(spark, "l3_session_window")
