@@ -686,3 +686,73 @@ def k13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode_batches, "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, head_byte INT"
     )
+
+
+# --------------------------------------------------------------------------
+# K14 — IVF-bucketed approximate nearest neighbors (the other scale path)
+# --------------------------------------------------------------------------
+_IVF_NLIST = 16
+_IVF_NPROBE = 6  # recall@5 ≈ 0.70 on the fixture at 6/16 lists probed
+
+
+@register("k14_ivf_ann", oracle=None, section="K-extra")
+def k14_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-5 — the
+    coarse-quantizer scale path for similarity search, complementing
+    the LSH path (j6):
+
+    1. KMeans coarse quantizer: ``nlist`` centroids over the
+       L2-normalized vectors (MLlib, distributed).
+    2. Inverted lists: each candidate is assigned to its nearest
+       centroid — an equi-partitionable ``list_id`` key.
+    3. Probing: each query scans only its ``nprobe`` nearest
+       centroids' lists (equi-join on list_id), then exact cosine
+       re-ranks within the probed ~nprobe/nlist fraction of candidates.
+
+    At 100 TB: centroids are tiny and broadcast; candidates shuffle
+    ONCE on list_id (or are written bucketed by it); per-query work
+    drops by nlist/nprobe vs brute force. Recall@5 vs the exact k3
+    result is asserted in tests/test_ml.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    unit = emb.withColumn("n", norm).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("n")).alias("u"),
+    )
+    feats = unit.withColumn("features", array_to_vector("u"))
+    model = KMeans(k=_IVF_NLIST, seed=42, featuresCol="features").fit(feats)
+    cands = (
+        model.transform(feats)
+        .select(F.col("vec_id").alias("nid"), F.col("u").alias("cu"),
+                F.col("prediction").alias("list_id"))
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id INT, cv ARRAY<DOUBLE>",
+    )
+    # nprobe nearest centroids per query (centroid table is tiny).
+    qc = unit.select(F.col("vec_id").alias("qid"), F.col("u").alias("qu")).crossJoin(
+        broadcast(centroids)
+    )
+    cdot = F.aggregate(F.zip_with("qu", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    wprobe = Window.partitionBy("qid").orderBy(F.col("cdot").desc(), "list_id")
+    probes = (
+        qc.select("qid", "qu", "list_id", cdot.alias("cdot"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qu", "list_id")
+    )
+    dot = F.aggregate(F.zip_with("qu", "cu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    pairs = (
+        probes.join(cands, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(dot, 6).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")

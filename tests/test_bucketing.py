@@ -1,0 +1,44 @@
+"""Bucketed co-located join: the SCALE.md claim that bucketing both
+fact tables on the join key removes the join shuffles entirely, proven
+mechanically on a real saveAsTable round-trip."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.sources import load
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_runs_shuffle_free(spark):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_bucketed"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("o_bucketed"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it computes the same thing as the plain shuffle join
+        want = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")

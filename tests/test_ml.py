@@ -115,3 +115,19 @@ def test_fpgrowth_supports_are_exact(spark):
         items = set(row["items"])
         expect = sum(1 for b in baskets if items <= b)
         assert expect == row["freq"], f"{items}: {row['freq']} != {expect}"
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF top-5 must recover most of the exact brute-force top-5 —
+    quantifies the approximation the nprobe/nlist tradeoff buys."""
+    from glonassdatamining_spark import registry
+
+    exact = registry.get("k3_cosine_topk").builder(spark, SF_DIR).toPandas()
+    approx = registry.get("k14_ivf_ann").builder(spark, SF_DIR).toPandas()
+    truth = exact.groupby("qid")["nid"].apply(set)
+    got = approx.groupby("qid")["nid"].apply(set)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth.index
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"IVF recall@5 too low: {mean_recall:.3f}"
