@@ -22,3 +22,27 @@ Layout (SURVEY.md §7.5):
 """
 
 __version__ = "0.1.0"
+
+from glonassdatamining_spark.api import (  # noqa: E402,F401
+    asof_join,
+    cosine_topk,
+    dbscan,
+    exact_dedup,
+    grid_distance_join,
+    minhash_lsh_dedup,
+    sessionize,
+    set_similarity_topk,
+    shingles,
+)
+
+__all__ = [
+    "asof_join",
+    "cosine_topk",
+    "dbscan",
+    "exact_dedup",
+    "grid_distance_join",
+    "minhash_lsh_dedup",
+    "sessionize",
+    "set_similarity_topk",
+    "shingles",
+]

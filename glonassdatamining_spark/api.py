@@ -1,0 +1,559 @@
+"""Public, reusable API — the engine's operators as parameterized
+functions over ARBITRARY DataFrames (any column names, any source).
+
+The registered queries in ``operators/`` are these same kernels bound
+to the driver's fixture tables; binding them through this module keeps
+the public API and the hash-checked demo queries from drifting apart.
+
+Every function is lazy (returns an unexecuted DataFrame) unless its
+docstring says otherwise, and every one follows the scale doctrine in
+SCALE.md: equi-join/groupBy shapes only, Python only as vectorized
+Arrow kernels, no driver state proportional to the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+# --------------------------------------------------------------------------
+# sessionization
+# --------------------------------------------------------------------------
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based ``session_id`` (1-based, per key) to every row:
+    a new session starts where the time since the previous row of the
+    same key exceeds ``gap_seconds``.
+
+    One shuffle on ``key``; the lag window, the running sum, and any
+    downstream per-session groupBy all reuse that single exchange.
+    """
+    w = Window.partitionBy(key).orderBy(ts, *tiebreak)
+    prev = F.lag(ts).over(w)
+    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev)
+    flagged = df.withColumn(
+        "_new_session", F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_session")
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join: each left row gains the columns of the
+    latest right row (same ``key``) with ``right_ts <= left_ts``; NULLs
+    when no such row exists (DuckDB ``ASOF LEFT JOIN`` semantics).
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate ties.
+    Plan: union-tag both sides, one shuffle on ``key``, then a running
+    ``last(ignorenulls)`` — linear within partition, no range join, no
+    Python. Right rows sort before left rows at equal ts, which makes
+    the match inclusive.
+    """
+    payload = [c for c in right.columns if c not in (key, right_ts)]
+    r_struct = F.struct(*[F.col(c) for c in payload], F.col(right_ts))
+    r_dtype = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    left_payload = [c for c in left.columns if c != key]
+    left_schema = dict(zip(left.schema.names, left.schema.fields))
+    l2 = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ets"),
+        *left_payload,
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r_dtype).alias("_r"),
+    )
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ets"),
+        *[
+            F.lit(None).cast(left_schema[c].dataType).alias(c)
+            for c in left_payload
+        ],
+        F.lit(0).alias("_is_left"),
+        r_struct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ets", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = l2.unionByName(r2).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    return tagged.filter(F.col("_is_left") == 1).select(
+        key,
+        *left_payload,
+        *[F.col(f"_m.{c}").alias(c) for c in payload],
+        F.col(f"_m.{right_ts}").alias(right_ts),
+    )
+
+
+# --------------------------------------------------------------------------
+# spatial kernels
+# --------------------------------------------------------------------------
+def grid_distance_join(
+    points: DataFrame, id_col: str, x: str, y: str, eps: float
+) -> DataFrame:
+    """ε-distance self-join: all pairs (a_id < b_id) with euclidean
+    distance ≤ ``eps``; returns (a_id, b_id, dist).
+
+    Grid-bucket form (STARK's partitioner as a DataFrame plan): cell
+    width = ε, probe side replicated to its 3×3 neighborhood, equi-join
+    on cell, exact residual — candidates O(local density · n), never
+    O(n²).
+    """
+    p = points.select(
+        F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
+    )
+    home = p.withColumn("_cx", F.floor(F.col("_x") / eps)).withColumn(
+        "_cy", F.floor(F.col("_y") / eps)
+    )
+    probe = (
+        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("_id").alias("a_id"),
+            F.col("_x").alias("_ax"),
+            F.col("_y").alias("_ay"),
+            (F.col("_cx") + F.col("_dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    build = home.select(
+        F.col("_id").alias("b_id"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+        "_cx",
+        "_cy",
+    )
+    d = F.sqrt(
+        (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx"))
+        + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
+    )
+    return (
+        probe.join(build, ["_cx", "_cy"])
+        .filter((F.col("a_id") < F.col("b_id")) & (d <= eps))
+        .select("a_id", "b_id", d.alias("dist"))
+    )
+
+
+def set_similarity_topk(
+    pairs: DataFrame,
+    obj_col: str,
+    item_col: str,
+    k: int,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar objects per object by Jaccard over item sets
+    (similarity > 0), from an (object, item) membership table; returns
+    (obj_a, obj_b, jaccard).
+
+    Inverted-index join: equi-join on item, count co-occurrences per
+    pair, jaccard = inter / (|a| + |b| − inter). Pure equi-join/groupBy
+    — scales to millions of objects where all-pairs cannot. Skew
+    hazard: ultra-frequent items; IDF-prune them upstream.
+
+    ``round_to`` rounds jaccard BEFORE ranking (tie-break obj_b) so an
+    oracle ranking on rounded values cannot diverge.
+    """
+    oc = pairs.select(
+        F.col(obj_col).alias("_obj"), F.col(item_col).alias("_item")
+    ).distinct()
+    sizes = oc.groupBy("_obj").agg(F.count(F.lit(1)).alias("_sz"))
+    half = (
+        oc.alias("a")
+        .join(oc.alias("b"), "_item")
+        .filter(F.col("a._obj") < F.col("b._obj"))
+        .groupBy(F.col("a._obj").alias("obj_a"), F.col("b._obj").alias("obj_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("obj_b").alias("obj_a"), F.col("obj_a").alias("obj_b"), "_inter"
+        )
+    )
+    sa = sizes.select(F.col("_obj").alias("obj_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_obj").alias("obj_b"), F.col("_sz").alias("_szb"))
+    jac = F.col("_inter").cast("double") / (
+        F.col("_sza") + F.col("_szb") - F.col("_inter")
+    )
+    if round_to is not None:
+        jac = F.round(jac, round_to)
+    scored = (
+        sym.join(broadcast(sa), "obj_a")
+        .join(broadcast(sb), "obj_b")
+        .select("obj_a", "obj_b", jac.alias("jaccard"))
+    )
+    w = Window.partitionBy("obj_a").orderBy(F.col("jaccard").desc(), "obj_b")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep one deterministic representative (lowest id) per distinct
+    content hash. One shuffle on the hash."""
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", F.md5(F.col(content_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of a text column (JVM higher-order
+    functions; no Python)."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.2,
+    n_perms: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Fuzzy-dedup cluster assignment (MinHash + banded LSH + exact
+    Jaccard verification + connected components); returns
+    (id_col, cluster) with cluster = min member id.
+
+    Candidate pairs come only from band-key equi-joins (never
+    all-pairs); each connected-components iteration is materialized via
+    localCheckpoint so lineage stays O(1) (use reliable checkpoint()
+    on a cluster). Eager: runs Spark jobs when called.
+    """
+    d = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col).alias("_s")
+    ).localCheckpoint()
+    mh = d.select(
+        "_id",
+        "_s",
+        *[
+            F.array_min(
+                F.transform("_s", lambda x, j=j: F.xxhash64(F.lit(j), x))
+            ).alias(f"_mh{j}")
+            for j in range(n_perms)
+        ],
+    )
+    rows_per_band = n_perms // n_bands
+    bands = mh.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        *[
+                            F.col(f"_mh{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_band_key"),
+    ).localCheckpoint()
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["_band", "_band_key"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("_a"), F.col("y._id").alias("_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(d.select(F.col("_id").alias("_a"), F.col("_s").alias("_sa")), "_a")
+        .join(d.select(F.col("_id").alias("_b"), F.col("_s").alias("_sb")), "_b")
+        .filter(
+            F.size(F.array_intersect("_sa", "_sb")).cast("double")
+            / F.size(F.array_union("_sa", "_sb"))
+            >= tau
+        )
+        .select("_a", "_b")
+    )
+    edges = (
+        verified.union(verified.select(F.col("_b"), F.col("_a")))
+        .withColumnRenamed("_a", "_src")
+        .withColumnRenamed("_b", "_dst")
+        .localCheckpoint()
+    )
+    labels = df.select(F.col(id_col).alias("_id")).withColumn(
+        "cluster", F.col("_id")
+    ).localCheckpoint()
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges._dst == labels._id)
+            .groupBy("_src")
+            .agg(F.min("cluster").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels._id == neighbor_min._src, "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("_nmin", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_id").alias(id_col), "cluster")
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine top-k per vector; returns (qid, nid, cos).
+
+    BLAS-vectorized brute force: the candidate matrix is collected and
+    broadcast (bounded — this is the exact-twin contract; for unbounded
+    candidate sets use LSH/IVF), queries stream through ``mapInPandas``
+    as one matmul per Arrow batch. Eager: collects the candidate matrix
+    when called.
+    """
+    emb = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    import numpy as np
+
+    cand = emb.toPandas()
+    ids = cand["_id"].to_numpy(np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in cand["_v"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            qids = pdf["_id"].to_numpy(np.int64)
+            for lo in range(0, len(qids), 1024):
+                q = qids[lo : lo + 1024]
+                a = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[lo : lo + 1024]]
+                )
+                an = np.sqrt((a * a).sum(axis=1))
+                cos = np.round((a @ bmat.T) / np.outer(an, bnorms), round_to)
+                out_q, out_n, out_c = [], [], []
+                for i, qid in enumerate(q):
+                    row = cos[i]
+                    order = np.lexsort((bids, -row))
+                    took = 0
+                    for j in order:
+                        if bids[j] == qid:
+                            continue
+                        out_q.append(qid)
+                        out_n.append(bids[j])
+                        out_c.append(row[j])
+                        took += 1
+                        if took == k:
+                            break
+                yield pd.DataFrame({"qid": out_q, "nid": out_n, "cos": out_c})
+
+    return emb.mapInPandas(topk, "qid bigint, nid bigint, cos double")
+
+
+# --------------------------------------------------------------------------
+# density clustering
+# --------------------------------------------------------------------------
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+    cell: float,
+) -> DataFrame:
+    """Distributed, exact DBSCAN over 2-D points; returns
+    (id_col, cluster, is_core) — noise rows carry NULL cluster.
+
+    1. Cut the plane into ``cell``-width cells; replicate each point
+       into every neighbor cell whose ε-padded region contains it
+       (halo), so a home point's full ε-neighborhood is local.
+    2. Per-cell local DBSCAN in an Arrow ``applyInPandas`` kernel
+       (numpy BFS) — home core flags are globally exact.
+    3. Cross-cell core-core ε-pairs (grid equi-join) become merge
+       edges; union-find over them runs on the driver with
+       O(#local clusters) state — never O(points). Eager: collects the
+       (tiny) merge-edge list when called.
+
+    ``cell`` must be ≥ ``eps``; smaller cells shrink the O(n_cell²)
+    local kernels, bigger cells shrink halo replication.
+    """
+    import pandas as pd
+
+    if cell < eps:
+        raise ValueError(f"cell ({cell}) must be >= eps ({eps})")
+    spark = points.sparkSession
+    f = points.select(
+        F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
+    )
+    home = f.withColumn("_cx", F.floor(F.col("_x") / cell)).withColumn(
+        "_cy", F.floor(F.col("_y") / cell)
+    )
+    padded = (
+        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "_id", "_x", "_y",
+            (F.col("_cx") + F.col("_dx")).alias("_tcx"),
+            (F.col("_cy") + F.col("_dy")).alias("_tcy"),
+            ((F.col("_dx") == 0) & (F.col("_dy") == 0)).alias("_is_home"),
+        )
+        .filter(
+            (F.col("_x") >= F.col("_tcx") * cell - eps)
+            & (F.col("_x") < (F.col("_tcx") + 1) * cell + eps)
+            & (F.col("_y") >= F.col("_tcy") * cell - eps)
+            & (F.col("_y") < (F.col("_tcy") + 1) * cell + eps)
+        )
+    )
+
+    def local_dbscan(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        xy = pdf[["_x", "_y"]].to_numpy()
+        n = len(pdf)
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+        neigh = d2 <= eps * eps
+        degree = neigh.sum(axis=1)  # includes self
+        core = degree >= min_pts
+        labels = np.full(n, -1, dtype=np.int64)
+        cid = 0
+        for i in range(n):
+            if not core[i] or labels[i] != -1:
+                continue
+            stack = [i]
+            labels[i] = cid
+            while stack:
+                j = stack.pop()
+                if not core[j]:
+                    continue
+                for m in np.nonzero(neigh[j])[0]:
+                    if labels[m] == -1:
+                        labels[m] = cid
+                        stack.append(int(m))
+            cid += 1
+        kx, ky = key
+        out = pdf[pdf["_is_home"]].copy()
+        idx = pdf.index.get_indexer(out.index)
+        out["_is_core"] = core[idx]
+        out["_local_cid"] = [
+            f"{kx}:{ky}:{l}" if l >= 0 else None for l in labels[idx]
+        ]
+        return out[["_id", "_is_core", "_local_cid"]]
+
+    local = padded.groupBy("_tcx", "_tcy").applyInPandas(
+        local_dbscan, "_id BIGINT, _is_core BOOLEAN, _local_cid STRING"
+    )
+
+    core_pts = local.filter(F.col("_is_core")).join(f, "_id").select(
+        "_id", "_local_cid", "_x", "_y"
+    )
+    chome = core_pts.withColumn("_ecx", F.floor(F.col("_x") / eps)).withColumn(
+        "_ecy", F.floor(F.col("_y") / eps)
+    )
+    cprobe = (
+        chome.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("_id").alias("_a_id"), F.col("_local_cid").alias("_cid_a"),
+            F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+            (F.col("_ecx") + F.col("_dx")).alias("_ecx"),
+            (F.col("_ecy") + F.col("_dy")).alias("_ecy"),
+        )
+    )
+    cbuild = chome.select(
+        F.col("_id").alias("_b_id"), F.col("_local_cid").alias("_cid_b"),
+        F.col("_x").alias("_bx"), F.col("_y").alias("_by"), "_ecx", "_ecy",
+    )
+    d = F.sqrt(
+        (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx"))
+        + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
+    )
+    edges = (
+        cprobe.join(cbuild, ["_ecx", "_ecy"])
+        .filter(
+            (F.col("_a_id") < F.col("_b_id"))
+            & (d <= eps)
+            & (F.col("_cid_a") != F.col("_cid_b"))
+        )
+        .select("_cid_a", "_cid_b")
+        .distinct()
+    )
+
+    parent: dict[str, str] = {}
+
+    def find(u: str) -> str:
+        while parent.setdefault(u, u) != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for ca, cb in edges.collect():
+        ra, rb = find(ca), find(cb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    roots = {c: find(c) for c in list(parent)}
+    mapping = spark.createDataFrame(
+        list(roots.items()) or [("__none__", "__none__")],
+        "_local_cid STRING, cluster STRING",
+    )
+    return (
+        local.join(broadcast(mapping), "_local_cid", "left")
+        .withColumn("cluster", F.coalesce("cluster", "_local_cid"))
+        .select(F.col("_id").alias(id_col), "cluster", F.col("_is_core").alias("is_core"))
+    )

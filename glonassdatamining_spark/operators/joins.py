@@ -224,44 +224,27 @@ def c8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest error (same user)
-    at-or-before it. Spark 4.1 has no native DataFrame asof, so: tag and
-    union both sides, then a running ``last(ignorenulls)`` over
-    (ts, side) per user — right rows sort before left at equal ts, which
-    yields DuckDB ASOF's inclusive (>=) semantics. One shuffle on
-    user_id; linear within partition; no pandas boundary.
-    Right side deduped per (user, ts) so ties can't be engine-dependent.
+    at-or-before it. Spark 4.1 has no native DataFrame asof, so the
+    kernel (``api.asof_join``, the public parameterized form) tags and
+    unions both sides, then runs ``last(ignorenulls)`` over (ts, side)
+    per user — right rows sort before left at equal ts, which yields
+    DuckDB ASOF's inclusive (>=) semantics. One shuffle on user_id;
+    linear within partition; no pandas boundary. Right side deduped per
+    (user, ts) so ties can't be engine-dependent.
     """
+    from glonassdatamining_spark.api import asof_join
+
     ev = load(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("ets"), "event_id",
-        F.lit(1).alias("is_left"),
-        F.lit(None).cast("struct<err_event_id:bigint,err_ts:timestamp>").alias("r"),
+        "user_id", "ts", "event_id"
     )
     right = (
         ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
         .agg(F.max("event_id").alias("err_event_id"))
-        .select(
-            "user_id", F.col("ts").alias("ets"),
-            F.lit(None).cast("bigint").alias("event_id"),
-            F.lit(0).alias("is_left"),
-            F.struct(F.col("err_event_id"), F.col("ts").alias("err_ts")).alias("r"),
-        )
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ets", "is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = left.unionByName(right).withColumn(
-        "m", F.last("r", ignorenulls=True).over(w)
-    )
-    return tagged.filter(F.col("is_left") == 1).select(
-        "event_id",
-        "user_id",
-        F.col("ets").alias("ts"),
-        F.col("m.err_event_id").alias("err_event_id"),
-        F.col("m.err_ts").alias("err_ts"),
+    return asof_join(left, right, "user_id", "ts", "err_ts").select(
+        "event_id", "user_id", "ts", "err_event_id", "err_ts"
     )
 
 
@@ -313,39 +296,20 @@ _EPS = 1.0
 )
 def c11_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-distance self-join (STARK withinDistance join, numeric proxy
-    dims). Grid-bucket form: each point joins only its 3×3 neighbor
-    cells (probe side exploded to the 9 cells), then the exact distance
-    residual — candidate pairs are O(local density), never O(n²). The
-    oracle is the brute-force cross join, proving equivalence."""
+    dims), via the public grid-bucket kernel ``api.grid_distance_join``:
+    each point joins only its 3×3 neighbor cells, then the exact
+    distance residual — candidate pairs are O(local density), never
+    O(n²). The oracle is the brute-force cross join, proving
+    equivalence."""
+    from glonassdatamining_spark.api import grid_distance_join
+
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("id"),
         (F.col("s_acctbal") / 1000.0).alias("x"),
         F.col("s_nationkey").cast("double").alias("y"),
     )
-    cx, cy = F.floor(F.col("x") / _EPS), F.floor(F.col("y") / _EPS)
-    home = s.withColumn("cx", cx).withColumn("cy", cy)
-    # Probe side: replicate into the 9-cell neighborhood.
-    probe = (
-        home.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
-            (F.col("cx") + F.col("dx")).alias("cx"), (F.col("cy") + F.col("dy")).alias("cy"),
-        )
-    )
-    build = home.select(
-        F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        "cx", "cy",
-    )
-    d = F.sqrt(
-        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
-    )
-    return (
-        probe.join(build, ["cx", "cy"])
-        .filter((F.col("a_id") < F.col("b_id")) & (d <= _EPS))
-        .select("a_id", "b_id", F.round(d, 6).alias("dist"))
-    )
+    pairs = grid_distance_join(s, "id", "x", "y", _EPS)
+    return pairs.select("a_id", "b_id", F.round("dist", 6).alias("dist"))
 
 
 @register(

@@ -122,100 +122,16 @@ def k2b_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (small bounded loop, all joins) → cluster id per doc.
 
     rows-only: sketches are engine-specific; k2's exact twin carries
-    the correctness burden.
+    the correctness burden. Kernel: ``api.minhash_lsh_dedup`` (the
+    public parameterized form).
     """
-    # Shingle once and materialize: the shingle array feeds the minhash
-    # sketch AND both sides of the candidate verification — without the
-    # checkpoint the HOF shingling re-runs 4×.
-    d = load(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s")).localCheckpoint()
-    # minhash_j(doc) = min over shingles of xxhash64(salt_j, shingle)
-    mh = d.select(
-        "doc_id",
-        "s",
-        *[
-            F.array_min(F.transform("s", lambda x, j=j: F.xxhash64(F.lit(j), x))).alias(f"mh{j}")
-            for j in range(_MINHASH_PERMS)
-        ],
+    from glonassdatamining_spark.api import minhash_lsh_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        d, "doc_id", "text",
+        tau=_JACCARD_TAU, n_perms=_MINHASH_PERMS, n_bands=_LSH_BANDS,
     )
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    bands = mh.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(bi),
-                        *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                    for bi in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("band", "band_key"),
-    ).localCheckpoint()  # sketch once; the self-join reads it twice
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # Exact verification of candidates only.
-    sh = d.select("doc_id", "s")
-    verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
-        .filter(
-            F.size(F.array_intersect("sa", "sb")).cast("double")
-            / F.size(F.array_union("sa", "sb"))
-            >= _JACCARD_TAU
-        )
-        .select("doc_a", "doc_b")
-    )
-    # Connected components: min-label propagation until fixpoint (the
-    # dup-graph is tiny relative to the corpus; iterations bounded by
-    # component diameter). Each iteration is materialized via
-    # localCheckpoint so lineage stays O(1) — without it, iteration k
-    # re-runs the whole LSH pipeline k times. On a real cluster swap
-    # localCheckpoint for reliable checkpoint() (HDFS) for fault
-    # tolerance.
-    edges = (
-        verified.union(verified.select(F.col("doc_b"), F.col("doc_a")))
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .localCheckpoint()
-    )
-    labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("cluster", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(10):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", "cluster")
 
 
 # --------------------------------------------------------------------------
@@ -242,51 +158,12 @@ def k3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul + per-row top-k — ~100× the throughput of a per-pair
     higher-order-function fold, with zero shuffle of the query side.
     Cosine is rounded to 6dp BEFORE ranking (nid tie-break) so ranks
-    cannot diverge from the oracle on ulp noise."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    import numpy as np
+    cannot diverge from the oracle on ulp noise. Kernel:
+    ``api.cosine_topk`` (the public parameterized form)."""
+    from glonassdatamining_spark.api import cosine_topk
 
-    cand = emb.toPandas()  # bounded: the brute-force twin's contract
-    ids = cand["vec_id"].to_numpy(np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in cand["embedding"]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-    k = 5
-
-    def topk(batches):
-        import numpy as np
-        import pandas as pd
-
-        bids, bmat, bnorms = bc.value
-        for pdf in batches:
-            qids = pdf["vec_id"].to_numpy(np.int64)
-            # Block the batch so the dense cos matrix stays small.
-            for lo in range(0, len(qids), 1024):
-                q = qids[lo : lo + 1024]
-                a = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[lo : lo + 1024]]
-                )
-                an = np.sqrt((a * a).sum(axis=1))
-                cos = np.round((a @ bmat.T) / np.outer(an, bnorms), 6)
-                out_q, out_n, out_c = [], [], []
-                for i, qid in enumerate(q):
-                    row = cos[i]
-                    # Exact (rounded-cos DESC, nid ASC) order; lexsort keeps
-                    # nid tie-breaks correct. For huge n: argpartition first.
-                    order = np.lexsort((bids, -row))
-                    took = 0
-                    for j in order:
-                        if bids[j] == qid:
-                            continue
-                        out_q.append(qid)
-                        out_n.append(bids[j])
-                        out_c.append(row[j])
-                        took += 1
-                        if took == k:
-                            break
-                yield pd.DataFrame({"qid": out_q, "nid": out_n, "cos": out_c})
-
-    return emb.mapInPandas(topk, "qid bigint, nid bigint, cos double")
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, "vec_id", "embedding", k=5, round_to=6)
 
 
 # --------------------------------------------------------------------------

@@ -103,30 +103,16 @@ _I3_EPS = 0.8
     section="I3",
 )
 def i3_distance_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-distance self-join over fixes, grid-bucket form (cell = ε,
-    probe side exploded to the 3×3 neighborhood, exact residual).
-    The oracle is the brute-force O(n²) cross join on a 1/3 subset —
-    equivalence proves the bucketing loses no pairs."""
+    """ε-distance self-join over fixes via the public grid-bucket
+    kernel ``api.grid_distance_join`` (cell = ε, probe side exploded to
+    the 3×3 neighborhood, exact residual). The oracle is the
+    brute-force O(n²) cross join on a 1/3 subset — equivalence proves
+    the bucketing loses no pairs."""
+    from glonassdatamining_spark.api import grid_distance_join
+
     f = fixes(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select("event_id", "x", "y")
-    cx, cy = F.floor(F.col("x") / _I3_EPS), F.floor(F.col("y") / _I3_EPS)
-    home = f.withColumn("cx", cx).withColumn("cy", cy)
-    probe = (
-        home.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
-            (F.col("cx") + F.col("dx")).alias("cx"), (F.col("cy") + F.col("dy")).alias("cy"),
-        )
-    )
-    build = home.select(
-        F.col("event_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"), "cx", "cy"
-    )
-    d = _dist(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
-    return (
-        probe.join(build, ["cx", "cy"])
-        .filter((F.col("a_id") < F.col("b_id")) & (d <= _I3_EPS))
-        .select("a_id", "b_id", F.round(d, 6).alias("dist"))
-    )
+    pairs = grid_distance_join(f, "event_id", "x", "y", _I3_EPS)
+    return pairs.select("a_id", "b_id", F.round("dist", 6).alias("dist"))
 
 
 @register(
@@ -196,141 +182,19 @@ def dbscan(
     min_pts: int = _DB_MINPTS,
     cell: float = _DB_CELL,
 ) -> DataFrame:
-    """Distributed DBSCAN (STARK's integrated clustering, rebuilt on
-    the DataFrame + applyInPandas stack):
-
-    1. cut the plane into S×S cells; replicate each point into every
-       neighbor cell whose ε-padded region contains it (halo);
-    2. per-cell local DBSCAN in a pandas UDF (numpy BFS) — a home
-       point's full ε-neighborhood is inside the padded cell, so home
-       core flags are globally exact;
-    3. cross-cell core-core ε-pairs (grid join) become cluster-merge
-       edges; union-find over the edge list runs on the driver —
-       state is O(#local clusters), NOT O(points), the one sanctioned
-       driver-side structure (SURVEY §7.4).
+    """Distributed DBSCAN over the GNSS fixes (STARK's integrated
+    clustering) via the public kernel ``api.dbscan`` — grid + ε-halo
+    replication, per-cell Arrow-vectorized local DBSCAN, core-core
+    border-edge merge with O(#local clusters) driver union-find.
 
     Returns (event_id, cluster, is_core); noise rows carry NULL.
-    rows-only check: cluster ids aren't ANSI-SQL-expressible.
+    rows-only check: cluster ids aren't ANSI-SQL-expressible (the
+    brute-force equivalence test lives in tests/test_ml.py).
     """
-    import pandas as pd
+    from glonassdatamining_spark.api import dbscan as dbscan_kernel
 
     f = fixes(spark, sf_dir).select("event_id", "x", "y")
-    home = f.withColumn("cx", F.floor(F.col("x") / cell)).withColumn(
-        "cy", F.floor(F.col("y") / cell)
-    )
-    padded = (
-        home.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            "event_id", "x", "y",
-            (F.col("cx") + F.col("dx")).alias("tcx"),
-            (F.col("cy") + F.col("dy")).alias("tcy"),
-            ((F.col("dx") == 0) & (F.col("dy") == 0)).alias("is_home"),
-        )
-        # keep a replica only if the point sits inside the target
-        # cell's ε-padded bounding box
-        .filter(
-            (F.col("x") >= F.col("tcx") * cell - eps)
-            & (F.col("x") < (F.col("tcx") + 1) * cell + eps)
-            & (F.col("y") >= F.col("tcy") * cell - eps)
-            & (F.col("y") < (F.col("tcy") + 1) * cell + eps)
-        )
-    )
-
-    def local_dbscan(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        xy = pdf[["x", "y"]].to_numpy()
-        n = len(pdf)
-        # pairwise ε-neighborhood (padded cell is small by construction)
-        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
-        neigh = d2 <= eps * eps
-        degree = neigh.sum(axis=1)  # includes self
-        core = degree >= min_pts
-        labels = np.full(n, -1, dtype=np.int64)
-        cid = 0
-        for i in range(n):
-            if not core[i] or labels[i] != -1:
-                continue
-            # BFS through core points
-            stack = [i]
-            labels[i] = cid
-            while stack:
-                j = stack.pop()
-                if not core[j]:
-                    continue
-                for k in np.nonzero(neigh[j])[0]:
-                    if labels[k] == -1:
-                        labels[k] = cid
-                        stack.append(int(k))
-            cid += 1
-        kx, ky = key
-        out = pdf[pdf["is_home"]].copy()
-        idx = pdf.index.get_indexer(out.index)
-        out_labels = labels[idx]
-        out_core = core[idx]
-        out["is_core"] = out_core
-        out["local_cid"] = [
-            f"{kx}:{ky}:{l}" if l >= 0 else None for l in out_labels
-        ]
-        return out[["event_id", "is_core", "local_cid"]]
-
-    local = padded.groupBy("tcx", "tcy").applyInPandas(
-        local_dbscan, "event_id BIGINT, is_core BOOLEAN, local_cid STRING"
-    )
-
-    # Cross-cell merge edges: ε-pairs of global cores in different cells.
-    core_pts = local.filter(F.col("is_core")).join(f, "event_id").select(
-        "event_id", "local_cid", "x", "y"
-    )
-    ecx, ecy = F.floor(F.col("x") / eps), F.floor(F.col("y") / eps)
-    chome = core_pts.withColumn("ecx", ecx).withColumn("ecy", ecy)
-    cprobe = (
-        chome.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            F.col("event_id").alias("a_id"), F.col("local_cid").alias("cid_a"),
-            F.col("x").alias("ax"), F.col("y").alias("ay"),
-            (F.col("ecx") + F.col("dx")).alias("ecx"), (F.col("ecy") + F.col("dy")).alias("ecy"),
-        )
-    )
-    cbuild = chome.select(
-        F.col("event_id").alias("b_id"), F.col("local_cid").alias("cid_b"),
-        F.col("x").alias("bx"), F.col("y").alias("by"), "ecx", "ecy",
-    )
-    d = _dist(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
-    edges = (
-        cprobe.join(cbuild, ["ecx", "ecy"])
-        .filter((F.col("a_id") < F.col("b_id")) & (d <= eps) & (F.col("cid_a") != F.col("cid_b")))
-        .select("cid_a", "cid_b")
-        .distinct()
-    )
-
-    # Driver union-find over the (tiny) cluster graph.
-    parent: dict[str, str] = {}
-
-    def find(u: str) -> str:
-        while parent.setdefault(u, u) != u:
-            parent[u] = parent[parent[u]]
-            u = parent[u]
-        return u
-
-    for ca, cb in edges.collect():
-        ra, rb = find(ca), find(cb)
-        if ra != rb:
-            # deterministic: smaller string wins as root
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    roots = {c: find(c) for c in list(parent)}
-    mapping = spark.createDataFrame(
-        list(roots.items()) or [("__none__", "__none__")], "local_cid STRING, cluster STRING"
-    )
-    return (
-        local.join(F.broadcast(mapping), "local_cid", "left")
-        .withColumn("cluster", F.coalesce("cluster", "local_cid"))
-        .select("event_id", "cluster", "is_core")
-    )
+    return dbscan_kernel(f, "event_id", "x", "y", eps, min_pts, cell)
 
 
 @register(
@@ -535,33 +399,9 @@ def i11_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: stop-cell skew (depots) is the hazard — cap or drop
     ultra-high-document-frequency cells (IDF pruning), or AQE skew
     splits the hot cell partitions."""
+    from glonassdatamining_spark.api import set_similarity_topk
+
     f = fixes(spark, sf_dir)
     cell = (F.floor(F.col("x") / 2.0).cast("bigint") * 100 + F.floor(F.col("y") / 2.0).cast("bigint"))
-    oc = f.select("obj_id", cell.alias("cell")).distinct()
-    sizes = oc.groupBy("obj_id").agg(F.count(F.lit(1)).alias("sz"))
-    # Undirected co-visit counts (a < b), symmetrized after the agg so
-    # the heavy shuffle handles each pair once.
-    half = (
-        oc.alias("a")
-        .join(oc.alias("b"), "cell")
-        .filter(F.col("a.obj_id") < F.col("b.obj_id"))
-        .groupBy(F.col("a.obj_id").alias("obj_a"), F.col("b.obj_id").alias("obj_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    pairs = half.unionByName(
-        half.select(
-            F.col("obj_b").alias("obj_a"), F.col("obj_a").alias("obj_b"), "inter"
-        )
-    )
-    sa = sizes.select(F.col("obj_id").alias("obj_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("obj_id").alias("obj_b"), F.col("sz").alias("szb"))
-    jac = F.round(
-        F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
-    )
-    scored = (
-        pairs.join(F.broadcast(sa), "obj_a")
-        .join(F.broadcast(sb), "obj_b")
-        .select("obj_a", "obj_b", jac.alias("jaccard"))
-    )
-    w = Window.partitionBy("obj_a").orderBy(F.col("jaccard").desc(), "obj_b")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    visits = f.select("obj_id", cell.alias("cell"))
+    return set_similarity_topk(visits, "obj_id", "cell", k=3, round_to=6)

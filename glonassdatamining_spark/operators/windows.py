@@ -232,18 +232,12 @@ def e8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM-pipeline user sessions): flag gap > τ via lag, running-sum the
     flags into session ids, aggregate per session. Two windows + one
     groupBy, all on the same user_id partitioning — Spark reuses the
-    shuffle across all three (single exchange in the plan)."""
+    shuffle across all three (single exchange in the plan).
+    Kernel: ``api.sessionize`` (the public parameterized form)."""
+    from glonassdatamining_spark.api import sessionize
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(F.lag("ts").over(w).isNull() | (gap > _GAP_S), 1).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sessions = sessionize(ev, "user_id", "ts", _GAP_S, tiebreak=("event_id",))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),

@@ -1,0 +1,125 @@
+"""Public-API tests: every ``glonassdatamining_spark`` kernel on small
+INLINE DataFrames with arbitrary column names — proving the functions
+are generic over schemas, not bound to the fixture tables (which the
+t2 registry already covers via the delegating demo queries)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from glonassdatamining_spark import api
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_generic(spark):
+    rows = [
+        ("a", _ts("2024-01-01 00:00:00")),
+        ("a", _ts("2024-01-01 00:10:00")),   # 600s gap → same session (τ=900)
+        ("a", _ts("2024-01-01 01:00:00")),   # 3000s gap → new session
+        ("b", _ts("2024-01-01 00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "device STRING, seen TIMESTAMP")
+    out = api.sessionize(df, "device", "seen", gap_seconds=900)
+    got = {(r.device, str(r.seen)): r.session_id for r in out.collect()}
+    assert got[("a", "2024-01-01 00:00:00")] == 1
+    assert got[("a", "2024-01-01 00:10:00")] == 1
+    assert got[("a", "2024-01-01 01:00:00")] == 2
+    assert got[("b", "2024-01-01 00:00:00")] == 1
+
+
+def test_asof_join_generic(spark):
+    left = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 10:00:00"), 1),
+            ("x", _ts("2024-01-01 12:00:00"), 2),
+            ("y", _ts("2024-01-01 10:00:00"), 3),
+        ],
+        "sensor STRING, at TIMESTAMP, reading INT",
+    )
+    right = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 09:00:00"), "cal-old"),
+            ("x", _ts("2024-01-01 12:00:00"), "cal-new"),  # tie: inclusive
+        ],
+        "sensor STRING, cal_at TIMESTAMP, cal_name STRING",
+    )
+    out = api.asof_join(left, right, "sensor", "at", "cal_at")
+    got = {r.reading: (r.cal_name, r.cal_at) for r in out.collect()}
+    assert got[1] == ("cal-old", _ts("2024-01-01 09:00:00"))
+    assert got[2] == ("cal-new", _ts("2024-01-01 12:00:00"))  # <= is inclusive
+    assert got[3] == (None, None)  # no right row for sensor y
+
+
+def test_grid_distance_join_generic(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.5, 0.0), (3, 0.95, 0.0), (4, 5.0, 5.0)],
+        "pid INT, lon DOUBLE, lat DOUBLE",
+    )
+    out = api.grid_distance_join(pts, "pid", "lon", "lat", eps=1.0)
+    pairs = {(r.a_id, r.b_id): r.dist for r in out.collect()}
+    # brute force: (1,2)=0.5 (1,3)=0.95 (2,3)=0.45; 4 is isolated
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert abs(pairs[(1, 2)] - 0.5) < 1e-12
+    assert abs(pairs[(2, 3)] - 0.45) < 1e-12
+
+
+def test_set_similarity_topk_generic(spark):
+    rows = [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"), ("u2", "c"),
+            ("u3", "c"), ("u4", "z")]
+    df = spark.createDataFrame(rows, "member STRING, thing STRING")
+    out = api.set_similarity_topk(df, "member", "thing", k=2)
+    got = {(r.obj_a, r.obj_b): r.jaccard for r in out.collect()}
+    assert abs(got[("u1", "u2")] - 2 / 3) < 1e-12
+    assert abs(got[("u2", "u3")] - 1 / 3) < 1e-12
+    assert ("u1", "u3") not in got            # zero overlap excluded
+    assert not any(a == "u4" or b == "u4" for a, b in got)  # isolated
+
+
+def test_exact_dedup_generic(spark):
+    df = spark.createDataFrame(
+        [(7, "same text"), (3, "same text"), (9, "other")],
+        "rec_id INT, body STRING",
+    )
+    out = api.exact_dedup(df, "rec_id", "body")
+    assert sorted(r.rec_id for r in out.collect()) == [3, 9]
+
+
+def test_cosine_topk_generic(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vid LONG, feat ARRAY<DOUBLE>",
+    )
+    out = api.cosine_topk(df, "vid", "feat", k=1)
+    got = {r.qid: r.nid for r in out.collect()}
+    assert got[1] == 2 and got[2] == 1 and got[3] == 2
+
+
+def test_minhash_lsh_dedup_generic(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(10, text), (20, text), (30, "completely different words entirely here now")],
+        "doc INT, content STRING",
+    )
+    out = api.minhash_lsh_dedup(df, "doc", "content", tau=0.5)
+    got = {r.doc: r.cluster for r in out.collect()}
+    assert got[10] == got[20] == 10  # identical docs cluster to min id
+    assert got[30] == 30
+
+
+def test_dbscan_generic(spark):
+    import random
+
+    rng = random.Random(7)
+    blob1 = [(i, rng.uniform(0, 0.5), rng.uniform(0, 0.5)) for i in range(20)]
+    blob2 = [(100 + i, rng.uniform(9.5, 10.0), rng.uniform(9.5, 10.0)) for i in range(20)]
+    noise = [(999, 5.0, 5.0)]
+    df = spark.createDataFrame(blob1 + blob2 + noise, "pt LONG, px DOUBLE, py DOUBLE")
+    out = api.dbscan(df, "pt", "px", "py", eps=0.8, min_pts=4, cell=2.0)
+    rows = {r.pt: r for r in out.collect()}
+    c1 = {rows[i].cluster for i, _, _ in blob1}
+    c2 = {rows[i].cluster for i, _, _ in blob2}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    assert rows[999].cluster is None and not rows[999].is_core
