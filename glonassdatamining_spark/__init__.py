@@ -30,6 +30,7 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     exact_dedup,
     grid_distance_join,
     minhash_lsh_dedup,
+    salted_agg,
     sessionize,
     set_similarity_topk,
     shingles,
@@ -42,6 +43,7 @@ __all__ = [
     "exact_dedup",
     "grid_distance_join",
     "minhash_lsh_dedup",
+    "salted_agg",
     "sessionize",
     "set_similarity_topk",
     "shingles",

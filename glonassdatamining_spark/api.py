@@ -557,3 +557,33 @@ def dbscan(
         .withColumn("cluster", F.coalesce("cluster", "_local_cid"))
         .select(F.col("_id").alias(id_col), "cluster", F.col("_is_core").alias("is_core"))
     )
+
+
+# --------------------------------------------------------------------------
+# skew mitigation
+# --------------------------------------------------------------------------
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof sum/count per key: two-stage aggregation through a
+    random salt, for when one hot key would otherwise pin its entire
+    partition on a single task; returns (key, sum_value, n_rows).
+
+    Stage 1 groups on (key, salt) — the hot key spreads over
+    ``n_salts`` tasks; stage 2 re-aggregates the ≤ n_salts partials per
+    key. Only valid for algebraic aggregates (sum/count/min/max —
+    anything with a merge function). For joins, prefer AQE's skew-join
+    splitting; this helper covers aggregation paths AQE doesn't touch.
+    The salt is non-deterministic per row, which is safe exactly
+    because the aggregate is salt-invariant.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=0) * n_salts).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(value).alias("_psum"), F.count(F.lit(1)).alias("_pn")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").alias("sum_value"), F.sum("_pn").alias("n_rows")
+    )

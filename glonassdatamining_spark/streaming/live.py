@@ -206,3 +206,67 @@ def l7_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain_to_memory(out, f"l7_mem_{uuid.uuid4().hex[:8]}", "update")
+
+
+def l7b_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 via the Spark 4 stateful-processor API
+    (``transformWithStateInPandas``): per-user running totals kept in a
+    named ValueState, RocksDB-backed state store. Functionally the twin
+    of ``l7_streaming`` (applyInPandasWithState) — both must equal the
+    batch running-aggregate's final rows.
+
+    Requires ``google.protobuf`` (the TWS Python↔JVM state-server
+    protocol); absent in this container, so the equivalence test
+    import-skips and ``l7_streaming`` carries the checked semantics."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev, _ = _staged_events_stream(spark, sf_dir)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store provider (the
+    # recommended store at scale anyway; default HDFS-backed store is
+    # unsupported for this operator).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _drain_to_memory(out, f"l7b_mem_{uuid.uuid4().hex[:8]}", "update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

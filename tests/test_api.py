@@ -123,3 +123,23 @@ def test_dbscan_generic(spark):
     c2 = {rows[i].cluster for i, _, _ in blob2}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
     assert rows[999].cluster is None and not rows[999].is_core
+
+
+def test_salted_agg_matches_plain(spark):
+    """Skewed key (90% of rows) through the salted two-stage path must
+    equal the plain groupBy (decimal-exact values so FP order is moot)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    got = {r.k: (r.sum_value, r.n_rows) for r in api.salted_agg(df, "k", "v").collect()}
+    want = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6

@@ -96,3 +96,29 @@ def test_random_predicate_agg_matches_oracle(spark, seed):
     ).fetchdf()
     con.close()
     compare_frames(got, want, f"agg-predicate[{pred}]")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_join_predicate_matches_oracle(spark, seed):
+    """Random predicates on BOTH sides of a customer⋈orders join —
+    exercises pushdown through the join and null-safe key semantics."""
+    rng = random.Random(777 + seed)
+    pred = _predicate(rng)
+    cust_pred = rng.choice(
+        ["c_acctbal > 0.0", "c_acctbal BETWEEN -500.0 AND 5000.0",
+         "c_mktsegment IN ('BUILDING', 'MACHINERY')", "c_custkey % 3 = 1"]
+    )
+    o = load(spark, SF_DIR, "orders").filter(F.expr(pred))
+    c = load(spark, SF_DIR, "customer").filter(F.expr(cust_pred))
+    got = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_custkey")
+        .toPandas()
+    )
+    con = oracle_con()
+    want = con.execute(
+        "SELECT o_orderkey, c_custkey FROM orders JOIN customer "
+        f"ON o_custkey = c_custkey WHERE ({pred}) AND ({cust_pred})"
+    ).fetchdf()
+    con.close()
+    compare_frames(got, want, f"join-predicate[{pred} / {cust_pred}]")

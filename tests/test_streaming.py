@@ -5,6 +5,7 @@ twin's result on the static events fixture."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from glonassdatamining_spark import registry
 from glonassdatamining_spark.streaming import live
@@ -78,6 +79,27 @@ def test_l7_stateful_running_final_state(spark):
     got = live.l7_streaming(spark, SF_DIR).toPandas()
     # One availableNow drain → one batch → final state per user equals
     # the batch twin's last running row per user.
+    twin = _twin(spark, "l7_stateful_running")
+    want = (
+        twin.sort_values(["user_id", "events_so_far"])
+        .groupby("user_id", as_index=False)
+        .last()[["user_id", "events_so_far"]]
+        .rename(columns={"events_so_far": "n_events"})
+    )
+    got_n = got[["user_id", "n_events"]].sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    assert got_n["user_id"].tolist() == want["user_id"].tolist()
+    assert got_n["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_l7b_transform_with_state_equals_l7(spark):
+    """Spark 4 transformWithStateInPandas twin of l7: same final state
+    per user as the batch running aggregate. Skipped where
+    google.protobuf is unavailable — the TWS state-server protocol
+    requires it (this container lacks it; applyInPandasWithState l7
+    covers the semantics)."""
+    pytest.importorskip("google.protobuf")
+    got = live.l7b_streaming_tws(spark, SF_DIR).toPandas()
     twin = _twin(spark, "l7_stateful_running")
     want = (
         twin.sort_values(["user_id", "events_so_far"])
