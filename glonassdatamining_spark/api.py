@@ -36,12 +36,17 @@ def sessionize(
 
     One shuffle on ``key``; the lag window, the running sum, and any
     downstream per-session groupBy all reuse that single exchange.
+
+    Gaps are measured in exact milliseconds (``unix_timestamp`` would
+    FLOOR to seconds while e.g. DuckDB's ``epoch`` cast ROUNDS — a
+    cross-engine off-by-one on sub-second timestamps).
     """
     w = Window.partitionBy(key).orderBy(ts, *tiebreak)
     prev = F.lag(ts).over(w)
-    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev)
+    gap_ms = F.unix_millis(F.col(ts)) - F.unix_millis(prev)
     flagged = df.withColumn(
-        "_new_session", F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        "_new_session",
+        F.when(prev.isNull() | (gap_ms > gap_seconds * 1000), 1).otherwise(0),
     )
     return flagged.withColumn(
         "session_id",
@@ -494,9 +499,12 @@ def dbscan(
         ]
         return out[["_id", "_is_core", "_local_cid"]]
 
+    # Materialize the local-clustering pass once: both the merge-edge
+    # collect and the final label join read it (without this the Arrow
+    # kernel runs twice).
     local = padded.groupBy("_tcx", "_tcy").applyInPandas(
         local_dbscan, "_id BIGINT, _is_core BOOLEAN, _local_cid STRING"
-    )
+    ).localCheckpoint()
 
     core_pts = local.filter(F.col("_is_core")).join(f, "_id").select(
         "_id", "_local_cid", "_x", "_y"

@@ -633,3 +633,58 @@ def k14_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+# --------------------------------------------------------------------------
+# K15 — multimodal frame sampling (1 → N rows over binary payloads)
+# --------------------------------------------------------------------------
+_FRAME_N = 4
+_FRAME_BYTES = 16
+
+
+@register("k15_frame_sample", oracle=None, section="K-extra")
+def k15_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for opaque video/audio payloads: each
+    binary payload yields N evenly-spaced fixed-width "frames" through
+    an Arrow ``mapInPandas`` stage (the UDTF shape: 1 row → N rows,
+    schema'd and batched like a real ffmpeg frame sampler would be —
+    the decoder itself is a deterministic byte-window fake because the
+    media libs aren't in this container; swap ``sample_frames``'s body
+    for the real decode, the Spark-side contract is unchanged).
+
+    Scale: decode parallelism == input partition count; frames inherit
+    the parent's partitioning so per-frame feature extraction pipelines
+    on without a shuffle.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out_doc, out_idx, out_off, out_sum = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                size = len(payload)
+                n = min(_FRAME_N, max(size // _FRAME_BYTES, 1))
+                for i in range(n):
+                    off = (size - _FRAME_BYTES) * i // max(n - 1, 1) if size > _FRAME_BYTES else 0
+                    frame = payload[off : off + _FRAME_BYTES]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_off.append(off)
+                    out_sum.append(int(sum(frame) % 65536))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "byte_offset": out_off,
+                    "frame_checksum": out_sum,
+                }
+            )
+
+    return d.mapInPandas(
+        sample_frames,
+        "doc_id BIGINT, frame_idx INT, byte_offset BIGINT, frame_checksum BIGINT",
+    )

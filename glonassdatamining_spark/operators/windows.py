@@ -213,7 +213,7 @@ _GAP_S = 14400  # 4-hour inactivity gap → new session
         EVENTS_CTE + ", flagged AS ("
         "  SELECT user_id, ts, event_id, "
         "  CASE WHEN lag(ts) OVER w IS NULL "
-        f"       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > {_GAP_S} "
+        f"       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_GAP_S * 1000} "
         "       THEN 1 ELSE 0 END AS new_session "
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "sessions AS ("
