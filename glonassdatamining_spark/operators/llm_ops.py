@@ -93,9 +93,12 @@ def _shingles(col: str = "text"):
 def k2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs — the brute-force
     correctness twin for fuzzy dedup (the LSH scale path is
-    k2b_minhash_lsh_dedup, whose candidates ⊆ these pairs)."""
+    k2b_minhash_lsh_dedup, whose candidates ⊆ these pairs). The probe
+    side is repartitioned so the O(n²) pair work spreads over every
+    core instead of the single partition a small table scans into."""
     d = load(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s"))
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    par = spark.sparkContext.defaultParallelism
+    a = d.repartition(par).select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     uni = F.size(F.array_union("sa", "sb"))
@@ -436,7 +439,10 @@ def k10_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f")
     )
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    # spread the O(n²) pair scan over all cores (small input = 1 split)
+    a = fp.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("doc_a"), F.col("f").alias("fa")
+    )
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
     hd = F.bit_count(F.expr("fa ^ fb"))
     return (
@@ -498,7 +504,10 @@ def k12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     e = e.withColumn("n", norm)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    # spread the O(n²) pair scan over all cores (small input = 1 split)
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("na") * F.col("nb"))
