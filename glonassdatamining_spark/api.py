@@ -595,3 +595,119 @@ def salted_agg(
     return partial.groupBy(key).agg(
         F.sum("_psum").alias("sum_value"), F.sum("_pn").alias("n_rows")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus quality / curation
+# --------------------------------------------------------------------------
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction
+    of duplicate word-bigrams and the most-frequent-word fraction;
+    returns (id_col, n_words, dup_bigram_frac, top_word_frac).
+
+    The bigram fraction is a pure JVM higher-order expression (no
+    shuffle); the top-word fraction is an explode → two-stage groupBy —
+    the per-(doc, token) partial combines map-side, so the shuffle
+    carries at most |vocab| rows per doc, not the token stream.
+    Documents with fewer than two words are excluded (no bigrams).
+    """
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    n = F.size("_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws("_", F.element_at("_toks", i), F.element_at("_toks", i + 1)),
+    )
+    base = t.select(
+        id_col,
+        n.alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        t.select(id_col, F.explode("_toks").alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_max_cnt"))
+    )
+    return base.join(top, id_col).select(
+        id_col,
+        "n_words",
+        "dup_bigram_frac",
+        (F.col("_max_cnt").cast("double") / F.col("n_words")).alias("top_word_frac"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for each training document,
+    count the distinct word ``n``-gram shingles it shares with any
+    document in ``eval_set``; returns (id_col, n_contaminated_shingles,
+    contaminated).
+
+    Scale shape: the eval side (benchmarks — tiny next to a 100 TB
+    corpus) collapses to DISTINCT shingles and broadcasts; the train
+    side explodes its shingles and probes the broadcast hash table, so
+    no shuffle ever carries the corpus. At extreme eval sizes swap the
+    broadcast for a shuffle equi-join on the shingle — same plan shape.
+    """
+    ev = (
+        eval_set.select(F.explode(shingles(text_col, n)).alias("_s"))
+        .distinct()
+    )
+    tr = train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_s"))
+    hits = (
+        tr.join(broadcast(ev), "_s")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_s").alias("n_contaminated_shingles"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
+                "n_contaminated_shingles"
+            ),
+            (F.coalesce("n_contaminated_shingles", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    content_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first two
+    hex digits of md5(content) fall under the stratum's rate threshold.
+
+    Unlike ``df.sample`` this is content-addressed — the same document
+    is kept or dropped regardless of partitioning, executor count, or
+    engine (md5 is standard everywhere), which is what reproducible
+    corpus curation at 100 TB needs. Rates quantize to 1/256
+    granularity. Narrow (no-shuffle) filter; the rate table folds into
+    the predicate as a literal CASE, so nothing is joined.
+    """
+    def thr(rate: float) -> str:
+        q = max(0, min(256, round(rate * 256)))
+        # 256/256 must exceed every 2-hex-digit bucket; "zz" > "ff".
+        return "zz" if q == 256 else format(q, "02x")
+
+    bucket = F.substring(F.md5(F.col(content_col)), 1, 2)
+    expr = F.lit(thr(default_rate))
+    for k, v in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == k, F.lit(thr(v))).otherwise(expr)
+    return df.filter(bucket < expr)

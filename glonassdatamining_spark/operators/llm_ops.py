@@ -697,3 +697,221 @@ def k15_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id BIGINT, frame_idx INT, byte_offset BIGINT, frame_checksum BIGINT",
     )
+
+
+# --------------------------------------------------------------------------
+# K16 — repetition-based quality metrics (Gopher-style)
+# --------------------------------------------------------------------------
+@register(
+    "k16_repetition_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 2), "
+        "big AS (SELECT doc_id, len(l) AS n, "
+        "  list_transform(range(1, len(l)), i -> l[i] || '_' || l[i+1]) AS bg FROM t), "
+        "tok AS (SELECT doc_id, unnest(l) AS token FROM t), "
+        "cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token), "
+        "mx AS (SELECT doc_id, MAX(c) AS max_cnt FROM cnt GROUP BY doc_id) "
+        "SELECT b.doc_id, CAST(b.n AS INT) AS n_words, "
+        "ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS dup_bigram_frac, "
+        "ROUND(CAST(m.max_cnt AS DOUBLE) / b.n, 6) AS top_word_frac "
+        "FROM big b JOIN mx m ON b.doc_id = m.doc_id"
+    ),
+    section="K16",
+)
+def k16_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-bigram fraction,
+    most-frequent-word fraction) — delegates to
+    ``api.repetition_metrics``. Bigram part is shuffle-free JVM HOFs;
+    top-word part is a two-stage groupBy with map-side combine."""
+    from glonassdatamining_spark.api import repetition_metrics
+
+    d = load(spark, sf_dir, "documents")
+    m = repetition_metrics(d, "doc_id", "text")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K17 — benchmark decontamination (shared-shingle scan)
+# --------------------------------------------------------------------------
+_DECON_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, len(l) - 3), "
+    "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]))"
+)
+
+
+@register(
+    "k17_decontaminate",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, unnest(" + _DECON_SHINGLE_SQL + ") AS s "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)), "
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+        "tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0), "
+        "hits AS (SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n FROM tr "
+        "  JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id) "
+        "SELECT d.doc_id, COALESCE(CAST(h.n AS BIGINT), 0) AS n_contaminated_shingles, "
+        "CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
+        "WHERE d.doc_id % 97 <> 0"
+    ),
+    section="K17",
+)
+def k17_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th doc plays the held-out
+    eval set; training docs sharing any distinct 5-gram shingle with it
+    are flagged. Delegates to ``api.decontaminate`` (eval shingles
+    DISTINCT + broadcast; train side explodes and probes — the corpus
+    itself is never shuffled)."""
+    from glonassdatamining_spark.api import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontaminate(d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=5)
+
+
+# --------------------------------------------------------------------------
+# K18 — chunk-level exact substring dedup
+# --------------------------------------------------------------------------
+_CHUNK = 8
+
+
+@register(
+    "k18_chunk_dedup",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+        f"WHERE len(string_split(text, ' ')) >= {_CHUNK}), "
+        "ch AS (SELECT doc_id, unnest(list_transform(range(0, len(l) // "
+        f"{_CHUNK}), i -> md5(array_to_string(l[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ')))) AS h "
+        "FROM t), "
+        "cnt AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h) "
+        "SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, "
+        "ROUND(CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) "
+        "  AS dup_chunk_frac "
+        "FROM ch JOIN cnt ON ch.h = cnt.h GROUP BY ch.doc_id"
+    ),
+    section="K18",
+)
+def k18_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup signal: hash non-overlapping 8-word
+    chunks, count corpus-wide occurrences of each chunk hash, report
+    per-doc how many of its chunks appear more than once anywhere (the
+    deduplicate-training-data 'repeated passage' statistic).
+
+    Scale shape: explode → groupBy(hash) → join back on hash — all
+    equi-shuffles on 16-byte keys; no pairwise comparisons. At 100 TB
+    the chunk-count table is itself huge but uniformly keyed (md5), so
+    it partitions evenly; a Bloom-filter pre-pass could drop unique
+    chunks early (noted, not needed at test scale)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= _CHUNK)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (F.floor(F.size("toks") / _CHUNK)).cast("int") - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i * _CHUNK + 1, _CHUNK))),
+    )
+    ch = t.select("doc_id", F.explode(chunks).alias("h"))
+    cnt = ch.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    return (
+        ch.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K19 — corpus top-vocabulary coverage
+# --------------------------------------------------------------------------
+_VOCAB_K = 10
+
+
+@register(
+    "k19_vocab_coverage",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok "
+        f"  GROUP BY token ORDER BY c DESC, token LIMIT {_VOCAB_K})), "
+        "tot AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id), "
+        "hit AS (SELECT doc_id, COUNT(*) AS k FROM tok "
+        "  WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens, "
+        "COALESCE(CAST(h.k AS BIGINT), 0) AS n_top_tokens, "
+        "ROUND(CAST(COALESCE(h.k, 0) AS DOUBLE) / t.n, 6) AS top_vocab_frac "
+        "FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id"
+    ),
+    section="K19",
+)
+def k19_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc coverage by the corpus's top-10 tokens — the 'how
+    templated is this document' signal. Two-stage: global token counts
+    (map-side combined groupBy) → deterministic top-k (count desc,
+    token tie-break) → broadcast semi-join back onto the token stream.
+    The corpus-sized stream is only ever aggregated, never joined
+    shuffle-side."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    tot = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    hit = (
+        tok.join(broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("k", F.lit(0)).alias("n_top_tokens"),
+        F.round(F.coalesce("k", F.lit(0)).cast("double") / F.col("n_tokens"), 6).alias(
+            "top_vocab_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# K20 — deterministic stratified hash sampling
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.5, "es": 0.5, "fr": 0.5, "de": 0.5}
+
+
+@register(
+    "k20_stratified_sample",
+    oracle=(
+        "SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket FROM documents "
+        "WHERE substr(md5(text), 1, 2) < "
+        "CASE lang WHEN 'en' THEN '40' ELSE '80' END"
+    ),
+    section="K20",
+)
+def k20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-language downsampling (en at 25%, the rest at
+    50%) — delegates to ``api.stratified_hash_sample``. Content-hash
+    addressed, so membership is stable across partitioning, executor
+    count, and engines (md5 is md5 everywhere) — unlike df.sample,
+    whose RNG stream depends on the split layout. Narrow filter: no
+    shuffle, fully pushdown-friendly."""
+    from glonassdatamining_spark.api import stratified_hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    s = stratified_hash_sample(d, "lang", "text", _SAMPLE_RATES)
+    return s.select(
+        "doc_id", "lang", F.substring(F.md5("text"), 1, 2).alias("bucket")
+    )

@@ -143,3 +143,44 @@ def test_salted_agg_matches_plain(spark):
     for k in want:
         assert got[k][1] == want[k][1]
         assert abs(got[k][0] - want[k][0]) < 1e-6
+
+
+def test_repetition_metrics_generic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "u v w x y")], "pk INT, body STRING"
+    )
+    out = {r.pk: r for r in api.repetition_metrics(df, "pk", "body").collect()}
+    # doc 1 bigrams: a_b, b_a, a_b, b_a → 2 distinct of 4 → dup frac 0.5;
+    # top word 'a' appears 3/5 times.
+    assert abs(out[1].dup_bigram_frac - 0.5) < 1e-9
+    assert abs(out[1].top_word_frac - 0.6) < 1e-9
+    assert out[2].dup_bigram_frac == 0.0
+    assert abs(out[2].top_word_frac - 0.2) < 1e-9
+
+
+def test_decontaminate_generic(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over"), (2, "totally clean novel words here now")],
+        "pk INT, body STRING",
+    )
+    ev = spark.createDataFrame(
+        [(9, "xx the quick brown fox jumps yy")], "pk INT, body STRING"
+    )
+    out = {r.pk: r for r in api.decontaminate(train, ev, "pk", "body", n=5).collect()}
+    assert out[1].contaminated == 1 and out[1].n_contaminated_shingles >= 1
+    assert out[2].contaminated == 0 and out[2].n_contaminated_shingles == 0
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 else "h", f"doc number {i}") for i in range(200)],
+        "pk INT, grp STRING, body STRING",
+    )
+    # rate 1.0 keeps every row of the stratum (the 'zz' sentinel path);
+    # rate 0.0 keeps none; membership is deterministic across calls.
+    kept = api.stratified_hash_sample(df, "grp", "body", {"g": 1.0, "h": 0.0})
+    rows = kept.collect()
+    assert {r.grp for r in rows} == {"g"}
+    assert len(rows) == 100
+    again = api.stratified_hash_sample(df, "grp", "body", {"g": 1.0, "h": 0.0})
+    assert sorted(r.pk for r in again.collect()) == sorted(r.pk for r in rows)
