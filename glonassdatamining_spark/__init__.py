@@ -27,24 +27,30 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     asof_join,
     cosine_topk,
     dbscan,
+    decontaminate,
     exact_dedup,
     grid_distance_join,
     minhash_lsh_dedup,
+    repetition_metrics,
     salted_agg,
     sessionize,
     set_similarity_topk,
     shingles,
+    stratified_hash_sample,
 )
 
 __all__ = [
     "asof_join",
     "cosine_topk",
     "dbscan",
+    "decontaminate",
     "exact_dedup",
     "grid_distance_join",
     "minhash_lsh_dedup",
+    "repetition_metrics",
     "salted_agg",
     "sessionize",
     "set_similarity_topk",
     "shingles",
+    "stratified_hash_sample",
 ]

@@ -155,3 +155,44 @@ def m5_struct_arg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         fmt(F.struct("c_name", "c_acctbal")).alias("tag"),
     )
+
+
+@register(
+    "m4b_python_udtf",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS words "
+        "FROM documents WHERE doc_id % 50 = 0) "
+        "SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token, "
+        "CAST(u.n_chars AS BIGINT) AS n_chars FROM (SELECT doc_id, "
+        "unnest(list_transform(words, (w, i) -> "
+        "struct_pack(pos := i, token := w, n_chars := length(w))), "
+        "recursive := true) FROM t) u(doc_id, pos, token, n_chars) "
+        "WHERE u.n_chars > 4"
+    ),
+    section="M4",
+)
+def m4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Spark 4 Python UDTF (``@udtf`` class, LATERAL-joined in
+    SQL): one input row → N output rows with per-row Python logic —
+    the declared §2.M4 table-function surface beyond the Arrow
+    ``mapInPandas`` shape of m4. Kept off the relational hot path (the
+    plan carries a Python UDTF node by design, like m1/m3/m5)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string, n_chars bigint")
+    class TokenStats:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                if len(tok) > 4:
+                    yield i + 1, tok, len(tok)
+
+    spark.udtf.register("gdm_token_stats", TokenStats)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("gdm_m4b_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.token, s.n_chars "
+        "FROM gdm_m4b_docs d, LATERAL gdm_token_stats(d.text) s"
+    )

@@ -29,7 +29,12 @@ BNLJ_ALLOWED = {
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
-PY_ALLOWED = {"m1_scalar_pandas_udf", "m3_grouped_agg_udf", "m5_struct_arg_udf"}
+PY_ALLOWED = {
+    "m1_scalar_pandas_udf",
+    "m3_grouped_agg_udf",
+    "m4b_python_udtf",     # the point: a true @udtf table function
+    "m5_struct_arg_udf",
+}
 
 
 def _plan(spark, name: str) -> str:
