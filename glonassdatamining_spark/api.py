@@ -262,9 +262,15 @@ def minhash_lsh_dedup(
     localCheckpoint so lineage stays O(1) (use reliable checkpoint()
     on a cluster). Eager: runs Spark jobs when called.
     """
-    d = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col).alias("_s")
-    ).localCheckpoint()
+    # Small tables scan into one split; spread the shingle+minhash HOF
+    # work (the dominant CPU cost) over every core before computing it.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(par)
+        .select("_id", shingles("_t").alias("_s"))
+        .localCheckpoint()
+    )
     mh = d.select(
         "_id",
         "_s",
@@ -317,9 +323,16 @@ def minhash_lsh_dedup(
         .withColumnRenamed("_b", "_dst")
         .localCheckpoint()
     )
-    labels = df.select(F.col(id_col).alias("_id")).withColumn(
-        "cluster", F.col("_id")
-    ).localCheckpoint()
+    # Label propagation only needs to visit vertices with at least one
+    # edge — everything else is its own singleton cluster and can be
+    # attached lazily at the end. The iterative joins therefore run on
+    # the (much smaller) near-dup vertex set, not the whole corpus.
+    labels = (
+        edges.select(F.col("_src").alias("_id"))
+        .distinct()
+        .withColumn("cluster", F.col("_id"))
+        .localCheckpoint()
+    )
     for _ in range(10):
         neighbor_min = (
             edges.join(labels, edges._dst == labels._id)
@@ -346,7 +359,14 @@ def minhash_lsh_dedup(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("_id").alias(id_col), "cluster")
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(labels, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("cluster", F.col("_id")).alias("cluster"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -185,10 +185,21 @@ def d8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``); approx_percentile is the 100 TB alternative but
     sketches don't hash-match, so the declared form is exact."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        rnd(F.percentile("l_extendedprice", 0.5), 4, "median_price"),
-        rnd(F.percentile("l_extendedprice", 0.95), 4, "p95_price"),
-        rnd(F.percentile("l_quantity", 0.25), 4, "p25_qty"),
+    # Both price quantiles come from ONE percentile buffer (array form)
+    # — the holistic agg collects each input column once, not per
+    # requested quantile.
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("_p"),
+            rnd(F.percentile("l_quantity", 0.25), 4, "p25_qty"),
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.col("_p")[0], 4).alias("median_price"),
+            F.round(F.col("_p")[1], 4).alias("p95_price"),
+            "p25_qty",
+        )
     )
 
 
