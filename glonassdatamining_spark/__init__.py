@@ -31,6 +31,7 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     exact_dedup,
     grid_distance_join,
     minhash_lsh_dedup,
+    pii_scrub,
     repetition_metrics,
     salted_agg,
     sessionize,
@@ -47,6 +48,7 @@ __all__ = [
     "exact_dedup",
     "grid_distance_join",
     "minhash_lsh_dedup",
+    "pii_scrub",
     "repetition_metrics",
     "salted_agg",
     "sessionize",

@@ -731,3 +731,33 @@ def stratified_hash_sample(
     for k, v in sorted(rates.items()):
         expr = F.when(F.col(strata_col) == k, F.lit(thr(v))).otherwise(expr)
     return df.filter(bucket < expr)
+
+
+_PII_PATTERNS: list[tuple[str, str]] = [
+    # Java-regex-safe (no lookbehind); order matters — emails first so
+    # their digits don't half-match the phone pattern.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
+    """Redact common PII (emails, IPv4 addresses, phone-like digit
+    runs) from a text column; adds ``<text_col>_clean`` plus a
+    ``pii_<kind>_count`` column per pattern.
+
+    Pure JVM ``regexp_replace``/``regexp_count`` — narrow, no shuffle,
+    whole-stage-codegen'd; at 100 TB this is a free rider on whatever
+    scan already reads the column. Patterns are deliberately in the
+    conservative Java-regex subset; swap in a domain list as needed.
+    (No fixture demo: the driver corpus contains no PII-shaped tokens,
+    so this kernel is unit-tested on inline data instead — see
+    ``tests/test_api.py``.)
+    """
+    out = df
+    clean = F.col(text_col)
+    for kind, pat in _PII_PATTERNS:
+        out = out.withColumn(f"pii_{kind}_count", F.regexp_count(text_col, F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return out.withColumn(f"{text_col}_clean", clean)

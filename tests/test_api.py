@@ -184,3 +184,21 @@ def test_stratified_hash_sample_rates(spark):
     assert len(rows) == 100
     again = api.stratified_hash_sample(df, "grp", "body", {"g": 1.0, "h": 0.0})
     assert sorted(r.pk for r in again.collect()) == sorted(r.pk for r in rows)
+
+
+def test_pii_scrub_generic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 today"),
+            (2, "server at 192.168.0.12 responded"),
+            (3, "no sensitive content here"),
+        ],
+        "pk INT, body STRING",
+    )
+    out = {r.pk: r for r in api.pii_scrub(df, "body").collect()}
+    assert out[1].pii_email_count == 1 and out[1].pii_phone_count == 1
+    assert "bob@example.com" not in out[1].body_clean
+    assert "<EMAIL>" in out[1].body_clean and "<PHONE>" in out[1].body_clean
+    assert out[2].pii_ipv4_count == 1 and "<IPV4>" in out[2].body_clean
+    assert out[3].body_clean == "no sensitive content here"
+    assert out[3].pii_email_count == out[3].pii_phone_count == 0
