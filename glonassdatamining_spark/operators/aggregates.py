@@ -268,3 +268,26 @@ def d11_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("top_priority"), "n")
     )
+
+
+@register(
+    "d8b_percentiles_approx",
+    oracle=None,  # sketch outputs aren't cross-engine hashable (rows-only)
+    section="D8",
+)
+def d8b_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (KLL-style
+    mergeable sketch, accuracy 1/10000) — partial-aggregatable, so the
+    shuffle carries one bounded sketch per task instead of every value
+    like the exact holistic form in d8. Rows-only check: sketch
+    interpolation differs across engines by design."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)[0], 2
+        ).alias("median_price_approx"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)[1], 2
+        ).alias("p95_price_approx"),
+        F.round(F.percentile_approx("l_quantity", 0.25, 10000), 2).alias("p25_qty_approx"),
+    )
