@@ -39,3 +39,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
         return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL-string entry (SURVEY §3.2 E-3 / §3.3): register every corpus
+    table as a temp view so ``spark.sql("SELECT ... FROM lineitem
+    ...")`` works directly. Views go through :func:`load`, so the
+    ``events`` ns→ms shim applies to SQL users too. Idempotent."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

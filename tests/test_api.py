@@ -202,3 +202,18 @@ def test_pii_scrub_generic(spark):
     assert out[2].pii_ipv4_count == 1 and "<IPV4>" in out[2].body_clean
     assert out[3].body_clean == "no sensitive content here"
     assert out[3].pii_email_count == out[3].pii_phone_count == 0
+
+
+def test_sql_entry_register_views(spark, tmp_path):
+    from glonassdatamining_spark.sources import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        "SELECT r_name, count(*) AS n FROM region "
+        "JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert got.count() == 5
+    # the ns→ms events shim applies through the SQL surface too
+    ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
+    assert ts_type == "timestamp"
