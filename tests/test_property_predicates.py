@@ -122,3 +122,75 @@ def test_random_join_predicate_matches_oracle(spark, seed):
     ).fetchdf()
     con.close()
     compare_frames(got, want, f"join-predicate[{pred} / {cust_pred}]")
+
+
+# ---------------------------------------------------------------------------
+# kernel property tests: Spark kernels vs plain-Python reference models
+# on randomized inputs (seeded, deterministic).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sessionize_matches_python_model(spark, seed):
+    import random
+    from datetime import datetime, timedelta
+
+    from glonassdatamining_spark.api import sessionize
+
+    rng = random.Random(seed)
+    rows = []
+    for key in ["a", "b", "c"]:
+        t = datetime(2024, 1, 1)
+        for i in range(rng.randint(5, 40)):
+            t += timedelta(seconds=rng.choice([1, 30, 299, 300, 301, 5000]))
+            rows.append((key, t, i))
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, seq INT")
+    got = {
+        (r.k, r.seq): r.session_id
+        for r in sessionize(df, "k", "ts", gap_seconds=300, tiebreak=("seq",)).collect()
+    }
+    # python reference model: new session when gap > 300s exactly
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    want, sid, prev_key, prev_ts = {}, 0, None, None
+    for k, ts, seq in rows:
+        if k != prev_key:
+            sid = 1
+        elif (ts - prev_ts).total_seconds() > 300:
+            sid += 1
+        want[(k, seq)] = sid
+        prev_key, prev_ts = k, ts
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_matches_python_model(spark, seed):
+    import random
+    from datetime import datetime, timedelta
+
+    from glonassdatamining_spark.api import asof_join
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    left = [
+        ("k%d" % rng.randint(0, 2), base + timedelta(seconds=rng.randint(0, 1000)), i)
+        for i in range(30)
+    ]
+    right_ts = {}
+    for _ in range(20):
+        k = "k%d" % rng.randint(0, 2)
+        ts = base + timedelta(seconds=rng.randint(0, 1000))
+        right_ts[(k, ts)] = rng.randint(0, 99)  # unique per (key, ts)
+    l_df = spark.createDataFrame(left, "k STRING, at TIMESTAMP, lid INT")
+    r_df = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in right_ts.items()],
+        "k STRING, rts TIMESTAMP, val INT",
+    )
+    got = {
+        r.lid: (r.val, r.rts)
+        for r in asof_join(l_df, r_df, "k", "at", "rts").collect()
+    }
+    for k, at, lid in left:
+        cands = [(ts, v) for (rk, ts), v in right_ts.items() if rk == k and ts <= at]
+        want = max(cands) if cands else None
+        if want is None:
+            assert got[lid] == (None, None), lid
+        else:
+            assert got[lid] == (want[1], want[0]), lid
