@@ -65,17 +65,22 @@ def asof_join(
     key: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the columns of the
-    latest right row (same ``key``) with ``right_ts <= left_ts``; NULLs
-    when no such row exists (DuckDB ``ASOF LEFT JOIN`` semantics).
+    """As-of join: each left row gains the columns of the nearest right
+    row (same ``key``) at-or-before its timestamp (``backward``, the
+    default — DuckDB ``ASOF LEFT JOIN`` semantics) or at-or-after it
+    (``forward``); NULLs when no such row exists.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate ties.
     Plan: union-tag both sides, one shuffle on ``key``, then a running
     ``last(ignorenulls)`` — linear within partition, no range join, no
     Python. Right rows sort before left rows at equal ts, which makes
-    the match inclusive.
+    the match inclusive; ``forward`` is the same scan over the reversed
+    order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = [c for c in right.columns if c not in (key, right_ts)]
     r_struct = F.struct(*[F.col(c) for c in payload], F.col(right_ts))
     r_dtype = right.select(r_struct.alias("_r")).schema["_r"].dataType
@@ -98,9 +103,10 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         r_struct.alias("_r"),
     )
+    order_ts = F.col("_ets") if direction == "backward" else F.col("_ets").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("_ets", "_is_left")
+        .orderBy(order_ts, "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = l2.unionByName(r2).withColumn("_m", F.last("_r", ignorenulls=True).over(w))

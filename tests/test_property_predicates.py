@@ -187,6 +187,10 @@ def test_asof_join_matches_python_model(spark, seed):
         r.lid: (r.val, r.rts)
         for r in asof_join(l_df, r_df, "k", "at", "rts").collect()
     }
+    fwd = {
+        r.lid: (r.val, r.rts)
+        for r in asof_join(l_df, r_df, "k", "at", "rts", direction="forward").collect()
+    }
     for k, at, lid in left:
         cands = [(ts, v) for (rk, ts), v in right_ts.items() if rk == k and ts <= at]
         want = max(cands) if cands else None
@@ -194,3 +198,9 @@ def test_asof_join_matches_python_model(spark, seed):
             assert got[lid] == (None, None), lid
         else:
             assert got[lid] == (want[1], want[0]), lid
+        fc = [(ts, v) for (rk, ts), v in right_ts.items() if rk == k and ts >= at]
+        fwant = min(fc) if fc else None
+        if fwant is None:
+            assert fwd[lid] == (None, None), lid
+        else:
+            assert fwd[lid] == (fwant[1], fwant[0]), lid
