@@ -405,3 +405,90 @@ def i11_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (F.floor(F.col("x") / 2.0).cast("bigint") * 100 + F.floor(F.col("y") / 2.0).cast("bigint"))
     visits = f.select("obj_id", cell.alias("cell"))
     return set_similarity_topk(visits, "obj_id", "cell", k=3, round_to=6)
+
+
+_GI_CELL = 5.0
+
+_GI_CELLS_CTE = (
+    FIXES_CTE
+    + ", cells AS (SELECT CAST(floor(x / 5.0) AS BIGINT) AS cx, "
+    "CAST(floor(y / 5.0) AS BIGINT) AS cy, COUNT(*) AS n FROM fixes GROUP BY 1, 2), "
+    "gstats AS (SELECT COUNT(*) AS n_cells, SUM(n) AS tot, SUM(n * n) AS tot2 FROM cells), "
+    "neigh AS (SELECT a.cx, a.cy, SUM(b.n) AS wsum, COUNT(*) AS w "
+    "FROM cells a JOIN cells b ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "
+    "GROUP BY 1, 2)"
+)
+
+
+@register(
+    "i12_hotspot_zscore",
+    oracle=(
+        _GI_CELLS_CTE
+        + " SELECT n.cx AS cell_x, n.cy AS cell_y, ROUND("
+        "(CAST(n.wsum AS DOUBLE) - (CAST(g.tot AS DOUBLE) / g.n_cells) * n.w) / "
+        "(sqrt(CAST(g.tot2 AS DOUBLE) / g.n_cells - "
+        "      (CAST(g.tot AS DOUBLE) / g.n_cells) * (CAST(g.tot AS DOUBLE) / g.n_cells)) * "
+        " sqrt((CAST(g.n_cells AS DOUBLE) * n.w - CAST(n.w AS DOUBLE) * n.w) / (g.n_cells - 1))"
+        "), 4) AS gi_z FROM neigh n CROSS JOIN gstats g"
+    ),
+    section="I12",
+)
+def i12_hotspot_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord G*-style hotspot z-score per occupied grid cell:
+    standardize each cell's 3×3-neighborhood count sum against the
+    global cell-count distribution. High gi_z = statistically dense
+    region (the classic hotspot detector over GNSS fix densities).
+
+    Shape: cell counts (one shuffle) → each cell EXPLODES its count
+    into its 9 neighbor positions → groupBy target cell (second
+    shuffle, equi key) → inner join back to observed cells + broadcast
+    of the 1-row global moments. The neighbor theta-join (|Δcx|<=1 AND
+    |Δcy|<=1) is thus an exploded equi-join — candidates O(9·cells),
+    never O(cells²) — and every count stays integer-exact until the
+    final double expression, which both engines evaluate in the same
+    order (round 4 gives ulp margin). At 100 TB the cells table is
+    orders of magnitude smaller than the fixes input, so everything
+    after the first aggregation is effectively free.
+    """
+    f = fixes(spark, sf_dir)
+    cells = (
+        f.groupBy(
+            F.floor(F.col("x") / _GI_CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("y") / _GI_CELL).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    contrib = cells.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"),
+                    (F.col("cy") + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("t"),
+        "n",
+    ).select(F.col("t.cx").alias("cx"), F.col("t.cy").alias("cy"), "n")
+    neigh = (
+        contrib.groupBy("cx", "cy")
+        .agg(F.sum("n").alias("wsum"), F.count(F.lit(1)).alias("w"))
+        .join(cells.select("cx", "cy"), ["cx", "cy"])
+    )
+    glob = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n_cells")
+    s = F.sqrt(F.col("tot2").cast("double") / F.col("n_cells") - mean * mean)
+    denom_w = F.sqrt(
+        (F.col("n_cells").cast("double") * F.col("w") - F.col("w").cast("double") * F.col("w"))
+        / (F.col("n_cells") - 1)
+    )
+    return neigh.crossJoin(F.broadcast(glob)).select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        F.round((F.col("wsum").cast("double") - mean * F.col("w")) / (s * denom_w), 4).alias("gi_z"),
+    )

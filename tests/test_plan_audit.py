@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "k2_ngram_jaccard_pairs", # brute-force twin of k2b MinHash-LSH
     "k10_simhash_neardup",    # brute-force twin (nibble-band at scale)
     "k12_embedding_neardup",  # brute-force twin of j6 LSH
+    "i12_hotspot_zscore",     # 1-row global moments, broadcast
     "l4_watermark_filter",    # 1-row scalar max, broadcast
     "k14_ivf_ann",            # 16-row centroid table, broadcast probe
 }
