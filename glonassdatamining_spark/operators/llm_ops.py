@@ -915,3 +915,57 @@ def k20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "lang", F.substring(F.md5("text"), 1, 2).alias("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# K22 — unigram-LM document log-likelihood (perplexity-style quality)
+# --------------------------------------------------------------------------
+@register(
+    "k22_unigram_loglik",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), "
+        "tot AS (SELECT SUM(c) AS t FROM vocab) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "ROUND(CAST(SUM(CAST(ROUND(ln(CAST(v.c AS DOUBLE) / CAST(t.t AS DOUBLE)), 9) "
+        "AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logp "
+        "FROM toks JOIN vocab v USING (tok) CROSS JOIN tot t GROUP BY doc_id"
+    ),
+    section="K22",
+)
+def k22_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus's own
+    unigram language model — the cheap, model-free stand-in for
+    perplexity-based quality scoring (low avg_logp = rare-token-heavy
+    or off-distribution documents; the standard first-pass LM filter
+    in training-data curation).
+
+    Shape: tokens explode once; the vocabulary aggregate (token →
+    count) and the 1-row total reduce that stream; tokens re-join
+    vocab on the token key (plain shuffle equi-join — at 100 TB the
+    vocab is Zipf-skewed, which is exactly what AQE skew-join handles;
+    alternatively broadcast the top-k head and shuffle only the tail).
+    FP discipline: ln(c/total) is one IEEE division + ln of identical
+    doubles on both engines; the per-doc sum rounds each term to a 9dp
+    DECIMAL first so decimal addition is exact and order-insensitive
+    (SURVEY §5.3 #1 applied to transcendental terms).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    logp = F.round(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")), 9
+    ).cast("decimal(28,9)")
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logp"),
+        )
+    )

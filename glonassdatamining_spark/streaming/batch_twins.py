@@ -238,3 +238,48 @@ def l8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(out)
+
+
+@register(
+    "l9_stream_stream_join",
+    oracle=(
+        EVENTS_CTE + " SELECT c.user_id, c.event_id AS click_id, "
+        "p.event_id AS purchase_id, "
+        "CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS lag_ms "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+    section="L9",
+)
+def l9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join twin: each purchase pairs with the
+    same user's clicks from the preceding 30 minutes (click-attribution
+    — the canonical stream-stream join). The equi key (user_id) makes
+    this a sort-merge join with a residual time-band predicate — one
+    shuffle per side, never a nested loop; in the live form
+    (``streaming.live.l9_streaming``) the same condition plus
+    two-sided watermarks bounds each side's join state to the band
+    width, which is what makes it runnable forever at 100 TB.
+    lag_ms is exact integer millisecond arithmetic on both engines."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("pts") - F.unix_millis("cts")).alias("lag_ms"),
+    )

@@ -270,3 +270,40 @@ def l7b_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def l9_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream interval join (L9): clicks ⋈ purchases of the
+    same user within 30 minutes, both sides watermarked so Spark can
+    evict join state older than the band + watermark delay — the
+    condition that keeps a stream-stream join's state finite on an
+    unbounded stream. Append output: matched pairs emit as both sides
+    arrive. Twin: batch_twins.l9_stream_stream_join."""
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND pts >= cts "
+            "AND pts <= cts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("pts") - F.unix_millis("cts")).alias("lag_ms"),
+    )
+    return _drain_to_memory(joined, f"l9_mem_{uuid.uuid4().hex[:8]}", "append")

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "k10_simhash_neardup",    # brute-force twin (nibble-band at scale)
     "k12_embedding_neardup",  # brute-force twin of j6 LSH
     "i12_hotspot_zscore",     # 1-row global moments, broadcast
+    "k22_unigram_loglik",     # 1-row vocab total, broadcast
     "l4_watermark_filter",    # 1-row scalar max, broadcast
     "k14_ivf_ann",            # 16-row centroid table, broadcast probe
 }

@@ -111,3 +111,14 @@ def test_l7b_transform_with_state_equals_l7(spark):
     want = want.sort_values("user_id").reset_index(drop=True)
     assert got_n["user_id"].tolist() == want["user_id"].tolist()
     assert got_n["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_l9_stream_stream_join_equals_batch(spark):
+    got = live.l9_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l9_stream_stream_join")
+    key = ["click_id", "purchase_id"]
+    compare_frames(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        "l9_stream_vs_batch",
+    )
