@@ -38,10 +38,13 @@ HEADLINE = [
     "h5_array_funcs",         # higher-order array kernels
     "i3_distance_self_join",  # grid-bucketed ε-join
     "i6_dbscan",              # distributed DBSCAN (pandas UDF + merge)
+    "i12_hotspot_zscore",     # Getis-Ord-style neighborhood z-scores
     "i11_trajectory_similarity",  # sketch-then-pair trajectory top-k
     "k2b_minhash_lsh_dedup",  # MinHash-LSH dedup (scale path)
     "k3_cosine_topk",         # all-pairs cosine top-k
     "k8_langid_heuristic",    # two-stage corpus profile + classify
+    "k22_unigram_loglik",     # corpus-LM quality scoring
+    "l9_stream_stream_join",  # interval-band join (stream-stream twin)
     "l3_session_window",      # native session windows
     "m2_grouped_map_udf",     # Arrow grouped-map path
 ]

@@ -291,3 +291,33 @@ def d8b_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_price_approx"),
         F.round(F.percentile_approx("l_quantity", 0.25, 10000), 2).alias("p25_qty_approx"),
     )
+
+
+@register(
+    "d12_histogram",
+    oracle=(
+        "SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, "
+        "25000.0 * CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS lo, "
+        "COUNT(*) AS n, " + o_dsum("o_totalprice", "sum_price")
+        + " FROM orders GROUP BY 1"
+    ),
+    section="D12",
+)
+def d12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over order totals — the profiling workhorse
+    (bucket = floor(v/w)). One two-phase hash agg on a derived key;
+    bucket count is bounded by the value range, not the data, so the
+    shuffle stays tiny at any scale. Bucket edges (lo) computed as
+    width × integer index: exact in both engines."""
+    o = load(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .select(
+            "bucket",
+            (F.lit(25000.0) * F.col("bucket")).alias("lo"),
+            "n",
+            "sum_price",
+        )
+    )

@@ -148,3 +148,28 @@ def j6_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l2", 6).alias("l2"),
         )
     )
+
+
+@register("j7_pca", oracle=None, section="J7")
+def j7_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 64→8 dims over the embeddings — the standard pre-step for
+    cheap ANN (search in the reduced space, re-rank in the original;
+    K14's IVF coarse quantizer composes with this). MLlib computes the
+    covariance spectrum with one distributed Gramian aggregation, so
+    the 100 TB cost is a single pass over the vectors plus an O(d²)
+    driver eigendecomposition (d=64 here — trivial).
+
+    Returns per-vector explained projections (vec_id, label, pc1..pc8
+    rounded); variance capture asserted in tests/test_ml.py."""
+    from pyspark.ml.feature import PCA
+
+    vec = _vectors(spark, sf_dir)
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(vec)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("pca"))
+    return model.transform(vec).select(
+        "vec_id",
+        "label",
+        *[F.round(arr[i], 6).alias(f"pc{i + 1}") for i in range(8)],
+    )

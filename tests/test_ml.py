@@ -131,3 +131,20 @@ def test_ivf_ann_recall_vs_exact(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"IVF recall@5 too low: {mean_recall:.3f}"
+
+
+def test_j7_pca_component_variances_decrease(spark):
+    """PCA's defining invariant: projected variance is non-increasing
+    across components."""
+    import numpy as np
+
+    from glonassdatamining_spark import registry
+
+    pdf = registry.get("j7_pca").builder(spark, SF_DIR).toPandas()
+    assert {"vec_id", "label", "pc1", "pc8"} <= set(pdf.columns)
+    assert len(pdf) > 0 and pdf["pc1"].notna().all()
+    variances = [np.var(pdf[f"pc{i}"].values) for i in range(1, 9)]
+    assert variances[0] > 0
+    assert all(
+        variances[i] >= variances[i + 1] * 0.999 for i in range(7)
+    ), variances
