@@ -523,16 +523,19 @@ def dbscan(
         out["_local_cid"] = [
             f"{kx}:{ky}:{l}" if l >= 0 else None for l in labels[idx]
         ]
-        return out[["_id", "_is_core", "_local_cid"]]
+        # Carry x/y through so the core-core edge pass needs no join
+        # back to the input (saves a full shuffle of every point).
+        return out[["_id", "_is_core", "_local_cid", "_x", "_y"]]
 
     # Materialize the local-clustering pass once: both the merge-edge
     # collect and the final label join read it (without this the Arrow
     # kernel runs twice).
     local = padded.groupBy("_tcx", "_tcy").applyInPandas(
-        local_dbscan, "_id BIGINT, _is_core BOOLEAN, _local_cid STRING"
+        local_dbscan,
+        "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, _x DOUBLE, _y DOUBLE",
     ).localCheckpoint()
 
-    core_pts = local.filter(F.col("_is_core")).join(f, "_id").select(
+    core_pts = local.filter(F.col("_is_core")).select(
         "_id", "_local_cid", "_x", "_y"
     )
     chome = core_pts.withColumn("_ecx", F.floor(F.col("_x") / eps)).withColumn(
