@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
 from glonassdatamining_spark.sources import load
-from glonassdatamining_spark.stable import davg, dsum, o_davg, o_dsum, rnd, sorted_list
+from glonassdatamining_spark.stable import (
+    EVENTS_CTE,
+    davg,
+    dsum,
+    o_davg,
+    o_dsum,
+    rnd,
+    sorted_list,
+)
 
 
 @register(
@@ -320,4 +328,51 @@ def d12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_price",
         )
+    )
+
+
+@register(
+    "d13_time_rollup_tiers",
+    oracle=(
+        EVENTS_CTE + " SELECT date_trunc('day', ts) AS bucket_day, "
+        "date_trunc('hour', ts) AS bucket_hour, "
+        "GROUPING(date_trunc('hour', ts)) AS g_hour, "
+        "event_type, COUNT(*) AS n, " + o_dsum("value", "sum_value")
+        + " FROM events GROUP BY GROUPING SETS "
+        "((date_trunc('day', ts), event_type), "
+        "(date_trunc('day', ts), date_trunc('hour', ts), event_type))"
+    ),
+    section="D13",
+)
+def d13_time_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    continuous-aggregate tiers computed in ONE pass / one shuffle via
+    GROUPING SETS (the timeseries-store "continuous aggregate"
+    re-expressed declaratively). At 100 TB this is the idiomatic way
+    to maintain rollup tiers: the map-side partial agg compresses to
+    the bucket cardinality before the single exchange, and a
+    foreachBatch sink (L8) makes it incremental on a stream."""
+    ev = load(spark, sf_dir, "events")
+    pre = ev.select(
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        pre.groupingSets(
+            [
+                ["bucket_day", "event_type"],
+                ["bucket_day", "bucket_hour", "event_type"],
+            ],
+            "bucket_day",
+            "bucket_hour",
+            "event_type",
+        )
+        .agg(
+            F.grouping("bucket_hour").alias("g_hour"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+        )
+        .select("bucket_day", "bucket_hour", "g_hour", "event_type", "n", "sum_value")
     )
