@@ -77,10 +77,14 @@ def asof_join(
     ``last(ignorenulls)`` — linear within partition, no range join, no
     Python. Right rows sort before left rows at equal ts, which makes
     the match inclusive; ``forward`` is the same scan over the reversed
-    order.
+    order. ``nearest`` evaluates BOTH scans over the same partitioning
+    (Spark reuses the single exchange for the two WindowExecs) and
+    picks the closer match per row, preferring backward on exact ties.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     payload = [c for c in right.columns if c not in (key, right_ts)]
     r_struct = F.struct(*[F.col(c) for c in payload], F.col(right_ts))
     r_dtype = right.select(r_struct.alias("_r")).schema["_r"].dataType
@@ -103,13 +107,33 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         r_struct.alias("_r"),
     )
-    order_ts = F.col("_ets") if direction == "backward" else F.col("_ets").desc()
-    w = (
-        Window.partitionBy(key)
-        .orderBy(order_ts, "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = l2.unionByName(r2).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    def scan(order_ts):
+        return F.last("_r", ignorenulls=True).over(
+            Window.partitionBy(key)
+            .orderBy(order_ts, "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    tagged = l2.unionByName(r2)
+    if direction == "nearest":
+        tagged = tagged.withColumn("_mb", scan(F.col("_ets"))).withColumn(
+            "_mf", scan(F.col("_ets").desc())
+        )
+        back, fwd = F.col("_mb"), F.col("_mf")
+        d_back = F.col("_ets").cast("double") - back[right_ts].cast("double")
+        d_fwd = fwd[right_ts].cast("double") - F.col("_ets").cast("double")
+        tagged = tagged.withColumn(
+            "_m",
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_fwd < d_back, fwd)
+            .otherwise(back),
+        )
+    else:
+        order_ts = (
+            F.col("_ets") if direction == "backward" else F.col("_ets").desc()
+        )
+        tagged = tagged.withColumn("_m", scan(order_ts))
     return tagged.filter(F.col("_is_left") == 1).select(
         key,
         *left_payload,

@@ -249,6 +249,52 @@ def c9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c9c_asof_nearest",
+    oracle=(
+        EVENTS_CTE
+        + ", l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts AS err_ts, MAX(event_id) AS err_event_id "
+        "      FROM events WHERE event_type = 'error' GROUP BY user_id, ts), "
+        "b AS (SELECT l.event_id, l.user_id, l.ts, r.err_event_id AS b_id, r.err_ts AS b_ts "
+        "      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts), "
+        "f AS (SELECT l.event_id, r.err_event_id AS f_id, r.err_ts AS f_ts "
+        "      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.err_ts) "
+        "SELECT b.event_id, b.user_id, b.ts, "
+        "CASE WHEN b_ts IS NULL THEN f_id WHEN f_ts IS NULL THEN b_id "
+        "     WHEN epoch_ms(f_ts) - epoch_ms(b.ts) < epoch_ms(b.ts) - epoch_ms(b_ts) "
+        "     THEN f_id ELSE b_id END AS err_event_id, "
+        "CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts "
+        "     WHEN epoch_ms(f_ts) - epoch_ms(b.ts) < epoch_ms(b.ts) - epoch_ms(b_ts) "
+        "     THEN f_ts ELSE b_ts END AS err_ts "
+        "FROM b JOIN f USING (event_id)"
+    ),
+    section="C9",
+)
+def c9c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST: each purchase matched to the closest error (same
+    user) in either time direction, backward preferred on exact ties —
+    pandas merge_asof(direction='nearest') semantics. The kernel runs
+    both directional scans over ONE user_id exchange (two WindowExecs,
+    shared shuffle) and picks the closer match per row; the oracle
+    composes DuckDB's backward and forward ASOF joins with the same
+    tie rule."""
+    from glonassdatamining_spark.api import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("event_id").alias("err_event_id"))
+    )
+    return asof_join(
+        left, right, "user_id", "ts", "err_ts", direction="nearest"
+    ).select("event_id", "user_id", "ts", "err_event_id", "err_ts")
+
+
+@register(
     "c10_self_join",
     oracle=(
         "SELECT a.o_custkey AS custkey, COUNT(*) AS n_pairs "

@@ -243,3 +243,56 @@ def e8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "e9_funnel_detection",
+    oracle=(
+        EVENTS_CTE + ", w1 AS ("
+        "  SELECT user_id, event_type, ts, "
+        "  MIN(CASE WHEN event_type = 'signup' THEN ts END) "
+        "    OVER (PARTITION BY user_id) AS s FROM events), "
+        "w2 AS ("
+        "  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s THEN ts END) "
+        "    OVER (PARTITION BY user_id) AS c FROM w1), "
+        "w3 AS ("
+        "  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END) "
+        "    OVER (PARTITION BY user_id) AS p FROM w2) "
+        "SELECT DISTINCT user_id, s AS signup_ts, c AS click_ts, p AS purchase_ts, "
+        "CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2 "
+        "WHEN s IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth FROM w3"
+    ),
+    section="E9",
+)
+def e9_funnel_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel detection per user: first signup, first click
+    AFTER that signup, first purchase AFTER that click (the sequel
+    query MATCH_RECOGNIZE answers in other engines, here as three
+    chained conditional-min windows). All three windows partition by
+    user_id, so Spark plans ONE exchange with a WindowExec chain —
+    funnel analysis at 100 TB costs a single shuffle of the events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    df = ev.withColumn("s", s)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("s")), F.col("ts"))
+    ).over(w)
+    df = df.withColumn("c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")), F.col("ts")
+        )
+    ).over(w)
+    df = df.withColumn("p", p)
+    return df.select(
+        "user_id",
+        F.col("s").alias("signup_ts"),
+        F.col("c").alias("click_ts"),
+        F.col("p").alias("purchase_ts"),
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("s").isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_depth"),
+    ).distinct()

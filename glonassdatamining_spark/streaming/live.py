@@ -29,11 +29,21 @@ _EVENTS_STREAM_SCHEMA = (
 )
 
 
+def _sweep_staging(prefix: str) -> None:
+    """Remove staged-stream dirs left by prior (finished) runs so
+    repeated sessions don't accumulate fixture copies."""
+    import glob
+
+    for old in glob.glob(f"/root/repo/.tmpdata/{prefix}*"):
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def _staged_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """readStream over a staged copy of events.parquet (FileStreamSource
     needs a directory), with the same ns→ms normalization as the batch
     loader."""
     sf = os.path.basename(sf_dir.rstrip("/"))
+    _sweep_staging(f"stream_src_{sf}_")
     src = f"/root/repo/.tmpdata/stream_src_{sf}_{uuid.uuid4().hex[:8]}"
     os.makedirs(src)
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
@@ -104,6 +114,7 @@ def l4_streaming(spark: SparkSession, sf_dir: str):
     from glonassdatamining_spark.sources import load
 
     sf = os.path.basename(sf_dir.rstrip("/"))
+    _sweep_staging(f"l4_src_{sf}_")
     src = f"/root/repo/.tmpdata/l4_src_{sf}_{uuid.uuid4().hex[:8]}"
     os.makedirs(src)
     ev_static = load(spark, sf_dir, "events")

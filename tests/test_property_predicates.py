@@ -191,6 +191,10 @@ def test_asof_join_matches_python_model(spark, seed):
         r.lid: (r.val, r.rts)
         for r in asof_join(l_df, r_df, "k", "at", "rts", direction="forward").collect()
     }
+    near = {
+        r.lid: (r.val, r.rts)
+        for r in asof_join(l_df, r_df, "k", "at", "rts", direction="nearest").collect()
+    }
     for k, at, lid in left:
         cands = [(ts, v) for (rk, ts), v in right_ts.items() if rk == k and ts <= at]
         want = max(cands) if cands else None
@@ -204,3 +208,13 @@ def test_asof_join_matches_python_model(spark, seed):
             assert fwd[lid] == (None, None), lid
         else:
             assert fwd[lid] == (fwant[1], fwant[0]), lid
+        # nearest: closer of the two, backward preferred on exact ties
+        if want is None and fwant is None:
+            assert near[lid] == (None, None), lid
+        elif want is None:
+            assert near[lid] == (fwant[1], fwant[0]), lid
+        elif fwant is None:
+            assert near[lid] == (want[1], want[0]), lid
+        else:
+            nwant = fwant if (fwant[0] - at) < (at - want[0]) else want
+            assert near[lid] == (nwant[1], nwant[0]), lid
