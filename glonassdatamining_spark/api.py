@@ -794,3 +794,26 @@ def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
         out = out.withColumn(f"pii_{kind}_count", F.regexp_count(text_col, F.lit(pat)))
         clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
     return out.withColumn(f"{text_col}_clean", clean)
+
+
+# --------------------------------------------------------------------------
+# storage layout
+# --------------------------------------------------------------------------
+def zorder_key(cx: Column | str, cy: Column | str, bits: int = 10) -> Column:
+    """Morton (Z-order) key from two non-negative integer cell coords
+    (`bits` bits each, interleaved x-low). Sorting or range-partitioning
+    by this key places spatially-near rows in the same file/row group,
+    so Parquet min/max stats prune 2-D bbox scans — the lakehouse
+    substitute for a spatial index (same idea as Delta/Iceberg Z-order
+    clustering). Pure JVM bit arithmetic, fully codegen'd.
+    """
+    zx = F.col(cx) if isinstance(cx, str) else cx
+    zy = F.col(cy) if isinstance(cy, str) else cy
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bx = F.shiftright(zx, i).bitwiseAND(F.lit(1)).cast("long")
+        by = F.shiftright(zy, i).bitwiseAND(F.lit(1)).cast("long")
+        z = z.bitwiseOR(F.shiftleft(bx, 2 * i)).bitwiseOR(
+            F.shiftleft(by, 2 * i + 1)
+        )
+    return z

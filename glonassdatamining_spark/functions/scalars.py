@@ -315,3 +315,28 @@ def h10_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("nk")
         .alias("nk_field"),
     )
+
+
+@register(
+    "h11_bitwise_funcs",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "bit_and(o_orderkey) AS and_key, bit_or(o_orderkey) AS or_key, "
+        "bit_xor(o_orderkey) AS xor_key, "
+        "CAST(SUM(o_orderkey % 8) AS BIGINT) AS low_bits_sum "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    section="H11",
+)
+def h11_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate group: bit_and / bit_or / bit_xor per group
+    plus a masked-bit sum — integer-exact on both engines (bitwise agg
+    is associative+commutative, so Spark's partial/final split cannot
+    diverge from DuckDB's single-pass)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("and_key"),
+        F.bit_or("o_orderkey").alias("or_key"),
+        F.bit_xor("o_orderkey").alias("xor_key"),
+        F.sum(F.col("o_orderkey") % 8).cast("bigint").alias("low_bits_sum"),
+    )

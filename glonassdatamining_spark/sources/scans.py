@@ -129,3 +129,45 @@ def a7_streaming_source_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register("a8_zorder_layout", oracle=None, section="A8")
+def a8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered Parquet layout + bbox read-back: fixes keyed
+    by a 10-bit-per-dim Morton code (``api.zorder_key``), range-
+    partitioned and sorted by it, written to Parquet, then re-read with
+    a 2-D bbox filter. At 100 TB this layout is what makes spatial
+    range queries IO-proportional to the bbox instead of the table:
+    near points share files/row groups, so Parquet min/max statistics
+    on x/y prune almost everything else (the lakehouse equivalent of
+    Delta/Iceberg Z-order clustering; single-row-group local fixtures
+    can't demo the skip itself, so this is rows-only on the read-back).
+    """
+    import os
+
+    from glonassdatamining_spark.api import zorder_key
+    from glonassdatamining_spark.operators.spatiotemporal import fixes
+
+    out = f"/root/repo/.tmpdata/zorder_fixes_{os.path.basename(sf_dir.rstrip('/'))}"
+    f = fixes(spark, sf_dir)
+    keyed = f.withColumn(
+        "z",
+        zorder_key(
+            F.floor(F.col("x") * 10.24).cast("int"),
+            F.floor(F.col("y") * 10.24).cast("int"),
+        ),
+    )
+    (
+        keyed.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("x") >= 40.0) & (F.col("x") < 45.0)
+            & (F.col("y") >= 40.0) & (F.col("y") < 45.0)
+        )
+        .select("obj_id", "event_id", "x", "y")
+    )

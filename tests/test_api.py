@@ -217,3 +217,25 @@ def test_sql_entry_register_views(spark, tmp_path):
     # the ns→ms events shim applies through the SQL surface too
     ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
     assert ts_type == "timestamp"
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 1023), rng.randint(0, 1023)) for _ in range(200)]
+
+    def morton(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "cx INT, cy INT")
+    got = {
+        (r.cx, r.cy): r.z
+        for r in df.withColumn("z", api.zorder_key("cx", "cy")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y), (x, y)
