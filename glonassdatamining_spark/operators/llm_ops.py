@@ -969,3 +969,48 @@ def k22_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K23 — sequence packing (token-budget binning for training batches)
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2000
+
+
+@register(
+    "k23_sequence_packing",
+    oracle=(
+        "WITH sized AS (SELECT doc_id, lang, n_chars, "
+        "SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum "
+        "FROM documents) "
+        "SELECT doc_id, lang, n_chars, "
+        f"CAST(floor(CAST(csum - n_chars AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS pack_id "
+        "FROM sized"
+    ),
+    section="K23",
+)
+def k23_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget training
+    packs (greedy longest-first streaming fill — the standard
+    pad-minimizing batch construction). Per-language windows give the
+    packer a shuffle key, so the cumulative fill is one exchange on
+    lang, not a global single-partition sort; at 100 TB you'd
+    sub-partition the same way on (lang, length-range) and renumber
+    packs with a per-range offset. Integer char counts keep the
+    running sum engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    csum = F.sum("n_chars").over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor((csum - F.col("n_chars")).cast("double") / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )

@@ -100,3 +100,19 @@ def test_sessionization_reuses_single_shuffle(spark):
     plan = plan_of(spark, "e8_sessionization", mode="simple")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_funnel_reuses_single_shuffle(spark):
+    """e9's three chained conditional-min windows all partition on
+    user_id — one exchange total."""
+    plan = plan_of(spark, "e9_funnel_detection", mode="simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_asof_nearest_reuses_single_shuffle(spark):
+    """c9c runs both directional scans over the same user_id
+    partitioning — the union-tagged input must shuffle once."""
+    plan = plan_of(spark, "c9c_asof_nearest", mode="simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 shuffles, got {n_exchanges}:\n{plan}"
