@@ -32,6 +32,7 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     grid_distance_join,
     minhash_lsh_dedup,
     pii_scrub,
+    rdp_simplify,
     repetition_metrics,
     salted_agg,
     sessionize,
@@ -49,6 +50,7 @@ __all__ = [
     "grid_distance_join",
     "minhash_lsh_dedup",
     "pii_scrub",
+    "rdp_simplify",
     "repetition_metrics",
     "salted_agg",
     "sessionize",

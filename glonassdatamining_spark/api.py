@@ -817,3 +817,71 @@ def zorder_key(cx: Column | str, cy: Column | str, bits: int = 10) -> Column:
             F.shiftleft(by, 2 * i + 1)
         )
     return z
+
+
+# --------------------------------------------------------------------------
+# trajectory simplification
+# --------------------------------------------------------------------------
+def rdp_simplify(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+) -> DataFrame:
+    """Ramer–Douglas–Peucker polyline simplification per trajectory:
+    keep the minimal subset of fixes whose piecewise-linear hull stays
+    within ``eps`` of the original path. Returns the kept rows
+    (id, order, x, y) — the standard pre-step before shipping GNSS
+    tracks to storage/visualization (often 10-100× fewer points).
+
+    Scale shape: one exchange on ``id_col`` (``applyInPandas``); each
+    trajectory is simplified independently with an iterative
+    stack-based RDP in numpy (no recursion-depth hazard). Per-group
+    memory is one trajectory — bounded by the longest track, not the
+    partition. Trajectories arrive Arrow-batched; the kernel is
+    O(n²) worst case but O(n log n) typical, on thousands of points
+    per object at most.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(id_col, order_col, x_col, y_col).schema.fields
+    )
+
+    def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        n = len(pdf)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            # max perpendicular distance from chord (a,b)
+            dx, dy = x[b] - x[a], y[b] - y[a]
+            seg = np.hypot(dx, dy)
+            xs, ys = x[a + 1 : b], y[a + 1 : b]
+            if seg == 0.0:
+                d = np.hypot(xs - x[a], ys - y[a])
+            else:
+                d = np.abs(dx * (ys - y[a]) - dy * (xs - x[a])) / seg
+            i = int(np.argmax(d))
+            if d[i] > eps:
+                m = a + 1 + i
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        return pdf.loc[keep, [id_col, order_col, x_col, y_col]]
+
+    return (
+        df.select(id_col, order_col, x_col, y_col)
+        .groupBy(id_col)
+        .applyInPandas(simplify, schema)
+    )

@@ -331,6 +331,103 @@ def d12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pivot value lists are FIXED (not inferred): at 100 TB an inferred
+# pivot means an extra distinct-scan of the fact table AND a
+# nondeterministic column set; the declared form never scans twice.
+_PRIORITIES = (
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "notspec"),
+    ("5-LOW", "low"),
+)
+
+
+@register(
+    "d14_pivot",
+    oracle=(
+        "SELECT o_orderstatus, "
+        + ", ".join(
+            f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS n_{a}, "
+            + o_dsum(f"CASE WHEN o_orderpriority = '{p}' THEN o_totalprice END", f"sum_{a}")
+            for p, a in _PRIORITIES
+        )
+        + " FROM orders GROUP BY o_orderstatus"
+    ),
+    section="D14",
+)
+def d14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide crosstab): order counts and price sums per
+    (status × priority). Spark plans this as ONE two-phase hash agg on
+    o_orderstatus with pivot-expanded aggregate buffers — same shuffle
+    cost as a plain groupBy, columns instead of rows. Missing combos:
+    Spark pivot yields NULL counts where SQL FILTER yields 0, so counts
+    are coalesced to 0 to pin one semantic."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "s"))
+    )
+    cols = [F.col("o_orderstatus")]
+    for p, a in _PRIORITIES:
+        cols.append(F.coalesce(F.col(f"`{p}_n`"), F.lit(0)).alias(f"n_{a}"))
+        cols.append(F.col(f"`{p}_s`").alias(f"sum_{a}"))
+    return piv.select(*cols)
+
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "d15_unpivot",
+    oracle=(
+        " UNION ALL ".join(
+            f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {m} AS val FROM lineitem"
+            for m in _MEASURES
+        )
+    ),
+    section="D15",
+)
+def d15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide→long): the lineitem measure columns become
+    (measure, val) rows — the normalization step before generic
+    per-metric pipelines. Expand is narrow (no shuffle, no Python):
+    each input row emits 4 output rows inside whole-stage codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], list(_MEASURES), "measure", "val"
+    )
+
+
+@register(
+    "d7b_higher_moments",
+    oracle=(
+        "WITH mu AS (SELECT l_returnflag, AVG(l_extendedprice) AS m "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l.l_returnflag, "
+        "ROUND(AVG(POW(l.l_extendedprice - mu.m, 3)) "
+        "  / POW(AVG(POW(l.l_extendedprice - mu.m, 2)), 1.5), 4) AS skew_price, "
+        "ROUND(AVG(POW(l.l_extendedprice - mu.m, 4)) "
+        "  / POW(AVG(POW(l.l_extendedprice - mu.m, 2)), 2) - 3, 4) AS kurt_price "
+        "FROM lineitem l JOIN mu USING (l_returnflag) GROUP BY l.l_returnflag"
+    ),
+    section="D7",
+)
+def d7b_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis per group. Spark computes population
+    moments in ONE streaming pass (co-moment update formula, partial-
+    aggregatable → single shuffle); the oracle derives the identical
+    population formula two-pass (DuckDB's own skewness()/kurtosis()
+    are sample-corrected — a different statistic). Verified equal at
+    4dp this session."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.skewness("l_extendedprice"), 4, "skew_price"),
+        rnd(F.kurtosis("l_extendedprice"), 4, "kurt_price"),
+    )
+
+
 @register(
     "d13_time_rollup_tiers",
     oracle=(

@@ -492,3 +492,80 @@ def i12_hotspot_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cy").alias("cell_y"),
         F.round((F.col("wsum").cast("double") - mean * F.col("w")) / (s * denom_w), 4).alias("gi_z"),
     )
+
+
+@register(
+    "i13_gapfill_locf",
+    oracle=(
+        EVENTS_CTE + ", obs AS ("
+        "  SELECT user_id, bucket, value AS v FROM ("
+        "    SELECT user_id, date_trunc('hour', ts) AS bucket, value, "
+        "    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+        "                       ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "  WHERE rn = 1), "
+        "span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 "
+        "         FROM obs GROUP BY user_id), "
+        "grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) "
+        "         AS bucket FROM span) "
+        "SELECT g.user_id, g.bucket, "
+        "last_value(o.v IGNORE NULLS) OVER ("
+        "  PARTITION BY g.user_id ORDER BY g.bucket "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf, "
+        "CAST(o.v IS NOT NULL AS INT) AS is_observed "
+        "FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket"
+    ),
+    section="I13",
+)
+def i13_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF resample (the timeseries-store ``time_bucket_gapfill``
+    / ``locf``): every user gets a dense hourly grid between their first
+    and last observation; hours with no fix carry the last observed
+    value forward. The GNSS use: regularize irregular fix streams
+    before comparing/joining trajectories on a common clock.
+
+    Scale shape: the per-bucket "last" is an aggregation (max_by on the
+    (ts, event_id) struct — partial-aggregatable, no full-table window
+    sort); the grid explode is bounded by users × time-span, not by
+    event volume; the LOCF window and the final join both partition by
+    user_id, reusing one exchange. No Python anywhere."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    span = obs.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("v").isNotNull().cast("int").alias("is_observed"),
+        )
+    )
+
+
+@register(
+    "i14_rdp_simplify",
+    oracle=None,  # kept-point selection is algorithmic, not SQL-expressible
+    section="I14",
+)
+def i14_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory simplification: Ramer–Douglas–Peucker per object at
+    ε=5.0 over the synthetic fix paths (STARK-domain track compaction).
+    Rows-only check; geometric correctness is unit-tested on handmade
+    polylines in tests/test_api.py."""
+    from glonassdatamining_spark.api import rdp_simplify
+
+    f = fixes(spark, sf_dir).withColumn("seq", F.unix_millis("ts"))
+    return rdp_simplify(f, "obj_id", "seq", "x", "y", eps=5.0)

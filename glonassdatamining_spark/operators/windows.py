@@ -296,3 +296,41 @@ def e9_funnel_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("funnel_depth"),
     ).distinct()
+
+
+@register(
+    "e10_time_weighted_avg",
+    oracle=(
+        EVENTS_CTE + ", seg AS ("
+        "  SELECT user_id, value, "
+        "  epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "    - epoch_ms(ts) AS dt_ms FROM events) "
+        "SELECT user_id, "
+        "ROUND(CAST(SUM(CAST(value * dt_ms AS DECIMAL(28,6))) AS DOUBLE) "
+        "  / SUM(dt_ms), 6) AS twa_value, "
+        "CAST(SUM(dt_ms) AS BIGINT) AS total_ms "
+        "FROM seg WHERE dt_ms IS NOT NULL GROUP BY user_id"
+    ),
+    section="E10",
+)
+def e10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the timeseries-store ``time_weight``
+    aggregate): each observation holds until the next one, so its
+    weight is the segment duration — sum(value·dt)/sum(dt) per user.
+    One user_id exchange total: the lead() window and the groupBy
+    share the same partitioning, so Catalyst reuses the shuffle.
+    Segment products go through exact DECIMAL (stable.dsum
+    discipline) to make the sum order-insensitive."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum(dec(F.col("value") * F.col("dt_ms"))).cast("double") / F.sum("dt_ms"), 6
+        ).alias("twa_value"),
+        F.sum("dt_ms").alias("total_ms"),
+    )

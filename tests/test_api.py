@@ -239,3 +239,34 @@ def test_zorder_key_matches_python_interleave(spark):
     }
     for x, y in pts:
         assert got[(x, y)] == morton(x, y), (x, y)
+
+
+def test_rdp_simplify_generic(spark):
+    # Straight segment with one spike at t=2: RDP keeps endpoints + the
+    # spike (and the points where the path bends back), drops collinear
+    # interior points.
+    rows = [
+        ("trk", 0, 0.0, 0.0),
+        ("trk", 1, 1.0, 0.0),    # ~0.98 off the (0,0)→(2,10) chord → kept
+        ("trk", 2, 2.0, 10.0),   # spike → kept
+        ("trk", 3, 3.0, 0.0),    # bend back → kept
+        ("trk", 4, 4.0, 0.0),    # collinear → dropped
+        ("trk", 5, 5.0, 0.0),    # endpoint → kept
+        ("flat", 0, 0.0, 0.0),
+        ("flat", 1, 1.0, 0.001),  # within eps → dropped
+        ("flat", 2, 2.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "tid STRING, seq INT, px DOUBLE, py DOUBLE")
+    out = api.rdp_simplify(df, "tid", "seq", "px", "py", eps=0.5)
+    got = {(r.tid, r.seq) for r in out.collect()}
+    assert got == {
+        ("trk", 0), ("trk", 1), ("trk", 2), ("trk", 3), ("trk", 5),
+        ("flat", 0), ("flat", 2),
+    }
+    # Degenerate 1-point and 2-point trajectories survive untouched.
+    tiny = spark.createDataFrame(
+        [("p1", 0, 1.0, 1.0), ("p2", 0, 0.0, 0.0), ("p2", 9, 3.0, 3.0)],
+        "tid STRING, seq INT, px DOUBLE, py DOUBLE",
+    )
+    kept = api.rdp_simplify(tiny, "tid", "seq", "px", "py", eps=0.1).count()
+    assert kept == 3
