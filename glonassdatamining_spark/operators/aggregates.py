@@ -473,3 +473,68 @@ def d13_time_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket_day", "bucket_hour", "g_hour", "event_type", "n", "sum_value")
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+
+
+@register(
+    "d16_profile_stats",
+    oracle=(
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_null, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({c}) AS DOUBLE) AS min_val, "
+            f"CAST(MAX({c}) AS DOUBLE) AS max_val FROM lineitem"
+            for c in _PROFILE_COLS
+        )
+    ),
+    section="D16",
+)
+def d16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality / ingestion-audit primitive):
+    per numeric column — row count, null count, exact distinct count,
+    min, max — as one long-format frame. ONE scan computes every
+    per-column stat (the oracle's UNION ALL form scans 8×; ours
+    aggregates all 40 stats in a single pass, then pivots the 1-row
+    result long via an inline explode — no second scan, no shuffle
+    beyond the aggregate's own).
+
+    Scale: exact COUNT(DISTINCT) over 8 columns expands 8× before the
+    shuffle (Spark's multi-distinct expand) — the profiling-at-100TB
+    variant swaps in approx_count_distinct (D4) which keeps one HLL
+    sketch per column instead; declared exact for the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
