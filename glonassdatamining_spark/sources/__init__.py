@@ -26,18 +26,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushes both into this scan (verify via ``.explain`` →
     ``PushedFilters`` / ``ReadSchema``).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    default (PARQUET_TYPE_ILLEGAL). We read it via the legacy
-    nanos-as-long path and truncate to millisecond TimestampType — the
-    same truncation every oracle applies via ``stable.EVENTS_CTE`` — so
-    both engines compute on identical ms-grain instants (SURVEY §5.3).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (read
+    via the legacy nanos-as-long path) or TIMESTAMP(MICROS) → Spark
+    TIMESTAMP_NTZ, depending on fixture generation. Either way the
+    column is truncated to millisecond grain — the same truncation
+    every oracle applies via ``stable.EVENTS_CTE`` — so both engines
+    compute on identical ms-grain instants (SURVEY §5.3).
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        return raw.withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -220,9 +220,8 @@ def l8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = spark.readStream.schema(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     ).parquet(src)
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 

@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast
 from glonassdatamining_spark.stable import dsum
 
 _EVENTS_STREAM_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -47,9 +47,8 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, 
     src = f"/root/repo/.tmpdata/stream_src_{sf}_{uuid.uuid4().hex[:8]}"
     os.makedirs(src)
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(src)
-    return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000"))), src
+    return raw.withColumn("ts", F.date_trunc("millisecond", F.col("ts"))), src
 
 
 def _drain_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
@@ -119,7 +118,7 @@ def l4_streaming(spark: SparkSession, sf_dir: str):
     os.makedirs(src)
     ev_static = load(spark, sf_dir, "events")
     split = ev_static.approxQuantile("event_id", [2.0 / 3.0], 0.0)[0]
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # keep ns-long ts
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw ts grain
     new_part = raw.filter(F.col("event_id") > split)
     old_part = raw.filter(F.col("event_id") <= split)
     newest_id = new_part.agg(F.max("event_id")).collect()[0][0]
@@ -142,7 +141,7 @@ def l4_streaming(spark: SparkSession, sf_dir: str):
         spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
-        .withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        .withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
