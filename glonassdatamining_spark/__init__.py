@@ -25,12 +25,14 @@ __version__ = "0.1.0"
 
 from glonassdatamining_spark.api import (  # noqa: E402,F401
     asof_join,
+    connected_components,
     cosine_topk,
     dbscan,
     decontaminate,
     exact_dedup,
     grid_distance_join,
     minhash_lsh_dedup,
+    pagerank,
     pii_scrub,
     rdp_simplify,
     repetition_metrics,
@@ -43,12 +45,14 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "cosine_topk",
     "dbscan",
     "decontaminate",
     "exact_dedup",
     "grid_distance_join",
     "minhash_lsh_dedup",
+    "pagerank",
     "pii_scrub",
     "rdp_simplify",
     "repetition_metrics",

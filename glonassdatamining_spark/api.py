@@ -347,23 +347,55 @@ def minhash_lsh_dedup(
         )
         .select("_a", "_b")
     )
+    labels = connected_components(verified, "_a", "_b")
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(labels.withColumnRenamed("node", "_id").withColumnRenamed("component", "cluster"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("cluster", F.col("_id")).alias("cluster"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph mining
+# --------------------------------------------------------------------------
+def connected_components(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Weakly connected components over an (undirected) edge list;
+    returns (node, component) with component = min member id, one row
+    per node that appears in at least one edge.
+
+    Min-label propagation: every iteration each node adopts the
+    smallest label among itself and its neighbors — converges in
+    O(diameter) rounds, each round one shuffle-join + one groupBy.
+    Iterations are materialized via localCheckpoint so lineage stays
+    O(1) (use reliable checkpoint() on a cluster); the convergence
+    probe rides on the already-materialized frame (no extra join).
+    Eager: runs Spark jobs when called. Scale: this is the standard
+    large-graph CC recipe (GraphX/GraphFrames do the same shuffles);
+    label frames shrink to distinct vertices, never edge-sized.
+    """
     edges = (
-        verified.union(verified.select(F.col("_b"), F.col("_a")))
-        .withColumnRenamed("_a", "_src")
-        .withColumnRenamed("_b", "_dst")
+        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(edges_df.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
+        .distinct()
         .localCheckpoint()
     )
-    # Label propagation only needs to visit vertices with at least one
-    # edge — everything else is its own singleton cluster and can be
-    # attached lazily at the end. The iterative joins therefore run on
-    # the (much smaller) near-dup vertex set, not the whole corpus.
+    # Singleton-free vertex set: isolated nodes are their own component
+    # and never need to enter the iterative joins.
     labels = (
         edges.select(F.col("_src").alias("_id"))
         .distinct()
         .withColumn("cluster", F.col("_id"))
         .localCheckpoint()
     )
-    for _ in range(10):
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges._dst == labels._id)
             .groupBy("_src")
@@ -373,30 +405,76 @@ def minhash_lsh_dedup(
             labels.join(neighbor_min, labels._id == neighbor_min._src, "left")
             .select(
                 "_id",
+                F.col("cluster").alias("_old"),
                 F.least(
                     F.col("cluster"), F.coalesce("_nmin", F.col("cluster"))
                 ).alias("cluster"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("cluster") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(labels, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("cluster", F.col("_id")).alias("cluster"),
-        )
+    return labels.select(F.col("_id").alias("node"), F.col("cluster").alias("component"))
+
+
+def pagerank(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, rank) after
+    ``n_iter`` power iterations with uniform initialization.
+
+    Each iteration is one contribution join (rank/out_degree flows
+    along edges) + one groupBy — the classic two-shuffle PageRank step;
+    dangling-node mass is redistributed uniformly so ranks sum to 1.
+    Iterations are localCheckpoint-materialized (lineage O(1); use
+    reliable checkpoint() on a cluster). Eager: runs Spark jobs when
+    called. Scale: edge frame is shuffled on src each round — a
+    pre-partitioned/bucketed edge table makes every round co-located.
+    """
+    edges = (
+        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .distinct()
+        .localCheckpoint()
     )
+    nodes = (
+        edges.select(F.col("_src").alias("_id"))
+        .union(edges.select(F.col("_dst").alias("_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges._src == ranks._id)
+            .join(out_deg, "_src")
+            .select(F.col("_dst").alias("_id"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("_id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # Dangling mass: rank held by nodes with no outgoing edges.
+        dangling = (
+            ranks.join(out_deg, ranks._id == out_deg._src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "_id", "left")
+            .select(
+                "_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("_id").alias("node"), "rank")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""§2.N — graph mining operators (round-1 additions).
+
+The mining side of a data-mining engine includes graph analytics over
+relations extracted from the corpus (co-occurrence, interaction,
+similarity edges — the same edge lists fuzzy dedup and trajectory
+analysis produce internally). The declared graph here is the **part
+co-purchase graph**: parts are connected when they appear together in
+the same order at least ``_MIN_COOCCUR`` times — a deterministic,
+data-derived market-basket graph whose sparsity is scale-stable (pair
+collisions grow ~linearly with orders while the pair space grows
+quadratically with parts).
+
+Scale doctrine: edge extraction is one self-equi-join on the order key
+(shuffle on l_orderkey, never all-pairs); iterative kernels
+(``api.connected_components``, ``api.pagerank``) shuffle edge frames
+on node keys each round — on a cluster, bucket the edge table by src
+so every round is co-located. Triangle counting is two broadcast-able
+equi-joins on an oriented (src < dst) edge list, the standard
+compact-forward algorithm shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.registry import register
+from glonassdatamining_spark.sources import load
+
+_MIN_COOCCUR_CC = 3  # sparse graph → small components (oracle-friendly)
+_MIN_COOCCUR = 2  # denser graph for triangle counting / PageRank
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, min_cooccur: int) -> DataFrame:
+    """Oriented (src < dst) part co-purchase edges: one self-equi-join
+    on l_orderkey + pair-count filter. Columns (src, dst)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_cooccur)
+        .select("src", "dst")
+    )
+
+
+_EDGES_SQL_CC = (
+    "edges AS ("
+    "  SELECT a.l_partkey AS src, b.l_partkey AS dst"
+    "  FROM lineitem a JOIN lineitem b"
+    "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    f"  GROUP BY 1, 2 HAVING count(*) >= {_MIN_COOCCUR_CC})"
+)
+
+_EDGES_SQL = _EDGES_SQL_CC.replace(
+    f">= {_MIN_COOCCUR_CC})", f">= {_MIN_COOCCUR})"
+)
+
+
+@register(
+    "n1_connected_components",
+    oracle=(
+        "WITH RECURSIVE " + _EDGES_SQL_CC + ", "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "reach(node, lbl) AS ("
+        "  SELECT src, src FROM sym"
+        "  UNION"
+        "  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node) "
+        "SELECT node, MIN(lbl) AS component FROM reach GROUP BY node"
+    ),
+    section="N1",
+)
+def n1_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the co-purchase graph via
+    min-label propagation (``api.connected_components``); the oracle
+    computes the identical fixpoint as a recursive-CTE transitive
+    closure — closure is O(Σ|component|²) rows, fine for the sparse
+    sf0.01 graph, while the Spark side stays O(V+E) per round."""
+    from glonassdatamining_spark.api import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR_CC)
+    return connected_components(edges, "src", "dst")
+
+
+@register("n2_pagerank", oracle=None, section="N2")
+def n2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 iterations, d=0.85) over the symmetrized
+    co-purchase graph (``api.pagerank``). rows-only: iterative
+    double-precision fixpoints are not ANSI-SQL-expressible; the
+    algebra is unit-tested against a hand-computed graph in
+    tests/test_graphs.py. Rank rounded to 9dp for display stability."""
+    from glonassdatamining_spark.api import pagerank
+
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(sym, "src", "dst", n_iter=10, damping=0.85)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "n3_triangle_count",
+    oracle=(
+        "WITH " + _EDGES_SQL + " "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles, "
+        "CAST(COUNT(DISTINCT e1.src) AS BIGINT) AS n_apex_nodes "
+        "FROM edges e1 JOIN edges e2 ON e2.src = e1.dst "
+        "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+    ),
+    section="N3",
+)
+def n3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the oriented (src < dst) edge list —
+    each triangle {a<b<c} counted exactly once via the two-join
+    compact-forward shape. On a cluster both joins hash-shuffle on
+    node keys (or broadcast when the edge list fits)."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("a").alias("n_apex_nodes"),
+    )

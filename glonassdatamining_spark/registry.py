@@ -79,6 +79,7 @@ def _load_all() -> None:
         llm_ops,
         ml_ops,
         udf_ops,
+        graphs,
     )
     from glonassdatamining_spark.functions import scalars  # noqa: F401
     from glonassdatamining_spark.streaming import batch_twins  # noqa: F401

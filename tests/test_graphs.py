@@ -1,0 +1,60 @@
+"""§2.N graph kernels — algebra unit tests on hand-checkable graphs
+(the declared fixture queries are t2/rows-only checked in
+test_t2_registry)."""
+
+from __future__ import annotations
+
+import pytest
+
+from glonassdatamining_spark.api import connected_components, pagerank
+
+
+def test_connected_components_two_chains(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(edges, "src", "dst").count() == 0
+
+
+def test_pagerank_matches_power_iteration(spark):
+    # Directed 4-node graph with a dangling node (4 has no out-edges).
+    e = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank(edges, "src", "dst", n_iter=10).collect()}
+
+    # Independent dense power iteration with the same semantics.
+    nodes = [1, 2, 3, 4]
+    out = {1: 2, 2: 1, 3: 1}
+    rank = {v: 0.25 for v in nodes}
+    d = 0.85
+    for _ in range(10):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1 - d) / 4 + d * dangling / 4
+        new = {v: base for v in nodes}
+        for s, t in e:
+            new[t] += d * rank[s] / out[s]
+        rank = new
+
+    assert got.keys() == rank.keys()
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_kernel(spark):
+    # The declared builder at smoke scale must produce exactly one row
+    # with non-negative counts (triangles may be zero on tiny data).
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.graphs import n3_triangle_count
+
+    row = n3_triangle_count(spark, SF_DIR).collect()
+    assert len(row) == 1
+    assert row[0].n_triangles >= 0

@@ -22,7 +22,7 @@ def survey_ids() -> list[str]:
     for body in s2:
         body = body.split("## §3")[0]
         for line in body.splitlines():
-            m = re.match(r"\| ([A-M]\d{1,2}) \|", line)
+            m = re.match(r"\| ([A-N]\d{1,2}) \|", line)
             # "unit-only" rows are api.py kernels with no fixture demo
             # (e.g. K21 PII scrub: the corpus has no PII-shaped tokens)
             # — covered by tests/test_api.py instead of the registry.
