@@ -396,3 +396,61 @@ def c12_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+_N_SALTS = 8
+
+
+@register(
+    "c13_salted_skew_join",
+    oracle=(
+        EVENTS_CTE + " SELECT d.cohort, "
+        + o_dsum("e.value", "sum_value")
+        + ", COUNT(*) AS n FROM "
+        "(SELECT CASE WHEN event_type IN ('view', 'click') THEN 0 "
+        " ELSE user_id END AS jk, value FROM events) e "
+        "JOIN (SELECT DISTINCT user_id AS jk, user_id % 10 AS cohort "
+        "      FROM events) d ON e.jk = d.jk "
+        "GROUP BY d.cohort"
+    ),
+    section="C13",
+)
+def c13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side's join key is deliberately
+    skewed (all view/click traffic collapses onto key 0 — a real
+    hot-entity pattern), so a plain shuffle join would pin the hot
+    key's entire partition on one task. Mitigation by construction:
+
+    - fact rows get ``salt = xxhash64(event_id) mod S`` — the hot key
+      fans out over S tasks;
+    - the dimension replicates each row S times (explode over the salt
+      range — dimension-sized, cheap);
+    - equi-join on (key, salt), then aggregate.
+
+    The salt is derived from a stable row attribute (never rand()), so
+    the plan is deterministic and the result provably equals the
+    unsalted join — which is exactly what the oracle checks. The merge
+    hint forces the shuffle path locally; on a cluster AQE's skew-join
+    split handles sort-merge skew automatically and salting remains
+    the recipe for skewed *aggregations* and *broadcast-infeasible*
+    dimensions (SURVEY §4.1).
+    """
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_type").isin("view", "click"), F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("jk"),
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).cast("int").alias("_salt"),
+    )
+    dim = (
+        ev.select(F.col("user_id").alias("jk"))
+        .distinct()
+        .withColumn("cohort", F.col("jk") % 10)
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)])))
+    )
+    return (
+        fact.join(dim.hint("merge"), ["jk", "_salt"])
+        .groupBy("cohort")
+        .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n"))
+    )

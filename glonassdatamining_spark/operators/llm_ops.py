@@ -1014,3 +1014,46 @@ def k23_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+_POS_WORDS = ("fast", "small", "merge")
+_NEG_WORDS = ("slow", "big", "dup")
+
+
+@register(
+    "k24_sentiment_lexicon",
+    oracle=(
+        "SELECT doc_id, n_pos, n_neg, "
+        "CAST(n_pos - n_neg AS DOUBLE) / n_tok AS polarity FROM ("
+        "SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), "
+        f"     t -> list_contains({list(_POS_WORDS)!r}, t))) AS n_pos, "
+        "len(list_filter(string_split(text, ' '), "
+        f"     t -> list_contains({list(_NEG_WORDS)!r}, t))) AS n_neg, "
+        "len(string_split(text, ' ')) AS n_tok FROM documents)"
+    ),
+    section="K24",
+)
+def k24_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the PAPERS.md:5
+    sentiment-analysis-on-Spark capability, lexicon form): polarity =
+    (|positive hits| − |negative hits|) / |tokens| per document. The
+    lexicons are inline array literals (broadcast-by-constant), the
+    counting is a JVM higher-order filter over the token array — no
+    shuffle at all, embarrassingly parallel at any scale. The ML
+    classifier form is §2.J j5. Polarity is one IEEE division of two
+    exact integers — bit-identical across engines, no rounding
+    needed."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pos_arr = F.array(*[F.lit(w) for w in _POS_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in _NEG_WORDS])
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pos_arr, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(neg_arr, t)))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        ((n_pos - n_neg).cast("double") / n_tok).alias("polarity"),
+    )

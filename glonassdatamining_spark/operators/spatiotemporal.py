@@ -569,3 +569,21 @@ def i14_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f = fixes(spark, sf_dir).withColumn("seq", F.unix_millis("ts"))
     return rdp_simplify(f, "obj_id", "seq", "x", "y", eps=5.0)
+
+
+@register(
+    "i15_trajectory_dtw",
+    oracle=None,  # iterative DP distance, not SQL-expressible
+    section="I15",
+)
+def i15_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW similarity of every object's trajectory against object 0's
+    reference track (banded Sakoe-Chiba DP, the exact-refine step of
+    REPOSE-style trajectory top-k). Rows-only check; the DP kernel is
+    unit-tested against hand-computed warps in tests/test_api.py.
+    Output dtw is rounded to 6dp for display stability."""
+    from glonassdatamining_spark.api import trajectory_dtw
+
+    f = fixes(spark, sf_dir).withColumn("seq", F.unix_millis("ts"))
+    out = trajectory_dtw(f, "obj_id", "seq", "x", "y", ref_id=0, band=64)
+    return out.select("obj_id", "n_points", F.round("dtw", 6).alias("dtw"))

@@ -270,3 +270,35 @@ def test_rdp_simplify_generic(spark):
     )
     kept = api.rdp_simplify(tiny, "tid", "seq", "px", "py", eps=0.1).count()
     assert kept == 3
+
+
+def test_dtw_distance_hand_checked():
+    # A=[(0,0),(1,0),(2,0)] vs B=[(0,0),(2,0)]: optimal warp aligns
+    # (0,0)->(0,0), (1,0)->either (cost 1), (2,0)->(2,0) => DTW = 1.
+    assert api.dtw_distance([0, 1, 2], [0, 0, 0], [0, 2], [0, 0]) == 1.0
+    # Identical series: zero distance, band or not.
+    assert api.dtw_distance([1, 2, 3], [4, 5, 6], [1, 2, 3], [4, 5, 6]) == 0.0
+    assert api.dtw_distance([1, 2, 3], [4, 5, 6], [1, 2, 3], [4, 5, 6], band=1) == 0.0
+    # Empty side => NaN sentinel.
+    import math
+
+    assert math.isnan(api.dtw_distance([], [], [1], [1]))
+
+
+def test_trajectory_dtw_generic(spark):
+    rows = [
+        ("a", 0, 0.0, 0.0), ("a", 1, 1.0, 0.0), ("a", 2, 2.0, 0.0),
+        ("b", 0, 0.0, 0.0), ("b", 1, 2.0, 0.0),
+        ("c", 0, 5.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "oid STRING, seq INT, px DOUBLE, py DOUBLE")
+    out = {r.asDict()["oid"]: r.dtw for r in api.trajectory_dtw(
+        df, "oid", "seq", "px", "py", ref_id="a"
+    ).collect()}
+    assert out["a"] == 0.0
+    # b warps (0,0)->(0,0),(2,0)->{(1,0) cost1,(2,0) cost0} => 1.0
+    assert out["b"] == 1.0
+    # c: single point matched to all 3 ref points:
+    # hypot(5,5) + hypot(4,5) + hypot(3,5)
+    expected_c = 50 ** 0.5 + 41 ** 0.5 + 34 ** 0.5
+    assert abs(out["c"] - expected_c) < 1e-6  # builder-free kernel: no rounding
