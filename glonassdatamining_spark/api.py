@@ -210,34 +210,42 @@ def set_similarity_topk(
     ``round_to`` rounds jaccard BEFORE ranking (tie-break obj_b) so an
     oracle ranking on rounded values cannot diverge.
     """
-    oc = pairs.select(
-        F.col(obj_col).alias("_obj"), F.col(item_col).alias("_item")
-    ).distinct()
-    sizes = oc.groupBy("_obj").agg(F.count(F.lit(1)).alias("_sz"))
+    # Set sizes ride along as a window count over the SAME deduped
+    # membership frame (one exchange on _obj) instead of separate
+    # size-table joins — the pair groupBy then picks them up for free
+    # (min of a per-group constant), so no post-aggregation join at
+    # all: distinct → window → self-join → groupBy → top-k window.
+    oc = (
+        pairs.select(F.col(obj_col).alias("_obj"), F.col(item_col).alias("_item"))
+        .distinct()
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("_obj")))
+    )
     half = (
         oc.alias("a")
         .join(oc.alias("b"), "_item")
         .filter(F.col("a._obj") < F.col("b._obj"))
         .groupBy(F.col("a._obj").alias("obj_a"), F.col("b._obj").alias("obj_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min(F.col("a._sz")).alias("_sza"),
+            F.min(F.col("b._sz")).alias("_szb"),
+        )
     )
     sym = half.unionByName(
         half.select(
-            F.col("obj_b").alias("obj_a"), F.col("obj_a").alias("obj_b"), "_inter"
+            F.col("obj_b").alias("obj_a"),
+            F.col("obj_a").alias("obj_b"),
+            "_inter",
+            F.col("_szb").alias("_sza"),
+            F.col("_sza").alias("_szb"),
         )
     )
-    sa = sizes.select(F.col("_obj").alias("obj_a"), F.col("_sz").alias("_sza"))
-    sb = sizes.select(F.col("_obj").alias("obj_b"), F.col("_sz").alias("_szb"))
     jac = F.col("_inter").cast("double") / (
         F.col("_sza") + F.col("_szb") - F.col("_inter")
     )
     if round_to is not None:
         jac = F.round(jac, round_to)
-    scored = (
-        sym.join(broadcast(sa), "obj_a")
-        .join(broadcast(sb), "obj_b")
-        .select("obj_a", "obj_b", jac.alias("jaccard"))
-    )
+    scored = sym.select("obj_a", "obj_b", jac.alias("jaccard"))
     w = Window.partitionBy("obj_a").orderBy(F.col("jaccard").desc(), "obj_b")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -294,11 +302,24 @@ def minhash_lsh_dedup(
     """
     # Small tables scan into one split; spread the shingle+minhash HOF
     # work (the dominant CPU cost) over every core before computing it.
+    # Shingles are hashed to int64 at construction (xxhash64 straight
+    # over the n token slots — no intermediate concat string ever
+    # built): minhash permutations, banding keys, and the Jaccard
+    # verification all operate on longs (8 bytes, codegen'd
+    # comparisons) — same result modulo 2^-64 collisions, ~2× less
+    # state than string shingles.
     par = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.col("_t"), " ")
+    hashed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(3)]),
+        )
+    )
     d = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .repartition(par)
-        .select("_id", shingles("_t").alias("_s"))
+        .select("_id", hashed.alias("_s"))
         .localCheckpoint()
     )
     mh = d.select(
@@ -346,6 +367,10 @@ def minhash_lsh_dedup(
             >= tau
         )
         .select("_a", "_b")
+        # materialize once: connected_components references the edge
+        # list from both legs of its symmetrizing union — without this
+        # the candidate+verify join would execute twice.
+        .localCheckpoint()
     )
     labels = connected_components(verified, "_a", "_b")
     return (
@@ -366,20 +391,26 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 20,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Weakly connected components over an (undirected) edge list;
     returns (node, component) with component = min member id, one row
     per node that appears in at least one edge.
 
-    Min-label propagation: every iteration each node adopts the
-    smallest label among itself and its neighbors — converges in
-    O(diameter) rounds, each round one shuffle-join + one groupBy.
-    Iterations are materialized via localCheckpoint so lineage stays
-    O(1) (use reliable checkpoint() on a cluster); the convergence
-    probe rides on the already-materialized frame (no extra join).
-    Eager: runs Spark jobs when called. Scale: this is the standard
-    large-graph CC recipe (GraphX/GraphFrames do the same shuffles);
-    label frames shrink to distinct vertices, never edge-sized.
+    Hybrid execution (the AQE idea applied to graph merge): the edge
+    list is usually orders of magnitude smaller than the corpus it was
+    derived from (near-dup candidates, border pairs). When it fits
+    comfortably on the driver (≤ ``driver_max_edges``), a local
+    union-find computes the exact same min-label fixpoint in
+    microseconds instead of paying one Spark job per propagation round
+    — this is the "tiny merge table" pattern SURVEY §7.4 sanctions for
+    DBSCAN/CC merges. Above the threshold: distributed min-label
+    propagation — converges in O(diameter) rounds, each round one
+    shuffle-join + one groupBy, iterations materialized via
+    localCheckpoint so lineage stays O(1) (use reliable checkpoint()
+    on a cluster). Label frames shrink to distinct vertices, never
+    edge-sized — the standard GraphX/GraphFrames CC shape.
+    Eager: runs Spark jobs when called.
     """
     edges = (
         edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
@@ -387,6 +418,41 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        pairs = [(r._src, r._dst) for r in edges.collect()]
+        parent: dict = {}
+
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:  # path compression
+                parent[a], a = root, parent[a]
+            return root
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative IS the min label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        node_type = edges.schema["_src"].dataType.simpleString()
+        import pandas as pd
+
+        if not rows:
+            return edges_df.sparkSession.createDataFrame(
+                [], f"node {node_type}, component {node_type}"
+            )
+        # Arrow-path upload — avoids the pickled-parallelize job a
+        # plain list createDataFrame would run.
+        return edges_df.sparkSession.createDataFrame(
+            pd.DataFrame(rows, columns=["node", "component"]),
+            schema=f"node {node_type}, component {node_type}",
+        )
     # Singleton-free vertex set: isolated nodes are their own component
     # and never need to enter the iterative joins.
     labels = (
@@ -631,8 +697,14 @@ def dbscan(
 
     # Materialize the local-clustering pass once: both the merge-edge
     # collect and the final label join read it (without this the Arrow
-    # kernel runs twice).
-    local = padded.groupBy("_tcx", "_tcy").applyInPandas(
+    # kernel runs twice). The explicit repartition pins the kernel's
+    # parallelism: AQE would coalesce the (byte-wise tiny) shuffle to a
+    # couple of partitions, which is right for JVM operators but
+    # starves a CPU-bound Python kernel of cores — an explicit
+    # key-hash repartition is preserved by AQE and satisfies the
+    # grouped-map's clustering requirement, so no second exchange.
+    par = spark.sparkContext.defaultParallelism
+    local = padded.repartition(par, "_tcx", "_tcy").groupBy("_tcx", "_tcy").applyInPandas(
         local_dbscan,
         "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, _x DOUBLE, _y DOUBLE",
     ).localCheckpoint()
@@ -687,9 +759,14 @@ def dbscan(
             parent[hi] = lo
 
     roots = {c: find(c) for c in list(parent)}
+    # Arrow-path upload (pandas → DataFrame): a plain createDataFrame
+    # over a Python list pays a pickled-parallelize Spark job — ~10×
+    # slower to first use than the Arrow batch conversion.
     mapping = spark.createDataFrame(
-        list(roots.items()) or [("__none__", "__none__")],
-        "_local_cid STRING, cluster STRING",
+        pd.DataFrame(
+            list(roots.items()) or [("__none__", "__none__")],
+            columns=["_local_cid", "cluster"],
+        )
     )
     return (
         local.join(broadcast(mapping), "_local_cid", "left")

@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "k22_unigram_loglik",     # 1-row vocab total, broadcast
     "l4_watermark_filter",    # 1-row scalar max, broadcast
     "k14_ivf_ann",            # 16-row centroid table, broadcast probe
+    "h12_string_distance",    # 25-row dictionary, broadcast (band by
+                              # length/prefix for dict×dict at scale)
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
