@@ -27,6 +27,9 @@ from glonassdatamining_spark.session import get_spark
 # brute-force correctness twins.
 HEADLINE = [
     "q1_pricing_summary",     # scan → filter → agg → sort (flagship)
+    "q5_local_supplier_volume",  # 6-table snowflake: broadcast dims + one SMJ
+    "q18_large_volume_customer",  # aggregate-then-join rewrite + top-k
+    "n1_connected_components",  # iterative graph kernel (hybrid CC)
     "a3_predicate_pushdown",  # pushdown scan
     "c2_shuffle_join",        # large×large sort-merge join
     "c9_asof_join",           # as-of via union-tag + running last

@@ -83,6 +83,6 @@ def _load_all() -> None:
     )
     from glonassdatamining_spark.functions import scalars  # noqa: F401
     from glonassdatamining_spark.streaming import batch_twins  # noqa: F401
-    from glonassdatamining_spark.plans import flagship  # noqa: F401
+    from glonassdatamining_spark.plans import composites, flagship  # noqa: F401
 
     _LOADED = True
