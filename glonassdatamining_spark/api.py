@@ -1136,3 +1136,47 @@ def trajectory_dtw(
         .groupBy(id_col)
         .applyInPandas(per_traj, out_schema)
     )
+
+
+# --------------------------------------------------------------------------
+# time-series smoothing
+# --------------------------------------------------------------------------
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key along the time
+    axis (adjust=False recursion: y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁);
+    returns the input columns plus ``out_col``.
+
+    The recursion is inherently sequential per key, so this is a
+    grouped-map kernel: ONE ``applyInPandas`` exchange on ``key``,
+    pandas' C-vectorized ``ewm`` inside. State is O(1) per row — the
+    streaming twin is a ``transformWithState`` carrying yₜ₋₁. A
+    window-function closed form exists (powers of (1−α)) but overflows
+    for long series; the kernel has no such bound.
+    """
+    import pandas as pd
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, {out_col} double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        pdf[out_col] = (
+            pdf[value].ewm(alpha=alpha, adjust=False).mean().astype(float)
+        )
+        return pdf
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, key)
+        .groupBy(key)
+        .applyInPandas(smooth, out_schema)
+    )

@@ -538,3 +538,55 @@ def d16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "d18_mad_outliers",
+    oracle=(
+        "WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med "
+        "  FROM lineitem GROUP BY l_returnflag), "
+        "dev AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS ad, m.med "
+        "  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag), "
+        "mad AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad, MIN(med) AS med "
+        "  FROM dev GROUP BY l_returnflag) "
+        "SELECT d.l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+        "ROUND(MIN(m.med), 2) AS med, ROUND(MIN(m.mad), 2) AS mad "
+        "FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag "
+        "GROUP BY d.l_returnflag"
+    ),
+    section="D18",
+)
+def d18_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (round-1 addition): flag rows whose
+    absolute deviation from the group median exceeds 3 scaled MADs —
+    the data-quality screen that, unlike z-scores, a few extreme
+    values cannot poison. Three passes, each a two-phase agg or a
+    broadcast join back (the median tables are group-cardinality-sized
+    — dimension-small at any data scale); exact `percentile` matches
+    DuckDB `quantile_cont` (parity carried by d8). At 100 TB swap the
+    exact medians for `percentile_approx` and the plan is unchanged."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .withColumn("ad", F.abs(F.col("l_extendedprice") - F.col("med")))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"), F.min("med").alias("med")
+    )
+    return (
+        dev.select("l_returnflag", "ad")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("mad"), 2).alias("mad"),
+        )
+    )

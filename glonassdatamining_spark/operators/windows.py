@@ -334,3 +334,20 @@ def e10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.sum("dt_ms").alias("total_ms"),
     )
+
+
+@register("e11_ewma_smoothing", oracle=None, section="E11")
+def e11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of each user's value series (α=0.3) — the
+    standard time-series denoise before anomaly thresholds. The
+    recursion is sequential per key, so it runs as ONE grouped-map
+    exchange on user_id (``api.ewma``); rows-only check (recursive FP
+    fixpoint), recursion unit-tested in tests/test_api.py. Output
+    rounded to 6dp for display stability."""
+    from glonassdatamining_spark.api import ewma
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma_value")
+    )

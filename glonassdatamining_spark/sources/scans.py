@@ -171,3 +171,46 @@ def a8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("obj_id", "event_id", "x", "y")
     )
+
+@register(
+    "a9_dynamic_partition_pruning",
+    oracle=None,  # side-effecting sink + plan-shape demo; rows-only
+    section="A9",
+)
+def a9_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by order year; a selective dimension filter on the
+    join's other side prunes fact PARTITIONS at runtime via the reused
+    broadcast (Catalyst's DPP subquery — look for
+    ``dynamicpruning#`` in the partition filters; asserted in
+    tests/test_plans.py). This is the lakehouse access pattern that
+    turns a 100 TB scan into a handful of partition directories.
+    """
+    import os
+
+    out = f"/root/repo/.tmpdata/dpp_orders_{os.path.basename(sf_dir.rstrip('/'))}"
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    if not os.path.exists(out + "/_SUCCESS"):
+        o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    # Dimension with a selective predicate on a NON-join attribute —
+    # the DPP trigger shape (a literal filter on the join key itself
+    # would constant-propagate into static partition pruning instead).
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("d_year"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.o_year == dim.d_year)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

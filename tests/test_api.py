@@ -302,3 +302,14 @@ def test_trajectory_dtw_generic(spark):
     # hypot(5,5) + hypot(4,5) + hypot(3,5)
     expected_c = 50 ** 0.5 + 41 ** 0.5 + 34 ** 0.5
     assert abs(out["c"] - expected_c) < 1e-6  # builder-free kernel: no rounding
+
+
+def test_ewma_matches_recursion(spark):
+    rows = [(1, 0, 10.0), (1, 1, 20.0), (1, 2, 30.0), (2, 0, 5.0)]
+    df = spark.createDataFrame(rows, "k INT, t INT, v DOUBLE")
+    out = {(r.k, r.t): r.ewma for r in api.ewma(df, "k", "t", "v", alpha=0.5).collect()}
+    # adjust=False: y0=10; y1=.5*20+.5*10=15; y2=.5*30+.5*15=22.5
+    assert out[(1, 0)] == 10.0
+    assert out[(1, 1)] == 15.0
+    assert out[(1, 2)] == 22.5
+    assert out[(2, 0)] == 5.0

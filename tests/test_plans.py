@@ -116,3 +116,10 @@ def test_asof_nearest_reuses_single_shuffle(spark):
     plan = plan_of(spark, "c9c_asof_nearest", mode="simple")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"expected <=2 shuffles, got {n_exchanges}:\n{plan}"
+
+
+def test_dynamic_partition_pruning_inserted(spark):
+    """a9: the selective dimension filter must reach the partitioned
+    fact scan as a runtime DPP subquery, not a full-scan join."""
+    plan = plan_of(spark, "a9_dynamic_partition_pruning", mode="extended")
+    assert "dynamicpruning" in plan, f"no DPP subquery in plan:\n{plan[:2000]}"
