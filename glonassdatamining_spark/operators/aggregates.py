@@ -551,7 +551,7 @@ def d16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM dev GROUP BY l_returnflag) "
         "SELECT d.l_returnflag, COUNT(*) AS n, "
         "CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
-        "ROUND(MIN(m.med), 2) AS med, ROUND(MIN(m.mad), 2) AS mad "
+        "ROUND(MIN(m.med), 3) AS med, ROUND(MIN(m.mad), 4) AS mad "
         "FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag "
         "GROUP BY d.l_returnflag"
     ),
@@ -586,7 +586,35 @@ def d18_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
             ).alias("n_outliers"),
-            F.round(F.min("med"), 2).alias("med"),
-            F.round(F.min("mad"), 2).alias("mad"),
+            # 3dp/4dp: the true median of 2dp prices has <=3 decimals
+            # (even-count midpoints), MAD of those <=4 — rounding ABOVE
+            # the true precision can't sit on a half-way boundary,
+            # rounding AT it (2dp) is exactly the boundary trap
+            # (SURVEY §5.3.4, hit at sf0.001).
+            F.round(F.min("med"), 3).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
         )
+    )
+
+
+@register(
+    "d19_listagg",
+    oracle=(
+        "SELECT c_nationkey, "
+        "string_agg(c_name, '|' ORDER BY c_name) AS members, "
+        "COUNT(*) AS n FROM customer WHERE c_acctbal > 9000 "
+        "GROUP BY c_nationkey"
+    ),
+    section="D19",
+)
+def d19_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG, round-1
+    addition) — the report-friendly collect. The WITHIN GROUP ordering
+    makes the concatenation deterministic (SURVEY §5.3.3's collect_list
+    hazard, solved in-operator); two-phase hash agg like any other
+    aggregate, output size bounded by the filter."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return c.groupBy("c_nationkey").agg(
+        F.expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)").alias("members"),
+        F.count(F.lit(1)).alias("n"),
     )

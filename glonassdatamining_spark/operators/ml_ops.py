@@ -173,3 +173,42 @@ def j7_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[F.round(arr[i], 6).alias(f"pc{i + 1}") for i in range(8)],
     )
+
+
+@register("j8_als_recommend", oracle=None, section="J8")
+def j8_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS collaborative filtering over the customer×part purchase
+    matrix (implicit feedback = line-item count) — MLlib's distributed
+    blocked alternating least squares; top-3 part recommendations per
+    customer. rows-only: factor models aren't SQL-expressible. Scale:
+    ALS is THE canonical Spark-scale recommender (user/item factor
+    blocks co-partitioned per iteration); rank/iterations are the only
+    knobs that move at 100 TB."""
+    from pyspark.ml.recommendation import ALS
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8, maxIter=5, seed=42, regParam=0.1, implicitPrefs=True,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rank", "rec"),
+    ).select(
+        F.col("user").alias("custkey"),
+        (F.col("rank") + 1).alias("rank"),
+        F.col("rec.item").alias("partkey"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )

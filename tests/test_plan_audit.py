@@ -49,10 +49,19 @@ def _plan(spark, name: str) -> str:
     return buf.getvalue()
 
 
+CARTESIAN_ALLOWED = {
+    # MLlib's recommendForAllUsers IS a blocked factor-matrix cross
+    # with per-block top-k pruning — the documented ALS serving plan,
+    # not an accidental O(n^2) join.
+    "j8_als_recommend",
+}
+
+
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
 def test_plan_has_no_scale_hazard(spark, name):
     plan = _plan(spark, name)
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in CARTESIAN_ALLOWED:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: undeclared nested-loop join"
