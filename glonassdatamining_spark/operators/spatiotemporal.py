@@ -587,3 +587,52 @@ def i15_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = fixes(spark, sf_dir).withColumn("seq", F.unix_millis("ts"))
     out = trajectory_dtw(f, "obj_id", "seq", "x", "y", ref_id=0, band=64)
     return out.select("obj_id", "n_points", F.round("dtw", 6).alias("dtw"))
+
+
+@register(
+    "i16_skyline",
+    oracle=(
+        FIXES_CTE + ", pts AS (SELECT DISTINCT x, y FROM fixes), "
+        "scan AS (SELECT x, y, MIN(y) OVER ("
+        "  ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        ") AS mprev FROM pts) "
+        "SELECT x, y FROM scan WHERE mprev IS NULL OR mprev > y"
+    ),
+    section="I16",
+)
+def i16_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal, minimize x and y) over the fix cloud —
+    STARK's skyline operator realized relationally. A point is
+    dominated iff some point sorted strictly before it in (x, y) order
+    has y ≤ its y (after (x, y) dedup, equality implies strictly
+    smaller x) — so the skyline is ONE ordered scan with a running
+    min, not the textbook O(n²) NOT EXISTS.
+
+    Distributed shape: range-partition on x, compute each partition's
+    local skyline with the same running-min window (partition-local,
+    parallel), then one global window over the tiny union of local
+    skylines. The oracle runs the identical algebra as a window CTE —
+    same fixpoint, hash-identical."""
+    f = fixes(spark, sf_dir)
+    pts = f.select("x", "y").distinct()
+    # Phase 1: local skyline per x-range partition (parallel; each
+    # partition's scan is independent — a superset of the skyline).
+    pts = pts.repartitionByRange(8, "x").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("_mprev", F.min("y").over(wl)).filter(
+        F.col("_mprev").isNull() | (F.col("_mprev") > F.col("y"))
+    )
+    # Phase 2: exact skyline over the (small) local-skyline union.
+    wg = Window.orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        local.select("x", "y")
+        .withColumn("_mprev", F.min("y").over(wg))
+        .filter(F.col("_mprev").isNull() | (F.col("_mprev") > F.col("y")))
+        .select("x", "y")
+    )

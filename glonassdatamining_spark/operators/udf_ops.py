@@ -196,3 +196,53 @@ def m4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.token, s.n_chars "
         "FROM gdm_m4b_docs d, LATERAL gdm_token_stats(d.text) s"
     )
+
+
+@register(
+    "m6_map_in_arrow",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) AS net "
+        "FROM lineitem WHERE l_quantity >= 40"
+    ),
+    section="M6",
+)
+def m6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy end of the UDF surface: batches
+    arrive as pyarrow RecordBatches (no pandas materialization at
+    all), the kernel runs Arrow compute, batches go straight back.
+    For columnar-native libraries this skips the Arrow→pandas→Arrow
+    round-trip mapInPandas pays. One IEEE subtract+multiply per value
+    — bit-identical to the oracle (no rounding: see kernel comment)."""
+
+    def net_price(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa.table(b)
+            # One IEEE multiply per value — bit-identical everywhere.
+            # (Decimal rounding is NOT: engines disagree in the last
+            # ulp of round-to-2dp; keep kernels on exact FP ops.)
+            net = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_linenumber": t.column("l_linenumber"),
+                    "net": net,
+                }
+            )
+            for ob in out.to_batches():
+                yield ob
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(
+        net_price, "l_orderkey BIGINT, l_linenumber INT, net DOUBLE"
+    )
