@@ -218,3 +218,32 @@ def test_asof_join_matches_python_model(spark, seed):
         else:
             nwant = fwant if (fwant[0] - at) < (at - want[0]) else want
             assert near[lid] == (nwant[1], nwant[0]), lid
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_window_matches_oracle(spark, seed):
+    """Random ranking/offset/frame windows, identical SQL text on both
+    engines (via the registered-view SQL entry) — exercises the §2.E
+    semantics (partitioning, total-order tie-breaks, frames) beyond
+    the fixed declared queries."""
+    from glonassdatamining_spark.sources import register_views
+
+    rng = random.Random(31337 + seed)
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 7"])
+    order_metric = rng.choice(["o_totalprice", "o_orderdate"])
+    pred = _predicate(rng)
+    sql = (
+        "SELECT o_orderkey, "
+        f"row_number() OVER (PARTITION BY {part} ORDER BY {order_metric}, o_orderkey) AS rn, "
+        f"lag(o_orderkey, 1) OVER (PARTITION BY {part} ORDER BY {order_metric}, o_orderkey) AS prev_key, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER ("
+        f"PARTITION BY {part} ORDER BY {order_metric}, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum "
+        f"FROM orders WHERE {pred}"
+    )
+    register_views(spark, SF_DIR)
+    got = spark.sql(sql).toPandas()
+    con = oracle_con()
+    want = con.execute(sql).fetchdf()
+    con.close()
+    compare_frames(got, want, f"window[{seed}] {sql[:80]}")
