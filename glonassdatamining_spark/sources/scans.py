@@ -214,3 +214,73 @@ def a9_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+@register(
+    "a10_compaction",
+    oracle=None,  # sink-maintenance side effect; rows-only on read-back
+    section="A10",
+)
+def a10_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    parquet lake needs: a directory fragmented into many undersized
+    files (here: events written 32-ways) is rewritten into
+    target-sized, range-clustered files. ``repartitionByRange`` keys
+    the layout (ts order → row-group min/max stats stay selective for
+    time-range scans) and ``maxRecordsPerFile`` caps file size. The
+    read-back proves row preservation; file counts are asserted in
+    tests/test_bucketing.py."""
+    import os
+
+    base = f"/root/repo/.tmpdata/compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    frag, out = base + "/frag", base + "/compacted"
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(frag + "/_SUCCESS"):
+        ev.repartition(32).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a11_schema_evolution",
+    oracle=None,  # multi-batch layout demo; rows-only
+    section="A11",
+)
+def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two ingest batches with different
+    schemas (v2 adds a column) unified by ``mergeSchema`` — the
+    append-only ingest reality of a long-lived table. Old-batch rows
+    surface NULL for the added column; the aggregate proves both
+    batches scan as one table. At 100 TB the same read works because
+    merge happens on footer metadata, not data."""
+    import os
+
+    base = f"/root/repo/.tmpdata/evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(base + "/b2/_SUCCESS"):
+        v1 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "event_type", "value",
+            F.length("props").alias("props_len"),
+        )
+        v1.write.mode("overwrite").parquet(base + "/b1")
+        v2.write.mode("overwrite").parquet(base + "/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/b1", base + "/b2"
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props_len").alias("n_with_new_col"),
+    )

@@ -42,3 +42,17 @@ def test_bucketed_join_runs_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+
+    from glonassdatamining_spark.operators import filters  # noqa: F401 — registry
+    from glonassdatamining_spark import registry
+
+    registry.get("a10_compaction").builder(spark, SF_DIR).count()
+    sf = SF_DIR.rstrip("/").split("/")[-1]
+    frag = glob.glob(f"/root/repo/.tmpdata/compact_{sf}/frag/*.parquet")
+    compacted = glob.glob(f"/root/repo/.tmpdata/compact_{sf}/compacted/*.parquet")
+    assert len(frag) == 32
+    assert 1 <= len(compacted) <= 4
