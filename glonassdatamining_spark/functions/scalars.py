@@ -382,3 +382,39 @@ def h12_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_best.dist").alias("best_dist"),
         F.col("_best.name").alias("best_nation"),
     )
+
+
+@register(
+    "h13_casts",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(o_orderkey AS VARCHAR) AS key_str, "
+        "CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt, "
+        "CAST(o_orderkey AS DOUBLE) AS key_dbl, "
+        "TRY_CAST(o_orderpriority AS INT) AS prio_int, "
+        "CAST(o_totalprice >= 100000.0 AS INT) AS is_big, "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str "
+        "FROM orders WHERE o_orderkey % 7 = 0"
+    ),
+    section="H13",
+)
+def h13_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-coercion group (round-1 addition): the cast lattice both
+    engines agree on, probed — int↔string round-trip, int→double,
+    TRY_CAST of non-numeric text → NULL, boolean→int, timestamp→date,
+    date→ISO string. (Deliberately OUTSIDE the subset: double→int —
+    Spark truncates, DuckDB rounds — and double→string formatting;
+    SURVEY §5.3.4.)"""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_rt"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.expr("try_cast(o_orderpriority AS int)").alias("prio_int"),
+        (F.col("o_totalprice") >= 100000.0).cast("int").alias("is_big"),
+        # DATE-typed output lands as date-vs-Timestamp pandas dtypes
+        # across engines — the ISO-string round trip proves the cast
+        # without the dtype divergence.
+        F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
+    )

@@ -113,3 +113,44 @@ def b5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate elimination — hash aggregate under the hood; partial
     (map-side) distinct keeps the shuffle tiny for low-cardinality keys."""
     return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "b6_null_safe_equality",
+    oracle=(
+        "SELECT a.event_id AS ev_a, b.event_id AS ev_b "
+        "FROM (SELECT event_id, TRY_CAST(json_extract_string(props, '$.missing') AS INT) AS tag, "
+        "      event_id % 100 AS grp FROM events) a "
+        "JOIN (SELECT event_id, TRY_CAST(json_extract_string(props, '$.missing') AS INT) AS tag, "
+        "      event_id % 100 AS grp FROM events) b "
+        "ON a.grp = b.grp AND a.tag IS NOT DISTINCT FROM b.tag "
+        "AND a.event_id < b.event_id WHERE a.grp = 7"
+    ),
+    section="B6",
+)
+def b6_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM; round-1
+    addition): NULL keys MATCH each other instead of vanishing — the
+    semantics CDC/merge pipelines need when join keys are nullable.
+    Derived NULL tags (a JSON path that never exists) prove the
+    NULL=NULL matches flow through a real join."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.missing') AS int)").alias("tag"),
+        (F.col("event_id") % 100).alias("grp"),
+    ).filter(F.col("grp") == 7)
+    a = tagged.select(
+        F.col("event_id").alias("ev_a"), F.col("tag").alias("tag_a"), "grp"
+    )
+    b = tagged.select(
+        F.col("event_id").alias("ev_b"), F.col("tag").alias("tag_b"), "grp"
+    )
+    return (
+        a.join(b, "grp")
+        .filter(
+            F.col("tag_a").eqNullSafe(F.col("tag_b"))
+            & (F.col("ev_a") < F.col("ev_b"))
+        )
+        .select("ev_a", "ev_b")
+    )
