@@ -636,3 +636,103 @@ def i16_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_mprev").isNull() | (F.col("_mprev") > F.col("y")))
         .select("x", "y")
     )
+
+
+_CM_EPS = 12.0   # co-location radius on bucket-representative positions
+_CM_MIN_RUN = 3  # consecutive hourly buckets to qualify
+
+
+@register(
+    "i17_comovement",
+    oracle=(
+        FIXES_CTE + ", b AS ("
+        "  SELECT obj_id, date_trunc('hour', ts) AS bkt, "
+        "  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x) AS bx, "
+        "  CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(y) AS by1 "
+        "  FROM fixes GROUP BY 1, 2), "
+        "p AS ("
+        "  SELECT a.obj_id AS oa, c.obj_id AS ob, a.bkt FROM b a JOIN b c "
+        "  ON a.bkt = c.bkt AND a.obj_id < c.obj_id "
+        f" AND sqrt((a.bx - c.bx) * (a.bx - c.bx) + (a.by1 - c.by1) * (a.by1 - c.by1)) <= {_CM_EPS}), "
+        "r AS ("
+        "  SELECT oa, ob, bkt, CASE WHEN epoch(bkt) - epoch(lag(bkt) OVER w) = 3600 "
+        "  THEN 0 ELSE 1 END AS new_run FROM p WINDOW w AS (PARTITION BY oa, ob ORDER BY bkt)), "
+        "s AS (SELECT oa, ob, SUM(new_run) OVER (PARTITION BY oa, ob ORDER BY bkt) AS run_id FROM r) "
+        "SELECT oa, ob, CAST(SUM(run_len) AS BIGINT) AS together_buckets, "
+        "CAST(MAX(run_len) AS BIGINT) AS longest_run FROM ("
+        "  SELECT oa, ob, run_id, COUNT(*) AS run_len FROM s GROUP BY oa, ob, run_id) "
+        f"GROUP BY oa, ob HAVING MAX(run_len) >= {_CM_MIN_RUN}"
+    ),
+    section="I17",
+)
+def i17_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-movement (flock/convoy-lite) detection — the trajectory-
+    mining primitive behind 'which objects travel TOGETHER': object
+    pairs whose hourly representative positions stay within ε for at
+    least k CONSECUTIVE hours. Returns (oa, ob, together_buckets,
+    longest_run).
+
+    Plan: per-(object, hour) decimal-exact centroid (one agg) →
+    same-bucket grid-bucketed pair join (C11's neighborhood pattern on
+    the (bucket, cell) composite key — candidates O(local density),
+    never all-pairs) → per-pair consecutive-run sessionization (E8 on
+    bucket gaps, one exchange on the pair key). The oracle brute-
+    forces the pair join (sf-bounded); the run algebra is identical.
+    At 100 TB every stage is an equi-shuffle on (bucket, cell) or
+    (pair) keys; dense-cell skew → AQE or sub-cell salting."""
+    f = fixes(spark, sf_dir)
+    b = (
+        f.groupBy("obj_id", F.date_trunc("hour", "ts").alias("bkt"))
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count("x")).alias("bx"),
+            (F.sum(F.col("y").cast("decimal(28,6)")).cast("double") / F.count("y")).alias("by1"),
+        )
+    )
+    cell = _CM_EPS
+    home = b.withColumn("_cx", F.floor(F.col("bx") / cell)).withColumn(
+        "_cy", F.floor(F.col("by1") / cell)
+    )
+    probe = (
+        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("obj_id").alias("oa"), "bkt",
+            F.col("bx").alias("ax"), F.col("by1").alias("ay"),
+            (F.col("_cx") + F.col("_dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    build = home.select(
+        F.col("obj_id").alias("ob"), "bkt",
+        F.col("bx").alias("cx2"), F.col("by1").alias("cy2"), "_cx", "_cy",
+    )
+    d = F.sqrt(
+        (F.col("ax") - F.col("cx2")) * (F.col("ax") - F.col("cx2"))
+        + (F.col("ay") - F.col("cy2")) * (F.col("ay") - F.col("cy2"))
+    )
+    pairs = (
+        probe.join(build, ["bkt", "_cx", "_cy"])
+        .filter((F.col("oa") < F.col("ob")) & (d <= _CM_EPS))
+        .select("oa", "ob", "bkt")
+        .distinct()
+    )
+    w = Window.partitionBy("oa", "ob").orderBy("bkt")
+    runs = pairs.withColumn(
+        "new_run",
+        F.when(
+            F.unix_timestamp("bkt") - F.unix_timestamp(F.lag("bkt").over(w)) == 3600,
+            0,
+        ).otherwise(1),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_run = runs.groupBy("oa", "ob", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        per_run.groupBy("oa", "ob")
+        .agg(
+            F.sum("run_len").alias("together_buckets"),
+            F.max("run_len").alias("longest_run"),
+        )
+        .filter(F.col("longest_run") >= _CM_MIN_RUN)
+    )
