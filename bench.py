@@ -43,6 +43,7 @@ HEADLINE = [
     "i6_dbscan",              # distributed DBSCAN (pandas UDF + merge)
     "i12_hotspot_zscore",     # Getis-Ord-style neighborhood z-scores
     "i11_trajectory_similarity",  # sketch-then-pair trajectory top-k
+    "i17_comovement",         # flock detection: grid pair join + run windows
     "k2b_minhash_lsh_dedup",  # MinHash-LSH dedup (scale path)
     "k3_cosine_topk",         # all-pairs cosine top-k
     "k8_langid_heuristic",    # two-stage corpus profile + classify
