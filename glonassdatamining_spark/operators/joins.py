@@ -454,3 +454,81 @@ def c13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort")
         .agg(dsum("value", "sum_value"), F.count(F.lit(1)).alias("n"))
     )
+
+
+_OVL_GAP_S = 14400  # reuse e8's 4-hour session gap
+
+
+_SESSIONS_CTE = (
+    EVENTS_CTE + ", flagged AS ("
+    "  SELECT user_id, ts, event_id, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    f"       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_OVL_GAP_S * 1000} "
+    "       THEN 1 ELSE 0 END AS new_session "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS ("
+    "  SELECT user_id, "
+    "  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid, "
+    "  ts FROM flagged), "
+    "iv AS ("
+    "  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e "
+    "  FROM sess GROUP BY user_id, sid)"
+)
+
+
+@register(
+    "c14_interval_overlap_join",
+    oracle=(
+        _SESSIONS_CTE + " SELECT a.user_id AS user_a, a.sid AS sid_a, "
+        "b.user_id AS user_b, b.sid AS sid_b "
+        "FROM iv a JOIN iv b "
+        "ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e"
+    ),
+    section="C14",
+)
+def c14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (round-1 addition): which users' activity
+    sessions overlap in time — the two-sided interval analogue of C8's
+    point-in-interval containment. Sessions come from E8's gap
+    sessionization; the overlap theta predicate
+    (a.s <= b.e AND b.s <= a.e) is rewritten by construction into an
+    equi-join on exploded day buckets (each interval registers in
+    every day it touches — sessions are gap-bounded, so the explode
+    factor is small) + the exact residual + distinct. At 100 TB this
+    is the standard interval-index shape: candidates are
+    O(intervals per day-bucket), never all-pairs."""
+    from glonassdatamining_spark.api import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", _OVL_GAP_S, tiebreak=("event_id",))
+    iv = sess.groupBy("user_id", F.col("session_id").alias("sid")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    day = 86400
+    expand = iv.withColumn(
+        "_day",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("s") / day).cast("bigint"),
+                F.floor(F.unix_timestamp("e") / day).cast("bigint"),
+            )
+        ),
+    )
+    a = expand.select(
+        F.col("user_id").alias("user_a"), F.col("sid").alias("sid_a"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"), "_day",
+    )
+    b = expand.select(
+        F.col("user_id").alias("user_b"), F.col("sid").alias("sid_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"), "_day",
+    )
+    return (
+        a.join(b, "_day")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("user_a", "sid_a", "user_b", "sid_b")
+        .distinct()
+    )
