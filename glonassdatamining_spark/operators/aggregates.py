@@ -618,3 +618,27 @@ def d19_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)").alias("members"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register("d20_hll_partial_union", oracle=None, section="D20")
+def d20_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (round-1 addition) — THE
+    100 TB pre-aggregation pattern: each day partition keeps a tiny
+    Datasketches HLL sketch of its users (`hll_sketch_agg`); any
+    later rollup (here: distinct users per event_type across all
+    days) unions the sketches (`hll_union_agg`) WITHOUT rescanning
+    rows. This is how incremental/cube pipelines avoid the exact-
+    distinct full shuffle of D3. rows-only (sketch estimates aren't
+    ANSI-SQL); the estimate-vs-exact bound is unit-tested in
+    tests/test_ml.py."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )

@@ -1057,3 +1057,49 @@ def k24_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_neg.alias("n_neg"),
         ((n_pos - n_neg).cast("double") / n_tok).alias("polarity"),
     )
+
+
+@register(
+    "k25_bigram_lm",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM toks, "
+        "       LATERAL (SELECT unnest(range(1, len(w))) AS i) _g), "
+        "c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1) "
+        "SELECT c2.w1, c2.w2, c2.n2, "
+        "CAST(c2.n2 AS DOUBLE) / c1.n1 AS p_next "
+        "FROM c2 JOIN c1 ON c2.w1 = c1.w1 "
+        "QUALIFY row_number() OVER (PARTITION BY c2.w1 ORDER BY p_next DESC, c2.w2) <= 3"
+    ),
+    section="K25",
+)
+def k25_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model (round-1 addition): P(next|word) from
+    corpus bigram counts, top-3 continuations per word — the
+    conditional extension of K22's unigram LM (n-gram LMs are the
+    classic pre-neural text model; the same table drives synthetic-
+    data generation and perplexity filters). Shuffle-free bigram
+    explode (HOF zip of the token array with its tail), then two
+    chained aggs — the second reuses the first's partial counts
+    (c1 = Σ c2 per w1, a rollup, not a rescan). p_next is one integer
+    division — bit-identical; ranked with w2 tie-break."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    scored = c2.join(c1, "w1").select(
+        "w1", "w2", "n2", (F.col("n2").cast("double") / F.col("n1")).alias("p_next")
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("p_next").desc(), "w2")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )

@@ -148,3 +148,26 @@ def test_j7_pca_component_variances_decrease(spark):
     assert all(
         variances[i] >= variances[i + 1] * 0.999 for i in range(7)
     ), variances
+
+
+def test_hll_partial_union_close_to_exact(spark):
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.sources import load
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.event_type: r.approx_users
+        for r in registry.get("d20_hll_partial_union").builder(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in exact:
+        # HLL_4 default lgK=12 → ~1.6% rse; allow 5%
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])
