@@ -212,3 +212,55 @@ def j8_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").alias("partkey"),
         F.round(F.col("rec.rating"), 4).alias("score"),
     )
+
+
+@register("j9_cross_validation", oracle=None, section="J9")
+def j9_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection via k-fold cross-validation — the MLlib
+    tuning loop (`CrossValidator` + `ParamGridBuilder`) over the J5
+    text classifier: TF-IDF → logistic regression, grid over
+    regParam, 3 folds. Returns the per-model average metric and the
+    winner flag. rows-only (CV metrics aren't SQL-expressible).
+    Scale: each fold's fit is a full distributed Spark job; folds ×
+    grid points parallelize via CrossValidator's `parallelism` param
+    — the standard cluster tuning shape."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+"),
+            HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 12),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=10),
+        ]
+    )
+    lr = pipe.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.3]).build()
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(metricName="areaUnderROC"),
+        numFolds=3,
+        seed=42,
+        parallelism=4,
+    )
+    model = cv.fit(d)
+    import pandas as pd
+
+    rows = [
+        (float(g[lr.regParam]), float(m), int(i == int(max(
+            range(len(model.avgMetrics)), key=lambda j: model.avgMetrics[j]
+        ))))
+        for i, (g, m) in enumerate(zip(grid, model.avgMetrics))
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["reg_param", "avg_auc", "is_best"]),
+        schema="reg_param double, avg_auc double, is_best int",
+    )

@@ -284,3 +284,55 @@ def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("props_len").alias("n_with_new_col"),
     )
+
+@register(
+    "a12_analyze_stats",
+    oracle=None,  # catalog-stats demo; rows-only
+    section="A12",
+)
+def a12_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for the cost-based optimizer: save a table,
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`, read the
+    recorded table/column stats back out of the catalog. At scale
+    these stats drive CBO join reordering and broadcast decisions
+    (SURVEY §4.1) — and they're exactly what AQE refines at runtime.
+    Output: one row per analyzed column with its distinct-count and
+    null-count estimates."""
+    import os
+
+    import shutil
+    from urllib.parse import urlparse
+
+    tbl = "gdm_stats_orders_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # A fresh session doesn't know about a previous run's managed-table
+    # location — drop from the catalog AND clear the orphaned dir.
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(os.path.join(wh.path or wh.netloc, tbl.lower()), ignore_errors=True)
+    o.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS "
+        "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+    )
+    rows = []
+    for col in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]:
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        }
+        rows.append(
+            (
+                col,
+                int(desc.get("distinct_count", -1)),
+                int(desc.get("num_nulls", -1)),
+            )
+        )
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["column", "distinct_count", "num_nulls"]),
+        schema="column string, distinct_count bigint, num_nulls bigint",
+    )

@@ -282,3 +282,13 @@ def l9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_millis("pts") - F.unix_millis("cts")).alias("lag_ms"),
     )
+
+
+@register("l10_rate_source", oracle=None, section="L10")
+def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live rate-micro-batch source smoke (L10) — registered rows-only;
+    the deterministic per-batch row counts and block sums are asserted
+    in tests/test_streaming.py. See streaming/live.py for the query."""
+    from glonassdatamining_spark.streaming.live import l10_rate_source as live_l10
+
+    return live_l10(spark, sf_dir)

@@ -317,3 +317,47 @@ def l9_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("pts") - F.unix_millis("cts")).alias("lag_ms"),
     )
     return _drain_to_memory(joined, f"l9_mem_{uuid.uuid4().hex[:8]}", "append")
+
+
+def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live rate-micro-batch source (L10): Spark's deterministic
+    load-generator source — rowsPerBatch rows per micro-batch with
+    synthetic timestamps — aggregated per micro-batch into a memory
+    sink. The canonical throughput-smoke for a streaming deploy; at
+    scale the same query shape hangs off Kafka instead (source swap,
+    plan unchanged)."""
+    import uuid
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )
+    agg = stream.groupBy(
+        F.window("timestamp", "1 minute").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    ).select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    name = f"l10_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # A few micro-batches of deterministic data, then stop.
+        import time as _t
+
+        deadline = _t.time() + 10
+        while _t.time() < deadline:
+            if q.lastProgress and q.lastProgress.get("batchId", 0) >= 3:
+                break
+            _t.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)

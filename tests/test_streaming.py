@@ -122,3 +122,17 @@ def test_l9_stream_stream_join_equals_batch(spark):
         want.sort_values(key).reset_index(drop=True),
         "l9_stream_vs_batch",
     )
+
+
+def test_l10_rate_source_generates_deterministic_batches(spark):
+    got = live.l10_rate_source(spark, SF_DIR).toPandas()
+    # rate-micro-batch: 500 rows per batch, values are the global row
+    # counter — whatever number of batches ran, every emitted window
+    # holds exactly 500 rows and the per-window value sums are the
+    # consecutive-integer block sums.
+    assert len(got) >= 1
+    assert (got["n"] == 500).all()
+    sums = sorted(got["sum_value"].tolist())
+    for i, s in enumerate(sums):
+        lo = i * 500
+        assert s == sum(range(lo, lo + 500))
