@@ -9,11 +9,12 @@ shapes — all shuffle once on the full row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
 from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import EVENTS_CTE
 
 _A_SQL = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
 _B_SQL = (
@@ -149,4 +150,38 @@ def g5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c.c_custkey.isNull(), "inserted")
         .otherwise("updated")
         .alias("merge_action"),
+    )
+
+
+@register(
+    "g6_scd2_history",
+    oracle=(
+        EVENTS_CTE + " SELECT user_id, event_id, value, "
+        "ts AS valid_from, "
+        "COALESCE(lead(ts) OVER w, TIMESTAMP '2200-01-01') AS valid_to, "
+        "CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    section="G6",
+)
+def g6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (round-1
+    addition): a change feed (events as per-user attribute updates)
+    becomes validity intervals — valid_from = change time, valid_to =
+    next change (2200-01-01 open-row sentinel; kept inside pandas' ns-timestamp range). The ETL
+    complement of G5's MERGE: MERGE maintains current state, SCD2
+    preserves full history; downstream point-in-time joins are then
+    C8 containment / C9 as-of joins against these intervals. ONE
+    exchange on the business key; lead() is O(1) state."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2200-01-01").cast("timestamp")).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
