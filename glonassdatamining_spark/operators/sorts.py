@@ -81,3 +81,28 @@ def f4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "f5_offset_pagination",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"
+    ),
+    section="F5",
+)
+def f5_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET pagination (round-1 addition): page 3 of a price-ranked
+    listing via `offset(40).limit(20)` over a total order (unique
+    tie-break key — SURVEY §5.3.3). Scale note: OFFSET still computes
+    the first N+k rows (TakeOrdered with a bigger k) — fine for UI
+    page depths; for deep scans use keyset pagination (WHERE
+    (price, key) < last_seen ORDER BY ... LIMIT k), which is an
+    indexed/pruned range predicate instead."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )

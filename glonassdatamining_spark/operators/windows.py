@@ -351,3 +351,36 @@ def e11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.round("ewma", 6).alias("ewma_value")
     )
+
+
+@register(
+    "e12_cumulative_uniques",
+    oracle=(
+        EVENTS_CTE + ", first AS ("
+        "  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day "
+        "  FROM events GROUP BY user_id) "
+        "SELECT first_day AS day, COUNT(*) AS new_users, "
+        "CAST(SUM(COUNT(*)) OVER (ORDER BY first_day) AS BIGINT) AS cum_users "
+        "FROM first GROUP BY first_day"
+    ),
+    section="E12",
+)
+def e12_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time (round-1 addition) — the
+    growth-curve metric. COUNT(DISTINCT) OVER a running frame is
+    unsupported (and quadratic) in both engines; the scalable identity
+    is: distinct-so-far = Σ first-appearances — one agg to each
+    user's first day, one agg per day, one tiny running window over
+    the day series. At 100 TB the heavy shuffle is the per-user MIN;
+    the day-level frames are calendar-sized."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
