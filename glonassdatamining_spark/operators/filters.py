@@ -154,3 +154,30 @@ def b6_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ev_a", "ev_b")
     )
+
+
+_B7_SQL = (
+    "SELECT c_custkey, c_name, "
+    "(SELECT COUNT(*) FROM orders o "
+    " WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0) AS n_big "
+    "FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+    "              AND o2.o_orderstatus = 'O') "
+    "AND NOT EXISTS (SELECT 1 FROM orders o3 WHERE o3.o_custkey = c.c_custkey "
+    "                AND o3.o_orderstatus = 'P')"
+)
+
+
+@register("b7_correlated_subquery", oracle=_B7_SQL, section="B7")
+def b7_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries — EXISTS, NOT EXISTS, and a correlated
+    scalar COUNT — written as SQL and left to Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery + RewritePredicateSubquery,
+    SURVEY §4.1): the optimizer turns them into left-semi, left-anti,
+    and aggregate-then-left-join plans — the same shapes C4/C5 build
+    by hand. IDENTICAL SQL text runs on DuckDB (its own decorrelator).
+    No per-row subquery execution survives in either engine."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_B7_SQL)
