@@ -1103,3 +1103,31 @@ def k25_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .drop("_rn")
     )
+
+
+@register(
+    "k26_dup_size_histogram",
+    oracle=(
+        "WITH g AS (SELECT md5(text) AS h, COUNT(*) AS group_size "
+        "FROM documents GROUP BY md5(text)) "
+        "SELECT group_size, COUNT(*) AS n_groups, "
+        "CAST(group_size * COUNT(*) AS BIGINT) AS n_docs "
+        "FROM g GROUP BY group_size"
+    ),
+    section="K26",
+)
+def k26_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report (round-1 addition): the duplicate-group size
+    histogram — how much of the corpus is exact-duplicated and in what
+    multiplicities (the before/after health check every dedup run
+    ships with). Two chained aggs; the second operates on
+    group-cardinality rows, so the heavy shuffle is only the content
+    hash — same key K1's dedup already partitions by."""
+    d = load(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -384,3 +384,39 @@ def e12_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@register(
+    "e13_ratio_to_report",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) "
+        "     OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share_of_status, "
+        "o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) "
+        "     OVER () AS DOUBLE) AS share_of_all "
+        "FROM orders WHERE o_orderkey % 50 = 0"
+    ),
+    section="E13",
+)
+def e13_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (round-1 addition): each row's share of its
+    group total and of the grand total — the BI percent-of-total
+    window. Denominators are decimal-exact window sums (order-
+    insensitive), the shares one decimal division cast to double —
+    bit-identical across engines. Unbounded frames mean O(1) state;
+    the empty-partition global window is the one scale hazard —
+    at 100 TB compute the grand total as a scalar agg + broadcast
+    instead (the l4 pattern)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    dec_price = F.col("o_totalprice").cast("decimal(28,6)")
+    w_status = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    # Divide DOUBLES: decimal/decimal carries engine-specific result
+    # scales (Spark truncates to the derived scale, DuckDB differs) —
+    # double numerator / decimal-exact-sum-as-double is one IEEE op.
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") / F.sum(dec_price).over(w_status).cast("double")).alias("share_of_status"),
+        (F.col("o_totalprice") / F.sum(dec_price).over(w_all).cast("double")).alias("share_of_all"),
+    )
