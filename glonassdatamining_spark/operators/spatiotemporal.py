@@ -736,3 +736,50 @@ def i17_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_run") >= _CM_MIN_RUN)
     )
+
+
+@register(
+    "i18_activity_gaps",
+    oracle=(
+        EVENTS_CTE + ", present AS ("
+        "  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events), "
+        "span AS ("
+        "  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM present GROUP BY user_id), "
+        "grid AS ("
+        "  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span) "
+        "SELECT g.user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS span_days, "
+        "CAST(SUM(CASE WHEN p.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gap_days "
+        "FROM grid g LEFT JOIN present p ON g.user_id = p.user_id AND g.d = p.d "
+        "GROUP BY g.user_id"
+    ),
+    section="I18",
+)
+def i18_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-gap detection (round-1 addition): per object, how many
+    calendar days inside its observation span have NO fixes — the
+    data-quality complement of I13's gap-fill (I13 repairs gaps, this
+    measures them; for GNSS fleets, silent days = dead trackers).
+    Dense-grid explode per object (span-bounded) + left join against
+    observed days, everything on one user_id-keyed shuffle family.
+    At 100 TB the grid is calendar-sized per object — output rows =
+    Σ span days, never event-volume."""
+    ev = load(spark, sf_dir, "events")
+    present = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    span = present.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    return (
+        grid.join(present.withColumn("_hit", F.lit(1)), ["user_id", "d"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("span_days"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("gap_days"),
+        )
+    )
