@@ -30,7 +30,10 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     dbscan,
     decontaminate,
     exact_dedup,
+    funnel,
     grid_distance_join,
+    haversine_distance_join,
+    haversine_km,
     minhash_lsh_dedup,
     pagerank,
     pii_scrub,
@@ -50,6 +53,9 @@ __all__ = [
     "dbscan",
     "decontaminate",
     "exact_dedup",
+    "funnel",
+    "haversine_distance_join",
+    "haversine_km",
     "grid_distance_join",
     "minhash_lsh_dedup",
     "pagerank",

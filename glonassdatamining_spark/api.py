@@ -56,6 +56,51 @@ def sessionize(
     ).drop("_new_session")
 
 
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Parameterized ordered-funnel detection (the MATCH_RECOGNIZE
+    pattern ``A then B then C …`` per user, generalizing the hard-coded
+    3-step form in operators/windows.py e9): for each user, the first
+    occurrence of ``steps[0]``, then the first ``steps[1]`` STRICTLY
+    after it, and so on. Returns one row per user with ``step1_ts`` …
+    ``stepN_ts`` (NULL once the chain breaks) and ``funnel_depth`` =
+    number of steps reached.
+
+    All N conditional-min windows partition by ``user_col`` only, so
+    Catalyst plans ONE exchange with a WindowExec chain — an N-step
+    funnel at 100 TB costs a single shuffle of the events, independent
+    of N.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df
+    step_cols: list[str] = []
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"step{i + 1}_ts"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        step_cols.append(name)
+        prev = name
+    # Deepest reached step wins: test stepN first, fall through to 0.
+    n = len(step_cols)
+    chain = F.when(F.col(step_cols[n - 1]).isNotNull(), n)
+    for i in range(n - 2, -1, -1):
+        chain = chain.when(F.col(step_cols[i]).isNotNull(), i + 1)
+    depth = chain.otherwise(0)
+    return out.select(
+        user_col, *step_cols, depth.alias("funnel_depth")
+    ).distinct()
+
+
 # --------------------------------------------------------------------------
 # as-of join
 # --------------------------------------------------------------------------
@@ -191,6 +236,102 @@ def grid_distance_join(
     )
 
 
+#: mean km per degree of latitude (and of longitude at the equator).
+_KM_PER_DEG = 111.19492664455873  # = 6371.0088 * pi / 180
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in km between two (lat, lon) degree pairs
+    (haversine formula, mean earth radius 6371.0088 km). Pure JVM trig
+    — codegen'd, no shuffle; the real-geometry drop-in for the
+    euclidean ``_dist`` used by the synthetic-plane operators.
+
+    Arithmetic is written as a fixed op sequence (single multiply per
+    conversion, no intermediate rounding) so an oracle engine writing
+    the same sequence agrees to the last ulp of its libm.
+    """
+    import math
+
+    half_rad = math.pi / 360.0  # degrees → half-angle radians
+    rad = math.pi / 180.0
+    lat1, lon1 = F.lit(lat1) if not isinstance(lat1, Column) else lat1, (
+        F.lit(lon1) if not isinstance(lon1, Column) else lon1
+    )
+    lat2, lon2 = F.lit(lat2) if not isinstance(lat2, Column) else lat2, (
+        F.lit(lon2) if not isinstance(lon2, Column) else lon2
+    )
+    sdlat = F.sin((lat2 - lat1) * half_rad)
+    sdlon = F.sin((lon2 - lon1) * half_rad)
+    a = sdlat * sdlat + F.cos(lat1 * rad) * F.cos(lat2 * rad) * sdlon * sdlon
+    return F.asin(F.sqrt(a)) * (2.0 * 6371.0088)
+
+
+def haversine_distance_join(
+    points: DataFrame,
+    id_col: str,
+    lat: str,
+    lon: str,
+    eps_km: float,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """ε-distance self-join on REAL lat/lon geometry: all pairs
+    (a_id < b_id) with great-circle distance ≤ ``eps_km``; returns
+    (a_id, b_id, dist_km). Rows with |lat| > ``max_abs_lat`` are
+    excluded (near-polar longitude cells degenerate; partition polar
+    caps separately if you need them).
+
+    Same grid-bucket shape as ``grid_distance_join`` but with
+    latitude-aware cell sizing: cell height = eps/100 km-per-deg-lat
+    and cell width ≤ eps/40 km-per-deg-lon — both deliberately
+    conservative bounds (true values ≥ 110.57 km/° lat, ≥ 55.66 km/°
+    lon inside ±60°), so the 3×3 neighborhood provably over-covers the
+    ε-ball and the equi-join loses no pairs. Longitude cells are
+    modular (width chosen to divide 360° exactly, neighbors taken mod
+    n_cells) so antimeridian-straddling pairs — which haversine
+    correctly sees as near — are not lost at the ±180° seam.
+    Candidates stay O(local density · n); the exact haversine residual
+    prunes the rest.
+    """
+    import math
+
+    dlat_deg = eps_km / 100.0
+    n_lon_cells = max(4, math.ceil(360.0 / (eps_km / 40.0)))
+    dlon_deg = 360.0 / n_lon_cells
+    p = points.filter(F.abs(F.col(lat)) <= max_abs_lat).select(
+        F.col(id_col).alias("_id"),
+        F.col(lat).alias("_lat"),
+        F.col(lon).alias("_lon"),
+    )
+    home = p.withColumn(
+        "_cx",
+        F.floor((F.col("_lon") + 180.0) / dlon_deg).cast("int") % n_lon_cells,
+    ).withColumn("_cy", F.floor(F.col("_lat") / dlat_deg))
+    probe = (
+        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("_id").alias("a_id"),
+            F.col("_lat").alias("_alat"),
+            F.col("_lon").alias("_alon"),
+            ((F.col("_cx") + F.col("_dx") + n_lon_cells) % n_lon_cells).alias("_cx"),
+            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    build = home.select(
+        F.col("_id").alias("b_id"),
+        F.col("_lat").alias("_blat"),
+        F.col("_lon").alias("_blon"),
+        "_cx",
+        "_cy",
+    )
+    d = haversine_km(F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon"))
+    return (
+        probe.join(build, ["_cx", "_cy"])
+        .filter((F.col("a_id") < F.col("b_id")) & (d <= eps_km))
+        .select("a_id", "b_id", d.alias("dist_km"))
+    )
+
+
 def set_similarity_topk(
     pairs: DataFrame,
     obj_col: str,
@@ -273,14 +414,21 @@ def shingles(text_col: str, n: int = 3) -> Column:
     """Distinct n-gram word shingles of a text column (JVM higher-order
     functions; no Python)."""
     toks = F.split(text_col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    # Guard: with fewer than n tokens, sequence(1, size-(n-1)) would
+    # DESCEND (Spark defaults step=-1 when start > stop) and element_at
+    # would then index 0 / out-of-range — a hard error under Spark 4's
+    # default ANSI mode. Short docs get an empty shingle set instead.
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_lsh_dedup(
@@ -310,12 +458,19 @@ def minhash_lsh_dedup(
     # state than string shingles.
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.col("_t"), " ")
-    hashed = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(3)]),
-        )
-    )
+    # <3-token guard: see shingles() — avoids the descending-sequence /
+    # element_at(…, 0) ANSI error on short documents.
+    hashed = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + j) for j in range(3)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     d = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .repartition(par)
@@ -361,10 +516,16 @@ def minhash_lsh_dedup(
     verified = (
         cand.join(d.select(F.col("_id").alias("_a"), F.col("_s").alias("_sa")), "_a")
         .join(d.select(F.col("_id").alias("_b"), F.col("_s").alias("_sb")), "_b")
+        # Multiply form of |∩|/|∪| >= tau: division-free, so two
+        # empty-shingle docs (0/0) can't raise DIVIDE_BY_ZERO under
+        # ANSI — they simply fail the union>0 requirement and stay
+        # singletons (Jaccard is undefined for two empty sets).
         .filter(
-            F.size(F.array_intersect("_sa", "_sb")).cast("double")
-            / F.size(F.array_union("_sa", "_sb"))
-            >= tau
+            (F.size(F.array_union("_sa", "_sb")) > 0)
+            & (
+                F.size(F.array_intersect("_sa", "_sb")).cast("double")
+                >= F.lit(tau) * F.size(F.array_union("_sa", "_sb"))
+            )
         )
         .select("_a", "_b")
         # materialize once: connected_components references the edge
@@ -461,6 +622,7 @@ def connected_components(
         .withColumn("cluster", F.col("_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges._dst == labels._id)
@@ -481,7 +643,20 @@ def connected_components(
         changed = new_labels.filter(F.col("cluster") != F.col("_old")).limit(1).count()
         labels = new_labels.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A component whose label-propagation radius exceeds max_iter
+        # would otherwise return silently-wrong labels.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label propagation did not "
+            f"converge in {max_iter} iterations — returned labels may "
+            f"merge further; raise max_iter (graph diameter bound).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("_id").alias("node"), F.col("cluster").alias("component"))
 
 
@@ -515,6 +690,13 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge list → empty result with the correct schema
+        # (mirrors connected_components' explicit empty-case handling).
+        node_type = edges.schema["_src"].dataType.simpleString()
+        return edges_df.sparkSession.createDataFrame(
+            [], f"node {node_type}, rank double"
+        )
     out_deg = edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
@@ -525,18 +707,23 @@ def pagerank(
             .groupBy("_id")
             .agg(F.sum("_c").alias("_in"))
         )
-        # Dangling mass: rank held by nodes with no outgoing edges.
-        dangling = (
+        # Dangling mass (rank held by nodes with no outgoing edges) is
+        # folded into the plan as a broadcast 1-row aggregate instead of
+        # a driver collect() — one Spark job per iteration, not two.
+        dangling_agg = (
             ranks.join(out_deg, ranks._id == out_deg._src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "_id", "left")
+            .crossJoin(F.broadcast(dangling_agg))
             .select(
                 "_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("_in", F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("rank"),
             )
             .localCheckpoint()
         )

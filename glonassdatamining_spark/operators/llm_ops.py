@@ -63,17 +63,22 @@ _SHINGLE_SQL = (
 def _shingles(col: str = "text"):
     """Distinct 3-gram word shingles as an array column (JVM HOFs)."""
     toks = F.split(col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    # <3-token guard (cf. api.shingles): sequence(1, size-2) would
+    # descend and element_at would hit index 0 under ANSI mode.
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register(
@@ -271,10 +276,17 @@ def k6_tokenize_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     t = d.select("doc_id", toks.alias("toks"))
     stops = F.array(*[F.lit(s) for s in _STOPWORDS])
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.concat_ws("_", F.element_at("toks", i), F.element_at("toks", i + 1)),
-    )
+    # Guard single-token docs: sequence(1, 0) descends under ANSI mode
+    # (DuckDB's range(1, 1) is empty — this matches that semantics).
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return t.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -1130,4 +1142,89 @@ def k26_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.groupBy("group_size").agg(
         F.count(F.lit(1)).alias("n_groups"),
         (F.col("group_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K21 — PII redaction (round-2 addition: driver-visible registration)
+# --------------------------------------------------------------------------
+# The fixture corpus is digit-free (probed: 0 docs match [0-9]), so PII
+# is injected deterministically from doc_id — identical string builds
+# on both engines — and the redaction itself is then fully
+# oracle-checkable (counts + md5 of the cleaned text).
+_K21_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_K21_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_K21_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+
+_K21_INJ_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' || CAST(doc_id % 10 AS VARCHAR)"
+    " || '.1' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +7 915 123-45-'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END"
+)
+
+
+@register(
+    "k21_pii_redaction",
+    oracle=(
+        f"WITH inj AS (SELECT doc_id, {_K21_INJ_SQL} AS body FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(body, '{_K21_EMAIL}')) AS BIGINT) AS pii_email_count, "
+        f"CAST(len(regexp_extract_all(body, '{_K21_IPV4}')) AS BIGINT) AS pii_ipv4_count, "
+        f"CAST(len(regexp_extract_all(body, '{_K21_PHONE}')) AS BIGINT) AS pii_phone_count, "
+        "md5(regexp_replace(regexp_replace(regexp_replace(body, "
+        f"'{_K21_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_K21_IPV4}', '<IPV4>', 'g'), "
+        f"'{_K21_PHONE}', '<PHONE>', 'g')) AS clean_hash "
+        "FROM inj"
+    ),
+    section="K21",
+)
+def k21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (emails / IPv4 / phone-like runs —
+    the ``api.pii_scrub`` kernel): per-doc match counts on the raw text
+    plus an md5 of the redacted text, so the oracle verifies both the
+    detection AND the rewrite. Pure JVM regexp — narrow, no shuffle,
+    codegen'd; at 100 TB a free rider on the scan that reads the text.
+    Patterns stay in the RE2∩Java regex subset (no lookbehind) so both
+    engines match identically."""
+    from glonassdatamining_spark.api import pii_scrub
+
+    d = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +7 915 123-45-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = pii_scrub(d.select("doc_id", body.alias("body")), "body")
+    return scrubbed.select(
+        "doc_id",
+        F.col("pii_email_count").cast("long").alias("pii_email_count"),
+        F.col("pii_ipv4_count").cast("long").alias("pii_ipv4_count"),
+        F.col("pii_phone_count").cast("long").alias("pii_phone_count"),
+        F.md5("body_clean").alias("clean_hash"),
     )

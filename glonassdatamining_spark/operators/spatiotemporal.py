@@ -783,3 +783,100 @@ def i18_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("gap_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# I2b/I3b — real-geometry (haversine lat/lon) variants (round-2 addition)
+# --------------------------------------------------------------------------
+# The synthetic plane mapped onto the globe: lat ∈ [-90, 90), lon ∈
+# [-180, 180) — same deterministic arithmetic on both engines.
+GEO_CTE = (
+    FIXES_CTE
+    + ", geo AS (SELECT obj_id, event_id, ts, "
+    "x * 3.6 - 180.0 AS lon, y * 1.8 - 90.0 AS lat FROM fixes)"
+)
+
+
+def geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = fixes(spark, sf_dir)
+    return f.select(
+        "obj_id",
+        "event_id",
+        "ts",
+        (F.col("x") * 3.6 - 180.0).alias("lon"),
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+    )
+
+
+def _o_hav(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB SQL twin of api.haversine_km — identical op sequence so
+    both engines agree to the last ulp of their libm (outputs are
+    rounded to 3 dp = metre grain, far above any ulp divergence)."""
+    sdlat = f"sin(({lat2} - {lat1}) * (pi() / 360.0))"
+    sdlon = f"sin(({lon2} - {lon1}) * (pi() / 360.0))"
+    return (
+        f"asin(sqrt({sdlat} * {sdlat} + cos({lat1} * (pi() / 180.0)) "
+        f"* cos({lat2} * (pi() / 180.0)) * {sdlon} * {sdlon})) "
+        f"* (2.0 * 6371.0088)"
+    )
+
+
+_I2B_KM = 2000.0
+_I2B_HAV = _o_hav("lat", "lon", "55.75", "37.62")
+
+
+@register(
+    "i2b_haversine_within",
+    oracle=(
+        GEO_CTE + f" SELECT obj_id, event_id, ROUND({_I2B_HAV}, 3) AS dist_km "
+        f"FROM geo WHERE {_I2B_HAV} <= {_I2B_KM}"
+    ),
+    section="I2b",
+)
+def i2b_haversine_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle ε-ball filter (STARK withinDistance on REAL lat/lon
+    geometry): fixes within 2000 km of (55.75°N, 37.62°E). Pure JVM
+    trig, narrow, codegen'd — the predicate rides whatever scan already
+    reads the coordinates."""
+    from glonassdatamining_spark.api import haversine_km
+
+    g = geo(spark, sf_dir)
+    d = haversine_km(F.col("lat"), F.col("lon"), F.lit(55.75), F.lit(37.62))
+    return g.filter(d <= _I2B_KM).select(
+        "obj_id", "event_id", F.round(d, 3).alias("dist_km")
+    )
+
+
+# 500 km: the synthetic congruential lattice has a 226.7 km minimum
+# pair spacing in the ±60° band at sf0.01 — 500 km yields ~600 real
+# pairs (a smaller ε would make the oracle equivalence vacuous).
+_I3B_KM = 500.0
+_I3B_HAV = _o_hav("a.lat", "a.lon", "b.lat", "b.lon")
+
+
+@register(
+    "i3b_haversine_self_join",
+    oracle=(
+        GEO_CTE + ", sub AS (SELECT event_id, lat, lon FROM geo "
+        "WHERE event_id % 5 = 0 AND abs(lat) <= 60.0) "
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, "
+        f"ROUND({_I3B_HAV}, 3) AS dist_km "
+        "FROM sub a JOIN sub b ON a.event_id < b.event_id "
+        f"WHERE {_I3B_HAV} <= {_I3B_KM}"
+    ),
+    section="I3b",
+)
+def i3b_haversine_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance self-join on REAL geometry via the lat-adaptive,
+    antimeridian-safe grid kernel ``api.haversine_distance_join`` (cell
+    equi-join candidates + exact haversine residual — never all-pairs).
+    The oracle is the brute-force O(n²) join on a 1/5 subset;
+    equivalence proves the modular-longitude bucketing loses no pairs,
+    including those straddling ±180°."""
+    from glonassdatamining_spark.api import haversine_distance_join
+
+    g = geo(spark, sf_dir).filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "lat", "lon"
+    )
+    pairs = haversine_distance_join(g, "event_id", "lat", "lon", _I3B_KM)
+    return pairs.select("a_id", "b_id", F.round("dist_km", 3).alias("dist_km"))

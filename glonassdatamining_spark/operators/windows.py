@@ -420,3 +420,43 @@ def e13_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") / F.sum(dec_price).over(w_status).cast("double")).alias("share_of_status"),
         (F.col("o_totalprice") / F.sum(dec_price).over(w_all).cast("double")).alias("share_of_all"),
     )
+
+
+_E9B_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _e9b_oracle() -> str:
+    """DuckDB CTE chain mirroring api.funnel's chained conditional-min
+    windows, generated from the same step list (one source of truth)."""
+    ctes, prev = [], None
+    for i, step in enumerate(_E9B_STEPS):
+        cond = f"event_type = '{step}'" + (f" AND ts > s{i}" if prev else "")
+        src = f"w{i}" if prev else "events"
+        ctes.append(
+            f"w{i + 1} AS (SELECT *, MIN(CASE WHEN {cond} THEN ts END) "
+            f"OVER (PARTITION BY user_id) AS s{i + 1} FROM {src})"
+        )
+        prev = f"s{i + 1}"
+    n = len(_E9B_STEPS)
+    depth = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL THEN {i}" for i in range(n, 0, -1)
+    ) + " ELSE 0 END"
+    steps_sel = ", ".join(f"s{i + 1} AS step{i + 1}_ts" for i in range(n))
+    return (
+        EVENTS_CTE + ", " + ", ".join(ctes)
+        + f" SELECT DISTINCT user_id, {steps_sel}, {depth} AS funnel_depth FROM w{n}"
+    )
+
+
+@register("e9b_funnel_pattern", oracle=_e9b_oracle(), section="E9b")
+def e9b_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized N-step sequence-pattern funnel (round-2 addition:
+    the MATCH_RECOGNIZE generalization of e9's hard-coded 3 steps) via
+    the public ``api.funnel`` kernel — 4 ordered steps
+    signup → view → click → purchase, still ONE shuffle on user_id
+    regardless of step count (N chained conditional-min windows over
+    the same partition key share one exchange)."""
+    from glonassdatamining_spark.api import funnel
+
+    ev = load(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "event_type", "ts", list(_E9B_STEPS))

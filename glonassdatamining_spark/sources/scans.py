@@ -16,6 +16,34 @@ from glonassdatamining_spark.sources import load
 from glonassdatamining_spark.stable import ts_ms, o_ts_ms
 
 
+def _derived_base(sf_dir: str, name: str, *tables: str) -> str:
+    """Cache directory for a dataset derived from fixture ``tables``,
+    keyed on a fingerprint of the source files (mtime + size), so a
+    fixture regenerated between rounds — schemas/dtypes can change —
+    invalidates the cache instead of being silently shadowed by a stale
+    copy. Stale siblings from older fixtures are removed."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/root/repo/.tmpdata/{name}_{sf}_{fp}"
+    for old in _glob.glob(f"/root/repo/.tmpdata/{name}_{sf}_*"):
+        if old != base:
+            shutil.rmtree(old, ignore_errors=True)
+    return base
+
+
 @register(
     "a1_scan_parquet",
     oracle="SELECT r_regionkey, r_name FROM region",
@@ -188,7 +216,7 @@ def a9_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    out = f"/root/repo/.tmpdata/dpp_orders_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = _derived_base(sf_dir, "dpp_orders", "orders")
     o = load(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
@@ -231,7 +259,7 @@ def a10_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bucketing.py."""
     import os
 
-    base = f"/root/repo/.tmpdata/compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _derived_base(sf_dir, "compact", "events")
     frag, out = base + "/frag", base + "/compacted"
     ev = load(spark, sf_dir, "events")
     if not os.path.exists(frag + "/_SUCCESS"):
@@ -265,7 +293,7 @@ def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge happens on footer metadata, not data."""
     import os
 
-    base = f"/root/repo/.tmpdata/evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _derived_base(sf_dir, "evolve", "events")
     ev = load(spark, sf_dir, "events")
     if not os.path.exists(base + "/b2/_SUCCESS"):
         v1 = ev.filter(F.col("event_id") % 2 == 0).select(

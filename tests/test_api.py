@@ -7,7 +7,10 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from glonassdatamining_spark import api
+from tests.conftest import SF_DIR
 
 
 def _ts(s: str) -> datetime:
@@ -313,3 +316,106 @@ def test_ewma_matches_recursion(spark):
     assert out[(1, 1)] == 15.0
     assert out[(1, 2)] == 22.5
     assert out[(2, 0)] == 5.0
+
+
+def test_funnel_parameterized(spark):
+    import pandas as pd
+
+    import glonassdatamining_spark.api as api
+
+    rows = pd.DataFrame(
+        [
+            # u1 completes A→B→C in order
+            (1, "A", 10), (1, "B", 20), (1, "C", 30),
+            # u2 has B before A and no B after → depth 1
+            (2, "B", 5), (2, "A", 10), (2, "C", 30),
+            # u3 never starts
+            (3, "C", 1),
+            # u4 reaches A then C but no B between → depth 1
+            (4, "A", 1), (4, "C", 2),
+        ],
+        columns=["uid", "etype", "t"],
+    )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.to_timestamp(F.from_unixtime("t"))
+    )
+    out = {
+        r.uid: r
+        for r in api.funnel(df, "uid", "etype", "ts", ["A", "B", "C"]).collect()
+    }
+    assert len(out) == 4
+    assert out[1].funnel_depth == 3
+    assert out[2].funnel_depth == 1  # B at t=5 precedes A; no later B
+    assert out[3].funnel_depth == 0
+    assert out[4].funnel_depth == 1
+    assert out[1].step3_ts is not None and out[4].step2_ts is None
+
+
+def test_haversine_known_distances(spark):
+    import glonassdatamining_spark.api as api
+
+    # Moscow (55.7558, 37.6173) ↔ Saint Petersburg (59.9343, 30.3351):
+    # great-circle ≈ 634 km (mean-radius haversine).
+    df = spark.range(1).select(
+        api.haversine_km(
+            F.lit(55.7558), F.lit(37.6173), F.lit(59.9343), F.lit(30.3351)
+        ).alias("d"),
+        api.haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(90.0)).alias(
+            "quarter"
+        ),
+        api.haversine_km(F.lit(10.0), F.lit(20.0), F.lit(10.0), F.lit(20.0)).alias(
+            "zero"
+        ),
+    )
+    r = df.collect()[0]
+    assert abs(r.d - 634.0) < 2.0
+    # Quarter circumference: pi/2 * R = 10007.54 km.
+    assert abs(r.quarter - 10007.54) < 0.5
+    assert r.zero == 0.0
+
+
+def test_haversine_join_antimeridian(spark):
+    import pandas as pd
+
+    import glonassdatamining_spark.api as api
+
+    pts = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4],
+            "lat": [0.0, 0.0, 0.0, 45.0],
+            # 1↔2 straddle the ±180° seam (~22 km apart); 3 is far away.
+            "lon": [179.9, -179.9, 0.0, 10.0],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    pairs = {
+        (r.a_id, r.b_id): r.dist_km
+        for r in api.haversine_distance_join(df, "pid", "lat", "lon", 50.0).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)] - 22.24) < 0.1
+
+
+def test_minhash_clusters_contained_in_exact_jaccard_components(spark):
+    """Property (VERDICT r1 item 8): every k2b LSH cluster must sit
+    inside ONE connected component of the exact-Jaccard pair graph —
+    LSH candidates are a subset of exact pairs, and each is verified
+    with the exact Jaccard, so co-clustered docs can never be linked by
+    an edge the brute-force twin doesn't have."""
+    from glonassdatamining_spark import registry
+    import glonassdatamining_spark.api as api
+
+    exact_pairs = registry.get("k2_ngram_jaccard_pairs").builder(spark, SF_DIR)
+    cc = api.connected_components(exact_pairs, "doc_a", "doc_b")
+    exact = {r.node: r.component for r in cc.collect()}
+    clusters = registry.get("k2b_minhash_lsh_dedup").builder(spark, SF_DIR)
+    by_cluster: dict = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r.cluster, []).append(r.doc_id)
+    for cl, members in by_cluster.items():
+        if len(members) < 2:
+            continue
+        comps = {exact.get(m) for m in members}
+        assert len(comps) == 1 and None not in comps, (
+            f"LSH cluster {cl} spans exact components {comps}"
+        )

@@ -52,7 +52,9 @@ def test_compaction_reduces_file_count(spark):
 
     registry.get("a10_compaction").builder(spark, SF_DIR).count()
     sf = SF_DIR.rstrip("/").split("/")[-1]
-    frag = glob.glob(f"/root/repo/.tmpdata/compact_{sf}/frag/*.parquet")
-    compacted = glob.glob(f"/root/repo/.tmpdata/compact_{sf}/compacted/*.parquet")
+    # Cache dirs are fingerprint-keyed on the source fixture (see
+    # sources.scans._derived_base) — glob across the fingerprint.
+    frag = glob.glob(f"/root/repo/.tmpdata/compact_{sf}_*/frag/*.parquet")
+    compacted = glob.glob(f"/root/repo/.tmpdata/compact_{sf}_*/compacted/*.parquet")
     assert len(frag) == 32
     assert 1 <= len(compacted) <= 4
