@@ -226,8 +226,18 @@ def l7b_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch running-aggregate's final rows.
 
     Requires ``google.protobuf`` (the TWS Python↔JVM state-server
-    protocol); absent in this container, so the equivalence test
-    import-skips and ``l7_streaming`` carries the checked semantics."""
+    protocol). Without it the streaming worker would crash mid-query
+    with an opaque STREAM_FAILED, so we fail fast here with a clear
+    ImportError instead; ``l7_streaming`` (applyInPandasWithState)
+    carries the same checked semantics protobuf-free."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (the TWS "
+            "Python<->JVM state-server protocol); install protobuf or use "
+            "l7_streaming (applyInPandasWithState) for the same semantics"
+        ) from exc
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -94,11 +94,21 @@ def test_l7_stateful_running_final_state(spark):
 
 def test_l7b_transform_with_state_equals_l7(spark):
     """Spark 4 transformWithStateInPandas twin of l7: same final state
-    per user as the batch running aggregate. Skipped where
-    google.protobuf is unavailable — the TWS state-server protocol
-    requires it (this container lacks it; applyInPandasWithState l7
-    covers the semantics)."""
-    pytest.importorskip("google.protobuf")
+    per user as the batch running aggregate. Where google.protobuf is
+    unavailable (the TWS state-server protocol requires it), assert
+    instead that the l7b pipeline fails fast with a clear import error
+    — no silent skip; applyInPandasWithState l7 carries the checked
+    semantics either way."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception) as excinfo:
+            live.l7b_streaming_tws(spark, SF_DIR).toPandas()
+        msg = str(excinfo.value)
+        assert "protobuf" in msg or "google" in msg or "proto" in msg.lower(), (
+            f"expected a protobuf import failure, got: {msg[:500]}"
+        )
+        return
     got = live.l7b_streaming_tws(spark, SF_DIR).toPandas()
     twin = _twin(spark, "l7_stateful_running")
     want = (
