@@ -332,6 +332,54 @@ def haversine_distance_join(
     )
 
 
+def polygon_edges(polygon: list[tuple[float, float]]) -> Column:
+    """Closed-ring edge array for a polygon given as [(x, y), ...]
+    vertices (closing edge appended automatically): a Column literal
+    ``array<struct<x1,y1,x2,y2>>`` consumable by ``point_in_polygon``.
+    Being a plain literal it broadcasts with the plan — no join, no
+    driver state."""
+    n = len(polygon)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    edges = []
+    for i in range(n):
+        (x1, y1), (x2, y2) = polygon[i], polygon[(i + 1) % n]
+        edges.append(
+            F.struct(
+                F.lit(float(x1)).alias("x1"),
+                F.lit(float(y1)).alias("y1"),
+                F.lit(float(x2)).alias("x2"),
+                F.lit(float(y2)).alias("y2"),
+            )
+        )
+    return F.array(*edges)
+
+
+def point_in_polygon(x, y, edges: Column) -> Column:
+    """Boolean Column: is point (x, y) strictly inside the polygon
+    whose closed-ring edges are ``edges`` (from ``polygon_edges`` or a
+    per-row edge-array column)? Even-odd ray casting — count edges
+    whose half-open y-span covers the point and whose x-intercept at
+    the point's y lies to the right; odd count = inside. Works for
+    arbitrary simple polygons (convex or not).
+
+    Pure JVM higher-order functions (filter + size) — codegen'd,
+    zero shuffle, zero Python. Horizontal edges are skipped by the
+    half-open span test, so no division by zero. The same crossing
+    arithmetic written in ANSI SQL over an unnested edge table
+    reproduces these doubles exactly (fixed op order)."""
+    x = F.lit(x) if not isinstance(x, Column) else x
+    y = F.lit(y) if not isinstance(y, Column) else y
+    crossings = F.size(
+        F.filter(
+            edges,
+            lambda e: ((e.y1 > y) != (e.y2 > y))
+            & (x < e.x1 + (y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)),
+        )
+    )
+    return crossings % 2 == 1
+
+
 def set_similarity_topk(
     pairs: DataFrame,
     obj_col: str,
@@ -351,15 +399,17 @@ def set_similarity_topk(
     ``round_to`` rounds jaccard BEFORE ranking (tie-break obj_b) so an
     oracle ranking on rounded values cannot diverge.
     """
-    # Set sizes ride along as a window count over the SAME deduped
-    # membership frame (one exchange on _obj) instead of separate
-    # size-table joins — the pair groupBy then picks them up for free
-    # (min of a per-group constant), so no post-aggregation join at
-    # all: distinct → window → self-join → groupBy → top-k window.
+    # Dedup + set size in ONE shuffle: groupBy obj → collect_set (the
+    # partial/map-side combine dedups before the exchange), size() is
+    # free on the set, explode back to memberships narrowly. This beats
+    # the distinct→window form by a full exchange, and the pair groupBy
+    # then picks sizes up for free (min of a per-group constant) — no
+    # post-aggregation size join at all.
     oc = (
         pairs.select(F.col(obj_col).alias("_obj"), F.col(item_col).alias("_item"))
-        .distinct()
-        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("_obj")))
+        .groupBy("_obj")
+        .agg(F.collect_set("_item").alias("_items"))
+        .select("_obj", F.size("_items").alias("_sz"), F.explode("_items").alias("_item"))
     )
     half = (
         oc.alias("a")

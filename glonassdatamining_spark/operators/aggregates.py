@@ -4,7 +4,9 @@ Scale notes (apply to every query here): Spark's HashAggregateExec is
 automatically two-phase — partial (map-side combine) then final after a
 shuffle on the grouping key — so low-cardinality keys move kilobytes
 regardless of input size. Skewed keys at 100 TB are handled by AQE
-(skewJoin + coalescePartitions are on in session.py).
+(skewJoin is on in session.py; coalescePartitions is a cluster-only
+default — see the session.py note on byte-based coalescing vs
+CPU-heavy narrow rows at local bench scale).
 
 Stability: double sums go through exact DECIMAL (stable.dsum/davg);
 integer sums are cast to BIGINT on the oracle side (DuckDB SUM(BIGINT)

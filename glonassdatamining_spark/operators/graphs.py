@@ -32,18 +32,40 @@ _MIN_COOCCUR = 2  # denser graph for triangle counting / PageRank
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str, min_cooccur: int) -> DataFrame:
-    """Oriented (src < dst) part co-purchase edges: one self-equi-join
-    on l_orderkey + pair-count filter. Columns (src, dst)."""
+    """Oriented (src < dst) part co-purchase edges. Columns (src, dst).
+
+    Basket-local pair generation: ONE shuffle (groupBy order →
+    collect_list), then in-JVM HOF pair expansion over the sorted
+    basket (strict ``b > a`` keeps the self-join's multiplicity
+    semantics exactly — a part appearing twice with another yields two
+    pair rows, equal parts never pair), then a pair-count groupBy on a
+    single packed bigint key (partkey < 2^32 by TPC-H construction —
+    one long hashes ~2× faster than a two-col struct key). Beats the
+    lineitem self-equi-join by a full shuffle of the fact table, and
+    the quadratic expansion is bounded per basket (TPC-H orders ≤ 7
+    items; any corpus with bounded baskets behaves the same at 100 TB).
+    Verified row-identical to the self-join form at sf0.01/sf0.1."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> "
+                "transform(filter(slice(ps, i + 2, size(ps) - i - 1), b -> b > a), "
+                "b -> a * 4294967296 + b)))"
+            )
+        ).alias("pk")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
+        pairs.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_cooccur)
-        .select("src", "dst")
+        .select(
+            F.floor(F.col("pk") / 4294967296).cast("bigint").alias("src"),
+            (F.col("pk") % 4294967296).cast("bigint").alias("dst"),
+        )
     )
 
 

@@ -880,3 +880,197 @@ def i3b_haversine_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = haversine_distance_join(g, "event_id", "lat", "lon", _I3B_KM)
     return pairs.select("a_id", "b_id", F.round("dist_km", 3).alias("dist_km"))
+
+
+# ---------------------------------------------------------------------------
+# Polygon predicates (STARK geometry surface, SURVEY §7.4 — round 2).
+# Polygons live as closed-ring edge-array literals (broadcast with the
+# plan); containment is even-odd ray casting in pure JVM higher-order
+# functions — zero shuffle, zero Python (api.point_in_polygon). The
+# oracle writes the identical crossing arithmetic over an unnested
+# edge VALUES table, so doubles agree bit-for-bit. Vertices carry a
+# 5e-4 offset so no 3-decimal fix coordinate ever hits a vertex
+# y-level (no boundary ambiguity at either engine).
+# At 100 TB: one polygon (or a small zone set) is a plan literal —
+# per-point cost is O(edges), embarrassingly parallel; for large
+# polygon sets, grid-bucket polygons by bbox cell and equi-join on
+# cell before the exact test (the i3 pattern).
+
+# Non-convex chevron: both reflex notches exercise the even-odd rule.
+_GEOFENCE = [
+    (20.0005, 20.0005),
+    (50.0005, 35.0005),
+    (80.0005, 20.0005),
+    (80.0005, 70.0005),
+    (50.0005, 55.0005),
+    (20.0005, 70.0005),
+]
+
+
+def _poly_sql_values(poly, zone=None):
+    n = len(poly)
+    rows = []
+    for i in range(n):
+        (x1, y1), (x2, y2) = poly[i], poly[(i + 1) % n]
+        z = f"{zone!r}, " if zone is not None else ""
+        rows.append(f"({z}{x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+_PIP_SQL = (
+    "((SELECT COUNT(*) FROM poly p WHERE (p.y1 > f.y) <> (p.y2 > f.y) "
+    "AND f.x < p.x1 + (f.y - p.y1) * (p.x2 - p.x1) / (p.y2 - p.y1)) % 2) = 1"
+)
+
+
+@register(
+    "i19_point_in_polygon",
+    oracle=(
+        FIXES_CTE
+        + f", poly(x1, y1, x2, y2) AS (VALUES {_poly_sql_values(_GEOFENCE)}) "
+        "SELECT obj_id, event_id, x, y FROM fixes f WHERE " + _PIP_SQL
+    ),
+    section="I19",
+)
+def i19_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence containment: all fixes strictly inside a non-convex
+    polygon, via JVM ray casting (``api.point_in_polygon``). The
+    polygon is a plan literal — the filter is narrow, pushdown-
+    friendly, and costs O(edges) per point."""
+    from glonassdatamining_spark.api import point_in_polygon, polygon_edges
+
+    f = fixes(spark, sf_dir)
+    edges = polygon_edges(_GEOFENCE)
+    return f.filter(point_in_polygon(F.col("x"), F.col("y"), edges)).select(
+        "obj_id", "event_id", "x", "y"
+    )
+
+
+# Zone set for the polygon join: triangle / non-convex dart / pentagon.
+_ZONES = [
+    ("triangle", [(10.0005, 10.0005), (30.0005, 15.0005), (15.0005, 30.0005)]),
+    ("dart", [(60.0005, 60.0005), (90.0005, 62.0005), (75.0005, 90.0005), (72.0005, 68.0005)]),
+    (
+        "pentagon",
+        [
+            (40.0005, 40.0005),
+            (55.0005, 45.0005),
+            (58.0005, 58.0005),
+            (45.0005, 62.0005),
+            (35.0005, 50.0005),
+        ],
+    ),
+]
+
+_ZONES_SQL = ", ".join(
+    _poly_sql_values(poly, zone=zid) for zid, poly in _ZONES
+)
+
+_PIP_ZONE_SQL = (
+    "((SELECT COUNT(*) FROM zedges p WHERE p.zone = z.zone "
+    "AND (p.y1 > f.y) <> (p.y2 > f.y) "
+    "AND f.x < p.x1 + (f.y - p.y1) * (p.x2 - p.x1) / (p.y2 - p.y1)) % 2) = 1"
+)
+
+
+@register(
+    "i20_polygon_zone_join",
+    oracle=(
+        FIXES_CTE
+        + f", zedges(zone, x1, y1, x2, y2) AS (VALUES {_ZONES_SQL}), "
+        "inside AS (SELECT f.obj_id, z.zone FROM fixes f "
+        "CROSS JOIN (SELECT DISTINCT zone FROM zedges) z "
+        f"WHERE {_PIP_ZONE_SQL}) "
+        "SELECT zone, COUNT(*) AS n_fixes, COUNT(DISTINCT obj_id) AS n_objs "
+        "FROM inside GROUP BY zone"
+    ),
+    section="I20",
+)
+def i20_polygon_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join points × polygon zones: per-zone fix and object
+    counts. The zone set rides as ONE literal array<struct> exploded
+    per point (narrow — no join operator, no shuffle until the final
+    per-zone aggregate), with a bbox prefilter before the exact
+    ray-cast so most (point, zone) pairs die on four comparisons.
+    For thousands of polygons, swap the literal for a broadcast
+    bbox-bucketed polygon table (the i3 grid pattern)."""
+    from glonassdatamining_spark.api import point_in_polygon, polygon_edges
+
+    zone_structs = []
+    for zid, poly in _ZONES:
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        zone_structs.append(
+            F.struct(
+                F.lit(zid).alias("zone"),
+                polygon_edges(poly).alias("edges"),
+                F.lit(min(xs)).alias("bx0"),
+                F.lit(max(xs)).alias("bx1"),
+                F.lit(min(ys)).alias("by0"),
+                F.lit(max(ys)).alias("by1"),
+            )
+        )
+    f = fixes(spark, sf_dir)
+    pts = f.select("obj_id", "x", "y", F.explode(F.array(*zone_structs)).alias("z"))
+    inside = pts.filter(
+        (F.col("x") >= F.col("z.bx0"))
+        & (F.col("x") <= F.col("z.bx1"))
+        & (F.col("y") >= F.col("z.by0"))
+        & (F.col("y") <= F.col("z.by1"))
+        & point_in_polygon(F.col("x"), F.col("y"), F.col("z.edges"))
+    )
+    return inside.groupBy(F.col("z.zone").alias("zone")).agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.countDistinct("obj_id").alias("n_objs"),
+    )
+
+
+@register(
+    "i21_geofence_entries",
+    oracle=(
+        FIXES_CTE
+        + f", poly(x1, y1, x2, y2) AS (VALUES {_poly_sql_values(_GEOFENCE)}), "
+        "flagged AS (SELECT obj_id, ts, event_id, "
+        f"CASE WHEN {_PIP_SQL} THEN 1 ELSE 0 END AS inside FROM fixes f), "
+        "hops AS (SELECT obj_id, inside, lag(inside) OVER "
+        "(PARTITION BY obj_id ORDER BY ts, event_id) AS prev FROM flagged) "
+        "SELECT obj_id, CAST(SUM(CASE WHEN inside = 1 AND (prev = 0 OR prev IS NULL) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_entries "
+        "FROM hops GROUP BY obj_id HAVING n_entries > 0"
+    ),
+    section="I21",
+)
+def i21_geofence_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence ENTRY counting per object (the GNSS-fleet geofencing
+    alert query): flag containment per fix, then count rising edges of
+    the inside flag along each trajectory — one window shuffle on
+    obj_id, ray cast is narrow JVM work before it."""
+    from glonassdatamining_spark.api import point_in_polygon, polygon_edges
+
+    f = fixes(spark, sf_dir)
+    edges = polygon_edges(_GEOFENCE)
+    flagged = f.select(
+        "obj_id",
+        "ts",
+        "event_id",
+        F.when(point_in_polygon(F.col("x"), F.col("y"), edges), 1)
+        .otherwise(0)
+        .alias("inside"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    hops = flagged.withColumn("prev", F.lag("inside").over(w))
+    return (
+        hops.groupBy("obj_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("inside") == 1)
+                    & ((F.col("prev") == 0) | F.col("prev").isNull()),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_entries")
+        )
+        .filter(F.col("n_entries") > 0)
+    )

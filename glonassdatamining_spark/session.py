@@ -23,8 +23,32 @@ def get_spark(app_name: str = "glonassdatamining-spark") -> SparkSession:
         # coalesces from a higher initial count, so keep AQE on always.
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing is BYTE-based, and this workload's hot
+        # shuffles are narrow-long rows (pair keys, grid cells) that
+        # serialize to <1 MB at local bench scale while still carrying
+        # millions of CPU-heavy rows — coalescing collapses them to 1-2
+        # partitions and serializes the compute (measured 2.2x slowdown
+        # on the set-similarity join). Locally we disable it; on a real
+        # cluster the same shuffles are GBs, the byte heuristic is sound
+        # again, and deployments should re-enable it in spark-defaults
+        # (override via SPARK_GRAFT_AQE_COALESCE=true).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_AQE_COALESCE", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan split sizing: Spark sizes splits as
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))
+        # — the 4 MB default openCost leaves a 10 MB local parquet file
+        # on ~3 cores. 256 KB openCost + 8 MB max opens every local scan
+        # to full parallelism. CLUSTER NOTE: at 100 TB keep the 128 MB
+        # default max (override here via env) or task counts explode;
+        # openCost 256 KB stays fine (bytes/parallelism dominates).
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         # Arrow transfer for the few pandas-UDF operators (SURVEY §2.M).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep driver result transfers bounded; we never collect big frames.
