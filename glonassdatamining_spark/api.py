@@ -896,53 +896,66 @@ def dbscan(
         )
     )
 
-    def local_dbscan(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def local_dbscan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        xy = pdf[["_x", "_y"]].to_numpy()
-        n = len(pdf)
-        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
-        neigh = d2 <= eps * eps
-        degree = neigh.sum(axis=1)  # includes self
-        core = degree >= min_pts
-        labels = np.full(n, -1, dtype=np.int64)
-        cid = 0
-        for i in range(n):
-            if not core[i] or labels[i] != -1:
-                continue
-            stack = [i]
-            labels[i] = cid
-            while stack:
-                j = stack.pop()
-                if not core[j]:
+        outs = []
+        for (kx, ky), cpdf in pdf.groupby(["_tcx", "_tcy"], sort=False):
+            xy = cpdf[["_x", "_y"]].to_numpy()
+            n = len(cpdf)
+            d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+            neigh = d2 <= eps * eps
+            degree = neigh.sum(axis=1)  # includes self
+            core = degree >= min_pts
+            labels = np.full(n, -1, dtype=np.int64)
+            cid = 0
+            for i in range(n):
+                if not core[i] or labels[i] != -1:
                     continue
-                for m in np.nonzero(neigh[j])[0]:
-                    if labels[m] == -1:
-                        labels[m] = cid
-                        stack.append(int(m))
-            cid += 1
-        kx, ky = key
-        out = pdf[pdf["_is_home"]].copy()
-        idx = pdf.index.get_indexer(out.index)
-        out["_is_core"] = core[idx]
-        out["_local_cid"] = [
-            f"{kx}:{ky}:{l}" if l >= 0 else None for l in labels[idx]
-        ]
-        # Carry x/y through so the core-core edge pass needs no join
-        # back to the input (saves a full shuffle of every point).
-        return out[["_id", "_is_core", "_local_cid", "_x", "_y"]]
+                stack = [i]
+                labels[i] = cid
+                while stack:
+                    j = stack.pop()
+                    if not core[j]:
+                        continue
+                    for m in np.nonzero(neigh[j])[0]:
+                        if labels[m] == -1:
+                            labels[m] = cid
+                            stack.append(int(m))
+                cid += 1
+            out = cpdf[cpdf["_is_home"]].copy()
+            idx = cpdf.index.get_indexer(out.index)
+            out["_is_core"] = core[idx]
+            out["_local_cid"] = [
+                f"{kx}:{ky}:{l}" if l >= 0 else None for l in labels[idx]
+            ]
+            # Carry x/y through so the core-core edge pass needs no
+            # join back to the input (saves a full point shuffle).
+            outs.append(out[["_id", "_is_core", "_local_cid", "_x", "_y"]])
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                columns=["_id", "_is_core", "_local_cid", "_x", "_y"]
+            )
+        )
 
     # Materialize the local-clustering pass once: both the merge-edge
     # collect and the final label join read it (without this the Arrow
-    # kernel runs twice). The explicit repartition pins the kernel's
-    # parallelism: AQE would coalesce the (byte-wise tiny) shuffle to a
-    # couple of partitions, which is right for JVM operators but
-    # starves a CPU-bound Python kernel of cores — an explicit
-    # key-hash repartition is preserved by AQE and satisfies the
-    # grouped-map's clustering requirement, so no second exchange.
+    # kernel runs twice). Grouping rides on a HASH BUCKET of the cell
+    # key, not the cell itself: one grouped-map call per bucket (≈ one
+    # per core) with the per-cell loop inside, instead of one Arrow
+    # batch + pandas frame per cell — thousands of tiny group calls
+    # amortize into `par` big ones (the same trick a cluster needs when
+    # the grid has millions of cells). The explicit bucket repartition
+    # also pins the kernel's parallelism: AQE's byte-based coalescing
+    # would starve the CPU-bound Python stage of cores.
     par = spark.sparkContext.defaultParallelism
-    local = padded.repartition(par, "_tcx", "_tcy").groupBy("_tcx", "_tcy").applyInPandas(
-        local_dbscan,
+    bucketed = padded.withColumn(
+        "_bkt", F.pmod(F.hash("_tcx", "_tcy"), F.lit(par))
+    )
+    local = bucketed.repartition(par, "_bkt").groupBy("_bkt").applyInPandas(
+        lambda pdf: local_dbscan_bucket(pdf),
         "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, _x DOUBLE, _y DOUBLE",
     ).localCheckpoint()
 

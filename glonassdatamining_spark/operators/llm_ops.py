@@ -1228,3 +1228,107 @@ def k21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pii_phone_count").cast("long").alias("pii_phone_count"),
         F.md5("body_clean").alias("clean_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# K27/K28 — data-mixture audit and token-budget mixture planning
+# (round-2 additions). The stage between cleaning and training: know
+# what the corpus is made of, then compute per-stratum sampling rates
+# that hit a token budget at target proportions. Both are one narrow
+# token-count projection + tiny-key aggregates — at 100 TB this is a
+# single pass over documents with a 100-row result; the plan literal
+# (target shares) broadcasts with the query.
+
+
+@register(
+    "k27_mixture_audit",
+    oracle=(
+        "WITH tok AS (SELECT source, lang, len(string_split(text, ' ')) AS n_tok "
+        "FROM documents), "
+        "per AS (SELECT source, lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM tok GROUP BY 1, 2) "
+        "SELECT source, lang, n_docs, total_tokens, "
+        "ROUND(CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER (), 6) AS token_share, "
+        "ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS avg_tokens "
+        "FROM per"
+    ),
+    section="K27",
+)
+def k27_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition audit per (source, lang) stratum: doc count,
+    token mass, share of the whole corpus's tokens (ratio-to-report
+    over an empty window frame — one extra tiny exchange over ~100
+    stratum rows, never over documents), and mean doc length. The
+    whitespace token count is the same narrow projection k9 uses."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per = tok.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(wall), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("avg_tokens"),
+    )
+
+
+# Target language mix for the training run (plan literal).
+_MIX_TARGETS = {"en": 0.40, "zh": 0.20, "de": 0.15, "fr": 0.15, "es": 0.10}
+_MIX_BUDGET = 20_000  # tokens
+
+_MIX_SQL_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGETS.items())
+
+
+@register(
+    "k28_mixture_plan",
+    oracle=(
+        "WITH tok AS (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents), "
+        "per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM tok GROUP BY 1), "
+        f"tgt(lang, target_share) AS (VALUES {_MIX_SQL_VALUES}) "
+        "SELECT p.lang, p.lang_tokens, t.target_share, "
+        f"ROUND(LEAST(1.0, t.target_share * {_MIX_BUDGET} / p.lang_tokens), 6) AS sample_rate, "
+        f"CAST(floor(LEAST(1.0, t.target_share * {_MIX_BUDGET} / p.lang_tokens) * p.lang_tokens) AS BIGINT) AS planned_tokens "
+        "FROM per p JOIN tgt t ON p.lang = t.lang"
+    ),
+    section="K28",
+)
+def k28_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: per-language sampling rate so the
+    sampled corpus hits a token budget at target proportions
+    (rate = min(1, share·budget/stratum_tokens) — upsampling beyond 1
+    is an epoch-count decision, not a sampling one). Targets ride as a
+    map literal resolved per aggregated stratum row — no join operator
+    at all on the Spark side; the oracle uses an equivalent VALUES
+    join. Downstream, k20's deterministic hash sampler applies these
+    rates without any global shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tgt = F.create_map(
+        *[F.lit(x) for kv in _MIX_TARGETS.items() for x in kv]
+    )
+    per = (
+        d.select("lang", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("lang_tokens"))
+    )
+    share = F.element_at(tgt, F.col("lang"))
+    rate = F.least(
+        F.lit(1.0), share * _MIX_BUDGET / F.col("lang_tokens")
+    )
+    return per.select(
+        "lang",
+        "lang_tokens",
+        share.alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("lang_tokens")).cast("bigint").alias("planned_tokens"),
+    )

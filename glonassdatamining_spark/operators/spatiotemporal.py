@@ -1074,3 +1074,64 @@ def i21_geofence_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_entries") > 0)
     )
+
+
+@register(
+    "i22_geofence_dwell",
+    oracle=(
+        FIXES_CTE
+        + f", poly(x1, y1, x2, y2) AS (VALUES {_poly_sql_values(_GEOFENCE)}), "
+        "flagged AS (SELECT obj_id, ts, event_id, "
+        f"CASE WHEN {_PIP_SQL} THEN 1 ELSE 0 END AS inside FROM fixes f), "
+        "hops AS (SELECT obj_id, inside, "
+        "lag(inside) OVER w AS prev, "
+        "epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS delta_ms FROM flagged "
+        "WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)) "
+        "SELECT obj_id, ROUND(CAST(SUM(CASE WHEN inside = 1 AND prev = 1 "
+        "THEN delta_ms ELSE 0 END) AS DOUBLE) / 1000.0, 3) AS dwell_sec "
+        "FROM hops GROUP BY obj_id HAVING dwell_sec > 0"
+    ),
+    section="I22",
+)
+def i22_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence DWELL time per object: total seconds spent inside the
+    region, crediting a segment only when BOTH endpoint fixes are
+    inside (interpolation-free, conservative — the standard fleet
+    report next to i21's entry counts). Millisecond epochs summed as
+    exact bigints, one double division at the end — FP-stable across
+    engines. Same single obj_id window shuffle as i21."""
+    from glonassdatamining_spark.api import point_in_polygon, polygon_edges
+
+    f = fixes(spark, sf_dir)
+    edges = polygon_edges(_GEOFENCE)
+    flagged = f.select(
+        "obj_id",
+        "ts",
+        "event_id",
+        F.when(point_in_polygon(F.col("x"), F.col("y"), edges), 1)
+        .otherwise(0)
+        .alias("inside"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    hops = flagged.select(
+        "obj_id",
+        "inside",
+        F.lag("inside").over(w).alias("prev"),
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("delta_ms"),
+    )
+    return (
+        hops.groupBy("obj_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("inside") == 1) & (F.col("prev") == 1),
+                        F.col("delta_ms"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / 1000.0,
+                3,
+            ).alias("dwell_sec")
+        )
+        .filter(F.col("dwell_sec") > 0)
+    )
