@@ -644,3 +644,28 @@ def d20_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
     )
+
+
+@register(
+    "d21_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio, "
+        "COUNT(*) AS n_orders, " + o_dsum("o_totalprice", "sum_price")
+        + " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+    section="D21",
+)
+def d21_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (round-2 addition) — all 2^k grouping-set
+    combinations in one pass: Spark expands the sets map-side and
+    runs ONE two-phase hash aggregate, so the fact table is scanned
+    and shuffled once, not 2^k times; GROUPING() flags disambiguate
+    NULL keys exactly as in d5's ROLLUP."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )

@@ -181,3 +181,28 @@ def b7_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_B7_SQL)
+
+
+_B8_SQL = (
+    "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+    "FROM customer c, LATERAL ("
+    "  SELECT o_orderkey, o_totalprice FROM orders o "
+    "  WHERE o.o_custkey = c.c_custkey "
+    "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t "
+    "WHERE c.c_mktsegment = 'MACHINERY'"
+)
+
+
+@register("b8_lateral_join", oracle=_B8_SQL, section="B8")
+def b8_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table — top-2 orders per MACHINERY
+    customer. Spark 4 plans the correlated LATERAL ... LIMIT as a
+    DomainJoin → window-ranked rewrite (its lateral decorrelation),
+    i.e. the same single-shuffle rank-filter E7 builds by hand — no
+    per-row re-execution. IDENTICAL SQL runs on DuckDB (its own
+    lateral unnesting). The per-key LIMIT is deterministic via the
+    (o_totalprice DESC, o_orderkey) total order."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_B8_SQL)

