@@ -418,3 +418,33 @@ def h13_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without the dtype divergence.
         F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
     )
+
+
+@register(
+    "h14_variant_json",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, "
+        "CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing, "
+        "CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl "
+        "FROM events WHERE event_id % 13 = 0"
+    ),
+    section="H14",
+)
+def h14_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured access (Spark 4; round-2 addition):
+    ``parse_json`` → binary VARIANT once, then typed ``variant_get``
+    path extraction — the engine parses each JSON payload a single
+    time no matter how many paths are read, vs H9's per-call string
+    re-parse of ``get_json_object``. At 100 TB this is the difference
+    between one decode and p decodes per row for p paths; missing
+    paths surface as typed NULLs. The oracle reads the same paths via
+    DuckDB's JSON extraction — identical typed values."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    v = ev.select("event_id", F.parse_json("props").alias("_v"))
+    return v.select(
+        "event_id",
+        F.variant_get("_v", "$.k", "bigint").alias("k_val"),
+        F.variant_get("_v", "$.missing", "bigint").alias("k_missing"),
+        F.variant_get("_v", "$.k", "double").alias("k_dbl"),
+    )

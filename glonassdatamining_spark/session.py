@@ -36,6 +36,10 @@ def get_spark(app_name: str = "glonassdatamining-spark") -> SparkSession:
             "spark.sql.adaptive.coalescePartitions.enabled",
             os.environ.get("SPARK_GRAFT_AQE_COALESCE", "false"),
         )
+        # When coalescing IS enabled, keep the floor small so CPU-heavy
+        # narrow-row stages retain parallelism (48k ≈ thousands of pair
+        # rows, not two mega-partitions).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "48k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Scan split sizing: Spark sizes splits as
         # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))
