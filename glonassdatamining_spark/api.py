@@ -710,6 +710,67 @@ def connected_components(
     return labels.select(F.col("_id").alias("node"), F.col("cluster").alias("component"))
 
 
+def bfs_hops(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    source_node=None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path hop counts from one source node over an
+    undirected edge list; returns (node, hops) for every reachable
+    node (source included at 0).
+
+    Pregel-style frontier expansion: each round joins the CURRENT
+    frontier (nodes first reached last round — shrinks toward the
+    periphery) against the edge list, anti-joins the visited set, and
+    appends. O(diameter) rounds, each one equi-join + distinct +
+    anti-join; visited stays vertex-sized and is localCheckpoint'ed so
+    lineage is O(1) (reliable checkpoint on a cluster; bucket edges by
+    src and every round is co-located). The per-round emptiness check
+    is a count on the (small) frontier, not the graph.
+
+    ``source_node`` defaults to the minimum src value (deterministic).
+    Eager: runs Spark jobs when called.
+    """
+    import pandas as pd
+
+    spark = edges_df.sparkSession
+    sym = (
+        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(edges_df.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if source_node is None:
+        row = sym.agg(F.min("_src")).collect()[0]
+        source_node = row[0]
+    if source_node is None:
+        node_type = edges_df.schema[src].dataType.simpleString()
+        return spark.createDataFrame([], f"node {node_type}, hops bigint")
+    seed = spark.createDataFrame(
+        pd.DataFrame({"node": [source_node], "hops": [0]})
+    ).select(
+        F.col("node").cast(sym.schema["_src"].dataType), F.col("hops").cast("bigint")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for d in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym._src)
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def pagerank(
     edges_df: DataFrame,
     src: str,

@@ -147,3 +147,31 @@ def n3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"),
         F.countDistinct("a").alias("n_apex_nodes"),
     )
+
+
+@register(
+    "n4_bfs_hops",
+    oracle=(
+        "WITH RECURSIVE " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "src0 AS (SELECT MIN(src) AS s FROM sym), "
+        "reach(node, d) AS ("
+        "  SELECT s, 0 FROM src0"
+        "  UNION"
+        "  SELECT sy.dst, r.d + 1 FROM reach r JOIN sym sy ON sy.src = r.node"
+        "  WHERE r.d < 20) "
+        "SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM reach GROUP BY node"
+    ),
+    section="N4",
+)
+def n4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hops (unweighted BFS) from the minimum
+    part id over the co-purchase graph — Pregel-style frontier joins
+    (``api.bfs_hops``). The oracle is a recursive-CTE breadth walk
+    with MIN(d) per node: the identical fixpoint, so the frontier
+    anti-join provably loses no reachable node and never shortcuts a
+    distance."""
+    from glonassdatamining_spark.api import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    return bfs_hops(edges, "src", "dst")

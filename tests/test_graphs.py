@@ -58,3 +58,22 @@ def test_triangle_count_kernel(spark):
     row = n3_triangle_count(spark, SF_DIR).collect()
     assert len(row) == 1
     assert row[0].n_triangles >= 0
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Path 1-2-3-4 plus branch 2-5 and an unreachable pair 8-9:
+    distances from node 1 must be exact BFS depths and the 8/9
+    component must be absent."""
+    from glonassdatamining_spark.api import bfs_hops
+
+    e = [(1, 2), (2, 3), (3, 4), (2, 5), (8, 9)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r.node: r.hops for r in bfs_hops(edges, "src", "dst").collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+
+
+def test_bfs_hops_empty(spark):
+    from glonassdatamining_spark.api import bfs_hops
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert bfs_hops(edges, "src", "dst").count() == 0
