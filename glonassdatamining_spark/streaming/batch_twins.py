@@ -292,3 +292,32 @@ def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glonassdatamining_spark.streaming.live import l10_rate_source as live_l10
 
     return live_l10(spark, sf_dir)
+
+
+@register(
+    "l11_incremental_merge",
+    oracle=(
+        EVENTS_CTE + " SELECT user_id, n_events, last_value, last_ts FROM ("
+        "  SELECT user_id, value AS last_value, "
+        "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY user_id) AS n_events, "
+        "  MAX(ts) OVER (PARTITION BY user_id) AS last_ts "
+        "  FROM events) WHERE rn = 1"
+    ),
+    section="L11",
+)
+def l11_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the foreachBatch MERGE-upsert sink (live form in
+    streaming/live.py: micro-batches merged into a keyed state table —
+    the Delta/Iceberg MERGE INTO pattern without a table format):
+    per-user event count + latest value/ts, latest = max struct
+    (ts, event_id) so ms-truncated ties stay deterministic. The
+    streaming run must converge to exactly this table regardless of
+    how the input is micro-batched (merge is associative); asserted in
+    tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )

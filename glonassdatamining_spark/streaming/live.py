@@ -371,3 +371,74 @@ def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def l11_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 live form: foreachBatch MERGE-upsert — each micro-batch's
+    per-user partial aggregate merges into a parquet state table (the
+    Delta/Iceberg ``MERGE INTO`` pattern with plain parquet): full
+    outer join on the key, counts add, the (ts, event_id, value)
+    "latest" struct resolves by ``greatest`` — associative, so the
+    final table is micro-batch-partitioning-invariant. The staged
+    input is split into 4 files with ``maxFilesPerTrigger=1`` to force
+    a genuinely multi-batch incremental run. On a cluster the same
+    foreachBatch body targets a real table format; state stays
+    key-sized, never event-sized."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    _sweep_staging(f"merge_src_{sf}_")
+    _sweep_staging(f"merge_tgt_{sf}_")
+    run = uuid.uuid4().hex[:8]
+    src = f"/root/repo/.tmpdata/merge_src_{sf}_{run}"
+    tgt = f"/root/repo/.tmpdata/merge_tgt_{sf}_{run}"
+    from glonassdatamining_spark.sources import _scan
+
+    ev = _scan(spark, sf_dir, "events")
+    # 4 deterministic slices → 4 micro-batches under maxFilesPerTrigger=1.
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_last"),
+        )
+        if os.path.exists(tgt + "/_SUCCESS"):
+            old = spark.read.parquet(tgt)
+            merged = (
+                old.alias("o")
+                .join(new.alias("n"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("o.n_events"), F.lit(0))
+                        + F.coalesce(F.col("n.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    F.greatest(F.col("o._last"), F.col("n._last")).alias("_last"),
+                )
+            )
+        else:
+            merged = new
+        # Materialize BEFORE overwriting the directory being read.
+        merged.localCheckpoint().write.mode("overwrite").parquet(tgt)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tgt + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(tgt).select(
+        "user_id",
+        "n_events",
+        F.col("_last.value").alias("last_value"),
+        F.col("_last.ts").alias("last_ts"),
+    )

@@ -146,3 +146,16 @@ def test_l10_rate_source_generates_deterministic_batches(spark):
     for i, s in enumerate(sums):
         lo = i * 500
         assert s == sum(range(lo, lo + 500))
+
+
+def test_l11_foreachbatch_merge_equals_batch(spark):
+    """The foreachBatch MERGE sink, fed 4 micro-batches, must converge
+    to exactly the batch twin's per-user state table."""
+    got = live.l11_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l11_incremental_merge")
+    key = ["user_id"]
+    compare_frames(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        "l11_stream_vs_batch",
+    )
