@@ -247,3 +247,66 @@ def test_random_window_matches_oracle(spark, seed):
     want = con.execute(sql).fetchdf()
     con.close()
     compare_frames(got, want, f"window[{seed}] {sql[:80]}")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_point_in_polygon_matches_convex_model(spark, seed):
+    """Property: for RANDOM convex polygons (where containment has an
+    independent half-plane characterization), the even-odd ray-cast
+    HOF must agree with a numpy half-plane test on every random point
+    — including points near edges and far outside."""
+    import math
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from glonassdatamining_spark.api import point_in_polygon, polygon_edges
+
+    rng = random.Random(seed)
+    # Convex polygon: random radii/angles around a center, sorted by
+    # angle — convex hull of points on a star is not guaranteed convex,
+    # so build from a convex-position construction: points on an
+    # ellipse with jittered angles.
+    n_vert = rng.randint(3, 8)
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n_vert))
+    cx, cy, rx, ry = 50.0, 50.0, rng.uniform(10, 30), rng.uniform(10, 30)
+    poly = [
+        (cx + rx * math.cos(a) + 1e-4, cy + ry * math.sin(a) + 1e-4)
+        for a in angles
+    ]
+    pts = [
+        (i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(500)
+    ]
+    pdf = pd.DataFrame(pts, columns=["pid", "x", "y"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.pid: bool(r.inside)
+        for r in df.select(
+            "pid",
+            point_in_polygon(F.col("x"), F.col("y"), polygon_edges(poly)).alias(
+                "inside"
+            ),
+        ).collect()
+    }
+    # Independent model: convex polygon with CCW-ordered vertices —
+    # inside iff every cross product (edge x point) has the same sign.
+    v = np.array(poly)
+    # ensure CCW via shoelace
+    area2 = float(
+        np.sum(v[:, 0] * np.roll(v[:, 1], -1) - np.roll(v[:, 0], -1) * v[:, 1])
+    )
+    if area2 < 0:
+        v = v[::-1]
+    e1, e2 = v, np.roll(v, -1, axis=0)
+    for pid, x, y in pts:
+        cross = (e2[:, 0] - e1[:, 0]) * (y - e1[:, 1]) - (e2[:, 1] - e1[:, 1]) * (
+            x - e1[:, 0]
+        )
+        want = bool((cross > 0).all())  # strictly inside
+        if np.isclose(cross, 0, atol=1e-9).any():
+            continue  # boundary — both definitions are edge-sensitive
+        assert got[pid] == want, (
+            f"seed={seed} pid={pid} point=({x},{y}) ray-cast={got[pid]} "
+            f"half-plane={want} poly={poly}"
+        )
