@@ -1332,3 +1332,71 @@ def k28_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.floor(rate * F.col("lang_tokens")).cast("bigint").alias("planned_tokens"),
     )
+
+
+_SEMDEDUP_K = 10
+_SEMDEDUP_TAU = 0.92
+
+
+@register("k29_semdedup", oracle=None, section="K29")
+def k29_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (round-2 addition): partition the
+    embedding space with a seeded KMeans coarse quantizer, then find
+    cosine-near-duplicate pairs ONLY within each cluster and drop the
+    higher id of each pair. This is the published SemDeDup recipe
+    (Abbas et al., 2023, arXiv:2303.09540) and the scale shape of k12:
+    the O(n²) pair scan becomes O(Σ n_cluster²) — with balanced
+    clusters a k-fold reduction, and the cluster id is an equi-join
+    key so candidates shuffle-bucket instead of broadcasting.
+
+    Returns (vec_id, cluster, keep). rows-only: KMeans centroids are
+    engine-specific; the within-cluster pair kernel is k12's exact
+    cosine, and the containment property (every dropped id has a kept
+    near-dup partner in its cluster) is asserted in tests/test_ml.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = e.withColumn("_f", array_to_vector("v"))
+    km = KMeans(k=_SEMDEDUP_K, seed=42, featuresCol="_f", predictionCol="cluster")
+    model = km.fit(feat)
+    pred = model.transform(feat).select("vec_id", "v", "cluster")
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    pred = pred.withColumn("_n", norm).localCheckpoint()
+    a = pred.select(
+        "cluster",
+        F.col("vec_id").alias("_a"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = pred.select(
+        "cluster",
+        F.col("vec_id").alias("_b"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("_na") * F.col("_nb"))
+    # Within-cluster near-dup pairs; the dropped side is the higher id.
+    dropped = (
+        a.join(b, "cluster")
+        .filter((F.col("_a") < F.col("_b")) & (cos >= _SEMDEDUP_TAU))
+        .select(F.col("_b").alias("vec_id"))
+        .distinct()
+    )
+    return pred.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster", F.lit(True).alias("keep")
+    ).unionByName(
+        pred.join(dropped, "vec_id", "left_semi").select(
+            "vec_id",
+            "cluster",
+            F.lit(False).alias("keep"),
+        )
+    )

@@ -396,3 +396,51 @@ def a13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+@register(
+    "a14_bucketed_join",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n_items, "
+        + o_dsum("l_extendedprice", "sum_price")
+        + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderstatus"
+    ),
+    section="A14",
+)
+def a14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100 TB answer to the C2 shuffle:
+    both fact tables saved bucketed+sorted on the join key, so the
+    sort-merge join runs with ZERO Exchange nodes (shuffle-freeness is
+    asserted mechanically in tests/test_bucketing.py; here the result
+    is oracle-checked against the plain join). At scale this is how
+    recurring fact-fact joins amortize their shuffle once at write
+    time."""
+    import os
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    import hashlib
+
+    parts = []
+    for t in ("lineitem", "orders"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Fingerprint-keyed table names: regenerated fixtures invalidate the
+    # bucketed copies instead of being silently shadowed (same rule as
+    # _derived_base).
+    tli, to = f"gdm_li_bkt_{sf}_{fp}", f"gdm_o_bkt_{sf}_{fp}"
+    for tbl, df, key in ((tli, li, "l_orderkey"), (to, o, "o_orderkey")):
+        if not spark.catalog.tableExists(tbl):
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+    j = spark.table(tli).join(
+        spark.table(to), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_price"),
+    )

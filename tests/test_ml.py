@@ -171,3 +171,41 @@ def test_hll_partial_union_close_to_exact(spark):
     for k in exact:
         # HLL_4 default lgK=12 → ~1.6% rse; allow 5%
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got[k], exact[k])
+
+
+def test_k29_semdedup_drop_containment(spark):
+    """Every dropped vector must have a smaller-id near-dup partner in
+    ITS OWN cluster (the SemDeDup drop rule — the partner may itself be
+    dropped further up a chain), and the keep/drop partition must cover
+    the input exactly once."""
+    import numpy as np
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.llm_ops import (
+        _SEMDEDUP_TAU,
+        k29_semdedup,
+    )
+    from glonassdatamining_spark.sources import load
+
+    out = k29_semdedup(spark, SF_DIR).toPandas()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+    assert sorted(out.vec_id.tolist()) == sorted(emb.keys())
+    by_cluster = {}
+    for r in out.itertuples():
+        by_cluster.setdefault(r.cluster, []).append((r.vec_id, r.keep))
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    for cl, members in by_cluster.items():
+        for vid, keep in members:
+            if keep:
+                continue
+            partners = [
+                o for o, _ in members
+                if o < vid and cos(emb[o], emb[vid]) >= _SEMDEDUP_TAU - 1e-12
+            ]
+            assert partners, (
+                f"dropped {vid} in cluster {cl} has no smaller near-dup partner"
+            )
