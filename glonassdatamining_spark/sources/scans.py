@@ -436,6 +436,20 @@ def a14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tli, to = f"gdm_li_bkt_{sf}_{fp}", f"gdm_o_bkt_{sf}_{fp}"
     for tbl, df, key in ((tli, li, "l_orderkey"), (to, o, "o_orderkey")):
         if not spark.catalog.tableExists(tbl):
+            # A fresh session's in-memory catalog forgets managed
+            # tables but their warehouse dirs survive — clear the
+            # orphan or saveAsTable throws LOCATION_ALREADY_EXISTS
+            # (same recovery as a12).
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            )
+            shutil.rmtree(
+                os.path.join(wh.path or wh.netloc, tbl.lower()),
+                ignore_errors=True,
+            )
             df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
     j = spark.table(tli).join(
         spark.table(to), F.col("l_orderkey") == F.col("o_orderkey")
