@@ -35,9 +35,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every oracle applies via ``stable.EVENTS_CTE`` — so both engines
     compute on identical ms-grain instants (SURVEY §5.3).
     """
-    if os.environ.get("SPARK_GRAFT_CACHE_TABLES"):
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") and name in _CACHEABLE:
         return _cached(spark, sf_dir, name)
     return _scan(spark, sf_dir, name)
+
+
+# Hot-table mode covers only the relational tables whose queries scan
+# MANY columns (the TPC-H side: q1 reads 7 of lineitem's 11 — cache
+# 1.6 s → 0.5 s). events/documents/embeddings queries project 2-4
+# narrow columns of wide rows (props/text/vector payloads), where the
+# pruned parquet scan consistently beats re-reading cached batches
+# (measured: c9 0.87 s scan vs 0.99 s cache, k8 1.14 vs 1.40) — the
+# same narrow-projection rule fixes() applies.
+_CACHEABLE = frozenset(
+    {"region", "nation", "customer", "supplier", "part", "orders", "lineitem"}
+)
 
 
 def _scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
