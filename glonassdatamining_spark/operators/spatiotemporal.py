@@ -1141,3 +1141,70 @@ def i22_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dwell_sec") > 0)
     )
+
+
+_STAY_CELL = 25.0
+_STAY_MIN = 3
+
+
+@register(
+    "i23_staypoints",
+    oracle=(
+        FIXES_CTE
+        + ", cells AS (SELECT obj_id, ts, event_id, "
+        f"CAST(floor(x / {_STAY_CELL}) AS BIGINT) AS cx, "
+        f"CAST(floor(y / {_STAY_CELL}) AS BIGINT) AS cy FROM fixes), "
+        "runs AS (SELECT obj_id, ts, cx, cy, "
+        "CASE WHEN lag(cx) OVER w IS DISTINCT FROM cx "
+        "  OR lag(cy) OVER w IS DISTINCT FROM cy THEN 1 ELSE 0 END AS brk "
+        "FROM cells WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "rid AS (SELECT obj_id, ts, cx, cy, "
+        "SUM(brk) OVER (PARTITION BY obj_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id "
+        "FROM runs) "
+        "SELECT obj_id, cx AS cell_x, cy AS cell_y, "
+        "COUNT(*) AS n_fixes, MIN(ts) AS t_start, MAX(ts) AS t_end "
+        "FROM rid GROUP BY obj_id, run_id, cx, cy "
+        f"HAVING COUNT(*) >= {_STAY_MIN}"
+    ),
+    section="I23",
+)
+def i23_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (round-2 addition) — the classic GNSS
+    mining primitive (Li et al. 2008): places where an object LINGERS.
+    Grid form: maximal runs of consecutive fixes in the same coarse
+    cell, kept when the run has ≥ ``_STAY_MIN`` fixes; emits the cell
+    and the visit's time span. One obj_id window family (lag → break
+    flag → running run_id) + one groupBy — the e8 sessionization
+    shape on a spatial predicate, single shuffle, no Python. Feeds
+    OD-matrix and dwell analyses at 100 TB unchanged."""
+    f = fixes(spark, sf_dir)
+    cx = F.floor(F.col("x") / _STAY_CELL).cast("bigint")
+    cy = F.floor(F.col("y") / _STAY_CELL).cast("bigint")
+    cells = f.select("obj_id", "ts", "event_id", cx.alias("cx"), cy.alias("cy"))
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    runs = cells.withColumn(
+        "brk",
+        F.when(
+            ~F.lag("cx").over(w).eqNullSafe(F.col("cx"))
+            | ~F.lag("cy").over(w).eqNullSafe(F.col("cy")),
+            1,
+        ).otherwise(0),
+    )
+    rid = runs.withColumn(
+        "run_id",
+        F.sum("brk").over(
+            Window.partitionBy("obj_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        rid.groupBy("obj_id", "run_id", F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+        .filter(F.col("n_fixes") >= _STAY_MIN)
+        .drop("run_id")
+    )
