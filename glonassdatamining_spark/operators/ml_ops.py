@@ -264,3 +264,47 @@ def j9_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame(rows, columns=["reg_param", "avg_auc", "is_best"]),
         schema="reg_param double, avg_auc double, is_best int",
     )
+
+
+@register("j10_gbt_regressor", oracle=None, section="J10")
+def j10_gbt_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees (round-2 addition) — MLlib's strongest
+    tabular learner, regressing order totalprice from engineered
+    per-order features (item count, quantity mass, mean discount).
+    Seeded and depth-bounded for determinism; returns per-orderstatus
+    RMSE-style residual stats so the output is small and stable.
+    rows-only: boosted-ensemble predictions aren't SQL-expressible.
+    Scale: each boosting iteration is one distributed gradient pass;
+    feature assembly is a plain aggregate — the standard cluster
+    shape for tabular GBT."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    li = load(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    data = o.join(feats, o.o_orderkey == feats.l_orderkey).select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("label"),
+        "n_items",
+        "sum_qty",
+        "avg_disc",
+    )
+    assembled = VectorAssembler(
+        inputCols=["n_items", "sum_qty", "avg_disc"], outputCol="features"
+    ).transform(data)
+    gbt = GBTRegressor(maxIter=5, maxDepth=3, seed=42, stepSize=0.3)
+    model = gbt.fit(assembled)
+    pred = model.transform(assembled)
+    resid = F.col("prediction") - F.col("label")
+    return pred.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sqrt(F.avg(resid * resid)), 2).alias("rmse"),
+        F.round(F.avg(F.abs(resid)), 2).alias("mae"),
+    )
