@@ -410,6 +410,9 @@ def set_similarity_topk(
         .groupBy("_obj")
         .agg(F.collect_set("_item").alias("_items"))
         .select("_obj", F.size("_items").alias("_sz"), F.explode("_items").alias("_item"))
+        # Both legs of the inverted-index self-join read this frame —
+        # materialize once or the membership aggregation runs twice.
+        .localCheckpoint()
     )
     half = (
         oc.alias("a")
@@ -623,15 +626,14 @@ def connected_components(
     edge-sized — the standard GraphX/GraphFrames CC shape.
     Eager: runs Spark jobs when called.
     """
-    edges = (
-        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-        .union(edges_df.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        pairs = [(r._src, r._dst) for r in edges.collect()]
+    oriented = edges_df.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint()
+    n_oriented = oriented.count()
+    if 2 * n_oriented <= driver_max_edges:
+        # Union-find needs neither symmetrized nor deduplicated edges —
+        # collect the oriented list directly and skip that shuffle.
+        pairs = [(r._src, r._dst) for r in oriented.collect()]
         parent: dict = {}
 
         def find(a):
@@ -651,7 +653,7 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
-        node_type = edges.schema["_src"].dataType.simpleString()
+        node_type = oriented.schema["_src"].dataType.simpleString()
         import pandas as pd
 
         if not rows:
@@ -664,6 +666,15 @@ def connected_components(
             pd.DataFrame(rows, columns=["node", "component"]),
             schema=f"node {node_type}, component {node_type}",
         )
+    # Distributed path: min-label propagation needs the symmetrized,
+    # deduplicated edge frame (each round reads it twice).
+    edges = (
+        oriented.union(
+            oriented.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     # Singleton-free vertex set: isolated nodes are their own component
     # and never need to enter the iterative joins.
     labels = (
@@ -708,6 +719,63 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("_id").alias("node"), F.col("cluster").alias("component"))
+
+
+def kcore(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition: the maximal induced subgraph in which
+    every node has degree ≥ k (undirected, deduplicated edges);
+    returns (node, core_degree) for the surviving nodes.
+
+    Iterative peeling: each round computes degrees (one groupBy) and
+    anti-joins out the sub-k nodes from both edge endpoints — the
+    standard distributed k-core shape. The low-degree node set shrinks
+    every round and broadcasts; the edge frame is localCheckpoint'ed so
+    lineage stays O(1) (reliable checkpoint on a cluster; bucket edges
+    by src to co-locate every round). Converges in at most O(V) rounds
+    (typically ≪; ``max_iter`` guards with a warning like
+    ``connected_components``). Eager: runs Spark jobs when called.
+    """
+    sym = (
+        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(edges_df.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        deg = sym.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+        low = deg.filter(F.col("_deg") < k).select("_src").localCheckpoint()
+        if low.isEmpty():
+            converged = True
+            break
+        # No broadcast hint: the first rounds can drop MOST nodes (low
+        # is large), later rounds drop few (low is tiny) — AQE picks
+        # broadcast vs shuffle anti-join from the runtime size.
+        sym = (
+            sym.join(low, "_src", "left_anti")
+            .join(low.select(F.col("_src").alias("_dst")), "_dst", "left_anti")
+            .localCheckpoint()
+        )
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"kcore: peeling did not converge in {max_iter} iterations — "
+            f"result may still contain sub-{k} nodes; raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return (
+        sym.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("_src").alias("node"), "core_degree")
+    )
 
 
 def bfs_hops(
@@ -962,28 +1030,41 @@ def dbscan(
 
         outs = []
         for (kx, ky), cpdf in pdf.groupby(["_tcx", "_tcy"], sort=False):
-            xy = cpdf[["_x", "_y"]].to_numpy()
+            xs = cpdf["_x"].to_numpy()
+            ys = cpdf["_y"].to_numpy()
             n = len(cpdf)
-            d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+            d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
             neigh = d2 <= eps * eps
             degree = neigh.sum(axis=1)  # includes self
             core = degree >= min_pts
             labels = np.full(n, -1, dtype=np.int64)
-            cid = 0
-            for i in range(n):
-                if not core[i] or labels[i] != -1:
-                    continue
-                stack = [i]
-                labels[i] = cid
-                while stack:
-                    j = stack.pop()
-                    if not core[j]:
-                        continue
-                    for m in np.nonzero(neigh[j])[0]:
-                        if labels[m] == -1:
-                            labels[m] = cid
-                            stack.append(int(m))
-                cid += 1
+            ci = np.nonzero(core)[0]
+            if len(ci):
+                # Vectorized connected components of the core-core
+                # subgraph: min-label hop propagation + pointer jumping
+                # (lbl[lbl] path halving) — O(log n) rounds of O(c²)
+                # numpy work instead of a per-point Python BFS (the BFS
+                # form was the kernel's hot loop at 100k+ points).
+                A = neigh[np.ix_(ci, ci)]
+                c = len(ci)
+                lbl = np.arange(c)
+                while True:
+                    nl = np.where(A, lbl[None, :], c).min(axis=1)
+                    nl = np.minimum(nl, lbl)
+                    nl = np.minimum(nl, nl[nl])  # pointer jump
+                    if np.array_equal(nl, lbl):
+                        break
+                    lbl = nl
+                labels[ci] = lbl
+                # Border points join their minimum-labeled neighboring
+                # core (deterministic, order-independent — DBSCAN border
+                # membership is tie-ambiguous by definition).
+                nb = neigh[:, ci]
+                border = nb.any(axis=1) & ~core
+                if border.any():
+                    labels[border] = np.where(
+                        nb[border], lbl[None, :], c
+                    ).min(axis=1)
             out = cpdf[cpdf["_is_home"]].copy()
             idx = cpdf.index.get_indexer(out.index)
             out["_is_core"] = core[idx]
@@ -1020,9 +1101,20 @@ def dbscan(
         "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, _x DOUBLE, _y DOUBLE",
     ).localCheckpoint()
 
-    core_pts = local.filter(F.col("_is_core")).select(
-        "_id", "_local_cid", "_x", "_y"
-    )
+    # Cross-cell merge edges can only involve cores within eps of their
+    # home-cell boundary (a pair spanning two cells has both endpoints
+    # within eps of the shared border) — the interior filter is exact
+    # and shrinks the pair join's input to the boundary band
+    # (1 − (1 − 2eps/cell)² of the cores).
+    _inx = F.col("_x") - F.floor(F.col("_x") / cell) * cell
+    _iny = F.col("_y") - F.floor(F.col("_y") / cell) * cell
+    core_pts = local.filter(
+        F.col("_is_core")
+        & (
+            (_inx < eps) | (_inx >= cell - eps)
+            | (_iny < eps) | (_iny >= cell - eps)
+        )
+    ).select("_id", "_local_cid", "_x", "_y")
     chome = core_pts.withColumn("_ecx", F.floor(F.col("_x") / eps)).withColumn(
         "_ecy", F.floor(F.col("_y") / eps)
     )

@@ -669,3 +669,96 @@ def d21_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+_HH_CAP = 200     # Misra-Gries counter capacity per partition
+_HH_PCT = 100     # heavy hitter ⇔ 100·count ≥ total (θ = 1%)
+
+
+@register(
+    "d22_heavy_hitters",
+    oracle=(
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "tot AS (SELECT COUNT(*) AS n_total FROM toks) "
+        "SELECT token, COUNT(*) AS n FROM toks, tot "
+        f"GROUP BY token, n_total HAVING {_HH_PCT} * COUNT(*) >= n_total"
+    ),
+    section="D22",
+)
+def d22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (round-2 addition): every token holding ≥ 1% of
+    the corpus token mass, found EXACTLY in two passes with bounded
+    memory — the streaming-agg pattern a 100 TB corpus needs when the
+    raw token vocabulary (trillions of distinct n-grams) cannot fit a
+    hash aggregate:
+
+    1. Per-partition Misra-Gries sketch (capacity ``_HH_CAP``) over
+       Arrow batches in ``mapInPandas`` — O(cap) state per partition
+       regardless of input size; each partition also emits its token
+       total as a NULL-token row, so pass 1 is a single scan.
+    2. Summed sketches undercount any token by at most N/cap, so
+       ``cap·mg ≥ N`` (with cap ≥ 2/θ) provably captures every true
+       θ-heavy hitter. The tiny candidate set broadcasts into an
+       exact recount (pass 2), and the final integer comparison
+       ``100·n ≥ N`` is bit-identical in both engines — no FP
+       threshold boundary.
+
+    The oracle brute-forces the full vocabulary GROUP BY — feasible at
+    sf scale, which is exactly why the sketch path is the operator."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("_toks")
+    )
+
+    def mg_partial(batches):
+        ctr: dict = {}
+        total = 0
+        for pdf in batches:
+            for toks in pdf["_toks"]:
+                total += len(toks)
+                for t in toks:
+                    if t in ctr:
+                        ctr[t] += 1
+                    elif len(ctr) < _HH_CAP:
+                        ctr[t] = 1
+                    else:
+                        dead = []
+                        for k in ctr:
+                            ctr[k] -= 1
+                            if ctr[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del ctr[k]
+        yield pd.DataFrame(
+            {
+                "token": list(ctr) + [None],
+                "c": list(ctr.values()) + [total],
+            }
+        )
+
+    partials = docs.mapInPandas(mg_partial, "token string, c long")
+    # One row per partition carries token=NULL + the partition's token
+    # count: totals and sketch merge come out of the same single pass.
+    merged = partials.groupBy("token").agg(F.sum("c").alias("c")).localCheckpoint()
+    totals = merged.filter(F.col("token").isNull()).select(
+        F.col("c").alias("n_total")
+    )
+    cand = (
+        merged.filter(F.col("token").isNotNull())
+        .crossJoin(F.broadcast(totals))
+        .filter(F.lit(_HH_CAP) * F.col("c") >= F.col("n_total"))
+        .select("token")
+    )
+    exact = (
+        docs.select(F.explode("_toks").alias("token"))
+        .join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .filter(F.lit(_HH_PCT) * F.col("n") >= F.col("n_total"))
+        .select("token", "n")
+    )

@@ -175,3 +175,43 @@ def n4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
     return bfs_hops(edges, "src", "dst")
+
+
+_KCORE_K = 3
+
+
+@register("n5_kcore", oracle=None, section="N5")
+def n5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (round-2 addition): nodes of the maximal
+    subgraph of the co-purchase graph where everyone keeps ≥ k
+    neighbors — the standard dense-region extractor (community seeds,
+    spam rings, hub detection). Iterative peeling via ``api.kcore``;
+    rows-only (the fixpoint isn't ANSI-SQL-expressible) — the python
+    peeling equivalence test lives in tests/test_graphs.py."""
+    from glonassdatamining_spark.api import kcore
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    return kcore(edges, "src", "dst", _KCORE_K)
+
+
+@register(
+    "n6_degree_stats",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src) "
+        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        "FROM deg GROUP BY degree"
+    ),
+    section="N6",
+)
+def n6_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (round-2
+    addition): the first diagnostic run on any large graph (skew,
+    power-law tail, average degree). Two chained aggregations — the
+    second one's key space is tiny, so cost is one shuffle of the
+    vertex-sized degree frame."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -695,8 +695,13 @@ def i17_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cell = _CM_EPS
-    home = b.withColumn("_cx", F.floor(F.col("bx") / cell)).withColumn(
-        "_cy", F.floor(F.col("by1") / cell)
+    # Materialize the bucket centroids once: both legs of the pair join
+    # read them, and without this the fixes aggregation runs twice (the
+    # frame is tiny — objects × hours — so the checkpoint is free).
+    home = (
+        b.withColumn("_cx", F.floor(F.col("bx") / cell))
+        .withColumn("_cy", F.floor(F.col("by1") / cell))
+        .localCheckpoint()
     )
     probe = (
         home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))

@@ -152,6 +152,87 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=(
+        "SELECT "
+        + o_dsum("l_extendedprice * l_discount", "revenue")
+        + " FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}' "
+        f"AND l_shipdate < TIMESTAMP '{_Q6_HI}' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    section="Q6",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: revenue change from eliminating a discount band — the purest
+    scan-bound TPC-H query. All three predicates push to the parquet
+    scan (row-group min/max skipping at scale), the projection prunes
+    to 4 columns, and the plan is one map-side partial + one 1-row
+    final aggregate: no join, no wide shuffle. At 100 TB this is
+    IO-bound by design — exactly what you want."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _Q6_LO)
+            & (F.col("l_shipdate") < _Q6_HI)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+_Q14_LO, _Q14_HI = "1996-03-01", "1996-04-01"
+
+
+@register(
+    "q14_promo_effect",
+    oracle=(
+        "SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) "
+        "ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) / "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) "
+        "AS DOUBLE) AS promo_revenue_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{_Q14_LO}' "
+        f"AND l_shipdate < TIMESTAMP '{_Q14_HI}'"
+    ),
+    section="Q14",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: share of one month's revenue from promotional parts. The
+    date filter prunes lineitem at the scan; part broadcasts (dimension
+    side), so the only wide operation is the 1-row final aggregate.
+    Both the conditional and total sums run decimal-exact, and the
+    percentage is a single IEEE division of deterministic doubles —
+    hash-stable across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q14_LO) & (F.col("l_shipdate") < _Q14_HI)
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec28 = "decimal(28,6)"
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), rev.cast(dec28)
+                    ).otherwise(F.lit(0).cast(dec28))
+                ).cast("double")
+                / F.sum(rev.cast(dec28)).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 _Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
 
 

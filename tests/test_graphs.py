@@ -77,3 +77,57 @@ def test_bfs_hops_empty(spark):
 
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     assert bfs_hops(edges, "src", "dst").count() == 0
+
+
+def _py_kcore(edges: list, k: int) -> dict:
+    """Single-node reference peeling: returns {node: core_degree}."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_kcore_matches_python_peeling(spark):
+    """api.kcore on the fixture co-purchase graph must equal the
+    single-node peeling fixpoint (node set AND per-node core degree —
+    the fixpoint is unique, so any discrepancy is a bug)."""
+    from conftest import SF_DIR
+    from glonassdatamining_spark.api import kcore
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _copurchase_edges,
+    )
+
+    edges_df = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR)
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    for k in (2, 3, 4):
+        want = _py_kcore(edges, k)
+        got = {
+            r.node: r.core_degree
+            for r in kcore(edges_df, "src", "dst", k).collect()
+        }
+        assert got == want, f"k={k}: {got} != {want}"
+
+
+def test_kcore_hand_graph(spark):
+    """Triangle 1-2-3 (the 2-core) plus a tail 3-4-5: the tail must
+    peel away entirely at k=2."""
+    from glonassdatamining_spark.api import kcore
+
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r.node: r.core_degree for r in kcore(edges, "src", "dst", 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
