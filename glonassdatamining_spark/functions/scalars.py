@@ -448,3 +448,47 @@ def h14_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("_v", "$.missing", "bigint").alias("k_missing"),
         F.variant_get("_v", "$.k", "double").alias("k_dbl"),
     )
+
+
+@register(
+    "h15_url_funcs",
+    oracle=(
+        "SELECT doc_id, "
+        "'https' AS proto, "
+        "source || '.example.com' AS host, "
+        "'/docs/' || CAST(doc_id AS VARCHAR) AS path, "
+        "'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query, "
+        "lang AS q_lang "
+        "FROM documents WHERE doc_id % 10 = 0"
+    ),
+    section="H15",
+)
+def h15_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (round-2 addition) — the web-corpus staple: build a
+    deterministic URL per document, then decompose it with Spark's
+    ``parse_url`` (PROTOCOL / HOST / PATH / QUERY and keyed QUERY
+    access). The oracle reconstructs each component directly from the
+    source columns, so any parse_url deviation (trailing slashes,
+    query-key extraction) is a hash mismatch. All JVM, codegen'd,
+    narrow — at 100 TB this runs at scan speed, which is why URL
+    normalization/domain bucketing belongs in the engine, not a UDF."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("_url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("_url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("_url", F.lit("HOST")).alias("host"),
+        F.parse_url("_url", F.lit("PATH")).alias("path"),
+        F.parse_url("_url", F.lit("QUERY")).alias("query"),
+        F.parse_url("_url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    )

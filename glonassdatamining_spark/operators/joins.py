@@ -532,3 +532,70 @@ def c14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "sid_a", "user_b", "sid_b")
         .distinct()
     )
+
+
+@register(
+    "c15_runtime_filter_join",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n_items, "
+        + o_dsum("l_extendedprice", "sum_price")
+        + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus"
+    ),
+    section="C15",
+)
+def c15_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (round-2 addition) — Catalyst's
+    row-level runtime filtering: the selective dimension side builds a
+    bloom filter at runtime and injects a ``might_contain`` predicate
+    into the FACT SCAN, so a shuffle join reads (and shuffles) only
+    rows that can possibly match — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice when the dim side is too big to broadcast. The injected
+    filter is asserted in tests/test_plans.py.
+
+    Eager: Spark only injects the filter for non-broadcast joins and
+    above size thresholds, so the builder pins the demo confs
+    (broadcast off, thresholds floored), materializes via
+    localCheckpoint, and restores the session confs — fixture tables
+    are far below the 10 MB production default. The result is the
+    plain join aggregate, fully oracle-checked."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        return _runtime_filter_join_plan(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _runtime_filter_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy c15 join (no checkpoint) — shared by the registered
+    query and the tests/test_plans.py might_contain assertion, which
+    needs to explain it while the demo confs are active."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )

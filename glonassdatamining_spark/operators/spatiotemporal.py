@@ -1213,3 +1213,173 @@ def i23_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_fixes") >= _STAY_MIN)
         .drop("run_id")
     )
+
+
+_POIS = [(k, float(k * 37 % 100), float(k * 61 % 100)) for k in range(25)]
+
+
+@register(
+    "i24_snap_to_poi",
+    oracle=(
+        FIXES_CTE
+        + ", pois(poi_id, px, py) AS (VALUES "
+        + ", ".join(f"({k}, {px}, {py})" for k, px, py in _POIS)
+        + "), "
+        "cand AS (SELECT f.event_id, p.poi_id, "
+        "(f.x - p.px) * (f.x - p.px) + (f.y - p.py) * (f.y - p.py) AS d2 "
+        "FROM fixes f CROSS JOIN pois p), "
+        "best AS (SELECT event_id, poi_id, d2 FROM cand "
+        "QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY d2, poi_id) = 1) "
+        "SELECT poi_id, COUNT(*) AS n_fixes, "
+        + o_dsum("sqrt(d2)", "sum_dist")
+        + " FROM best GROUP BY poi_id"
+    ),
+    section="I24",
+)
+def i24_snap_to_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching-lite (round-2 addition): snap every fix to its
+    nearest point of interest from a small reference set and count
+    visits + total snap distance per POI — the first step of any
+    fleet/geofence attribution pipeline.
+
+    The POI table rides in the plan as a LITERAL array of structs, so
+    the per-fix argmin is one codegen'd ``array_min`` over
+    (d², poi_id) structs — no join operator, no shuffle until the
+    per-POI aggregate (tiny key space). At 100 TB with a LARGE POI set
+    this becomes the C11/I3 grid-bucketed equi-join instead; the
+    literal-broadcast form is the right plan while POIs fit a plan
+    constant (≲ thousands). Tie-break on poi_id keeps the argmin
+    deterministic in both engines."""
+    f = fixes(spark, sf_dir)
+    cand = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col("x") - F.lit(px)) * (F.col("x") - F.lit(px))
+                    + (F.col("y") - F.lit(py)) * (F.col("y") - F.lit(py))
+                ).alias("d2"),
+                F.lit(k).alias("poi_id"),
+            )
+            for k, px, py in _POIS
+        ]
+    )
+    best = F.array_min(cand)
+    snapped = f.select(
+        best.getField("poi_id").alias("poi_id"),
+        F.sqrt(best.getField("d2")).alias("dist"),
+    )
+    return snapped.groupBy("poi_id").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        dsum("dist", "sum_dist"),
+    )
+
+
+@register("i25_convex_hull", oracle=None, section="I25")
+def i25_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object convex hull (round-2 addition): the territory
+    footprint of each tracked object — hull vertex count and enclosed
+    area via Andrew's monotone chain in an Arrow ``applyInPandas``
+    kernel (``api.convex_hull``: one shuffle on obj_id, numpy
+    O(n log n) per object). Returns (obj_id, n_hull_points,
+    hull_area). rows-only: hull geometry isn't ANSI-SQL-expressible —
+    the square/collinear unit tests live in tests/test_api.py."""
+    from glonassdatamining_spark.api import convex_hull
+
+    f = fixes(spark, sf_dir).select("obj_id", "x", "y")
+    return convex_hull(f, "obj_id", "x", "y")
+
+
+@register(
+    "i26_gapfill_linear",
+    oracle=(
+        EVENTS_CTE + ", obs AS ("
+        "  SELECT user_id, bucket, value AS v FROM ("
+        "    SELECT user_id, date_trunc('hour', ts) AS bucket, value, "
+        "    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+        "                       ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "  WHERE rn = 1), "
+        "span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 "
+        "         FROM obs GROUP BY user_id), "
+        "grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) "
+        "         AS bucket FROM span), "
+        "j AS (SELECT g.user_id, g.bucket, o.v, "
+        "  last_value(o.v IGNORE NULLS) OVER wp AS vp, "
+        "  last_value(CASE WHEN o.v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wp AS bp, "
+        "  first_value(o.v IGNORE NULLS) OVER wn AS vn, "
+        "  first_value(CASE WHEN o.v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wn AS bn "
+        "  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket "
+        "  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket "
+        "                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "         wn AS (PARTITION BY g.user_id ORDER BY g.bucket "
+        "                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+        "SELECT user_id, bucket, "
+        "CASE WHEN v IS NOT NULL THEN v "
+        "ELSE vp + (vn - vp) * "
+        "  (CAST(epoch(bucket) - epoch(bp) AS DOUBLE) / "
+        "   CAST(epoch(bn) - epoch(bp) AS DOUBLE)) END AS value_interp, "
+        "CAST(v IS NOT NULL AS INT) AS is_observed FROM j"
+    ),
+    section="I26",
+)
+def i26_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LINEAR interpolation resample (round-2 addition) —
+    i13's LOCF complement and the timeseries-store ``interpolate``:
+    unobserved grid hours get the time-weighted line between the
+    surrounding observations instead of a carried value (the right
+    choice for continuous physical signals — position, battery,
+    temperature — where LOCF introduces staircase bias).
+
+    Scale shape identical to i13: per-bucket ``max_by`` aggregation
+    (no event-volume window), bounded grid explode, then BOTH
+    direction scans (previous/next non-null value AND bucket) ride the
+    same user_id partitioning — one exchange for the whole window
+    family. The interpolation fraction is exact-integer seconds cast
+    to double, so both engines compute bit-identical doubles — output
+    raw, unrounded (ROUND itself is the cross-engine hazard)."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    span = obs.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    j = grid.join(obs, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("vp"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("bp"),
+        F.first("v", ignorenulls=True).over(wn).alias("vn"),
+        F.first(obs_bucket, ignorenulls=True).over(wn).alias("bn"),
+    )
+    frac = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp("bp")).cast("double")
+        / (F.unix_timestamp("bn") - F.unix_timestamp("bp")).cast("double")
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        # NO rounding: both engines compute bit-identical doubles here
+        # (verified exhaustively at sf0.001/sf0.01) and ROUND itself is
+        # the divergence hazard — Spark half-up vs DuckDB's scaling at
+        # exact 6dp midpoints (stable.py §5 hazard list).
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("vp") + (F.col("vn") - F.col("vp")) * frac)
+        .alias("value_interp"),
+        F.col("v").isNotNull().cast("int").alias("is_observed"),
+    )

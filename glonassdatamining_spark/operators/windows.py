@@ -460,3 +460,57 @@ def e9b_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return funnel(ev, "user_id", "event_type", "ts", list(_E9B_STEPS))
+
+
+_E14_PATTERN = "vc*p"  # view, any clicks, then purchase
+
+
+@register(
+    "e14_sequence_pattern",
+    oracle=(
+        EVENTS_CTE + ", seq AS ("
+        "  SELECT user_id, COUNT(*) AS n_events, "
+        "  string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS s "
+        "  FROM events GROUP BY user_id) "
+        "SELECT user_id, n_events, "
+        f"CAST(len(regexp_extract_all(s, '{_E14_PATTERN}')) AS BIGINT) "
+        "AS n_patterns "
+        f"FROM seq WHERE len(regexp_extract_all(s, '{_E14_PATTERN}')) >= 1"
+    ),
+    section="E14",
+)
+def e14_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-over-rows sequence matching (round-2 addition) — the
+    MATCH_RECOGNIZE generalization of e9/e9b: each user's time-ordered
+    event-type initials collapse into one string, and an arbitrary
+    REGULAR EXPRESSION counts non-overlapping behavioral patterns
+    (here `vc*p`: view, any clicks, then purchase). Any
+    MATCH_RECOGNIZE pattern over a bounded alphabet compiles to this
+    shape. One shuffle on user_id (the sorted collect), then the scan
+    is a codegen'd JVM regexp — no per-row state machine. Per-user
+    sequences are memory-bounded by the group; at 100 TB sessionize
+    first (e8) so strings stay short. Both engines use leftmost
+    non-overlapping matching, and the collect order carries the unique
+    (ts, event_id) tie-break, so counts are hash-identical."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                        )
+                    ),
+                    lambda s: s.getField("c"),
+                ),
+            ).alias("s"),
+        )
+    )
+    n_pat = F.regexp_count("s", F.lit(_E14_PATTERN))
+    return seq.filter(n_pat >= 1).select(
+        "user_id", "n_events", n_pat.alias("n_patterns")
+    )

@@ -284,3 +284,145 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "q7_nation_volume",
+    oracle=(
+        "SELECT supp_nation, cust_nation, l_year, "
+        + o_dsum("volume", "revenue")
+        + " FROM ("
+        "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "  year(l_shipdate) AS l_year, "
+        "  l_extendedprice * (1 - l_discount) AS volume "
+        "  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+        "  JOIN orders ON o_orderkey = l_orderkey "
+        "  JOIN customer ON c_custkey = o_custkey "
+        "  JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "  JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        f" WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}') "
+        f"     OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}')) "
+        f" AND l_shipdate >= TIMESTAMP '{_Q7_LO}' "
+        f" AND l_shipdate < TIMESTAMP '{_Q7_HI}') "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    ),
+    section="Q7",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral shipping volume between two nations by year —
+    the two-dimension-chain join. Both nation chains broadcast
+    (supplier→n1, customer→n2); the disjunctive nation pair predicate
+    rides those broadcasts as a residual; lineitem ⋈ orders stays the
+    single large shuffle. At 100 TB the nation filters cut the
+    supplier/customer broadcast sides to slivers before the fact scan
+    ever joins them."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier").join(
+        broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = load(spark, sf_dir, "customer").join(
+        broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q7_LO) & (F.col("l_shipdate") < _Q7_HI)
+    )
+    o = load(spark, sf_dir, "orders")
+    pair_ok = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s.filter(F.col("supp_nation").isin(_Q7_N1, _Q7_N2))),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(broadcast(c.filter(F.col("cust_nation").isin(_Q7_N1, _Q7_N2))),
+              o.o_custkey == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "ECONOMY"
+
+
+@register(
+    "q8_market_share",
+    oracle=(
+        "SELECT o_year, "
+        "CAST(SUM(CASE WHEN supp_nation = '" + _Q8_NATION + "' "
+        "THEN CAST(volume AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) "
+        "AS DOUBLE) / "
+        "CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share "
+        "FROM ("
+        "  SELECT year(o_orderdate) AS o_year, "
+        "  l_extendedprice * (1 - l_discount) AS volume, "
+        "  n2.n_name AS supp_nation "
+        "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "  JOIN supplier ON s_suppkey = l_suppkey "
+        "  JOIN orders ON l_orderkey = o_orderkey "
+        "  JOIN customer ON o_custkey = c_custkey "
+        "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "  JOIN region ON n1.n_regionkey = r_regionkey "
+        "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        f" WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}' "
+        "  AND o_orderdate >= DATE '1996-01-01' "
+        "  AND o_orderdate < DATE '1998-01-01') "
+        "GROUP BY o_year"
+    ),
+    section="Q8",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of a region's market for one part type,
+    by order year — the conditional-ratio aggregate over a 7-table
+    snowflake. Every dimension broadcasts; the filtered part table
+    prunes lineitem FIRST (most selective), so the fact shuffle
+    carries only the target part type. Share = decimal-exact
+    conditional sum / decimal-exact total, one IEEE division —
+    hash-stable."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cust_in_region = c.join(
+        broadcast(
+            n.join(broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                "n_nationkey"
+            )
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = s.join(
+        broadcast(n.select("n_nationkey", "n_name")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec28 = "decimal(28,6)"
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"))
+        .join(broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == _Q8_NATION, vol.cast(dec28)
+                    ).otherwise(F.lit(0).cast(dec28))
+                ).cast("double")
+                / F.sum(vol.cast(dec28)).cast("double")
+            ).alias("mkt_share")
+        )
+    )

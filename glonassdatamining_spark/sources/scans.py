@@ -458,3 +458,95 @@ def a14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@register(
+    "a15_text_source",
+    oracle=(
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    section="A15",
+)
+def a15_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line ingest (round-2 addition) — the log-file path:
+    documents are serialized to `doc_id|lang|n_chars` lines via
+    ``spark.write.text``, re-read with ``spark.read.text`` (one
+    `value` column), and parsed back with JVM split/cast expressions.
+    The aggregate on the parsed columns must equal the same aggregate
+    on the original parquet — a full round-trip correctness check, not
+    just a row count. At 100 TB: text scans split by line boundaries,
+    the parse is codegen'd, and malformed lines are cheap to quarantine
+    with a `rlike` guard (every serious lake has one)."""
+    import os
+
+    out = _derived_base(sf_dir, "text_docs", "documents")
+    d = load(spark, sf_dir, "documents")
+    if not os.path.exists(out + "/_SUCCESS"):
+        d.select(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                "lang",
+                F.col("n_chars").cast("string"),
+            ).alias("value")
+        ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\\|")
+    parsed = lines.select(
+        F.element_at(parts, 1).cast("bigint").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).cast("bigint").alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "a16_corrupt_record_handling",
+    oracle=None,  # malformed-line quarantine demo; rows-only
+    section="A16",
+)
+def a16_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine (round-2 addition) — the ingest
+    reality check: a CSV batch with deliberately corrupted lines
+    (wrong arity, non-numeric keys) is read in PERMISSIVE mode with a
+    ``_corrupt_record`` rescue column; the query reports, per batch
+    health class, how many rows parsed clean vs were quarantined.
+    Every serious lake front-door does exactly this before data
+    touches fact tables; at 100 TB the parse+rescue is codegen'd in
+    the scan, and the quarantine rows fan out to a dead-letter sink
+    instead of killing the job (the DROPMALFORMED/FAILFAST modes are
+    one option away)."""
+    import os
+
+    out = _derived_base(sf_dir, "corrupt_csv", "nation") + "/batch"
+    if not os.path.exists(out):
+        os.makedirs(out, exist_ok=True)
+        n = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        lines = [f"{r.n_nationkey},{r.n_name},{r.n_regionkey}" for r in n]
+        # deterministic corruption: arity break + non-numeric key
+        lines.insert(5, "999,BROKEN_ROW_MISSING_FIELD")
+        lines.insert(11, "not_a_number,BAD_KEY,7,extra_field")
+        with open(out + "/part-000.csv", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    raw = spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(out)
+    # cache: Spark requires materialization before a query can filter
+    # on _corrupt_record alone (SPARK-38547 raises otherwise).
+    raw = raw.localCheckpoint()
+    return (
+        raw.select(
+            F.when(F.col("_corrupt_record").isNull(), F.lit("clean"))
+            .otherwise(F.lit("quarantined"))
+            .alias("health"),
+        )
+        .groupBy("health")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -321,3 +321,40 @@ def l11_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "l12_chained_windows",
+    oracle=(
+        EVENTS_CTE + ", m AS ("
+        "  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10, event_type, "
+        "  COUNT(*) AS n FROM events GROUP BY 1, 2) "
+        "SELECT time_bucket(INTERVAL '1 hour', w10) AS w_hour, event_type, "
+        "CAST(MAX(n) AS BIGINT) AS peak_10min, CAST(SUM(n) AS BIGINT) AS n_total "
+        "FROM m GROUP BY 1, 2"
+    ),
+    section="L12",
+)
+def l12_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregation (round-2 addition): 10-minute
+    counts rolled up into hourly peak + total per event type — the
+    multi-resolution dashboard rollup. In streaming this is Spark
+    3.5+'s chained window aggregation (``window(window_time(w), '1
+    hour')`` directly over the first windowed aggregate, two state
+    stores, one query — live form in streaming/live.py); the batch
+    twin is the identical two-level aggregate. The second level's key
+    space is tiny, so the rollup is effectively free after the first
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        m.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(F.max("n").alias("peak_10min"), F.sum("n").alias("n_total"))
+        .select(
+            F.col("h.start").alias("w_hour"), "event_type", "peak_10min", "n_total"
+        )
+    )

@@ -442,3 +442,37 @@ def l11_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last.value").alias("last_value"),
         F.col("_last.ts").alias("last_ts"),
     )
+
+
+def l12_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live chained time-window aggregation (L12): the 10-minute
+    windowed count feeds a second windowed aggregate keyed on
+    window_time — two chained state stores in ONE streaming query
+    (Spark 3.5+), no intermediate sink."""
+    ev, _ = _staged_events_stream(spark, sf_dir)
+    m = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = (
+        m.groupBy(F.window(F.window_time("w"), "1 hour").alias("h"), "event_type")
+        .agg(F.max("n").alias("peak_10min"), F.sum("n").alias("n_total"))
+        .select(
+            F.col("h.start").alias("w_hour"), "event_type", "peak_10min", "n_total"
+        )
+    )
+    import uuid as _uuid
+
+    # Complete-mode chained stateful aggs trip the conservative global-
+    # watermark check (append-mode late-row hazard). With a single
+    # availableNow drain + complete output the first aggregate re-emits
+    # its FULL state each trigger, so no row can be late downstream —
+    # the documented case for disabling the check. Restored after.
+    key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return _drain_to_memory(agg, f"l12_mem_{_uuid.uuid4().hex[:8]}", "complete")
+    finally:
+        spark.conf.set(key, prev)

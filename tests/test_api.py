@@ -419,3 +419,34 @@ def test_minhash_clusters_contained_in_exact_jaccard_components(spark):
         assert len(comps) == 1 and None not in comps, (
             f"LSH cluster {cl} spans exact components {comps}"
         )
+
+
+def test_convex_hull_square_and_collinear(spark):
+    """Unit square with interior/edge points → 4 hull vertices, area 1;
+    a collinear run → degenerate hull with area 0."""
+    import glonassdatamining_spark.api as api
+
+    rows = (
+        [(1, 0.0, 0.0), (1, 1.0, 0.0), (1, 1.0, 1.0), (1, 0.0, 1.0),
+         (1, 0.5, 0.5), (1, 0.5, 0.0), (1, 0.25, 0.75)]
+        + [(2, float(i), 2.0 * i) for i in range(5)]
+        + [(3, 4.0, 4.0), (3, 5.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "obj_id bigint, x double, y double")
+    got = {
+        r.obj_id: (r.n_hull_points, r.hull_area)
+        for r in api.convex_hull(df, "obj_id", "x", "y").collect()
+    }
+    assert got[1] == (4, 1.0)
+    assert got[2][1] == 0.0 and got[2][0] == 2  # collinear collapses to a segment
+    assert got[3] == (2, 0.0)
+
+
+def test_convex_hull_triangle_area(spark):
+    """Right triangle (0,0)(4,0)(0,3) + interior points → area 6."""
+    import glonassdatamining_spark.api as api
+
+    rows = [(1, 0.0, 0.0), (1, 4.0, 0.0), (1, 0.0, 3.0), (1, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "obj_id bigint, x double, y double")
+    r = api.convex_hull(df, "obj_id", "x", "y").collect()[0]
+    assert (r.n_hull_points, r.hull_area) == (3, 6.0)

@@ -123,3 +123,39 @@ def test_dynamic_partition_pruning_inserted(spark):
     fact scan as a runtime DPP subquery, not a full-scan join."""
     plan = plan_of(spark, "a9_dynamic_partition_pruning", mode="extended")
     assert "dynamicpruning" in plan, f"no DPP subquery in plan:\n{plan[:2000]}"
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """c15: with broadcast off and demo thresholds, Catalyst must
+    inject a runtime bloom filter (might_contain on the fact side's
+    join key, built from the filtered dimension side)."""
+    import contextlib
+    import io
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.joins import (
+        _runtime_filter_join_plan,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = _runtime_filter_join_plan(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="extended")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, f"no runtime bloom filter:\n{plan[:2000]}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

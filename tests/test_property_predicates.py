@@ -310,3 +310,45 @@ def test_point_in_polygon_matches_convex_model(spark, seed):
             f"seed={seed} pid={pid} point=({x},{y}) ray-cast={got[pid]} "
             f"half-plane={want} poly={poly}"
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_containment_pairs_match_brute_force(spark, seed):
+    """Property: the prefix-filtered containment join must equal the
+    all-pairs brute force on random tiny-vocabulary corpora — the
+    exact-multiple prefix lengths (|A| divisible by tau_den) are the
+    regression surface for the ⌊(1−τ)·sz⌋ float bug."""
+    import itertools
+    import random
+
+    import glonassdatamining_spark.api as api
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(40):
+        # lengths hit exact multiples of tau_den (10, 20, 30) often
+        ln = rng.choice([3, 5, 10, 12, 20, 22, 30])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(ln))))
+    # plant exact near-supersets: doc 100 is a prefix of doc 101
+    base = " ".join(rng.choice(vocab) for _ in range(20))
+    docs.append((100, base))
+    docs.append((101, base + " " + " ".join(rng.choice(vocab) for _ in range(8))))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def sh(text, n=3):
+        t = text.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    from fractions import Fraction
+
+    want = set()
+    shs = {i: sh(t) for i, t in docs}
+    for (a, sa), (b, sb) in itertools.permutations(shs.items(), 2):
+        if sa and Fraction(len(sa & sb), len(sa)) >= Fraction(9, 10):
+            want.add((a, b))
+    got = {
+        (r.inner_doc, r.outer_doc)
+        for r in api.containment_pairs(df, "doc_id", "text", 3, 9, 10).collect()
+    }
+    assert got == want, f"seed {seed}: missing {want - got}, extra {got - want}"

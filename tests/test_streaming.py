@@ -159,3 +159,14 @@ def test_l11_foreachbatch_merge_equals_batch(spark):
         want.sort_values(key).reset_index(drop=True),
         "l11_stream_vs_batch",
     )
+
+
+def test_l12_chained_windows_equals_batch(spark):
+    got = live.l12_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l12_chained_windows")
+    key = ["w_hour", "event_type"]
+    compare_frames(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        "l12_stream_vs_batch",
+    )
