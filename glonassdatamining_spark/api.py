@@ -1754,3 +1754,87 @@ def containment_pairs(
         verified.filter(cont >= tau)
         .select("inner_doc", "outer_doc", F.round(cont, 6).alias("containment"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    tokens_col: str,
+    cap: int = 200,
+    pct: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters over a token-array column in two
+    bounded-memory passes; returns (token, n) for every token with
+    ``pct·n ≥ N`` (N = total token count; pct=100 ⇔ θ=1%).
+
+    Pass 1: per-partition Misra-Gries sketch (capacity ``cap``) in
+    ``mapInPandas`` — O(cap) state regardless of input size; each
+    partition also emits its token total as a NULL-token row, so
+    totals ride the same single scan. Summed sketches undercount any
+    token by at most N/cap, so ``cap·mg ≥ N`` (with cap ≥ 2·pct/100…
+    i.e. cap ≥ 2/θ) provably captures every true θ-heavy hitter.
+    Pass 2: the tiny candidate set broadcasts into an exact recount;
+    both the candidate bound and the final threshold are integer
+    comparisons — no FP boundary.
+
+    Completeness: a true heavy hitter has n ≥ N/pct, and the summed
+    sketches undercount it by at most N/cap, so its merged count
+    satisfies mg ≥ N·(cap − pct)/(pct·cap) — the candidate filter is
+    exactly that bound (``pct·cap·mg ≥ N·(cap − pct)``). Requires
+    ``cap > pct`` (θ·cap > 1) or the bound degenerates to
+    all-tokens-candidates; ``cap ≥ 2·pct`` keeps the candidate set
+    small in practice.
+    """
+    import pandas as pd
+
+    if cap <= pct:
+        raise ValueError(
+            f"cap ({cap}) must exceed pct ({pct}) for candidate completeness"
+        )
+
+    def mg_partial(batches):
+        ctr: dict = {}
+        total = 0
+        for pdf in batches:
+            for toks in pdf[tokens_col]:
+                total += len(toks)
+                for t in toks:
+                    if t in ctr:
+                        ctr[t] += 1
+                    elif len(ctr) < cap:
+                        ctr[t] = 1
+                    else:
+                        dead = []
+                        for k in ctr:
+                            ctr[k] -= 1
+                            if ctr[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del ctr[k]
+        yield pd.DataFrame(
+            {"token": list(ctr) + [None], "c": list(ctr.values()) + [total]}
+        )
+
+    partials = df.select(tokens_col).mapInPandas(mg_partial, "token string, c long")
+    merged = partials.groupBy("token").agg(F.sum("c").alias("c")).localCheckpoint()
+    totals = merged.filter(F.col("token").isNull()).select(
+        F.col("c").alias("n_total")
+    )
+    cand = (
+        merged.filter(F.col("token").isNotNull())
+        .crossJoin(broadcast(totals))
+        .filter(
+            F.lit(pct * cap) * F.col("c") >= F.col("n_total") * F.lit(cap - pct)
+        )
+        .select("token")
+    )
+    exact = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .join(broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(broadcast(totals))
+        .filter(F.lit(pct) * F.col("n") >= F.col("n_total"))
+        .select("token", "n")
+    )

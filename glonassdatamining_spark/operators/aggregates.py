@@ -698,67 +698,64 @@ def d22_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
        regardless of input size; each partition also emits its token
        total as a NULL-token row, so pass 1 is a single scan.
     2. Summed sketches undercount any token by at most N/cap, so
-       ``cap·mg ≥ N`` (with cap ≥ 2/θ) provably captures every true
-       θ-heavy hitter. The tiny candidate set broadcasts into an
-       exact recount (pass 2), and the final integer comparison
-       ``100·n ≥ N`` is bit-identical in both engines — no FP
-       threshold boundary.
+       every true θ-heavy hitter keeps ``mg ≥ N·(cap−pct)/(pct·cap)``
+       — the candidate bound ``api.heavy_hitters`` applies in exact
+       integer arithmetic (property-tested against Counter ground
+       truth in tests/test_property_predicates.py). The tiny candidate
+       set broadcasts into an exact recount (pass 2), and the final
+       integer comparison ``100·n ≥ N`` is bit-identical in both
+       engines — no FP threshold boundary.
 
     The oracle brute-forces the full vocabulary GROUP BY — feasible at
     sf scale, which is exactly why the sketch path is the operator."""
-    import pandas as pd
+    from glonassdatamining_spark.api import heavy_hitters
 
     docs = load(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("_toks")
     )
+    return heavy_hitters(docs, "_toks", cap=_HH_CAP, pct=_HH_PCT)
 
-    def mg_partial(batches):
-        ctr: dict = {}
-        total = 0
-        for pdf in batches:
-            for toks in pdf["_toks"]:
-                total += len(toks)
-                for t in toks:
-                    if t in ctr:
-                        ctr[t] += 1
-                    elif len(ctr) < _HH_CAP:
-                        ctr[t] = 1
-                    else:
-                        dead = []
-                        for k in ctr:
-                            ctr[k] -= 1
-                            if ctr[k] == 0:
-                                dead.append(k)
-                        for k in dead:
-                            del ctr[k]
-        yield pd.DataFrame(
-            {
-                "token": list(ctr) + [None],
-                "c": list(ctr.values()) + [total],
-            }
+
+@register("d23_hll_set_ops", oracle=None, section="D23")
+def d23_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch SET ALGEBRA (round-2 addition) — d20's rollup
+    extended to audience-overlap arithmetic: for each pair of event
+    types, estimate the distinct-user intersection via
+    inclusion–exclusion over mergeable sketches
+    (|A∩B| ≈ |A| + |B| − |A∪B|) — the segmentation/overlap query
+    every analytics product runs, answered WITHOUT rescanning rows or
+    shuffling raw user ids: per-type sketches are built once (tiny),
+    then every pairwise union is sketch-on-sketch. rows-only
+    (estimates aren't ANSI-SQL); the estimate-vs-exact tolerance is
+    asserted in tests/test_ml.py."""
+    ev = load(spark, sf_dir, "events")
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
         )
-
-    partials = docs.mapInPandas(mg_partial, "token string, c long")
-    # One row per partition carries token=NULL + the partition's token
-    # count: totals and sketch merge come out of the same single pass.
-    merged = partials.groupBy("token").agg(F.sum("c").alias("c")).localCheckpoint()
-    totals = merged.filter(F.col("token").isNull()).select(
-        F.col("c").alias("n_total")
+        .localCheckpoint()
     )
-    cand = (
-        merged.filter(F.col("token").isNotNull())
-        .crossJoin(F.broadcast(totals))
-        .filter(F.lit(_HH_CAP) * F.col("c") >= F.col("n_total"))
-        .select("token")
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("est").alias("est_a"),
     )
-    exact = (
-        docs.select(F.explode("_toks").alias("token"))
-        .join(F.broadcast(cand), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("est").alias("est_b"),
     )
-    return (
-        exact.crossJoin(F.broadcast(totals))
-        .filter(F.lit(_HH_PCT) * F.col("n") >= F.col("n_total"))
-        .select("token", "n")
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    union_est = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round("est_a", 1).alias("users_a"),
+        F.round("est_b", 1).alias("users_b"),
+        F.round(union_est, 1).alias("users_union"),
+        F.round(F.col("est_a") + F.col("est_b") - union_est, 1).alias(
+            "users_intersect_est"
+        ),
     )

@@ -209,3 +209,21 @@ def test_k29_semdedup_drop_containment(spark):
             assert partners, (
                 f"dropped {vid} in cluster {cl} has no smaller near-dup partner"
             )
+
+
+def test_hll_set_ops_close_to_exact(spark):
+    """d23's inclusion-exclusion intersection estimates must land
+    within HLL tolerance of the exact pairwise overlaps."""
+    got = registry.get("d23_hll_set_ops").builder(spark, SF_DIR).toPandas()
+    from glonassdatamining_spark.sources import load
+
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id").toPandas()
+    users = ev.groupby("event_type")["user_id"].apply(set)
+    assert len(got) == len(users) * (len(users) - 1) // 2
+    for _, r in got.iterrows():
+        exact = len(users[r["type_a"]] & users[r["type_b"]])
+        # lgConfigK default=12 → ~1.6% relative std err; allow 10% + slack
+        tol = max(20.0, 0.1 * exact)
+        assert abs(r["users_intersect_est"] - exact) <= tol, (
+            f"{r['type_a']}∩{r['type_b']}: est {r['users_intersect_est']} vs {exact}"
+        )

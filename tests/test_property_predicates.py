@@ -352,3 +352,33 @@ def test_containment_pairs_match_brute_force(spark, seed):
         for r in api.containment_pairs(df, "doc_id", "text", 3, 9, 10).collect()
     }
     assert got == want, f"seed {seed}: missing {want - got}, extra {got - want}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_heavy_hitters_match_exact_counts(spark, seed):
+    """Property: the two-pass Misra-Gries heavy hitters must equal the
+    exact Counter-based answer on random Zipf-ish corpora, including
+    with a deliberately tiny sketch capacity (evictions everywhere)."""
+    import random
+    from collections import Counter
+
+    import glonassdatamining_spark.api as api
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(300)]
+    weights = [1.0 / (i + 1) for i in range(300)]  # zipf-ish
+    docs = [
+        (i, [rng.choices(vocab, weights)[0] for _ in range(rng.randint(5, 60))])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, toks array<string>")
+    cnt = Counter(t for _, toks in docs for t in toks)
+    total = sum(cnt.values())
+    for cap, pct in ((64, 50), (128, 100)):
+        want = {(t, n) for t, n in cnt.items() if pct * n >= total}
+        got = {
+            (r.token, r.n)
+            for r in api.heavy_hitters(df, "toks", cap=cap, pct=pct).collect()
+        }
+        assert got == want, f"seed {seed} cap {cap}: {got ^ want}"
