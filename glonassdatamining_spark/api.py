@@ -197,9 +197,12 @@ def grid_distance_join(
     distance ≤ ``eps``; returns (a_id, b_id, dist).
 
     Grid-bucket form (STARK's partitioner as a DataFrame plan): cell
-    width = ε, probe side replicated to its 3×3 neighborhood, equi-join
-    on cell, exact residual — candidates O(local density · n), never
-    O(n²).
+    width = ε, HALF-neighborhood probe (own cell + the 4
+    lexicographically-forward neighbors — the plane-sweep trick: an
+    unordered cross-cell pair is discovered exactly once from the
+    smaller home cell, same-cell pairs dedup on id order, ~45% fewer
+    candidate evaluations than the full 3×3), equi-join on cell, exact
+    residual — candidates O(local density · n), never O(n²).
     """
     p = points.select(
         F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
@@ -207,15 +210,21 @@ def grid_distance_join(
     home = p.withColumn("_cx", F.floor(F.col("_x") / eps)).withColumn(
         "_cy", F.floor(F.col("_y") / eps)
     )
+    fwd = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+        ]
+    )
     probe = (
-        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        home.withColumn("_o", F.explode(fwd))
         .select(
             F.col("_id").alias("a_id"),
             F.col("_x").alias("_ax"),
             F.col("_y").alias("_ay"),
-            (F.col("_cx") + F.col("_dx")).alias("_cx"),
-            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+            (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_self"),
         )
     )
     build = home.select(
@@ -231,8 +240,16 @@ def grid_distance_join(
     )
     return (
         probe.join(build, ["_cx", "_cy"])
-        .filter((F.col("a_id") < F.col("b_id")) & (d <= eps))
-        .select("a_id", "b_id", d.alias("dist"))
+        .filter(
+            (d <= eps)
+            & (F.col("a_id") != F.col("b_id"))
+            & (~F.col("_self") | (F.col("a_id") < F.col("b_id")))
+        )
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            d.alias("dist"),
+        )
     )
 
 
@@ -306,15 +323,26 @@ def haversine_distance_join(
         "_cx",
         F.floor((F.col("_lon") + 180.0) / dlon_deg).cast("int") % n_lon_cells,
     ).withColumn("_cy", F.floor(F.col("_lat") / dlat_deg))
+    # Half-neighborhood probe (see grid_distance_join): own cell + 4
+    # forward neighbors. Forward stays antisymmetric under modular
+    # longitude because n_lon_cells ≥ 4: for a same-row adjacent pair
+    # exactly one cell's (+1 mod n) lands on the other, and cross-row
+    # pairs are found from the lower _cy.
+    fwd = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+        ]
+    )
     probe = (
-        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        home.withColumn("_o", F.explode(fwd))
         .select(
             F.col("_id").alias("a_id"),
             F.col("_lat").alias("_alat"),
             F.col("_lon").alias("_alon"),
-            ((F.col("_cx") + F.col("_dx") + n_lon_cells) % n_lon_cells).alias("_cx"),
-            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+            ((F.col("_cx") + F.col("_o.dx") + n_lon_cells) % n_lon_cells).alias("_cx"),
+            (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_self"),
         )
     )
     build = home.select(
@@ -327,8 +355,16 @@ def haversine_distance_join(
     d = haversine_km(F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon"))
     return (
         probe.join(build, ["_cx", "_cy"])
-        .filter((F.col("a_id") < F.col("b_id")) & (d <= eps_km))
-        .select("a_id", "b_id", d.alias("dist_km"))
+        .filter(
+            (d <= eps_km)
+            & (F.col("a_id") != F.col("b_id"))
+            & (~F.col("_self") | (F.col("a_id") < F.col("b_id")))
+        )
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            d.alias("dist_km"),
+        )
     )
 
 
@@ -1133,14 +1169,23 @@ def dbscan(
     chome = core_pts.withColumn("_ecx", F.floor(F.col("_x") / eps)).withColumn(
         "_ecy", F.floor(F.col("_y") / eps)
     )
+    # Half-neighborhood probe (see grid_distance_join): union-find
+    # edges are unordered, so each core pair need only surface once —
+    # own cell + 4 forward neighbors, same-cell pairs deduped on id.
+    fwd = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+        ]
+    )
     cprobe = (
-        chome.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        chome.withColumn("_o", F.explode(fwd))
         .select(
             F.col("_id").alias("_a_id"), F.col("_local_cid").alias("_cid_a"),
             F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
-            (F.col("_ecx") + F.col("_dx")).alias("_ecx"),
-            (F.col("_ecy") + F.col("_dy")).alias("_ecy"),
+            (F.col("_ecx") + F.col("_o.dx")).alias("_ecx"),
+            (F.col("_ecy") + F.col("_o.dy")).alias("_ecy"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_self"),
         )
     )
     cbuild = chome.select(
@@ -1154,8 +1199,9 @@ def dbscan(
     edges = (
         cprobe.join(cbuild, ["_ecx", "_ecy"])
         .filter(
-            (F.col("_a_id") < F.col("_b_id"))
-            & (d <= eps)
+            (d <= eps)
+            & (F.col("_a_id") != F.col("_b_id"))
+            & (~F.col("_self") | (F.col("_a_id") < F.col("_b_id")))
             & (F.col("_cid_a") != F.col("_cid_b"))
         )
         .select("_cid_a", "_cid_b")

@@ -703,14 +703,28 @@ def i17_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_cy", F.floor(F.col("by1") / cell))
         .localCheckpoint()
     )
+    # HALF-neighborhood probe (plane-sweep trick): instead of all 9
+    # neighbor cells, each point probes only its own cell plus the 4
+    # lexicographically-FORWARD neighbors — an unordered cross-cell
+    # pair is then discovered exactly once (from the smaller home
+    # cell), same-cell pairs dedup on oa < ob, and the join evaluates
+    # ~45% fewer candidates than the full 3×3. No distinct needed:
+    # cross-cell matches are unique by construction; ids canonicalize
+    # with least/greatest afterwards.
+    fwd = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+        ]
+    )
     probe = (
-        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        home.withColumn("_o", F.explode(fwd))
         .select(
             F.col("obj_id").alias("oa"), "bkt",
             F.col("bx").alias("ax"), F.col("by1").alias("ay"),
-            (F.col("_cx") + F.col("_dx")).alias("_cx"),
-            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+            (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_self"),
         )
     )
     build = home.select(
@@ -723,9 +737,16 @@ def i17_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         probe.join(build, ["bkt", "_cx", "_cy"])
-        .filter((F.col("oa") < F.col("ob")) & (d <= _CM_EPS))
-        .select("oa", "ob", "bkt")
-        .distinct()
+        .filter(
+            (d <= _CM_EPS)
+            & (F.col("oa") != F.col("ob"))
+            & (~F.col("_self") | (F.col("oa") < F.col("ob")))
+        )
+        .select(
+            F.least("oa", "ob").alias("oa"),
+            F.greatest("oa", "ob").alias("ob"),
+            "bkt",
+        )
     )
     w = Window.partitionBy("oa", "ob").orderBy("bkt")
     runs = pairs.withColumn(
