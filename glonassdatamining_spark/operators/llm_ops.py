@@ -1463,3 +1463,94 @@ def k30_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "doc_id", "text",
         tau_num=9, tau_den=10,
     )
+
+
+_E2E_MIN_CHARS = 120
+_E2E_MIN_TOKS = 10
+
+
+@register(
+    "k31_pipeline_e2e",
+    oracle=(
+        "WITH dd AS (SELECT doc_id, text, lang, n_chars FROM ("
+        "  SELECT doc_id, text, lang, n_chars, "
+        "  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+        "  FROM documents) WHERE rn = 1), "
+        "q AS (SELECT * FROM dd "
+        f" WHERE n_chars >= {_E2E_MIN_CHARS} "
+        f" AND len(string_split(text, ' ')) >= {_E2E_MIN_TOKS}), "
+        "sh AS (SELECT doc_id, unnest(" + _DECON_SHINGLE_SQL + ") AS s "
+        "  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)), "
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+        "contam AS (SELECT DISTINCT t.doc_id FROM sh t JOIN ev ON t.s = ev.s "
+        "  WHERE t.doc_id % 97 <> 0), "
+        "clean AS (SELECT * FROM q WHERE doc_id % 97 <> 0 "
+        "  AND doc_id NOT IN (SELECT doc_id FROM contam)), "
+        "samp AS (SELECT * FROM clean WHERE substr(md5(text), 1, 2) < '80'), "
+        "packed AS (SELECT lang, doc_id, n_chars, "
+        "  SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum FROM samp) "
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total, "
+        f"CAST(MAX(floor(CAST(csum - n_chars AS DOUBLE) / {_PACK_BUDGET})) + 1 AS BIGINT) "
+        "AS n_packs FROM packed GROUP BY lang"
+    ),
+    section="K31",
+)
+def k31_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation pipeline (round-2 addition) —
+    the K family composed the way a real corpus build runs it, in ONE
+    Spark plan with a full DuckDB oracle:
+
+    exact dedup (K1: md5 row_number) → quality filter (K5: length +
+    token floor) → benchmark decontamination (K17: drop docs sharing
+    any 5-gram with the every-97th-doc eval split) → reproducible
+    hash sampling (K20: md5 bucket < 50%) → sequence packing (K23:
+    per-lang greedy longest-first running sum) → per-language corpus
+    report (docs, chars, packs).
+
+    Scale notes: dedup + packing shuffle on md5/lang only; the
+    decontamination probe broadcasts eval shingles; the sampler is a
+    narrow pushdown filter. Each stage is individually oracle-checked
+    elsewhere (k1/k5/k17/k20/k23) — this query pins the COMPOSITION
+    semantics end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        d.select("doc_id", "text", "lang", "n_chars")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    q = dd.filter(
+        (F.col("n_chars") >= _E2E_MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= _E2E_MIN_TOKS)
+    )
+    from glonassdatamining_spark.api import decontaminate
+
+    is_eval = F.col("doc_id") % 97 == 0
+    flags = decontaminate(
+        q.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=5
+    )
+    clean = (
+        q.filter(~is_eval)
+        .join(flags.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id")
+    )
+    samp = clean.filter(F.substring(F.md5("text"), 1, 2) < "80")
+    wp = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = samp.select(
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(wp).alias("csum"),
+    )
+    pack_id = F.floor(
+        (F.col("csum") - F.col("n_chars")).cast("double") / _PACK_BUDGET
+    )
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        (F.max(pack_id) + 1).alias("n_packs"),
+    )

@@ -1487,3 +1487,96 @@ def i27_segment_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fixes"),
         dsum("dist", "sum_dist"),
     )
+
+
+_TC_CELL = 2.0
+_TC_TAU = 0.04  # fixture positions are pseudo-random → overlaps are small
+
+_TC_CTE = (
+    FIXES_CTE + ", tcells AS ("
+    "  SELECT obj_id, list_sort(list_distinct(list("
+    "    CAST(floor(x / 2.0) AS BIGINT) * 100 + CAST(floor(y / 2.0) AS BIGINT)"
+    "  ))) AS visited FROM fixes GROUP BY obj_id), "
+    "tpairs AS ("
+    "  SELECT a.obj_id AS pa, b.obj_id AS pb FROM tcells a JOIN tcells b "
+    "  ON a.obj_id < b.obj_id "
+    "  WHERE CAST(len(list_intersect(a.visited, b.visited)) AS DOUBLE) / "
+    f"       len(list_distinct(flatten([a.visited, b.visited]))) >= {_TC_TAU})"
+)
+
+
+@register(
+    "i28_trajectory_clusters",
+    oracle=(
+        # FIXES_CTE already opens the WITH clause; make it RECURSIVE.
+        _TC_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+        "sym AS (SELECT pa AS s, pb AS d FROM tpairs "
+        "        UNION SELECT pb, pa FROM tpairs), "
+        "reach(node, lbl) AS ("
+        "  SELECT s, s FROM sym"
+        "  UNION"
+        "  SELECT sy.d, r.lbl FROM reach r JOIN sym sy ON sy.s = r.node), "
+        "comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node) "
+        "SELECT t.obj_id, "
+        "COALESCE(c.component, t.obj_id) AS cluster "
+        "FROM tcells t LEFT JOIN comp c ON t.obj_id = c.node"
+    ),
+    section="I28",
+)
+def i28_trajectory_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory clustering (round-2 addition) — STARK's
+    cluster-the-movers composition: objects whose visited-cell sets
+    overlap (Jaccard ≥ τ) link into an edge list, and connected
+    components assigns each object a cluster (singletons keep their
+    own id). This is the i11 inverted-index similarity join COMPOSED
+    with the n1 CC kernel — exactly how the engine's pieces are meant
+    to stack; every stage is an equi-shuffle, the edge list is
+    orders-of-magnitude smaller than the fixes input, and the oracle
+    recomputes the identical fixpoint as a recursive-CTE closure."""
+    from glonassdatamining_spark.api import connected_components
+
+    f = fixes(spark, sf_dir)
+    cellid = (
+        F.floor(F.col("x") / _TC_CELL).cast("bigint") * 100
+        + F.floor(F.col("y") / _TC_CELL).cast("bigint")
+    )
+    oc = (
+        f.select("obj_id", cellid.alias("cell"))
+        .groupBy("obj_id")
+        .agg(F.collect_set("cell").alias("cells"))
+        .select(
+            "obj_id",
+            F.size("cells").alias("sz"),
+            F.explode("cells").alias("cell"),
+        )
+        .localCheckpoint()
+    )
+    half = (
+        oc.alias("a")
+        .join(oc.alias("b"), "cell")
+        .filter(F.col("a.obj_id") < F.col("b.obj_id"))
+        .groupBy(
+            F.col("a.obj_id").alias("pa"), F.col("b.obj_id").alias("pb")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("a.sz")).alias("sza"),
+            F.min(F.col("b.sz")).alias("szb"),
+        )
+    )
+    edges = half.filter(
+        F.col("inter").cast("double")
+        / (F.col("sza") + F.col("szb") - F.col("inter"))
+        >= _TC_TAU
+    ).select("pa", "pb")
+    labels = connected_components(edges, "pa", "pb")
+    objs = oc.select("obj_id").distinct()
+    return (
+        objs.join(
+            labels.withColumnRenamed("node", "obj_id"), "obj_id", "left"
+        )
+        .select(
+            "obj_id",
+            F.coalesce("component", F.col("obj_id")).alias("cluster"),
+        )
+    )
