@@ -1,0 +1,42 @@
+"""Driver-contract guards: the bench headline and the __spark_entry__
+surface must stay consistent with the registry — a renamed query that
+silently drops out of the bench or the driver's queries() map is a
+coverage regression the t2 mirror can't see."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_bench_headline_names_registered():
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from glonassdatamining_spark import registry
+
+    available = registry.all_queries()
+    missing = [n for n in bench.HEADLINE if n not in available]
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+
+
+def test_spark_entry_surface():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from glonassdatamining_spark import registry
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(qs) == set(registry.all_queries())
+    assert set(osql) == set(registry.all_oracles())
+    # every oracle key must have a matching query entry
+    assert set(osql) <= set(qs)
+    # oracle SQL strings must be non-empty
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+
+
+def test_all_queries_have_section_ids():
+    from glonassdatamining_spark import registry
+
+    registry.all_queries()
+    for name in registry.all_queries():
+        d = registry.get(name)
+        assert d.section, f"{name}: empty section id"
