@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "k22_unigram_loglik",     # 1-row vocab total, broadcast
     "l4_watermark_filter",    # 1-row scalar max, broadcast
     "d22_heavy_hitters",      # 1-row corpus token total, broadcast
+    "d23_hll_set_ops",        # 5-row per-type sketch table × itself
     "k14_ivf_ann",            # 16-row centroid table, broadcast probe
     "h12_string_distance",    # 25-row dictionary, broadcast (band by
                               # length/prefix for dict×dict at scale)
