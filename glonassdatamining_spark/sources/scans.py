@@ -550,3 +550,84 @@ def a16_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("health")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+_PYDS_PARTS = 8
+_PYDS_ROWS_PER_PART = 1000
+
+
+@register(
+    "a17_python_datasource",
+    oracle=(
+        f"WITH g AS (SELECT unnest(generate_series(0, {_PYDS_PARTS * _PYDS_ROWS_PER_PART - 1})) AS fix_id), "
+        "f AS (SELECT fix_id, fix_id % 50 AS obj_id, "
+        "CAST(fix_id * 7919 % 100000 AS DOUBLE) / 1000.0 AS x, "
+        "CAST(fix_id * 104729 % 100000 AS DOUBLE) / 1000.0 AS y FROM g) "
+        "SELECT obj_id, COUNT(*) AS n_fixes, "
+        + o_dsum("x", "sum_x")
+        + ", " + o_dsum("y", "sum_y")
+        + " FROM f GROUP BY obj_id"
+    ),
+    section="A17",
+)
+def a17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (round-2 addition) — Spark 4's
+    `pyspark.sql.datasource` API: a user-defined source ("gnssgen",
+    a deterministic GNSS-fix generator) registered on the session and
+    read with ``spark.read.format("gnssgen")``, planned as 8 genuine
+    InputPartitions so the generate runs distributed, one task per
+    partition. This is the extension point for feeds Spark has no
+    built-in reader for (device APIs, proprietary telemetry, message
+    buses) — the reader yields plain tuples, Spark handles schema,
+    Arrow batching, and task scheduling. The content is a pure
+    function of fix_id, so the DuckDB oracle reproduces it exactly
+    from generate_series arithmetic: a full hash-check of a custom
+    source's scan path."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _GnssGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("numpartitions", _PYDS_PARTS))
+            self.rows = int(options.get("rowsperpartition", _PYDS_ROWS_PER_PART))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for i in range(self.rows):
+                fix_id = base + i
+                yield (
+                    fix_id,
+                    fix_id % 50,
+                    float(fix_id * 7919 % 100000) / 1000.0,
+                    float(fix_id * 104729 % 100000) / 1000.0,
+                )
+
+    class GnssGenDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "gnssgen"
+
+        def schema(self):
+            return "fix_id BIGINT, obj_id BIGINT, x DOUBLE, y DOUBLE"
+
+        def reader(self, schema):
+            return _GnssGenReader(self.options)
+
+    spark.dataSource.register(GnssGenDataSource)
+    f = (
+        spark.read.format("gnssgen")
+        .option("numPartitions", _PYDS_PARTS)
+        .option("rowsPerPartition", _PYDS_ROWS_PER_PART)
+        .load()
+    )
+    return f.groupBy("obj_id").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        dsum("x", "sum_x"),
+        dsum("y", "sum_y"),
+    )
