@@ -308,3 +308,50 @@ def j10_gbt_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.avg(resid * resid)), 2).alias("rmse"),
         F.round(F.avg(F.abs(resid)), 2).alias("mae"),
     )
+
+
+@register("j11_model_persistence", oracle=None, section="J11")
+def j11_model_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML model persistence round trip (round-2 addition) — the
+    operational half of the ML surface: the fitted j5 TF-IDF +
+    logistic-regression PipelineModel is saved to disk (Spark's
+    native metadata+parquet model format, the artifact a scoring
+    cluster loads), reloaded in the same session, and BOTH models
+    score the corpus; the output proves prediction-identical behavior
+    per language. At 100 TB this is how training and serving decouple
+    — fit once, persist to object storage, load on any cluster.
+    rows-only (model internals aren't ANSI-SQL); the identity
+    assertion is the n_agree == n_docs column itself."""
+    import os
+    import shutil
+
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, StringIndexer, Tokenizer
+
+    d = load(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1024),
+            IDF(inputCol="tf", outputCol="features"),
+            StringIndexer(inputCol="lang", outputCol="y"),
+            LogisticRegression(labelCol="y", maxIter=10, regParam=0.01),
+        ]
+    )
+    model = pipe.fit(d)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/root/repo/.tmpdata/j11_model_{sf}"
+    shutil.rmtree(path, ignore_errors=True)
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = model.transform(d).select("doc_id", "lang", F.col("prediction").alias("p1"))
+    b = reloaded.transform(d).select("doc_id", F.col("prediction").alias("p2"))
+    return (
+        a.join(b, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("p1") == F.col("p2")).cast("int")).alias("n_agree"),
+        )
+    )

@@ -227,3 +227,11 @@ def test_hll_set_ops_close_to_exact(spark):
         assert abs(r["users_intersect_est"] - exact) <= tol, (
             f"{r['type_a']}∩{r['type_b']}: est {r['users_intersect_est']} vs {exact}"
         )
+
+
+def test_model_persistence_identical_predictions(spark):
+    """j11: the reloaded PipelineModel must agree with the in-memory
+    model on every document."""
+    got = registry.get("j11_model_persistence").builder(spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    assert (got["n_agree"] == got["n_docs"]).all(), got

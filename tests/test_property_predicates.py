@@ -382,3 +382,47 @@ def test_heavy_hitters_match_exact_counts(spark, seed):
             for r in api.heavy_hitters(df, "toks", cap=cap, pct=pct).collect()
         }
         assert got == want, f"seed {seed} cap {cap}: {got ^ want}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_groupby_matches_oracle(spark, seed):
+    """Random multi-key GROUP BY over lineitem with a random mix of
+    aggregates — exercises key-expression evaluation, two-phase
+    aggregation, and decimal-sum stability together."""
+    from glonassdatamining_spark.stable import dsum
+
+    rng = random.Random(777 + seed)
+    key_pool = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_suppkey % 7",
+        "year(l_shipdate)",
+        "CAST(l_quantity AS BIGINT) % 5",
+    ]
+    keys = rng.sample(key_pool, k=rng.randint(1, 3))
+    key_aliases = [f"k{i}" for i in range(len(keys))]
+    agg_pool = [
+        ("COUNT(*) AS n", F.count(F.lit(1)).alias("n")),
+        ("MIN(l_quantity) AS min_q", F.min("l_quantity").alias("min_q")),
+        ("MAX(l_extendedprice) AS max_p", F.max("l_extendedprice").alias("max_p")),
+        (
+            "CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_d",
+            dsum("l_discount", "sum_d"),
+        ),
+        ("COUNT(DISTINCT l_partkey) AS nd_p", F.countDistinct("l_partkey").alias("nd_p")),
+    ]
+    aggs = rng.sample(agg_pool, k=rng.randint(2, 4))
+    got = (
+        load(spark, SF_DIR, "lineitem")
+        .groupBy(*[F.expr(k).alias(a) for k, a in zip(keys, key_aliases)])
+        .agg(*[s for _, s in aggs])
+        .toPandas()
+    )
+    con = oracle_con()
+    sql_keys = ", ".join(f"{k} AS {a}" for k, a in zip(keys, key_aliases))
+    want = con.execute(
+        f"SELECT {sql_keys}, {', '.join(sql for sql, _ in aggs)} "
+        f"FROM lineitem GROUP BY {', '.join(key_aliases)}"
+    ).fetchdf()
+    con.close()
+    compare_frames(got, want, f"groupby[{keys} :: {[s for s,_ in aggs]}]")
