@@ -759,3 +759,53 @@ def d23_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_intersect_est"
         ),
     )
+
+
+_ROLL_DAYS = 7
+
+
+@register(
+    "d24_rolling_distinct",
+    oracle=(
+        EVENTS_CTE + ", du AS ("
+        "  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events), "
+        "days AS (SELECT DISTINCT d FROM du), "
+        "expanded AS ("
+        "  SELECT days.d, du.user_id FROM days JOIN du "
+        f" ON du.d <= days.d AND du.d > days.d - INTERVAL {_ROLL_DAYS} DAY) "
+        "SELECT d AS day, COUNT(DISTINCT user_id) AS active_users "
+        "FROM expanded GROUP BY d"
+    ),
+    section="D24",
+)
+def d24_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct users (round-2 addition) — the trailing-7-day
+    active-users metric: EXACT windowed COUNT DISTINCT, which Spark's
+    window frames cannot express directly (distinct aggregates are
+    unsupported over windows). The scalable rewrite: dedup to
+    (day, user) pairs first (one shuffle, event volume never touched
+    again), EXPLODE each pair into the ≤7 trailing report days it
+    contributes to, then a plain two-phase distinct count per day.
+    State is bounded by days × window × daily-actives, not events; the
+    approximate tier of the same query is d20's HLL union over daily
+    sketches."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr(f"interval {_ROLL_DAYS - 1} days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    days = du.select(F.col("d").alias("day")).distinct()
+    return (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -1554,3 +1554,89 @@ def k31_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars_total"),
         (F.max(pack_id) + 1).alias("n_packs"),
     )
+
+
+@register(
+    "k32_incremental_dedup",
+    oracle=(
+        "WITH newdocs AS (SELECT doc_id, text, md5(text) AS h FROM documents "
+        "  WHERE doc_id % 10 = 9), "
+        "old AS (SELECT doc_id, text, md5(text) AS h FROM documents "
+        "  WHERE doc_id % 10 <> 9), "
+        "exact AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN old o ON n.h = o.h), "
+        "nsh AS (SELECT doc_id, unnest(" + _SHINGLE_SQL + ") AS s FROM "
+        "  (SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+        "   WHERE doc_id % 10 = 9)), "
+        "osh AS (SELECT DISTINCT unnest(" + _SHINGLE_SQL + ") AS s FROM "
+        "  (SELECT string_split(text, ' ') AS l FROM documents "
+        "   WHERE doc_id % 10 <> 9)), "
+        "nsz AS (SELECT doc_id, COUNT(*) AS sz FROM nsh GROUP BY doc_id), "
+        "hits AS (SELECT n.doc_id, COUNT(*) AS inter FROM nsh n "
+        "  JOIN osh ON n.s = osh.s GROUP BY n.doc_id) "
+        "SELECT nd.doc_id, "
+        "CAST(nd.doc_id IN (SELECT doc_id FROM exact) AS INT) AS exact_dup, "
+        "CASE WHEN z.sz IS NULL OR z.sz = 0 THEN 0.0 "
+        "ELSE COALESCE(h.inter, 0) / CAST(z.sz AS DOUBLE) END AS overlap "
+        "FROM newdocs nd LEFT JOIN nsz z ON nd.doc_id = z.doc_id "
+        "LEFT JOIN hits h ON nd.doc_id = h.doc_id"
+    ),
+    section="K32",
+)
+def k32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup audit (round-2 addition) — the daily-ingest
+    reality: an incoming batch (every 10th doc plays the delta) is
+    screened against the EXISTING corpus without re-deduplicating the
+    corpus itself: exact-hash membership (did we already ingest this
+    byte-identical doc?) plus shingle-overlap fraction against the
+    existing shingle universe (how much of this doc's content already
+    exists anywhere?). Returns (doc_id, exact_dup, overlap).
+
+    Scale shape: the existing side collapses to DISTINCT hashes /
+    DISTINCT shingles ONCE (at 100 TB these live as a maintained
+    bucketed table or a bloom/HLL tier, exactly the A14 pattern) and
+    only the small delta explodes and probes — the corpus is never
+    rescanned per-pair. All equi-joins; the overlap division is a
+    single IEEE op of deterministic ints."""
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 9
+    new_docs = d.filter(is_new).select(
+        "doc_id", "text", F.md5("text").alias("h")
+    )
+    old = d.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    exact = (
+        new_docs.join(old, "h", "left_semi").select("doc_id")
+        .withColumn("_e", F.lit(1))
+    )
+    tok = F.split("text", " ")
+    nsh = (
+        d.filter(is_new)
+        .select("doc_id", tok.alias("_tk"))
+        .select("doc_id", F.explode(_shingles("_tk")).alias("s"))
+    )
+    osh = (
+        d.filter(~is_new)
+        .select(tok.alias("_tk"))
+        .select(F.explode(_shingles("_tk")).alias("s"))
+        .distinct()
+    )
+    nsz = nsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    hits = (
+        nsh.join(osh, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(nsz, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_e", F.lit(0)).alias("exact_dup"),
+            F.when(
+                F.coalesce("sz", F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.coalesce("inter", F.lit(0)) / F.col("sz").cast("double")
+            ).alias("overlap"),
+        )
+    )
