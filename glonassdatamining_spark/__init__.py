@@ -25,7 +25,10 @@ __version__ = "0.1.0"
 
 from glonassdatamining_spark.api import (  # noqa: E402,F401
     asof_join,
+    bfs_hops,
     connected_components,
+    containment_pairs,
+    convex_hull,
     cosine_topk,
     dbscan,
     decontaminate,
@@ -34,6 +37,8 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     grid_distance_join,
     haversine_distance_join,
     haversine_km,
+    heavy_hitters,
+    kcore,
     minhash_lsh_dedup,
     pagerank,
     pii_scrub,
@@ -48,7 +53,10 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
 
 __all__ = [
     "asof_join",
+    "bfs_hops",
     "connected_components",
+    "containment_pairs",
+    "convex_hull",
     "cosine_topk",
     "dbscan",
     "decontaminate",
@@ -57,6 +65,8 @@ __all__ = [
     "haversine_distance_join",
     "haversine_km",
     "grid_distance_join",
+    "heavy_hitters",
+    "kcore",
     "minhash_lsh_dedup",
     "pagerank",
     "pii_scrub",
