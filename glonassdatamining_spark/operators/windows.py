@@ -514,3 +514,55 @@ def e14_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.filter(n_pat >= 1).select(
         "user_id", "n_events", n_pat.alias("n_patterns")
     )
+
+
+_Z_WIN = 20
+
+
+@register(
+    "e15_rolling_zscore",
+    oracle=(
+        EVENTS_CTE + ", s AS ("
+        "  SELECT user_id, event_id, value, "
+        "  row_number() OVER w AS rn, "
+        f" avg(value) OVER (w ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING) AS mu, "
+        f" stddev_samp(value) OVER (w ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING) AS sd "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, event_id, "
+        "ROUND((value - mu) / sd, 3) AS z "
+        f"FROM s WHERE rn > {_Z_WIN} AND sd > 1e-9"
+    ),
+    section="E15",
+)
+def e15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (round-2 addition) — the
+    monitoring primitive: each event's value standardized against its
+    OWN user's trailing-20-event window (strictly preceding, so the
+    tested point never contaminates its baseline). Returns
+    (user_id, event_id, z) for rows with a full window.
+
+    One shuffle on user_id; all three frame aggregates (count proxy
+    via row_number, mean, sample stddev) share the single sorted
+    window family. The z quotient rounds to 3 dp — the d7 discipline:
+    frame aggregation order is identical in both engines (same rows,
+    same order), rounding grids out last-ulp noise. The sd floor
+    avoids the 0/0 of constant windows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-_Z_WIN, -1)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.avg("value").over(wf).alias("mu"),
+        F.stddev_samp("value").over(wf).alias("sd"),
+    )
+    return (
+        s.filter((F.col("rn") > _Z_WIN) & (F.col("sd") > 1e-9))
+        .select(
+            "user_id",
+            "event_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 3).alias("z"),
+        )
+    )
