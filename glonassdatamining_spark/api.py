@@ -111,6 +111,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row gains the columns of the nearest right
     row (same ``key``) at-or-before its timestamp (``backward``, the
@@ -179,6 +180,19 @@ def asof_join(
             F.col("_ets") if direction == "backward" else F.col("_ets").desc()
         )
         tagged = tagged.withColumn("_m", scan(order_ts))
+    if tolerance_s is not None:
+        # Tolerance: a match farther than tolerance_s seconds (in the
+        # scan direction; either side for "nearest") reverts to NULL —
+        # the "stale quote" guard of time-series as-of joins. Applied
+        # as a null-out on the matched struct, so the single-shuffle
+        # plan is unchanged.
+        gap = F.abs(
+            F.col("_ets").cast("double")
+            - F.col("_m")[right_ts].cast("double")
+        )
+        tagged = tagged.withColumn(
+            "_m", F.when(gap <= float(tolerance_s), F.col("_m"))
+        )
     return tagged.filter(F.col("_is_left") == 1).select(
         key,
         *left_payload,
@@ -799,20 +813,30 @@ def kcore(
         .localCheckpoint()
     )
     converged = False
+    n_edges = sym.count()
     for _ in range(max_iter):
-        deg = sym.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-        low = deg.filter(F.col("_deg") < k).select("_src").localCheckpoint()
-        if low.isEmpty():
+        if n_edges == 0:
             converged = True
             break
-        # No broadcast hint: the first rounds can drop MOST nodes (low
-        # is large), later rounds drop few (low is tiny) — AQE picks
-        # broadcast vs shuffle anti-join from the runtime size.
-        sym = (
+        deg = sym.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+        low = deg.filter(F.col("_deg") < k).select("_src")
+        # ONE action per round: peel and materialize directly; a
+        # shrinking edge count proves the round removed nodes, an
+        # unchanged count proves `low` was empty (removing zero nodes
+        # leaves every edge) — so no separate emptiness job on `low`.
+        # No broadcast hint on the anti-joins: the first rounds can
+        # drop MOST nodes (low is large), later rounds drop few — AQE
+        # picks broadcast vs shuffle from the runtime size.
+        sym_next = (
             sym.join(low, "_src", "left_anti")
             .join(low.select(F.col("_src").alias("_dst")), "_dst", "left_anti")
             .localCheckpoint()
         )
+        n_next = sym_next.count()
+        if n_next == n_edges:
+            converged = True
+            break
+        sym, n_edges = sym_next, n_next
     if not converged:
         import warnings
 

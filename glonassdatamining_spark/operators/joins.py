@@ -599,3 +599,47 @@ def _runtime_filter_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_price"),
         )
     )
+
+
+_ASOF_TOL_S = 6 * 3600
+
+
+@register(
+    "c9d_asof_tolerance",
+    oracle=(
+        EVENTS_CTE
+        + ", l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts AS err_ts, MAX(event_id) AS err_event_id "
+        "      FROM events WHERE event_type = 'error' GROUP BY user_id, ts) "
+        "SELECT event_id, user_id, ts, "
+        "CASE WHEN ok THEN err_event_id END AS err_event_id, "
+        "CASE WHEN ok THEN err_ts END AS err_ts FROM ("
+        "  SELECT l.event_id, l.user_id, l.ts, r.err_event_id, r.err_ts, "
+        f"  epoch(l.ts) - epoch(r.err_ts) <= {_ASOF_TOL_S} AS ok "
+        "  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts)"
+    ),
+    section="C9",
+)
+def c9d_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (round-2 addition) — the "stale
+    quote" guard: each purchase matches the user's most recent prior
+    error only if it happened within the last 6 hours; older matches
+    revert to NULL instead of silently attributing ancient context.
+    Same single-shuffle union-tag plan as c9 (the tolerance is a
+    null-out on the matched struct, not an extra join); the oracle
+    applies the identical gap CASE over DuckDB's native ASOF JOIN."""
+    from glonassdatamining_spark.api import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("event_id").alias("err_event_id"))
+    )
+    return asof_join(
+        purchases, errors, "user_id", "ts", "err_ts",
+        direction="backward", tolerance_s=_ASOF_TOL_S,
+    )

@@ -185,3 +185,68 @@ def g6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit("2200-01-01").cast("timestamp")).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "g7_snapshot_diff",
+    oracle=(
+        "WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "  FROM orders WHERE o_orderkey % 101 <> 0), "
+        "new AS (SELECT o_orderkey, o_orderstatus, "
+        "  CASE WHEN o_orderkey % 151 = 0 THEN o_totalprice + 1.0 "
+        "  ELSE o_totalprice END AS o_totalprice "
+        "  FROM orders WHERE o_orderkey % 163 <> 0) "
+        "SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+        "CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+        "WHEN n.o_orderkey IS NULL THEN 'removed' "
+        "ELSE 'changed' END AS status "
+        "FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey "
+        "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+        "OR o.o_totalprice <> n.o_totalprice "
+        "OR o.o_orderstatus <> n.o_orderstatus"
+    ),
+    section="G7",
+)
+def g7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (round-2 addition) — the table-versioning audit
+    every data-ops team runs between loads: two deterministic versions
+    of orders (the new load adds the %101 keys, drops the %163 keys,
+    and perturbs the %151 prices) full-outer-join on the key and each
+    non-identical row reports added / removed / changed. One shuffle
+    on the key (or ZERO with A14 bucketing — snapshots of the same
+    table share layout); unchanged rows are filtered before anything
+    leaves the join, so output is proportional to the CHANGE volume,
+    not the table. This is the engine-level primitive under
+    Delta/Iceberg CDC-style table_changes."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 101 != 0)
+    new = o.filter(F.col("o_orderkey") % 163 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 151 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        )
+        .select(
+            F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+            status.alias("status"),
+        )
+    )
