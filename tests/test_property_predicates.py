@@ -426,3 +426,59 @@ def test_random_groupby_matches_oracle(spark, seed):
     ).fetchdf()
     con.close()
     compare_frames(got, want, f"groupby[{keys} :: {[s for s,_ in aggs]}]")
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_asof_tolerance_matches_python_model(spark, seed):
+    """c9d's tolerance_s: matches farther than the tolerance must
+    revert to NULL, in every direction, on random key/ts layouts."""
+    import random
+    from datetime import datetime, timedelta
+
+    from glonassdatamining_spark.api import asof_join
+
+    rng = random.Random(4242 + seed)
+    base = datetime(2024, 1, 1)
+    tol = rng.choice([50, 120, 300])
+    left = [
+        ("k%d" % rng.randint(0, 2), base + timedelta(seconds=rng.randint(0, 1000)), i)
+        for i in range(30)
+    ]
+    right_ts = {}
+    for _ in range(15):
+        k = "k%d" % rng.randint(0, 2)
+        ts = base + timedelta(seconds=rng.randint(0, 1000))
+        right_ts[(k, ts)] = rng.randint(0, 99)
+    l_df = spark.createDataFrame(left, "k STRING, at TIMESTAMP, lid INT")
+    r_df = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in right_ts.items()],
+        "k STRING, rts TIMESTAMP, val INT",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: (r.val, r.rts)
+            for r in asof_join(
+                l_df, r_df, "k", "at", "rts",
+                direction=direction, tolerance_s=tol,
+            ).collect()
+        }
+        for k, at, lid in left:
+            back = [(ts, v) for (rk, ts), v in right_ts.items() if rk == k and ts <= at]
+            fwdc = [(ts, v) for (rk, ts), v in right_ts.items() if rk == k and ts >= at]
+            b = max(back) if back else None
+            f = min(fwdc) if fwdc else None
+            if direction == "backward":
+                want = b
+            elif direction == "forward":
+                want = f
+            else:
+                if b is None:
+                    want = f
+                elif f is None:
+                    want = b
+                else:
+                    want = f if (f[0] - at) < (at - b[0]) else b
+            if want is not None and abs((want[0] - at).total_seconds()) > tol:
+                want = None
+            expect = (None, None) if want is None else (want[1], want[0])
+            assert got[lid] == expect, (direction, lid, tol)
