@@ -94,31 +94,50 @@ def i2_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.filter(d <= 15.0).select("obj_id", "event_id", F.round(d, 6).alias("dist"))
 
 
-_I3_EPS = 0.8
+_I3_EPS = 1.0  # fixture lattice min spacing ≈ 0.884 → non-empty at every SF
 
 
 @register(
     "i3_distance_self_join",
     oracle=(
-        FIXES_CTE + ", sub AS (SELECT * FROM fixes WHERE event_id % 3 = 0) "
-        "SELECT a.event_id AS a_id, b.event_id AS b_id, "
-        "ROUND(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist "
+        FIXES_CTE + ", sub AS (SELECT * FROM fixes WHERE event_id % 3 = 0), "
+        "p AS (SELECT a.event_id AS a_id, a.x AS ax, "
+        "sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist "
         "FROM sub a JOIN sub b ON a.event_id < b.event_id "
-        f"WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {_I3_EPS}"
+        f"WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {_I3_EPS}) "
+        "SELECT CAST(floor(ax / 10.0) AS BIGINT) AS band, "
+        "COUNT(*) AS n_pairs, "
+        + o_dsum("dist", "sum_dist")
+        + " FROM p GROUP BY band"
     ),
     section="I3",
 )
 def i3_distance_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-distance self-join over fixes via the public grid-bucket
-    kernel ``api.grid_distance_join`` (cell = ε, probe side exploded to
-    the 3×3 neighborhood, exact residual). The oracle is the
-    brute-force O(n²) cross join on a 1/3 subset — equivalence proves
-    the bucketing loses no pairs."""
+    kernel ``api.grid_distance_join`` (cell = ε, half-neighborhood
+    probe, exact residual), summarized per 10-unit x-band so the
+    declared output stays bounded at every scale while the pair join
+    itself is fully exercised (fixture positions form a lattice with
+    min spacing ≈ 0.884, so ε = 1.0 yields real pairs at all SFs —
+    ~19k at sf0.01). The oracle is the brute-force O(n²) cross join
+    on the same 1/3 subset — band-count + decimal-distance-mass
+    equality proves the bucketing loses no pairs and computes
+    identical distances. Row-level pair output is c11's form."""
     from glonassdatamining_spark.api import grid_distance_join
 
     f = fixes(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select("event_id", "x", "y")
     pairs = grid_distance_join(f, "event_id", "x", "y", _I3_EPS)
-    return pairs.select("a_id", "b_id", F.round("dist", 6).alias("dist"))
+    # a_id's x coordinate: join back the tiny projection (the kernel
+    # returns ids + dist only); band on the PAIR's a-side anchor.
+    ax = f.select(F.col("event_id").alias("a_id"), F.col("x").alias("ax"))
+    return (
+        pairs.join(ax, "a_id")
+        .groupBy(F.floor(F.col("ax") / 10.0).cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum("dist", "sum_dist"),
+        )
+    )
 
 
 @register(
