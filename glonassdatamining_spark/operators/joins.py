@@ -111,13 +111,19 @@ def c4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c5_anti_join",
     oracle=(
         "SELECT c_custkey, c_name FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"
     ),
     section="C5",
 )
 def c5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO big-ticket order (anti join against the
+    filtered orders side). Every fixture customer has SOME order, so
+    the unfiltered form matched empty sets at every SF — the price
+    filter makes the check non-vacuous (~30 rows at sf0.01) while the
+    plan stays the left-anti hash join."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
