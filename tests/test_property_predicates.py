@@ -482,3 +482,44 @@ def test_asof_tolerance_matches_python_model(spark, seed):
                 want = None
             expect = (None, None) if want is None else (want[1], want[0])
             assert got[lid] == expect, (direction, lid, tol)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_grid_distance_join_matches_brute_force(spark, seed):
+    """Property: the half-neighborhood grid join must find EXACTLY the
+    brute-force ε-pairs on random (non-lattice) point clouds —
+    including clustered blobs that straddle cell borders, the case the
+    forward-probe construction must not double- or zero-count."""
+    import itertools
+    import math
+    import random
+
+    from glonassdatamining_spark.api import grid_distance_join
+
+    rng = random.Random(31337 + seed)
+    eps = rng.choice([0.5, 1.0, 2.5])
+    pts = []
+    pid = 0
+    # uniform background
+    for _ in range(120):
+        pts.append((pid, rng.uniform(0, 30), rng.uniform(0, 30))); pid += 1
+    # dense blobs centered ON cell corners (worst case for the probe)
+    for _ in range(6):
+        cx, cy = rng.randint(1, 9) * eps, rng.randint(1, 9) * eps
+        for _ in range(12):
+            pts.append(
+                (pid, cx + rng.uniform(-eps, eps), cy + rng.uniform(-eps, eps))
+            ); pid += 1
+    df = spark.createDataFrame(pts, "pid bigint, x double, y double")
+    got = {
+        (r.a_id, r.b_id)
+        for r in grid_distance_join(df, "pid", "x", "y", eps).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if math.dist(a[1:], b[1:]) <= eps
+    }
+    assert got == want, (
+        f"seed {seed} eps {eps}: missing {want - got}, extra {got - want}"
+    )
