@@ -57,6 +57,15 @@ def get_spark(app_name: str = "glonassdatamining-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep driver result transfers bounded; we never collect big frames.
         .config("spark.driver.maxResultSize", "2g")
+        # Local mode: the driver JVM IS the executor. Spark's 1g default
+        # heap OOMs once the sf0.1 mirror accumulates localCheckpoint
+        # blocks plus a multi-million-row Arrow collect (c14) — size the
+        # heap to the machine (only effective before JVM launch, which
+        # is exactly how the session factory is used).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # ANSI off: TPC-H-ish fixtures are clean; oracle SQL is ANSI anyway.
         .config("spark.sql.session.timeZone", "UTC")
     )
