@@ -731,59 +731,90 @@ def connected_components(
             pd.DataFrame(rows, columns=["node", "component"]),
             schema=f"node {node_type}, component {node_type}",
         )
-    # Distributed path: min-label propagation needs the symmetrized,
-    # deduplicated edge frame (each round reads it twice).
-    edges = (
-        oriented.union(
-            oriented.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+    # Distributed path: alternating LARGE-STAR / SMALL-STAR rounds
+    # (Kiveris et al. 2014, "Connected Components in MapReduce and
+    # Beyond" — public algorithm, re-expressed as DataFrame ops).
+    # Converges in O(log n) rounds instead of min-label propagation's
+    # O(diameter): a 10M-node path graph needs ~24 rounds here vs 10M
+    # there. Each round is two groupBy+join pairs; frames checkpointed
+    # so lineage stays O(1) (reliable checkpoint() on a cluster).
+    #
+    # large-star: every node u hooks its strictly-LARGER neighbors to
+    #   m(u) = min(Γ(u) ∪ {u}); output edges all satisfy _src > _dst.
+    # small-star: on parent pointers (all _src > _dst), node u re-hooks
+    #   itself and all its parents/smaller neighbors to their min.
+    # Invariant: connectivity preserved; fixpoint = star per component
+    # rooted at the component min.
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        ).distinct()
+        m = (
+            sym.groupBy("_src")
+            .agg(F.min("_dst").alias("_nmin"))
+            .select("_src", F.least("_src", "_nmin").alias("_m"))
         )
+        return (
+            sym.join(m, "_src")
+            .filter(F.col("_dst") > F.col("_src"))
+            .select(F.col("_dst").alias("_src"), F.col("_m").alias("_dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # input invariant: _src > _dst for every edge
+        m = e.groupBy("_src").agg(F.min("_dst").alias("_m"))
+        hooked = e.join(m, "_src").select(
+            F.col("_dst").alias("_src"), F.col("_m").alias("_dst")
+        )
+        self_hook = m.select("_src", F.col("_m").alias("_dst"))
+        return (
+            hooked.union(self_hook)
+            .filter(F.col("_src") != F.col("_dst"))
+            .distinct()
+        )
+
+    # Isolated/self-loop-only nodes never enter the star rounds; they
+    # rejoin as their own component at the end.
+    all_nodes = (
+        oriented.select(F.col("_src").alias("node"))
+        .union(oriented.select(F.col("_dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    # Singleton-free vertex set: isolated nodes are their own component
-    # and never need to enter the iterative joins.
-    labels = (
-        edges.select(F.col("_src").alias("_id"))
-        .distinct()
-        .withColumn("cluster", F.col("_id"))
-        .localCheckpoint()
-    )
+    e = oriented.filter(F.col("_src") != F.col("_dst")).localCheckpoint()
     converged = False
+    prev_n = -1
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges._dst == labels._id)
-            .groupBy("_src")
-            .agg(F.min("cluster").alias("_nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels._id == neighbor_min._src, "left")
-            .select(
-                "_id",
-                F.col("cluster").alias("_old"),
-                F.least(
-                    F.col("cluster"), F.coalesce("_nmin", F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(F.col("cluster") != F.col("_old")).limit(1).count()
-        labels = new_labels.drop("_old")
-        if changed == 0:
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        n2 = e2.count()
+        # Fixpoint test (exact): both frames are distinct sets, so
+        # equal counts + empty one-sided difference ⇔ set equality.
+        if n2 == prev_n and e2.exceptAll(e).limit(1).count() == 0:
             converged = True
+            e = e2
             break
+        e, prev_n = e2, n2
     if not converged:
-        # A component whose label-propagation radius exceeds max_iter
-        # would otherwise return silently-wrong labels.
         import warnings
 
         warnings.warn(
-            f"connected_components: min-label propagation did not "
-            f"converge in {max_iter} iterations — returned labels may "
-            f"merge further; raise max_iter (graph diameter bound).",
+            f"connected_components: star contraction did not converge "
+            f"in {max_iter} rounds — returned labels may merge further; "
+            f"raise max_iter (bound is O(log n) rounds).",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("_id").alias("node"), F.col("cluster").alias("component"))
+    # Fixpoint is a star per component: every non-root points straight
+    # at the component min. groupBy-min is a no-op safety net there and
+    # the right merge if we stopped at max_iter unconverged.
+    labels = e.groupBy("_src").agg(F.min("_dst").alias("_comp"))
+    return (
+        all_nodes.join(labels, all_nodes.node == labels._src, "left")
+        .select(
+            "node", F.coalesce("_comp", F.col("node")).alias("component")
+        )
+    )
 
 
 def kcore(
@@ -1232,29 +1263,15 @@ def dbscan(
         .distinct()
     )
 
-    parent: dict[str, str] = {}
-
-    def find(u: str) -> str:
-        while parent.setdefault(u, u) != u:
-            parent[u] = parent[parent[u]]
-            u = parent[u]
-        return u
-
-    for ca, cb in edges.collect():
-        ra, rb = find(ca), find(cb)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    roots = {c: find(c) for c in list(parent)}
-    # Arrow-path upload (pandas → DataFrame): a plain createDataFrame
-    # over a Python list pays a pickled-parallelize Spark job — ~10×
-    # slower to first use than the Arrow batch conversion.
-    mapping = spark.createDataFrame(
-        pd.DataFrame(
-            list(roots.items()) or [("__none__", "__none__")],
-            columns=["_local_cid", "cluster"],
-        )
+    # Border-merge through the gated CC kernel: cluster-FRAGMENT pairs,
+    # not points — tiny at every tested scale, but at 100 TB a grid
+    # with millions of fragments would overwhelm an unconditional
+    # driver collect. connected_components applies the
+    # driver_max_edges gate (local union-find below it, distributed
+    # star contraction above), so DBSCAN inherits the same escape
+    # hatch as every other merge in the package.
+    mapping = connected_components(edges, "_cid_a", "_cid_b").select(
+        F.col("node").alias("_local_cid"), F.col("component").alias("cluster")
     )
     return (
         local.join(broadcast(mapping), "_local_cid", "left")
@@ -1735,8 +1752,12 @@ def convex_hull(df: DataFrame, id_col: str, x: str, y: str) -> DataFrame:
             }
         )
 
+    # Derive the group-key type from the input schema (as
+    # connected_components does) — a hardcoded BIGINT would miscast or
+    # fail for string/int32 object ids.
+    key_type = df.schema[id_col].dataType.simpleString()
     return df.groupBy(id_col).applyInPandas(
-        hull, f"{id_col} BIGINT, n_hull_points BIGINT, hull_area DOUBLE"
+        hull, f"{id_col} {key_type}, n_hull_points BIGINT, hull_area DOUBLE"
     )
 
 
@@ -1860,6 +1881,15 @@ def heavy_hitters(
         raise ValueError(
             f"cap ({cap}) must exceed pct ({pct}) for candidate completeness"
         )
+
+    # Normalize BEFORE sketching: a null array would crash len(); a null
+    # ELEMENT would collide with the NULL-token totals sentinel below —
+    # the groupBy would merge it into n_total and silently shift the
+    # threshold for every result. JVM-side array_compact + isNotNull
+    # keeps the sentinel unambiguous; both passes read the same frame.
+    df = df.select(F.array_compact(F.col(tokens_col)).alias(tokens_col)).filter(
+        F.col(tokens_col).isNotNull()
+    )
 
     def mg_partial(batches):
         ctr: dict = {}

@@ -40,6 +40,8 @@ def fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: fixes() projects 3 narrow columns out of the wide events
     # table, and a 2-column row-group decode beats re-reading every
     # cached column batch (measured: i12 0.81 s scan vs 1.17 s cache).
+    # In bench mode _scan serves a multi-file split copy of events so
+    # the cold narrow decode parallelizes (sources._split_copy).
     from glonassdatamining_spark.sources import _scan
 
     ev = _scan(spark, sf_dir, "events")

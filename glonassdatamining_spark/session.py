@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(16g, ~70% of MemTotal), floored at 2g — big enough for the
+    sf0.1 bench on the 16g+ machines, degrades instead of OOM-killing
+    on smaller hosts."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(16, int(total_gib * 0.7)))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(app_name: str = "glonassdatamining-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -59,14 +74,21 @@ def get_spark(app_name: str = "glonassdatamining-spark") -> SparkSession:
         .config("spark.driver.maxResultSize", "2g")
         # Local mode: the driver JVM IS the executor. Spark's 1g default
         # heap OOMs once the sf0.1 mirror accumulates localCheckpoint
-        # blocks plus a multi-million-row Arrow collect (c14) — size the
-        # heap to the machine (only effective before JVM launch, which
-        # is exactly how the session factory is used).
+        # blocks plus a multi-million-row Arrow collect (c14). Default:
+        # min(16g, ~70% of physical RAM) — fixed 16g would let the JVM
+        # get OOM-killed on smaller hosts; env-overridable either way.
+        # (Only effective before JVM launch, which is exactly how the
+        # session factory is used.)
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
-        # ANSI off: TPC-H-ish fixtures are clean; oracle SQL is ANSI anyway.
+        # ANSI ON, deliberately (Spark 4 default, set explicitly so the
+        # posture is pinned, not inherited): every operator already
+        # guards its casts/divisions (try_divide / try_cast where input
+        # can be dirty), and failing loudly on an unguarded overflow
+        # beats DuckDB-divergent silent NULLs in the oracle compare.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

@@ -41,7 +41,15 @@ def _sweep_staging(prefix: str) -> None:
 def _staged_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """readStream over a staged copy of events.parquet (FileStreamSource
     needs a directory), with the same ns→ms normalization as the batch
-    loader."""
+    loader.
+
+    INVARIANT: stages exactly ONE file and sets no maxFilesPerTrigger,
+    so an availableNow drain runs as a SINGLE micro-batch. l12 depends
+    on this (its complete-mode chained aggregate disables the global
+    watermark check, which is only sound when no second batch can
+    observe re-emitted state) and asserts it post-drain — if this
+    helper ever stages multiple files / batches like l4's pattern,
+    route l12 to its own single-file staging instead."""
     sf = os.path.basename(sf_dir.rstrip("/"))
     _sweep_staging(f"stream_src_{sf}_")
     src = f"/root/repo/.tmpdata/stream_src_{sf}_{uuid.uuid4().hex[:8]}"
@@ -51,9 +59,18 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, 
     return raw.withColumn("ts", F.date_trunc("millisecond", F.col("ts"))), src
 
 
-def _drain_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _drain_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    expect_single_batch: bool = False,
+) -> DataFrame:
     """Run the streaming query to completion (availableNow) into a
-    memory sink; return the materialized result table."""
+    memory sink; return the materialized result table.
+
+    ``expect_single_batch=True`` asserts all input rows arrived in ONE
+    micro-batch — the invariant l12's disabled watermark check rests on
+    (see _staged_events_stream)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
@@ -63,7 +80,40 @@ def _drain_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataF
         .start()
     )
     q.awaitTermination(180)
+    if expect_single_batch:
+        data_batches = [
+            p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        ]
+        if len(data_batches) > 1:
+            raise AssertionError(
+                f"{name}: expected a single-batch drain, got "
+                f"{len(data_batches)} data batches — the complete-mode "
+                "re-emit reasoning no longer holds"
+            )
     return spark.table(name)
+
+
+def _with_rocksdb_state_store(spark: SparkSession, thunk):
+    """Run ``thunk()`` with the RocksDB state-store provider — the
+    store that keeps a 100× state-size streaming job off the executor
+    heap (changelog-checkpointed native store vs the default in-memory
+    HDFS-backed map). Pure conf swap: the query code is untouched,
+    which is exactly the claim worth testing (results must be
+    bit-identical across providers). Restores the prior provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return thunk()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def l1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,6 +128,14 @@ def l1_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
     )
     return _drain_to_memory(agg, f"l1_mem_{uuid.uuid4().hex[:8]}", "complete")
+
+
+def l1b_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1's tumbling-window aggregate on the RocksDB state store — the
+    production store for large state. Same query code as l1_streaming;
+    only the provider conf differs, and the test asserts the results
+    are identical to the default-store run."""
+    return _with_rocksdb_state_store(spark, lambda: l1_streaming(spark, sf_dir))
 
 
 def l2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,19 +335,10 @@ def l7b_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transformWithState requires the RocksDB state store provider (the
     # recommended store at scale anyway; default HDFS-backed store is
     # unsupported for this operator).
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    return _with_rocksdb_state_store(
+        spark,
+        lambda: _drain_to_memory(out, f"l7b_mem_{uuid.uuid4().hex[:8]}", "update"),
     )
-    try:
-        return _drain_to_memory(out, f"l7b_mem_{uuid.uuid4().hex[:8]}", "update")
-    finally:
-        if old is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, old)
 
 
 def l9_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +522,11 @@ def l12_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
     try:
-        return _drain_to_memory(agg, f"l12_mem_{_uuid.uuid4().hex[:8]}", "complete")
+        return _drain_to_memory(
+            agg,
+            f"l12_mem_{_uuid.uuid4().hex[:8]}",
+            "complete",
+            expect_single_batch=True,
+        )
     finally:
         spark.conf.set(key, prev)

@@ -24,6 +24,50 @@ def test_connected_components_empty(spark):
     assert connected_components(edges, "src", "dst").count() == 0
 
 
+def _py_components(edges: list) -> dict:
+    """Reference union-find: {node: min-member-of-component}."""
+    parent: dict = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def test_cc_distributed_star_matches_union_find(spark):
+    """driver_max_edges=0 forces the large-star/small-star distributed
+    path; on seeded random graphs (plus a long path — the O(diameter)
+    killer) its labels must equal the union-find reference, and a path
+    of 120 nodes must converge well inside max_iter=20 rounds
+    (O(log n), not O(n))."""
+    import random
+
+    rng = random.Random(42)
+    cases = [
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(120)],
+        [(i, i + 1) for i in range(119)],  # 120-node path: diameter 119
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                df, "src", "dst", driver_max_edges=0
+            ).collect()
+        }
+        assert got == _py_components(edges)
+
+
 def test_pagerank_matches_power_iteration(spark):
     # Directed 4-node graph with a dangling node (4 has no out-edges).
     e = [(1, 2), (1, 3), (2, 3), (3, 4)]

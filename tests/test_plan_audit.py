@@ -59,6 +59,47 @@ CARTESIAN_ALLOWED = {
 }
 
 
+# Known-bounded driver-side .collect() sites — each pulls a scalar, a
+# constant-size dimension, or rides behind the driver_max_edges gate.
+# Any NEW collect in the package must either be added here with a
+# bounded-size justification or routed through a gated/distributed
+# path (api.connected_components is the template).
+COLLECT_ALLOWED = {
+    ("sources/scans.py", "DESCRIBE EXTENDED"),   # catalog-stats rows (a12)
+    ("sources/scans.py", 'load(spark, sf_dir, "nation")'),  # 25-row dim
+    ("api.py", "oriented.collect()"),            # ≤ driver_max_edges, gated
+    ("api.py", 'sym.agg(F.min("_src"))'),        # 1-row scalar seed
+    ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
+}
+
+
+def test_no_ungated_driver_collect():
+    """Source-level sweep: every .collect() in the package must be in
+    the bounded allowlist above — an unlisted one is a driver-side
+    bottleneck waiting for 100 TB (the DBSCAN border merge was exactly
+    this class until routed through connected_components)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "glonassdatamining_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" not in line:
+                continue
+            ctx = "\n".join(
+                py.read_text().splitlines()[max(0, i - 2): i]
+            )
+            if not any(
+                rel == f and marker in ctx for f, marker in COLLECT_ALLOWED
+            ):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        "ungated .collect() outside the bounded allowlist:\n"
+        + "\n".join(offenders)
+    )
+
+
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
 def test_plan_has_no_scale_hazard(spark, name):
     plan = _plan(spark, name)

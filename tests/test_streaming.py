@@ -22,6 +22,31 @@ def test_l1_stream_equals_batch(spark):
     compare_frames(got, want, "l1_stream_vs_batch")
 
 
+def test_l1b_rocksdb_state_store_equals_default(spark):
+    """The RocksDB state-store provider (the 100×-state production
+    store) must produce results identical to the default HDFS-backed
+    store — same query code, conf-only swap, and the conf must actually
+    be set during the run."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    observed = {}
+    orig = live.l1_streaming
+
+    def spying_l1(spark_, sf_dir_):
+        observed["provider"] = spark_.conf.get(key, "")
+        return orig(spark_, sf_dir_)
+
+    live.l1_streaming, got = spying_l1, None
+    try:
+        got = live.l1b_streaming_rocksdb(spark, SF_DIR).toPandas()
+    finally:
+        live.l1_streaming = orig
+    assert "RocksDBStateStoreProvider" in observed["provider"]
+    # restored after the run
+    assert "RocksDB" not in (spark.conf.get(key, "") or "")
+    want = _twin(spark, "l1_tumbling_window")
+    compare_frames(got, want, "l1b_rocksdb_vs_batch")
+
+
 def test_l2_stream_equals_batch(spark):
     got = live.l2_streaming(spark, SF_DIR).toPandas()
     want = _twin(spark, "l2_sliding_window")[["w_start", "n"]]
