@@ -57,6 +57,9 @@ HEADLINE = [
     "i24_snap_to_poi",        # literal-POI argmin snap (join-free)
     "e14_sequence_pattern",   # regex-over-rows behavioral patterns
     "l12_chained_windows",    # two-level windowed rollup
+    # round-3 additions (BASELINE.md: geometry tier, no earlier baseline):
+    "i30_polygon_intersect_pairs",  # grid-bucketed polygon-polygon join
+    "i31_path_self_intersections",  # O(m²)-in-row segment crossing scan
 ]
 
 
@@ -90,7 +93,10 @@ def main() -> None:
         builder = queries[name]
         materialize(builder(spark, sf_dir))  # warm JVM/IO once
         best = float("inf")
-        for _ in range(2):  # min-of-2: damps scheduler/GC noise (~±20%)
+        # min-of-3: the shared bench host carries external load spikes
+        # of ±50%; three samples keep the min near the true cost where
+        # two often caught a spike twice.
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(builder(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

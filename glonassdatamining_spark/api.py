@@ -436,6 +436,7 @@ def set_similarity_topk(
     item_col: str,
     k: int,
     round_to: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar objects per object by Jaccard over item sets
     (similarity > 0), from an (object, item) membership table; returns
@@ -443,12 +444,32 @@ def set_similarity_topk(
 
     Inverted-index join: equi-join on item, count co-occurrences per
     pair, jaccard = inter / (|a| + |b| − inter). Pure equi-join/groupBy
-    — scales to millions of objects where all-pairs cannot. Skew
-    hazard: ultra-frequent items; IDF-prune them upstream.
+    — scales to millions of objects where all-pairs cannot.
 
     ``round_to`` rounds jaccard BEFORE ranking (tie-break obj_b) so an
     oracle ranking on rounded values cannot diverge.
+
+    ``max_df`` is the IDF-pruning skew lever: items that appear in more
+    than ``max_df`` object sets (depot cells, boilerplate shingles) are
+    dropped BEFORE set construction, on both sides symmetrically — the
+    similarity becomes Jaccard over the discriminative items only
+    (classic IDF rationale: a feature shared by everyone ranks no one),
+    and the hot item's O(df²) pair blow-up never enters the join.
+    Default None = exact Jaccard; at 100 TB set max_df ≈ a small
+    multiple of the expected pair-count budget per item.
     """
+    memb = pairs.select(
+        F.col(obj_col).alias("_obj"), F.col(item_col).alias("_item")
+    )
+    if max_df is not None:
+        df_counts = (
+            memb.distinct()
+            .groupBy("_item")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_item")
+        )
+        memb = memb.join(broadcast(df_counts), "_item", "left_anti")
     # Dedup + set size in ONE shuffle: groupBy obj → collect_set (the
     # partial/map-side combine dedups before the exchange), size() is
     # free on the set, explode back to memberships narrowly. This beats
@@ -456,7 +477,7 @@ def set_similarity_topk(
     # then picks sizes up for free (min of a per-group constant) — no
     # post-aggregation size join at all.
     oc = (
-        pairs.select(F.col(obj_col).alias("_obj"), F.col(item_col).alias("_item"))
+        memb
         .groupBy("_obj")
         .agg(F.collect_set("_item").alias("_items"))
         .select("_obj", F.size("_items").alias("_sz"), F.explode("_items").alias("_item"))

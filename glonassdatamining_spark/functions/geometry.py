@@ -1,0 +1,223 @@
+"""Vector-geometry kernel (the Sedona/JTS tier of the STARK surface,
+re-expressed as pure Catalyst expressions — SURVEY §2.I extension).
+
+Reference capability: WKT ingest, polygon/polyline predicates and
+measures over GNSS geometry (reconstructed; reference tree empty —
+SURVEY.md §0). Spark-first: every function below is built from JVM
+higher-order functions (``transform`` / ``filter`` / ``exists`` /
+``aggregate``) over ``array<struct<x,y>>`` rings — whole-stage
+codegen'd, zero Python, zero shuffle, usable inside any filter/join
+condition. Geometries are columns, so the same predicates run per-row
+against millions of distinct polygons (vs the literal-polygon tier in
+``api.point_in_polygon``).
+
+Scale notes (100 TB): predicates cost O(V) or O(V·W) per row in ring
+size — narrow CPU work that scales linearly with the scan. Pair-finding
+across geometries must still ride a grid/bbox candidate join (see
+i30's cell-bucketed pattern); these kernels are the exact-verify step,
+never the candidate generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_NUM = r"(-?\d+(?:\.\d+)?)"
+
+
+def st_point_from_wkt(wkt: Column | str) -> Column:
+    """Parse ``POINT (x y)`` WKT into ``struct<x:double, y:double>``.
+    Pure regexp_extract — malformed input yields nulls, not errors
+    (quarantine upstream with a16's pattern if needed)."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    pat = rf"^\s*POINT\s*\(\s*{_NUM}\s+{_NUM}\s*\)\s*$"
+    return F.struct(
+        F.regexp_extract(c, pat, 1).try_cast("double").alias("x"),
+        F.regexp_extract(c, pat, 2).try_cast("double").alias("y"),
+    )
+
+
+def _coords_to_ring(body: Column) -> Column:
+    """'x1 y1, x2 y2, ...' → array<struct<x,y>>."""
+    return F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda p: F.struct(
+            F.element_at(F.split(F.trim(p), r"\s+"), 1)
+            .try_cast("double")
+            .alias("x"),
+            F.element_at(F.split(F.trim(p), r"\s+"), 2)
+            .try_cast("double")
+            .alias("y"),
+        ),
+    )
+
+
+def st_linestring_from_wkt(wkt: Column | str) -> Column:
+    """Parse ``LINESTRING (x1 y1, x2 y2, ...)`` into an
+    ``array<struct<x,y>>`` vertex sequence."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    body = F.regexp_extract(c, r"^\s*LINESTRING\s*\(([^)]*)\)\s*$", 1)
+    return F.when(body != "", _coords_to_ring(body))
+
+
+def st_ring_from_wkt(wkt: Column | str) -> Column:
+    """Parse the OUTER ring of ``POLYGON ((x1 y1, ...))`` into an
+    ``array<struct<x,y>>``. WKT rings repeat the first vertex last;
+    the duplicate closing vertex is dropped so the result matches the
+    open-ring convention ``ring_edges`` expects. Holes (inner rings)
+    are out of scope — document tier, not implemented."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    body = F.regexp_extract(c, r"^\s*POLYGON\s*\(\s*\(([^)]*)\)", 1)
+    ring = _coords_to_ring(body)
+    first = F.element_at(ring, 1)
+    last = F.element_at(ring, -1)
+    closed = (first.x == last.x) & (first.y == last.y)
+    return F.when(
+        body != "",
+        F.when(closed, F.slice(ring, 1, F.size(ring) - 1)).otherwise(ring),
+    )
+
+
+def ring_edges(ring: Column) -> Column:
+    """Open ring ``array<struct<x,y>>`` → closed edge array
+    ``array<struct<x1,y1,x2,y2>>`` (wrap-around edge included) — the
+    per-ROW twin of ``api.polygon_edges`` (which builds a literal)."""
+    n = F.size(ring)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(ring, i).x.alias("x1"),
+            F.element_at(ring, i).y.alias("y1"),
+            F.element_at(ring, (i % n) + 1).x.alias("x2"),
+            F.element_at(ring, (i % n) + 1).y.alias("y2"),
+        ),
+    )
+
+
+def st_area(ring: Column) -> Column:
+    """Shoelace area of a simple open ring (absolute value). Left fold
+    in vertex order — deterministic float accumulation."""
+    return F.abs(
+        F.aggregate(
+            ring_edges(ring),
+            F.lit(0.0),
+            lambda acc, e: acc + (e.x1 * e.y2 - e.x2 * e.y1),
+        )
+    ) / F.lit(2.0)
+
+
+def st_length(line: Column) -> Column:
+    """Polyline length: sum of consecutive-vertex distances."""
+    n = F.size(line)
+    seg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.sqrt(
+            (F.element_at(line, i + 1).x - F.element_at(line, i).x)
+            * (F.element_at(line, i + 1).x - F.element_at(line, i).x)
+            + (F.element_at(line, i + 1).y - F.element_at(line, i).y)
+            * (F.element_at(line, i + 1).y - F.element_at(line, i).y)
+        ),
+    )
+    return F.aggregate(seg, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def st_contains_point(ring: Column, x: Column, y: Column) -> Column:
+    """Strict even-odd containment of (x, y) in an open-ring COLUMN —
+    the per-row-polygon twin of ``api.point_in_polygon``."""
+    crossings = F.size(
+        F.filter(
+            ring_edges(ring),
+            lambda e: ((e.y1 > y) != (e.y2 > y))
+            & (x < e.x1 + (y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)),
+        )
+    )
+    return crossings % 2 == 1
+
+
+def _cross(ox, oy, px, py, qx, qy):
+    """Cross product (p − o) × (q − o); sign = turn direction."""
+    return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+
+def _on_segment(px, py, qx, qy, rx, ry):
+    """Given r collinear with p→q: does r lie within the bbox of pq?"""
+    return (
+        (rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+        & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy))
+    )
+
+
+def segments_intersect(a, b) -> Column:
+    """Inclusive segment intersection for two edge structs
+    (x1,y1,x2,y2): true on proper crossings AND endpoint/collinear
+    touches — the classic orientation test, as Column arithmetic."""
+    d1 = _cross(b.x1, b.y1, b.x2, b.y2, a.x1, a.y1)
+    d2 = _cross(b.x1, b.y1, b.x2, b.y2, a.x2, a.y2)
+    d3 = _cross(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1)
+    d4 = _cross(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2)
+    proper = (
+        ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+        & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+    )
+    touch = (
+        ((d1 == 0) & _on_segment(b.x1, b.y1, b.x2, b.y2, a.x1, a.y1))
+        | ((d2 == 0) & _on_segment(b.x1, b.y1, b.x2, b.y2, a.x2, a.y2))
+        | ((d3 == 0) & _on_segment(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1))
+        | ((d4 == 0) & _on_segment(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2))
+    )
+    return proper | touch
+
+
+def st_intersects_polygon(ring_a: Column, ring_b: Column) -> Column:
+    """Polygon–polygon intersection (inclusive): any boundary edges
+    cross/touch, or one polygon contains the other (tested via one
+    representative vertex each — sufficient once no edges cross).
+    O(V·W) per row, codegen'd; use a bbox/grid candidate join to keep
+    the pair count linear before applying this."""
+    ea, eb = ring_edges(ring_a), ring_edges(ring_b)
+    edges_cross = F.exists(
+        ea, lambda a: F.exists(eb, lambda b: segments_intersect(a, b))
+    )
+    a0, b0 = F.element_at(ring_a, 1), F.element_at(ring_b, 1)
+    return (
+        edges_cross
+        | st_contains_point(ring_b, a0.x, a0.y)
+        | st_contains_point(ring_a, b0.x, b0.y)
+    )
+
+
+def st_intersects_linestring(line_a: Column, line_b: Column) -> Column:
+    """Polyline–polyline intersection (inclusive): any segment pair
+    crosses or touches."""
+
+    def segs(line):
+        n = F.size(line)
+        return F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(line, i).x.alias("x1"),
+                F.element_at(line, i).y.alias("y1"),
+                F.element_at(line, i + 1).x.alias("x2"),
+                F.element_at(line, i + 1).y.alias("y2"),
+            ),
+        )
+
+    return F.exists(
+        segs(line_a),
+        lambda a: F.exists(segs(line_b), lambda b: segments_intersect(a, b)),
+    )
+
+
+def st_bbox(ring: Column) -> Column:
+    """Axis-aligned bounding box of a ring/linestring column:
+    struct<x0,y0,x1,y1> — the standard prefilter before any exact
+    predicate."""
+    xs = F.transform(ring, lambda p: p.x)
+    ys = F.transform(ring, lambda p: p.y)
+    return F.struct(
+        F.array_min(xs).alias("x0"),
+        F.array_min(ys).alias("y0"),
+        F.array_max(xs).alias("x1"),
+        F.array_max(ys).alias("y1"),
+    )

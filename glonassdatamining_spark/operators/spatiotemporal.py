@@ -35,23 +35,42 @@ FIXES_CTE = (
 )
 
 
+_FIXES_CACHE: dict = {}
+
+
 def fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Always the pruned parquet scan, never the bench's hot-table
-    # cache: fixes() projects 3 narrow columns out of the wide events
-    # table, and a 2-column row-group decode beats re-reading every
-    # cached column batch (measured: i12 0.81 s scan vs 1.17 s cache).
-    # In bench mode _scan serves a multi-file split copy of events so
-    # the cold narrow decode parallelizes (sources._split_copy).
+    # Correctness runs: the pruned parquet scan of the fixture.
+    # Bench runs (SPARK_GRAFT_CACHE_TABLES=1): THIS narrow projection
+    # persisted once, spread over all cores — the fixture file is
+    # single-row-group, so a cold scan pins every i-query's whole
+    # first codegen stage (decode, x/y arithmetic, explode, partial
+    # agg) to ONE core. A/B on a warmed JVM: cached projection 0.83 s
+    # vs 1.10 s multi-file split scan vs 0.92 s wide-events cache on
+    # i12 — the ~4 MB 5-column cache wins because it skips decode
+    # without paying full-row cache re-reads.
+    import os
+
     from glonassdatamining_spark.sources import _scan
 
-    ev = _scan(spark, sf_dir, "events")
-    return ev.select(
-        F.col("user_id").alias("obj_id"),
-        "event_id",
-        "ts",
-        ((F.col("event_id") * 7919 % 100000).cast("double") / 1000.0).alias("x"),
-        ((F.col("event_id") * 104729 % 100000).cast("double") / 1000.0).alias("y"),
-    )
+    def build() -> DataFrame:
+        ev = _scan(spark, sf_dir, "events")
+        return ev.select(
+            F.col("user_id").alias("obj_id"),
+            "event_id",
+            "ts",
+            ((F.col("event_id") * 7919 % 100000).cast("double") / 1000.0).alias("x"),
+            ((F.col("event_id") * 104729 % 100000).cast("double") / 1000.0).alias("y"),
+        )
+
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES"):
+        if sf_dir not in _FIXES_CACHE:
+            _FIXES_CACHE[sf_dir] = (
+                build()
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist()
+            )
+        return _FIXES_CACHE[sf_dir]
+    return build()
 
 
 def _dist(x1, y1, x2, y2):
@@ -423,9 +442,11 @@ def i11_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a shuffle-compatible equi-join/groupBy, so it scales to millions
     of objects where a broadcast all-pairs cannot. The oracle is the
     brute-force all-pairs form, proving the index loses no pairs.
-    At 100 TB: stop-cell skew (depots) is the hazard — cap or drop
-    ultra-high-document-frequency cells (IDF pruning), or AQE skew
-    splits the hot cell partitions."""
+    At 100 TB: stop-cell skew (depots) is the hazard — pass
+    ``max_df`` to IDF-prune ultra-high-document-frequency cells (the
+    kernel's skew lever, unit-tested against a python reference in
+    tests/test_api.py); kept exact (None) here so the brute-force
+    oracle hash stays binding."""
     from glonassdatamining_spark.api import set_similarity_topk
 
     f = fixes(spark, sf_dir)
@@ -484,6 +505,11 @@ def i12_hotspot_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("y") / _GI_CELL).cast("bigint").alias("cy"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        # Three consumers (neighbor explode, occupied-cell join-back,
+        # global moments): materialize the tiny cell table once instead
+        # of betting on exchange reuse across the AQE re-plans — the
+        # 100k→400 aggregation is the only non-trivial stage here.
+        .localCheckpoint()
     )
     contrib = cells.select(
         F.explode(
@@ -491,17 +517,28 @@ def i12_hotspot_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     (F.col("cx") + dx).alias("cx"),
                     (F.col("cy") + dy).alias("cy"),
+                    F.lit(dx == 0 and dy == 0).alias("self"),
                 )
                 for dx in (-1, 0, 1)
                 for dy in (-1, 0, 1)
             ])
         ).alias("t"),
         "n",
-    ).select(F.col("t.cx").alias("cx"), F.col("t.cy").alias("cy"), "n")
+    ).select(
+        F.col("t.cx").alias("cx"), F.col("t.cy").alias("cy"),
+        F.col("t.self").alias("self"), "n",
+    )
+    # "occupied" = received a (0,0)-offset contribution — replaces the
+    # join-back against the cell table with a flag in the same groupBy
+    # (one fewer join stage; identical result set).
     neigh = (
         contrib.groupBy("cx", "cy")
-        .agg(F.sum("n").alias("wsum"), F.count(F.lit(1)).alias("w"))
-        .join(cells.select("cx", "cy"), ["cx", "cy"])
+        .agg(
+            F.sum("n").alias("wsum"),
+            F.count(F.lit(1)).alias("w"),
+            F.max("self").alias("_occ"),
+        )
+        .filter(F.col("_occ"))
     )
     glob = cells.agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -1603,4 +1640,320 @@ def i28_trajectory_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obj_id",
             F.coalesce("component", F.col("obj_id")).alias("cluster"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# I29–I32: vector-geometry tier (WKT + polygon/polyline predicates) —
+# the Sedona/JTS area VERDICT r02 listed as the one declared-out STARK
+# surface; kernels in functions/geometry.py (pure Catalyst HOFs).
+# ---------------------------------------------------------------------------
+
+@register(
+    "i29_wkt_point_parse",
+    oracle=(
+        EVENTS_CTE + " SELECT event_id, "
+        "CAST(event_id * 7919 % 100000 AS DOUBLE) / 1000.0 AS x, "
+        "CAST(event_id * 104729 % 100000 AS DOUBLE) / 1000.0 AS y "
+        "FROM events"
+    ),
+    section="I29",
+)
+def i29_wkt_point_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT POINT ingest round-trip: serialize each event's position as
+    a ``POINT (mx my)`` string (integer milli-coordinates — exact in
+    both engines), parse it back with the JVM regexp parser, and
+    rescale. The oracle is the DIRECT coordinate computation, so any
+    parser defect (wrong group, lost sign, swapped axis) breaks the
+    hash. Pure codegen'd string work — at 100 TB this is the ingest
+    path for WKT-bearing logs, no Python in the plan."""
+    from glonassdatamining_spark.functions.geometry import st_point_from_wkt
+    from glonassdatamining_spark.sources import load
+
+    ev = load(spark, sf_dir, "events")
+    mx = (F.col("event_id") * 7919 % 100000).cast("bigint")
+    my = (F.col("event_id") * 104729 % 100000).cast("bigint")
+    wkt = F.concat(
+        F.lit("POINT ("), mx.cast("string"), F.lit(" "),
+        my.cast("string"), F.lit(")"),
+    )
+    return (
+        ev.select("event_id", st_point_from_wkt(wkt).alias("_pt"))
+        .select(
+            "event_id",
+            (F.col("_pt.x") / 1000.0).alias("x"),
+            (F.col("_pt.y") / 1000.0).alias("y"),
+        )
+    )
+
+
+_DIAMOND_CELL = 5.5  # > max diamond diameter (2 * 2.50025)
+
+
+@register(
+    "i30_polygon_intersect_pairs",
+    oracle=(
+        FIXES_CTE
+        + ", ctr AS (SELECT obj_id, arg_min(x, event_id) AS cx, "
+        "arg_min(y, event_id) AS cy, "
+        "1.00025 + (obj_id % 7) / 4.0 AS r FROM fixes GROUP BY obj_id) "
+        "SELECT a.obj_id AS obj_a, b.obj_id AS obj_b FROM ctr a JOIN ctr b "
+        "ON a.obj_id < b.obj_id "
+        "AND abs(a.cx - b.cx) + abs(a.cy - b.cy) <= a.r + b.r"
+    ),
+    section="I30",
+)
+def i30_polygon_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon–polygon intersection join: each object owns a diamond
+    (rotated square) centered on its first fix, radius keyed to
+    obj_id (k/4 steps — exact binary fractions); report all
+    intersecting pairs. The Spark side runs the
+    GENERAL ``st_intersects_polygon`` kernel (edge crossings + mutual
+    containment) over grid-bucketed candidates — the oracle uses the
+    INDEPENDENT L1-ball characterization (two diamonds intersect iff
+    the L1 distance of centers ≤ r_a + r_b), so the hash validates the
+    geometry kernel against a different algorithm, not a float mirror.
+    The 0.00025 radius offset keeps every pair ≥ 0.0005 away from the
+    touch boundary — ulp-proof on both sides.
+
+    Scale shape: centers bucket into cells > max diameter; the
+    half-neighborhood probe (own + 4 forward cells) surfaces each
+    unordered candidate pair exactly once; the O(V·W) exact predicate
+    runs only on candidates. Same plan at 10⁹ polygons."""
+    from glonassdatamining_spark.functions.geometry import st_intersects_polygon
+
+    f = fixes(spark, sf_dir)
+    ctr = (
+        f.groupBy("obj_id")
+        .agg(
+            F.min_by("x", "event_id").alias("cx"),
+            F.min_by("y", "event_id").alias("cy"),
+        )
+        .withColumn("r", F.lit(1.00025) + (F.col("obj_id") % 7) / 4.0)
+    )
+    ring = F.array(
+        F.struct((F.col("cx") + F.col("r")).alias("x"), F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"), (F.col("cy") + F.col("r")).alias("y")),
+        F.struct((F.col("cx") - F.col("r")).alias("x"), F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+    )
+    geoms = ctr.select(
+        "obj_id",
+        ring.alias("ring"),
+        F.floor(F.col("cx") / _DIAMOND_CELL).cast("bigint").alias("gx"),
+        F.floor(F.col("cy") / _DIAMOND_CELL).cast("bigint").alias("gy"),
+    ).localCheckpoint()
+    fwd = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+        ]
+    )
+    probe = geoms.withColumn("_o", F.explode(fwd)).select(
+        F.col("obj_id").alias("_a"),
+        F.col("ring").alias("_ring_a"),
+        (F.col("gx") + F.col("_o.dx")).alias("gx"),
+        (F.col("gy") + F.col("_o.dy")).alias("gy"),
+        ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_self"),
+    )
+    build = geoms.select(
+        F.col("obj_id").alias("_b"), F.col("ring").alias("_ring_b"), "gx", "gy"
+    )
+    return (
+        probe.join(build, ["gx", "gy"])
+        .filter(
+            (F.col("_a") != F.col("_b"))
+            & (~F.col("_self") | (F.col("_a") < F.col("_b")))
+            & st_intersects_polygon(F.col("_ring_a"), F.col("_ring_b"))
+        )
+        .select(
+            F.least("_a", "_b").alias("obj_a"),
+            F.greatest("_a", "_b").alias("obj_b"),
+        )
+    )
+
+
+_SEG_INTERSECT_SQL = """
+    (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+     AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+    OR (d1 = 0 AND s.x1 BETWEEN least(t.x1, t.x2) AND greatest(t.x1, t.x2)
+                AND s.y1 BETWEEN least(t.y1, t.y2) AND greatest(t.y1, t.y2))
+    OR (d2 = 0 AND s.x2 BETWEEN least(t.x1, t.x2) AND greatest(t.x1, t.x2)
+                AND s.y2 BETWEEN least(t.y1, t.y2) AND greatest(t.y1, t.y2))
+    OR (d3 = 0 AND t.x1 BETWEEN least(s.x1, s.x2) AND greatest(s.x1, s.x2)
+                AND t.y1 BETWEEN least(s.y1, s.y2) AND greatest(s.y1, s.y2))
+    OR (d4 = 0 AND t.x2 BETWEEN least(s.x1, s.x2) AND greatest(s.x1, s.x2)
+                AND t.y2 BETWEEN least(s.y1, s.y2) AND greatest(s.y1, s.y2))
+""".replace("\n", " ")
+
+
+@register(
+    "i31_path_self_intersections",
+    oracle=(
+        FIXES_CTE
+        + ", ord AS (SELECT obj_id, x, y, row_number() OVER "
+        "(PARTITION BY obj_id ORDER BY ts, event_id) AS i FROM fixes), "
+        "segs AS (SELECT a.obj_id, a.i, a.x AS x1, a.y AS y1, "
+        "b.x AS x2, b.y AS y2 FROM ord a JOIN ord b "
+        "ON a.obj_id = b.obj_id AND b.i = a.i + 1), "
+        "hits AS (SELECT s.obj_id, COUNT(*) AS n FROM segs s JOIN segs t "
+        "ON s.obj_id = t.obj_id AND t.i > s.i + 1, "
+        "LATERAL (SELECT "
+        "(t.x2 - t.x1) * (s.y1 - t.y1) - (t.y2 - t.y1) * (s.x1 - t.x1) AS d1, "
+        "(t.x2 - t.x1) * (s.y2 - t.y1) - (t.y2 - t.y1) * (s.x2 - t.x1) AS d2, "
+        "(s.x2 - s.x1) * (t.y1 - s.y1) - (s.y2 - s.y1) * (t.x1 - s.x1) AS d3, "
+        "(s.x2 - s.x1) * (t.y2 - s.y1) - (s.y2 - s.y1) * (t.x2 - s.x1) AS d4) "
+        f"WHERE {_SEG_INTERSECT_SQL} GROUP BY s.obj_id) "
+        "SELECT o.obj_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_crossings "
+        "FROM (SELECT DISTINCT obj_id FROM fixes) o "
+        "LEFT JOIN hits h USING (obj_id)"
+    ),
+    section="I31",
+)
+def i31_path_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory self-crossing count (loop detection): per object,
+    count non-adjacent segment pairs of the time-ordered polyline that
+    intersect — the GNSS diagnostic for circling/looping behavior.
+    The whole O(m²)-per-trajectory pair scan runs INSIDE one row as
+    codegen'd higher-order functions (sequence → slice → filter with
+    the orientation test) — one shuffle total (the groupBy building
+    each trajectory array); no join, no Python. The oracle re-derives
+    the identical count via a SQL segment self-join with the same
+    IEEE-exact cross products. Per-row memory is one trajectory —
+    bound it upstream with rdp_simplify (i14) for pathological
+    tracks."""
+    from glonassdatamining_spark.functions.geometry import segments_intersect
+
+    f = fixes(spark, sf_dir)
+    traj = f.groupBy("obj_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "x", "y"))
+        ).alias("pts")
+    )
+    n = F.size(F.col("pts"))
+    segs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("pts"), i).x.alias("x1"),
+                F.element_at(F.col("pts"), i).y.alias("y1"),
+                F.element_at(F.col("pts"), i + 1).x.alias("x2"),
+                F.element_at(F.col("pts"), i + 1).y.alias("y2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<x1:double,y1:double,x2:double,y2:double>>")
+    )
+    traj = traj.select("obj_id", segs.alias("segs"))
+    m = F.size(F.col("segs"))
+    crossings = F.when(
+        m >= 3,
+        F.aggregate(
+            F.sequence(F.lit(1), m - 2),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.size(
+                F.filter(
+                    F.slice(F.col("segs"), i + 2, m),
+                    lambda t: segments_intersect(
+                        F.element_at(F.col("segs"), i), t
+                    ),
+                )
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return traj.select("obj_id", crossings.alias("n_crossings"))
+
+
+@register(
+    "i32_wkt_linestring_length",
+    oracle=(
+        FIXES_CTE
+        + ", ord AS (SELECT obj_id, x, y, row_number() OVER "
+        "(PARTITION BY obj_id ORDER BY ts, event_id) AS i FROM fixes), "
+        "segs AS (SELECT a.obj_id, "
+        "sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS d "
+        "FROM ord a JOIN ord b ON a.obj_id = b.obj_id AND b.i = a.i + 1), "
+        "lens AS (SELECT obj_id, ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) "
+        "AS DOUBLE), 4) AS length FROM segs GROUP BY obj_id) "
+        "SELECT c.obj_id, c.n_points, COALESCE(l.length, 0.0) AS length "
+        "FROM (SELECT obj_id, COUNT(*) AS n_points FROM fixes GROUP BY obj_id) c "
+        "LEFT JOIN lens l USING (obj_id)"
+    ),
+    section="I32",
+)
+def i32_wkt_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING WKT round-trip + polyline length: serialize each
+    trajectory as WKT (integer milli-coordinates, time-ordered), parse
+    it back with the JVM linestring parser, rescale, and sum segment
+    lengths decimal-exactly. The oracle computes lengths straight from
+    the fixes — any parser loss (vertex dropped, order scrambled,
+    coordinate truncated) changes the length hash. One shuffle (the
+    trajectory groupBy); parsing and distance folds are codegen'd
+    array work."""
+    from glonassdatamining_spark.functions.geometry import st_linestring_from_wkt
+
+    f = fixes(spark, sf_dir)
+    mx = (F.col("event_id") * 7919 % 100000).cast("bigint")
+    my = (F.col("event_id") * 104729 % 100000).cast("bigint")
+    traj = (
+        f.select("obj_id", "ts", "event_id", mx.alias("mx"), my.alias("my"))
+        .groupBy("obj_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+            ).alias("pts")
+        )
+    )
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.concat_ws(
+            ", ",
+            F.transform(
+                F.col("pts"),
+                lambda p: F.concat_ws(
+                    " ", p.mx.cast("string"), p.my.cast("string")
+                ),
+            ),
+        ),
+        F.lit(")"),
+    )
+    parsed = traj.select(
+        "obj_id", st_linestring_from_wkt(wkt).alias("mline")
+    )
+    line = F.transform(
+        F.col("mline"),
+        lambda q: F.struct(
+            (q.x / 1000.0).alias("x"), (q.y / 1000.0).alias("y")
+        ),
+    )
+    parsed = parsed.select("obj_id", line.alias("line"))
+    nv = F.size(F.col("line"))
+    dists = F.when(
+        nv >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nv - 1),
+            lambda i: F.sqrt(
+                (F.element_at(F.col("line"), i + 1).x - F.element_at(F.col("line"), i).x)
+                * (F.element_at(F.col("line"), i + 1).x - F.element_at(F.col("line"), i).x)
+                + (F.element_at(F.col("line"), i + 1).y - F.element_at(F.col("line"), i).y)
+                * (F.element_at(F.col("line"), i + 1).y - F.element_at(F.col("line"), i).y)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+    # Spark widens decimal(28,12)+decimal(28,12) to (29,12); fold the
+    # accumulator back each step (sums stay ≤ ~1e5, far from overflow).
+    length = F.aggregate(
+        dists,
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, d: (acc + d.cast("decimal(28,12)")).cast("decimal(28,12)"),
+    ).cast("double")
+    # Round to 4dp: the two engines round double->decimal(28,12) with
+    # different tie modes, so exact sums can differ at the 13th digit;
+    # 1e-12 noise vs a 5e-5 boundary is ulp-proof for any real input.
+    return parsed.select(
+        "obj_id",
+        nv.cast("bigint").alias("n_points"),
+        F.round(length, 4).alias("length"),
     )

@@ -97,9 +97,10 @@ def a4_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    out = f"/root/repo/.tmpdata/csv_nation_{os.path.basename(sf_dir.rstrip('/'))}"
-    nation = load(spark, sf_dir, "nation")
-    nation.write.mode("overwrite").option("header", True).csv(out)
+    out = _derived_base(sf_dir, "csv_nation", "nation")
+    if not os.path.exists(out + "/_SUCCESS"):
+        nation = load(spark, sf_dir, "nation")
+        nation.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.csv(out, header=True, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
 
 
@@ -112,9 +113,10 @@ def a5_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newline-delimited JSON ingest."""
     import os
 
-    out = f"/root/repo/.tmpdata/jsonl_region_{os.path.basename(sf_dir.rstrip('/'))}"
-    region = load(spark, sf_dir, "region")
-    region.write.mode("overwrite").json(out)
+    out = _derived_base(sf_dir, "jsonl_region", "region")
+    if not os.path.exists(out + "/_SUCCESS"):
+        region = load(spark, sf_dir, "region")
+        region.write.mode("overwrite").json(out)
     return spark.read.json(out, schema="r_regionkey INT, r_name STRING")
 
 
@@ -132,11 +134,12 @@ def a6_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    out = f"/root/repo/.tmpdata/pq_li_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = _derived_base(sf_dir, "pq_li", "lineitem")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    if not os.path.exists(out + "/_SUCCESS"):
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     # Partition-pruned read-back: only the l_returnflag=R directory scans.
     return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
 
@@ -176,21 +179,22 @@ def a8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glonassdatamining_spark.api import zorder_key
     from glonassdatamining_spark.operators.spatiotemporal import fixes
 
-    out = f"/root/repo/.tmpdata/zorder_fixes_{os.path.basename(sf_dir.rstrip('/'))}"
-    f = fixes(spark, sf_dir)
-    keyed = f.withColumn(
-        "z",
-        zorder_key(
-            F.floor(F.col("x") * 10.24).cast("int"),
-            F.floor(F.col("y") * 10.24).cast("int"),
-        ),
-    )
-    (
-        keyed.repartitionByRange(8, "z")
-        .sortWithinPartitions("z")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    out = _derived_base(sf_dir, "zorder_fixes", "events")
+    if not os.path.exists(out + "/_SUCCESS"):
+        f = fixes(spark, sf_dir)
+        keyed = f.withColumn(
+            "z",
+            zorder_key(
+                F.floor(F.col("x") * 10.24).cast("int"),
+                F.floor(F.col("y") * 10.24).cast("int"),
+            ),
+        )
+        (
+            keyed.repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
     return (
         spark.read.parquet(out)
         .filter(

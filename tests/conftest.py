@@ -84,15 +84,34 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
         assert not bad, f"{name}: column {col} mismatches (spark vs oracle): {bad}"
 
 
+# Queries legitimately EMPTY at the sf0.001 smoke fixture (verified
+# non-empty at sf0.01 by test_t2_registry.test_smoke_empties_nonvacuous
+# — the distance/selectivity thresholds simply don't fire on 6k rows).
+# Any OTHER empty result is a vacuous oracle pass (the c5/i3/i17 class)
+# and fails run_t2's non-vacuous assert below.
+EMPTY_AT_SMOKE = {
+    "c11_distance_join",
+    "i3b_haversine_self_join",
+    "q7_nation_volume",
+    "i30_polygon_intersect_pairs",  # 15 objects at sf0.001 → no overlaps
+}
+
+
 def run_t2(spark, name: str, sf_dir: str = SF_DIR) -> None:
-    """Run one declared query against its oracle, assert equivalence."""
+    """Run one declared query against its oracle, assert equivalence —
+    and assert the evidence is NON-VACUOUS (≥1 row), so a silently
+    empty result can never count as an oracle pass."""
     from glonassdatamining_spark import registry
 
     d = registry.get(name)
     sdf = d.builder(spark, sf_dir).toPandas()
+    if not (name in EMPTY_AT_SMOKE and sf_dir.rstrip("/").endswith("sf0.001")):
+        assert len(sdf) >= 1, (
+            f"{name}: empty result at {sf_dir} — vacuous evidence "
+            "(add to EMPTY_AT_SMOKE only if verified non-empty at sf0.01)"
+        )
     if d.oracle is None:
-        assert len(sdf) >= 0  # rows-only: just materialize
-        return
+        return  # rows-only: materialized + non-vacuous is the check
     con = oracle_con(sf_dir)
     odf = con.execute(d.oracle).fetchdf()
     con.close()

@@ -81,6 +81,45 @@ def test_set_similarity_topk_generic(spark):
     assert not any(a == "u4" or b == "u4" for a, b in got)  # isolated
 
 
+def test_set_similarity_topk_idf_pruning(spark):
+    """max_df drops ubiquitous items symmetrically: the result must
+    equal a python reference computing Jaccard over the pruned item
+    sets — and the depot item must contribute no pair on its own."""
+    import itertools
+
+    # 6 objects all share depot cell "D"; discriminative cells differ.
+    sets = {
+        "t1": {"D", "a", "b"},
+        "t2": {"D", "a", "b", "c"},
+        "t3": {"D", "c"},
+        "t4": {"D", "x"},
+        "t5": {"D", "x", "y"},
+        "t6": {"D"},  # depot-only trajectory: no discriminative items
+    }
+    rows = [(o, i) for o, items in sets.items() for i in items]
+    df = spark.createDataFrame(rows, "member STRING, thing STRING")
+    out = api.set_similarity_topk(df, "member", "thing", k=2, max_df=5)
+    got = {(r.obj_a, r.obj_b): r.jaccard for r in out.collect()}
+
+    pruned = {o: {i for i in items if i != "D"} for o, items in sets.items()}
+    want = {}
+    for a, b in itertools.permutations(pruned, 2):
+        inter = len(pruned[a] & pruned[b])
+        if inter:
+            want.setdefault(a, []).append(
+                (inter / len(pruned[a] | pruned[b]), b)
+            )
+    expect = {}
+    for a, cands in want.items():
+        for sim, b in sorted(cands, key=lambda t: (-t[0], t[1]))[:2]:
+            expect[(a, b)] = sim
+    assert got.keys() == expect.keys()
+    for key, sim in expect.items():
+        assert abs(got[key] - sim) < 1e-12, key
+    # t6 (depot-only) must pair with no one once D is pruned
+    assert not any("t6" in key for key in got)
+
+
 def test_exact_dedup_generic(spark):
     df = spark.createDataFrame(
         [(7, "same text"), (3, "same text"), (9, "other")],

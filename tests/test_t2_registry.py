@@ -19,3 +19,13 @@ def _names() -> list[str]:
 @pytest.mark.parametrize("name", _names())
 def test_declared_query(spark, name):
     run_t2(spark, name)
+
+
+def test_smoke_empties_nonvacuous(spark):
+    """The EMPTY_AT_SMOKE allowlist is only honest if those queries
+    really do produce rows at the driver's judged scale — prove it at
+    sf0.01 (full oracle compare, not just a count)."""
+    from tests.conftest import EMPTY_AT_SMOKE
+
+    for name in sorted(EMPTY_AT_SMOKE):
+        run_t2(spark, name, sf_dir="/root/testdata/sf0.01")
