@@ -358,3 +358,82 @@ def l12_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.start").alias("w_hour"), "event_type", "peak_10min", "n_total"
         )
     )
+
+
+@register(
+    "l13_stream_outer_join",
+    oracle=(
+        EVENTS_CTE + " SELECT c.user_id, c.event_id AS click_id, "
+        "p.event_id AS purchase_id, "
+        "CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS lag_ms "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+    section="L13",
+)
+def l13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join twin (round-3 addition):
+    l9's click attribution, but clicks that convert to NO purchase
+    within the band surface with NULL purchase columns — the funnel
+    drop-off side of the same query. Batch: a left join with the band
+    residual on the user_id equi key. Live (streaming.live
+    .l13_streaming): the same join needs BOTH two-sided watermarks AND
+    the time-bound condition before Spark accepts an outer
+    stream-stream join, because a NULL result can only be emitted once
+    the watermark proves no match can still arrive — unmatched rows
+    inside the final watermark horizon stay in state forever on a
+    finite drain (asserted precisely in tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("pts") - F.unix_millis("cts")).alias("lag_ms"),
+    )
+
+
+@register(
+    "l14_dedup_then_window",
+    oracle=(
+        EVENTS_CTE + ", dd AS (SELECT DISTINCT user_id, event_type, "
+        "time_bucket(INTERVAL '10 minutes', ts) AS w10 FROM events) "
+        "SELECT w10 AS w_start, COUNT(*) AS n_active FROM dd GROUP BY w10"
+    ),
+    section="L14",
+)
+def l14_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful dedup → windowed aggregate twin (round-3
+    addition): distinct active (user, event_type) pairs per 10-minute
+    window — the DAU-style uniques rollup. The dedup key INCLUDES the
+    window start, so which duplicate row survives cannot change any
+    window's count (arrival order independent — the invariant that
+    makes the streaming form deterministic). Live form
+    (streaming.live.l14_streaming): ``dropDuplicatesWithinWatermark``
+    feeding a windowed count — two chained state stores, with
+    watermark-bounded dedup state (the Spark 3.5+ operator whose state
+    does NOT grow forever like plain dropDuplicates)."""
+    ev = load(spark, sf_dir, "events")
+    dd = ev.select(
+        "user_id", "event_type", F.window("ts", "10 minutes").alias("w")
+    ).distinct()
+    return (
+        dd.groupBy(F.col("w.start").alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

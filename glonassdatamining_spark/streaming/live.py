@@ -530,3 +530,103 @@ def l12_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def _staged_nudged_events_stream(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """Two-batch staging (l4's pattern, reusable): batch 1 = the whole
+    events fixture, batch 2 = a single redelivered newest row. The
+    nudge batch runs AFTER the watermark advanced to max(ts) − delay,
+    so the eviction pass that emits watermark-gated results (outer-join
+    NULLs, closed append-mode windows) actually executes — on a finite
+    drain without it, nothing gated ever leaves the state store."""
+    import glob
+    import time
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    _sweep_staging(f"{prefix}_src_{sf}_")
+    src = f"/root/repo/.tmpdata/{prefix}_src_{sf}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(src)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    newest_id = raw.agg(F.max("event_id")).collect()[0][0]
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b1.parquet")
+    raw.filter(F.col("event_id") == newest_id).coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    now = time.time()
+    os.utime(f"{src}/b1.parquet", (now - 100, now - 100))
+    for p in glob.glob(f"{src}/b2/*.parquet"):
+        os.utime(p, (now - 50, now - 50))
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
+    )
+
+
+def l13_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream LEFT OUTER interval join (L13): click
+    attribution where non-converting clicks emit NULL purchase columns
+    once the watermark proves no match can arrive. Spark requires the
+    two-sided watermark + time-bound condition for exactly that
+    reason. Two-batch nudge staging: the second batch runs the
+    eviction pass that emits the NULL rows for clicks beyond the final
+    watermark horizon; clicks inside the horizon are still in state
+    when the drain ends — the test asserts that boundary precisely.
+    Duplicate nudge redelivery is harmless on the inner side (the
+    nudge is the newest event — outside every click's forward band)."""
+    ev = _staged_nudged_events_stream(spark, sf_dir, "l13")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND pts >= cts "
+            "AND pts <= cts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("pts") - F.unix_millis("cts")).alias("lag_ms"),
+    )
+    return _drain_to_memory(joined, f"l13_mem_{uuid.uuid4().hex[:8]}", "append")
+
+
+def l14_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live chained stateful dedup → windowed count (L14):
+    ``dropDuplicatesWithinWatermark`` on (user, type, window-start)
+    feeding a 10-minute windowed count — two chained state stores, and
+    the dedup store is watermark-EVICTED (unlike plain dropDuplicates,
+    whose state grows with every key forever — the difference that
+    matters at 100 TB). Dedup key includes the window start, so which
+    duplicate survives cannot change any count. Append mode: windows
+    emit once closed; the nudge batch closes everything except the
+    final watermark horizon (test asserts the boundary)."""
+    ev = _staged_nudged_events_stream(spark, sf_dir, "l14")
+    keyed = (
+        ev.withWatermark("ts", "1 hour")
+        .withColumn("w10", F.window("ts", "10 minutes").start)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "w10"])
+    )
+    agg = (
+        keyed.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(F.col("w.start").alias("w_start"), "n_active")
+    )
+    return _drain_to_memory(agg, f"l14_mem_{uuid.uuid4().hex[:8]}", "append")

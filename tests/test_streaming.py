@@ -195,3 +195,73 @@ def test_l12_chained_windows_equals_batch(spark):
         want.sort_values(key).reset_index(drop=True),
         "l12_stream_vs_batch",
     )
+
+
+def test_l13_outer_join_matched_and_horizon_nulls(spark):
+    """Live left-outer stream-stream join: matched rows must equal the
+    batch twin's matched rows EXACTLY; NULL (non-converting) rows obey
+    the watermark horizon — every live NULL is a batch NULL, and every
+    batch NULL safely older than the final horizon (max ts − 1 h delay
+    − 30 min band − 10 min safety) must have been emitted."""
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.sources import load
+
+    got = live.l13_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l13_stream_outer_join")
+
+    g_matched = got[got.purchase_id.notna()]
+    w_matched = want[want.purchase_id.notna()]
+    compare_frames(
+        g_matched.reset_index(drop=True),
+        w_matched.reset_index(drop=True),
+        "l13_matched",
+    )
+
+    # The global watermark is the MIN across both sides' (max event
+    # time − delay); the click side ends earlier than the purchase
+    # side, so it binds. Eviction needs cts + 30 min (band) behind the
+    # watermark; 10 min extra safety.
+    per_side = dict(
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    )
+    import datetime
+
+    horizon = min(per_side.values()) - datetime.timedelta(hours=1, minutes=40)
+    ev = load(spark, SF_DIR, "events").toPandas().set_index("event_id")
+    live_nulls = set(got[got.purchase_id.isna()].click_id)
+    batch_nulls = set(want[want.purchase_id.isna()].click_id)
+    assert live_nulls <= batch_nulls, "live emitted a NULL the batch denies"
+    must_emit = {
+        cid for cid in batch_nulls if ev.loc[cid].ts < horizon
+    }
+    missing = must_emit - live_nulls
+    assert not missing, f"closed-horizon NULLs never emitted: {missing}"
+
+
+def test_l14_dedup_then_window_closed_windows(spark):
+    """Live dropDuplicatesWithinWatermark → windowed count: every
+    emitted window must match the batch twin exactly, and all windows
+    safely older than the final watermark horizon must have emitted."""
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.sources import load
+
+    got = live.l14_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l14_dedup_then_window")
+    gmap = dict(zip(got.w_start, got.n_active))
+    wmap = dict(zip(want.w_start, want.n_active))
+    for w, n in gmap.items():
+        assert wmap.get(w) == n, f"window {w}: live {n} != batch {wmap.get(w)}"
+
+    import datetime
+
+    max_ts = load(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=20)
+    must_emit = {w for w in wmap if w < horizon}
+    missing = must_emit - set(gmap)
+    assert not missing, f"closed windows never emitted: {missing}"
