@@ -1959,3 +1959,50 @@ def heavy_hitters(
         .filter(F.lit(pct) * F.col("n") >= F.col("n_total"))
         .select("token", "n")
     )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    tokens_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch frequency estimation over a token-array column:
+    returns (token, est) for every DISTINCT token, where ``est`` is the
+    CMS estimate — an OVERESTIMATE by at most εN with probability
+    1−(1/2)^depth for width = 2/ε (Cormode & Muthukrishnan 2005; the
+    one-sided twin of d22's Misra-Gries undercount).
+
+    Distributed shape: ONE pass explodes each token into ``depth``
+    (row, bucket) cells (bucket = seeded xxhash64 mod width), a single
+    groupBy builds the depth×width sketch — O(depth·width) state total,
+    mergeable across partitions/streams by cell-wise addition, which is
+    why CMS is the sketch you keep per micro-batch at 100 TB. The
+    estimate join probes the sketch with the same hashes and takes the
+    per-token min across rows. Null tokens/arrays are compacted out
+    (the heavy_hitters discipline)."""
+    clean = df.select(
+        F.array_compact(F.col(tokens_col)).alias("_tk")
+    ).filter(F.col("_tk").isNotNull())
+    tok = clean.select(F.explode("_tk").alias("token"))
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    cells = tok.select(
+        "token", F.explode(rows).alias("d")
+    ).select(
+        "d", F.pmod(F.xxhash64("d", "token"), F.lit(width)).alias("b")
+    )
+    sketch = cells.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    probes = (
+        tok.distinct()
+        .select("token", F.explode(rows).alias("d"))
+        .select(
+            "token",
+            "d",
+            F.pmod(F.xxhash64("d", "token"), F.lit(width)).alias("b"),
+        )
+    )
+    return (
+        probes.join(sketch, ["d", "b"])
+        .groupBy("token")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )

@@ -809,3 +809,21 @@ def d24_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register("d25_countmin_estimates", oracle=None, section="D25")
+def d25_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency estimates over the documents
+    corpus (round-3 addition; ``api.count_min_estimates``) — the
+    mergeable one-sided sketch (est ≥ truth, ≤ truth + εN w.h.p.) that
+    complements d22's Misra-Gries (which undercounts). Rows-only by
+    nature (estimates depend on the hash family); the CMS guarantees —
+    never underestimates, ε-bounded overestimate, exact for isolated
+    tokens — are property-tested against exact counts in
+    tests/test_api.py. Scale: O(depth·width) state, single pass,
+    cell-wise mergeable across partitions and micro-batches."""
+    from glonassdatamining_spark.api import count_min_estimates
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("tokens"))
+    return count_min_estimates(toks, "tokens", width=2048, depth=4)

@@ -215,3 +215,72 @@ def n6_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "n7_link_prediction",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src), "
+        "common AS (SELECT a.src AS u, b.src AS v, COUNT(*) AS cn "
+        "FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src "
+        "GROUP BY 1, 2), "
+        "cand AS (SELECT u, v, cn FROM common WHERE NOT EXISTS "
+        "(SELECT 1 FROM edges e WHERE e.src = common.u AND e.dst = common.v)) "
+        "SELECT u, v, ROUND(CAST(cn AS DOUBLE) / (du.d + dv.d - cn), 6) AS score "
+        "FROM cand JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v "
+        "ORDER BY score DESC, u, v LIMIT 20"
+    ),
+    section="N7",
+)
+def n7_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (round-3 addition): for
+    node pairs NOT yet connected but sharing ≥1 neighbor, score
+    |N(u)∩N(v)| / |N(u)∪N(v)| and return the global top-20 — the
+    classic common-neighbors recommender over the co-purchase graph.
+
+    Shape: the common-neighbor count is ONE self-equi-join of the
+    symmetrized edge list on the shared neighbor (never all-pairs —
+    candidates are exactly the distance-2 pairs), degrees broadcast,
+    existing edges removed by a LEFT ANTI join, top-k fuses to
+    TakeOrderedAndProject. Every step is an equi-shuffle — the same
+    inverted-index discipline as i11/k30 applied to graph adjacency."""
+    from pyspark.sql.functions import broadcast
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    common = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.dst"))
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = common.join(
+        edges,
+        (common.u == edges.src) & (common.v == edges.dst),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(broadcast(du), "u")
+        .join(broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "u", "v")
+        .limit(20)
+    )

@@ -1640,3 +1640,60 @@ def k32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+@register(
+    "k34_dedup_quality_audit",
+    oracle=(
+        "WITH fp AS (SELECT doc_id, n_chars, "
+        "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bag "
+        "FROM documents), "
+        "kept AS (SELECT doc_id, n_chars, "
+        "row_number() OVER (PARTITION BY bag ORDER BY doc_id) = 1 AS keep FROM fp) "
+        "SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_band, "
+        "COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "ROUND(1.0 - CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) "
+        "AS drop_rate FROM kept GROUP BY len_band ORDER BY len_band"
+    ),
+    section="K34",
+)
+def k34_dedup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup→quality retention audit (round-3 addition): run
+    bag-of-words dedup (word-order-invariant content key — catches
+    shuffled/reordered boilerplate that exact text hashing misses, the
+    cheapest near-dup tier below MinHash) keeping the lowest doc_id,
+    then report per length-band document counts, survivors, and drop
+    rate — the curation dashboard that tells you WHERE dedup is biting
+    (dropping disproportionately from one length/quality band is the
+    classic silent dataset-composition bug).
+
+    Shape: one shuffle on the bag key (window keep-first), one
+    aggregate on the band — both narrow; at 100 TB swap the raw bag
+    string for xxhash64(bag) so the exchange carries 8-byte keys."""
+    d = load(spark, sf_dir, "documents")
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", " "))), " "
+    )
+    w = Window.partitionBy("bag").orderBy("doc_id")
+    kept = d.select("doc_id", "n_chars", bag.alias("bag")).withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+    return (
+        kept.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                1.0
+                - F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("drop_rate"),
+        )
+        .orderBy("len_band")
+    )

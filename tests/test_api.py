@@ -489,3 +489,43 @@ def test_convex_hull_triangle_area(spark):
     df = spark.createDataFrame(rows, "obj_id bigint, x double, y double")
     r = api.convex_hull(df, "obj_id", "x", "y").collect()[0]
     assert (r.n_hull_points, r.hull_area) == (3, 6.0)
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS invariants vs exact counts on the sf fixture corpus: every
+    estimate >= truth; total overestimate bounded by eps*N per the
+    Cormode-Muthukrishnan guarantee (width=2/eps); with width >> #
+    distinct tokens, most tokens sit alone in their buckets and the
+    estimate is exact."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        F.split("text", " ").alias("tokens")
+    )
+    exact = Counter()
+    for r in docs.collect():
+        exact.update(r.tokens)
+    n_total = sum(exact.values())
+
+    width, depth = 2048, 4
+    got = {
+        r.token: r.est
+        for r in api.count_min_estimates(
+            docs, "tokens", width=width, depth=depth
+        ).collect()
+    }
+    assert got.keys() == set(exact.keys())
+    eps = 2.0 / width
+    over_budget = eps * n_total
+    n_exact = 0
+    for t, true_n in exact.items():
+        assert got[t] >= true_n, f"CMS underestimated {t}"
+        assert got[t] <= true_n + over_budget, f"{t}: over by {got[t]-true_n}"
+        n_exact += got[t] == true_n
+    # sparse regime sanity: the vast majority of estimates are exact
+    assert n_exact >= 0.9 * len(exact)

@@ -72,6 +72,7 @@ COLLECT_ALLOWED = {
     ("api.py", "oriented.collect()"),            # ≤ driver_max_edges, gated
     ("api.py", 'sym.agg(F.min("_src"))'),        # 1-row scalar seed
     ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
+    ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
 }
 
 
