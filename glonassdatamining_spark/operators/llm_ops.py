@@ -1697,3 +1697,41 @@ def k34_dedup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_band")
     )
+
+
+@register(
+    "k35_label_centroids",
+    oracle=(
+        "SELECT label, i - 1 AS dim, "
+        "CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) "
+        "AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid "
+        "FROM (SELECT label, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+        "GROUP BY label, dim"
+    ),
+    section="K35",
+)
+def k35_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (round-3 addition): the vector
+    aggregation every embedding pipeline needs (class prototypes, IVF
+    coarse quantizer seeds, drift monitoring). posexplode → two-key
+    groupBy with decimal-exact sums — one shuffle carrying (label, dim)
+    keys, O(labels·dims) output regardless of corpus size; at 100 TB
+    add a partial map-side combine-friendly repartition on label if
+    labels are few and hot (or salt — api.salted_agg's shape)."""
+    # Components are 1e-6-quantized via FLOOR before the sum: floor is
+    # tie-FREE (a float's exact decimal expansion terminates in ...5,
+    # so any round/decimal-cast hits genuine halfway ties whose mode
+    # differs across engines — measured 1e-12 divergences); integer
+    # sums are then exact and order-free on both sides.
+    e = load(spark, sf_dir, "embeddings")
+    iv = F.floor(F.col("v").cast("double") * 1000000.0).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(iv).cast("double") / F.count(F.lit(1)) / 1000000.0
+            ).alias("centroid")
+        )
+    )

@@ -566,3 +566,51 @@ def e15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 3).alias("z"),
         )
     )
+
+
+@register(
+    "e16_activity_streaks",
+    oracle=(
+        EVENTS_CTE
+        + ", days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d "
+        "FROM events), "
+        "isl AS (SELECT user_id, d, "
+        "date_diff('day', DATE '1970-01-01', d) "
+        "- row_number() OVER (PARTITION BY user_id ORDER BY d) AS island "
+        "FROM days), "
+        "runs AS (SELECT user_id, island, COUNT(*) AS len FROM isl "
+        "GROUP BY user_id, island) "
+        "SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak, "
+        "CAST(SUM(len) AS BIGINT) AS n_active_days "
+        "FROM runs GROUP BY user_id"
+    ),
+    section="E16",
+)
+def e16_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (round-3
+    addition): the gaps-and-islands pattern — distinct active days,
+    island key = epoch-day − row_number (constant within a consecutive
+    run), run lengths, max per user. Retention analytics canon. One
+    user_id window shuffle reused by the two follow-up aggregates;
+    integer day arithmetic on both engines, no timezone hazard (UTC
+    sessions, date_trunc to day)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
