@@ -614,3 +614,47 @@ def e16_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("n_active_days"),
     )
+
+
+@register(
+    "e17_retention_cohorts",
+    oracle=(
+        EVENTS_CTE
+        + ", weeks AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk "
+        "FROM events), "
+        "cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id) "
+        "SELECT c.cohort_wk AS cohort_week, "
+        "CAST(date_diff('day', c.cohort_wk, w.wk) / 7 AS BIGINT) AS week_offset, "
+        "CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active "
+        "FROM weeks w JOIN cohorts c USING (user_id) "
+        "GROUP BY 1, 2"
+    ),
+    section="E17",
+)
+def e17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix (round-3 addition): each user's
+    cohort = the ISO week of their first event; cell (cohort_week,
+    week_offset) counts distinct users from that cohort active that
+    many weeks later — THE retention dashboard behind every product
+    analytics tool. Two shuffles total: distinct (user, week) pairs,
+    then the cohort week as a per-user window MIN (no join, no
+    broadcast of a per-user table — users grow with the corpus); the
+    final cell count is O(cohorts·weeks) regardless of event volume,
+    so at 100 TB the heavy lifting is the first map-side-combinable
+    distinct. Monday-start date_trunc('week') matches across both
+    engines under the UTC session."""
+    ev = load(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        weeks.withColumn("cohort_wk", F.min("wk").over(w))
+        .groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
