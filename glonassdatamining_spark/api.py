@@ -704,12 +704,17 @@ def connected_components(
     union-find computes the exact same min-label fixpoint in
     microseconds instead of paying one Spark job per propagation round
     — this is the "tiny merge table" pattern SURVEY §7.4 sanctions for
-    DBSCAN/CC merges. Above the threshold: distributed min-label
-    propagation — converges in O(diameter) rounds, each round one
-    shuffle-join + one groupBy, iterations materialized via
-    localCheckpoint so lineage stays O(1) (use reliable checkpoint()
-    on a cluster). Label frames shrink to distinct vertices, never
-    edge-sized — the standard GraphX/GraphFrames CC shape.
+    DBSCAN/CC merges. Above the threshold: alternating large-star /
+    small-star contraction (Kiveris et al. 2014) — each round hangs
+    every node off its neighborhood minimum (large-star on all
+    neighbors, small-star on smaller-id neighbors), halving the
+    remaining tree height so the fixpoint lands in O(log n) rounds
+    (NOT O(diameter) — a path graph of a million nodes converges in
+    ~20 rounds, which is what the ``max_iter=20`` default assumes);
+    each round is one shuffle-join + one groupBy, iterations
+    materialized via localCheckpoint so lineage stays O(1) (use
+    reliable checkpoint() on a cluster). Label frames shrink to
+    distinct vertices, never edge-sized.
     Eager: runs Spark jobs when called.
     """
     oriented = edges_df.select(

@@ -82,15 +82,25 @@ def st_ring_from_wkt(wkt: Column | str) -> Column:
 def ring_edges(ring: Column) -> Column:
     """Open ring ``array<struct<x,y>>`` → closed edge array
     ``array<struct<x1,y1,x2,y2>>`` (wrap-around edge included) — the
-    per-ROW twin of ``api.polygon_edges`` (which builds a literal)."""
+    per-ROW twin of ``api.polygon_edges`` (which builds a literal).
+
+    Degenerate rings (< 3 vertices — e.g. the 0-vertex result of
+    parsing ``POLYGON ((1 2))`` after closing-vertex dedup) yield
+    null, not an error: ``F.sequence(1, n)`` with n ≤ 0 produces a
+    DESCENDING [1, 0] and ``element_at`` would probe out of bounds
+    under the pinned ANSI mode. Null propagates through every
+    downstream measure/predicate per the module contract."""
     n = F.size(ring)
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            F.element_at(ring, i).x.alias("x1"),
-            F.element_at(ring, i).y.alias("y1"),
-            F.element_at(ring, (i % n) + 1).x.alias("x2"),
-            F.element_at(ring, (i % n) + 1).y.alias("y2"),
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.element_at(ring, i).x.alias("x1"),
+                F.element_at(ring, i).y.alias("y1"),
+                F.element_at(ring, (i % n) + 1).x.alias("x2"),
+                F.element_at(ring, (i % n) + 1).y.alias("y2"),
+            ),
         ),
     )
 
@@ -108,7 +118,9 @@ def st_area(ring: Column) -> Column:
 
 
 def st_length(line: Column) -> Column:
-    """Polyline length: sum of consecutive-vertex distances."""
+    """Polyline length: sum of consecutive-vertex distances. A
+    1-vertex (or empty) line yields null — see ``ring_edges`` on why
+    the n ≥ 2 guard is load-bearing under ANSI mode."""
     n = F.size(line)
     seg = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -119,7 +131,9 @@ def st_length(line: Column) -> Column:
             * (F.element_at(line, i + 1).y - F.element_at(line, i).y)
         ),
     )
-    return F.aggregate(seg, F.lit(0.0), lambda acc, d: acc + d)
+    return F.when(
+        n >= 2, F.aggregate(seg, F.lit(0.0), lambda acc, d: acc + d)
+    )
 
 
 def st_contains_point(ring: Column, x: Column, y: Column) -> Column:
@@ -193,13 +207,16 @@ def st_intersects_linestring(line_a: Column, line_b: Column) -> Column:
 
     def segs(line):
         n = F.size(line)
-        return F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(line, i).x.alias("x1"),
-                F.element_at(line, i).y.alias("y1"),
-                F.element_at(line, i + 1).x.alias("x2"),
-                F.element_at(line, i + 1).y.alias("y2"),
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(line, i).x.alias("x1"),
+                    F.element_at(line, i).y.alias("y1"),
+                    F.element_at(line, i + 1).x.alias("x2"),
+                    F.element_at(line, i + 1).y.alias("y2"),
+                ),
             ),
         )
 

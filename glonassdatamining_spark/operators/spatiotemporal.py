@@ -63,13 +63,18 @@ def fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES"):
-        if sf_dir not in _FIXES_CACHE:
-            _FIXES_CACHE[sf_dir] = (
+        # Key on (applicationId, sf_dir): a persisted DataFrame is
+        # bound to the session that created it — if the session is
+        # stopped and recreated in-process, a stale sf_dir-only key
+        # would hand every i-query a frame from the dead session.
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _FIXES_CACHE:
+            _FIXES_CACHE[key] = (
                 build()
                 .repartition(spark.sparkContext.defaultParallelism)
                 .persist()
             )
-        return _FIXES_CACHE[sf_dir]
+        return _FIXES_CACHE[key]
     return build()
 
 

@@ -620,7 +620,7 @@ def e16_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e17_retention_cohorts",
     oracle=(
         EVENTS_CTE
-        + ", weeks AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk "
+        + ", weeks AS (SELECT user_id, date_trunc('week', ts) AS wk "
         "FROM events), "
         "cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id) "
         "SELECT c.cohort_wk AS cohort_week, "
@@ -642,10 +642,13 @@ def e17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final cell count is O(cohorts·weeks) regardless of event volume,
     so at 100 TB the heavy lifting is the first map-side-combinable
     distinct. Monday-start date_trunc('week') matches across both
-    engines under the UTC session."""
+    engines under the UTC session. Both sides emit the truncated
+    week as a TIMESTAMP (never DATE) per the repo's date-bucketing
+    discipline — DuckDB's fetchdf materializes DATE columns as
+    datetime64, so a DATE output hash-mismatches by dtype alone."""
     ev = load(spark, sf_dir, "events")
     weeks = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+        "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
     w = Window.partitionBy("user_id")
     return (

@@ -249,3 +249,35 @@ def test_geometry_predicates_stay_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     row = out.collect()[0]
     assert row.a == 4.0 and row.pp is True and row.ll is True and row.cp is True
+
+
+def test_degenerate_geometries_yield_null_not_error(spark):
+    """ADVICE r3: malformed/degenerate WKT must degrade to null per the
+    module contract — previously F.sequence(1, n<=0) produced a
+    DESCENDING [1, 0] array and element_at threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under the pinned ANSI mode."""
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((1 2))", "LINESTRING (1 2)"),          # 1-vertex each
+            ("POLYGON ((1 2, 3 4, 1 2))", "LINESTRING (0 0, 1 1)"),  # 2-vertex ring
+            ("not wkt at all", ""),                            # unparseable
+        ],
+        "pg STRING, ls STRING",
+    )
+    rows = df.select(
+        G.st_area(G.st_ring_from_wkt("pg")).alias("a"),
+        G.st_length(G.st_linestring_from_wkt("ls")).alias("l"),
+        G.st_contains_point(
+            G.st_ring_from_wkt("pg"), F.lit(0.5), F.lit(0.5)
+        ).alias("cp"),
+        G.st_intersects_linestring(
+            G.st_linestring_from_wkt("ls"), G.st_linestring_from_wkt("ls")
+        ).alias("ll"),
+        G.st_intersects_polygon(
+            G.st_ring_from_wkt("pg"), G.st_ring_from_wkt("pg")
+        ).alias("pp"),
+    ).collect()
+    assert rows[0] == (None, None, None, None, None)
+    assert rows[1].a is None and rows[1].cp is None and rows[1].pp is None
+    assert rows[1].l == pytest.approx(math.sqrt(2.0))  # 2-vertex line is valid
+    assert rows[2] == (None, None, None, None, None)
