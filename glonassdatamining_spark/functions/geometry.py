@@ -61,22 +61,41 @@ def st_linestring_from_wkt(wkt: Column | str) -> Column:
     return F.when(body != "", _coords_to_ring(body))
 
 
-def st_ring_from_wkt(wkt: Column | str) -> Column:
-    """Parse the OUTER ring of ``POLYGON ((x1 y1, ...))`` into an
-    ``array<struct<x,y>>``. WKT rings repeat the first vertex last;
-    the duplicate closing vertex is dropped so the result matches the
-    open-ring convention ``ring_edges`` expects. Holes (inner rings)
-    are out of scope — document tier, not implemented."""
-    c = F.col(wkt) if isinstance(wkt, str) else wkt
-    body = F.regexp_extract(c, r"^\s*POLYGON\s*\(\s*\(([^)]*)\)", 1)
-    ring = _coords_to_ring(body)
+def _drop_closing(ring: Column) -> Column:
+    """WKT/WKB rings repeat the first vertex last; drop the duplicate
+    closing vertex so the result matches the open-ring convention
+    ``ring_edges`` expects. Single-vertex rings pass through (they'll
+    null out downstream via the degenerate-ring guards)."""
     first = F.element_at(ring, 1)
     last = F.element_at(ring, -1)
-    closed = (first.x == last.x) & (first.y == last.y)
-    return F.when(
-        body != "",
-        F.when(closed, F.slice(ring, 1, F.size(ring) - 1)).otherwise(ring),
+    closed = (
+        (F.size(ring) >= 2) & (first.x == last.x) & (first.y == last.y)
     )
+    return F.when(closed, F.slice(ring, 1, F.size(ring) - 1)).otherwise(ring)
+
+
+def st_ring_from_wkt(wkt: Column | str) -> Column:
+    """Parse the OUTER ring of ``POLYGON ((x1 y1, ...))`` into an
+    ``array<struct<x,y>>`` (open-ring convention). For holes use
+    :func:`st_polygon_rings_from_wkt`."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    body = F.regexp_extract(c, r"^\s*POLYGON\s*\(\s*\(([^)]*)\)", 1)
+    return F.when(body != "", _drop_closing(_coords_to_ring(body)))
+
+
+def st_polygon_rings_from_wkt(wkt: Column | str) -> Column:
+    """Parse a full ``POLYGON ((outer), (hole1), ...)`` into
+    ``array<array<struct<x,y>>>`` — ring 1 is the outer shell, the
+    rest are holes (even-odd interpretation; see
+    ``st_area_multiring`` / ``st_contains_point_multiring``).
+    Malformed WKT yields null."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    body = F.regexp_extract(c, r"^\s*POLYGON\s*\((.*)\)\s*$", 1)
+    rings = F.transform(
+        F.regexp_extract_all(body, F.lit(r"\(([^)]*)\)"), 1),
+        lambda b: _drop_closing(_coords_to_ring(b)),
+    )
+    return F.when((body != "") & (F.size(rings) >= 1), rings)
 
 
 def ring_edges(ring: Column) -> Column:
@@ -134,6 +153,55 @@ def st_length(line: Column) -> Column:
     return F.when(
         n >= 2, F.aggregate(seg, F.lit(0.0), lambda acc, d: acc + d)
     )
+
+
+def st_area_multiring(rings: Column) -> Column:
+    """Even-odd area of ``array<array<struct<x,y>>>``: |outer shell|
+    minus the sum of |hole| areas (rings 2..n). Assumes the standard
+    valid-polygon layout (holes disjoint, inside the shell) — the
+    even-odd convention makes overlapping-ring input well-defined
+    anyway (area counts regions covered an odd number of times only
+    when rings nest). Null on any degenerate ring."""
+    shell = st_area(F.element_at(rings, 1))
+    holes = F.aggregate(
+        F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, r: acc + st_area(r),
+    )
+    return shell - holes
+
+
+def st_perimeter(ring: Column) -> Column:
+    """Closed-ring perimeter: ``st_length`` over the ring with the
+    closing vertex restored. Null below 3 vertices, matching
+    ``ring_edges``'s degenerate-ring contract."""
+    return F.when(
+        F.size(ring) >= 3, st_length(F.concat(ring, F.slice(ring, 1, 1)))
+    )
+
+
+def _ray_crossings(ring: Column, x: Column, y: Column) -> Column:
+    """Strict even-odd ray-cast crossing count for one open ring."""
+    return F.size(
+        F.filter(
+            ring_edges(ring),
+            lambda e: ((e.y1 > y) != (e.y2 > y))
+            & (x < e.x1 + (y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)),
+        )
+    )
+
+
+def st_contains_point_multiring(rings: Column, x: Column, y: Column) -> Column:
+    """Even-odd containment against a multi-ring polygon: total ray
+    crossings over ALL rings odd ⇔ inside the shell but outside any
+    hole (and inside islands-within-holes, should rings nest deeper —
+    even-odd generalizes for free)."""
+    total = F.aggregate(
+        rings,
+        F.lit(0),
+        lambda acc, r: acc + _ray_crossings(r, x, y),
+    )
+    return total % 2 == 1
 
 
 def st_contains_point(ring: Column, x: Column, y: Column) -> Column:
@@ -246,6 +314,115 @@ def st_intersects_linestring(line_a: Column, line_b: Column) -> Column:
     return F.exists(
         segs(line_a),
         lambda a: F.exists(segs(line_b), lambda b: segments_intersect(a, b)),
+    )
+
+
+# --------------------------------------------------------------- WKB
+# Little-endian ISO WKB parsing as PURE Catalyst expressions: the
+# binary is hex()'d once, byte fields are substring+conv slices, and
+# IEEE-754 doubles are reconstructed EXACTLY from their bit pattern
+# (sign/exponent/mantissa arithmetic — every step below is exact in
+# double precision: mantissa < 2^53 integers, and scaling by 2^k is
+# lossless). Zero Python, whole-stage codegen'd, so WKB columns decode
+# at scan speed without a UDF boundary.
+
+
+def _wkb_byte(hx: Column, off) -> Column:
+    """Unsigned byte at byte offset ``off`` (0-based) of hex string."""
+    return F.conv(F.substring(hx, F.lit(2) * off + 1, F.lit(2)), 16, 10).cast(
+        "int"
+    )
+
+
+def _le_hex(hx: Column, off, nbytes: int) -> Column:
+    """Hex chars of ``nbytes`` at byte offset ``off``, byte-REVERSED
+    (little-endian on disk → big-endian hex for conv)."""
+    return F.concat(
+        *[
+            F.substring(hx, F.lit(2) * (off + i) + 1, F.lit(2))
+            for i in range(nbytes - 1, -1, -1)
+        ]
+    )
+
+
+def wkb_uint32(hx: Column, off) -> Column:
+    """Little-endian uint32 at byte offset ``off`` of a hex()'d WKB
+    column — fits a long, no sign issues."""
+    return F.conv(_le_hex(hx, off, 4), 16, 10).cast("long")
+
+
+def wkb_double(hx: Column, off) -> Column:
+    """Little-endian IEEE-754 float64 at byte offset ``off`` of a
+    hex()'d WKB column, reconstructed exactly from its bit pattern.
+    The 64-bit word is read as two uint32 halves (each conv() result
+    fits a signed long — a single 64-bit conv would overflow on
+    negative doubles under ANSI). Inf/NaN (exp=2047) yield null;
+    subnormals decode exactly via the 2^-1022 branch."""
+    hi = F.conv(_le_hex(hx, off + 4, 4), 16, 10).cast("long")
+    lo = F.conv(_le_hex(hx, off, 4), 16, 10).cast("long")
+    sign = F.when(F.shiftright(hi, 31) == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftright(hi, 20).bitwiseAND(F.lit(0x7FF))
+    mant = (
+        hi.bitwiseAND(F.lit(0xFFFFF)).cast("double") * F.lit(4294967296.0)
+        + lo.cast("double")
+    )
+    frac = mant / F.lit(4503599627370496.0)  # 2^52
+    return (
+        F.when(exp == 2047, F.lit(None).cast("double"))
+        .when((exp == 0) & (mant == 0.0), sign * F.lit(0.0))
+        .when(exp == 0, sign * frac * F.pow(F.lit(2.0), F.lit(-1022)))
+        .otherwise(
+            sign * (F.lit(1.0) + frac) * F.pow(F.lit(2.0), (exp - 1023).cast("double"))
+        )
+    )
+
+
+def st_polygon_from_wkb(wkb: Column | str) -> Column:
+    """Parse a little-endian WKB POLYGON (type 3, any number of rings)
+    into ``array<array<struct<x,y>>>`` — same layout as
+    :func:`st_polygon_rings_from_wkt` (ring 1 = shell, rest = holes,
+    closing vertices dropped). Big-endian or non-polygon input yields
+    null. Ring offsets are data-dependent, so the ring walk is an
+    ``aggregate`` over ring indices carrying (byte offset, rings
+    parsed so far) — still one codegen'd expression per row."""
+    c = F.col(wkb) if isinstance(wkb, str) else wkb
+    hx = F.hex(c)
+    nrings = wkb_uint32(hx, F.lit(5))
+    acc0 = F.struct(
+        F.lit(9).cast("long").alias("off"),
+        F.array()
+        .cast("array<array<struct<x:double,y:double>>>")
+        .alias("rings"),
+    )
+
+    def step(acc, _):
+        npts = wkb_uint32(hx, acc.off)
+        ring = F.when(
+            npts >= 1,
+            F.transform(
+                F.sequence(F.lit(0), (npts - 1).cast("int")),
+                lambda j: F.struct(
+                    wkb_double(hx, acc.off + 4 + 16 * j).alias("x"),
+                    wkb_double(hx, acc.off + 12 + 16 * j).alias("y"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<x:double,y:double>>"))
+        return F.struct(
+            (acc.off + 4 + 16 * npts).alias("off"),
+            F.concat(acc.rings, F.array(_drop_closing(ring))).alias("rings"),
+        )
+
+    parsed = F.aggregate(
+        F.sequence(F.lit(1), nrings.cast("int")),
+        acc0,
+        step,
+        lambda acc: acc.rings,
+    )
+    return F.when(
+        (_wkb_byte(hx, F.lit(0)) == 1)
+        & (wkb_uint32(hx, F.lit(1)) == 3)
+        & (nrings >= 1),
+        parsed,
     )
 
 

@@ -369,3 +369,114 @@ def test_bbox_guard_preserves_crossing_semantics(spark):
     ).select(_segs_col(len(segs)).alias("segs"))
     got = df.select(_pair_scan(G.segments_intersect).alias("n")).collect()[0].n
     assert got == expected and expected > 0
+
+
+def _wkb_polygon(rings, byteorder="<"):
+    import struct
+
+    out = struct.pack(byteorder + "BI" if byteorder == "<" else ">BI", 1 if byteorder == "<" else 0, 3)
+    out += struct.pack(byteorder + "I", len(rings))
+    for r in rings:
+        closed = r + [r[0]]
+        out += struct.pack(byteorder + "I", len(closed))
+        for (x, y) in closed:
+            out += struct.pack(byteorder + "dd", x, y)
+    return out
+
+
+def test_wkb_polygon_roundtrip_exact(spark):
+    """The pure-Catalyst WKB parser must reconstruct every IEEE-754
+    double BIT-EXACTLY — including subnormals, huge magnitudes,
+    negatives, and non-terminating binary fractions."""
+    rng = random.Random(7)
+    polys = []
+    for _ in range(20):
+        k = rng.randint(3, 8)
+        shell = [(rng.uniform(-1e6, 1e6), rng.uniform(-1e6, 1e6)) for _ in range(k)]
+        hole = [(rng.uniform(-1, 1), rng.uniform(-1, 1)) for _ in range(3)]
+        polys.append([shell, hole] if rng.random() < 0.5 else [shell])
+    polys.append([[(-1.2345e-310, 1e300), (0.1, -0.2), (5e-324, 2.0)]])
+    df = spark.createDataFrame(
+        [(i, _wkb_polygon(p)) for i, p in enumerate(polys)], "i int, wkb binary"
+    )
+    rows = df.select("i", G.st_polygon_from_wkb("wkb").alias("r")).collect()
+    for row in sorted(rows, key=lambda r: r.i):
+        exp = polys[row.i]
+        assert len(row.r) == len(exp)
+        for ring, ering in zip(row.r, exp):
+            got = [(p.x, p.y) for p in ring]
+            assert got == list(ering)  # float == : bit-exact
+
+
+def test_wkb_rejects_malformed(spark):
+    import struct
+
+    big_endian = struct.pack(">BI", 0, 3) + b"\x00" * 8
+    linestring = struct.pack("<BI", 1, 2) + struct.pack("<I", 0)
+    df = spark.createDataFrame(
+        [(big_endian,), (linestring,), (b"",)], "wkb binary"
+    )
+    assert [r.r for r in df.select(G.st_polygon_from_wkb("wkb").alias("r")).collect()] == [None, None, None]
+
+
+def test_multiring_area_and_containment_vs_python(spark):
+    """Even-odd area/containment of shell+hole polygons vs an
+    independent python shoelace + ray cast."""
+
+    def py_shoelace(ring):
+        n = len(ring)
+        return abs(sum(ring[i][0] * ring[(i + 1) % n][1] - ring[(i + 1) % n][0] * ring[i][1] for i in range(n))) / 2.0
+
+    def py_inside(rings, x, y):
+        cross = 0
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+                if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                    cross += 1
+        return cross % 2 == 1
+
+    rng = random.Random(13)
+    cases = []
+    for i in range(40):
+        cx, cy = rng.uniform(-50, 50), rng.uniform(-50, 50)
+        shell = [(cx - 4, cy - 4), (cx + 4, cy - 4), (cx + 4, cy + 4), (cx - 4, cy + 4)]
+        hole = [(cx - 1, cy - 1), (cx + 1, cy - 1), (cx + 1, cy + 1), (cx - 1, cy + 1)]
+        rings = [shell, hole] if i % 3 else [shell]
+        px, py = cx + rng.uniform(-5, 5), cy + rng.uniform(-5, 5)
+        cases.append((i, rings, px, py))
+    df = spark.createDataFrame(
+        [(i, _wkb_polygon(r), px, py) for i, r, px, py in cases],
+        "i int, wkb binary, px double, py double",
+    )
+    rows = df.select(
+        "i",
+        G.st_area_multiring(G.st_polygon_from_wkb("wkb")).alias("area"),
+        G.st_contains_point_multiring(
+            G.st_polygon_from_wkb("wkb"), F.col("px"), F.col("py")
+        ).alias("inside"),
+    ).collect()
+    for row in sorted(rows, key=lambda r: r.i):
+        _, rings, px, py = cases[row.i]
+        exp_area = py_shoelace(rings[0]) - sum(py_shoelace(h) for h in rings[1:])
+        assert row.area == pytest.approx(exp_area, abs=1e-9), row.i
+        assert row.inside == py_inside(rings, px, py), row.i
+
+
+def test_st_perimeter(spark):
+    df = spark.createDataFrame([("POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))",)], "pg STRING")
+    r = df.select(G.st_perimeter(G.st_ring_from_wkt("pg")).alias("p")).collect()[0]
+    assert r.p == 14.0
+
+
+def test_wkt_polygon_with_holes_parse(spark):
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",)],
+        "pg STRING",
+    )
+    r = df.select(
+        G.st_area_multiring(G.st_polygon_rings_from_wkt("pg")).alias("a"),
+        F.size(G.st_polygon_rings_from_wkt("pg")).alias("n"),
+    ).collect()[0]
+    assert r.n == 2 and r.a == 96.0
