@@ -719,12 +719,18 @@ def connected_components(
     """
     oriented = edges_df.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint()
-    n_oriented = oriented.count()
-    if 2 * n_oriented <= driver_max_edges:
-        # Union-find needs neither symmetrized nor deduplicated edges —
-        # collect the oriented list directly and skip that shuffle.
-        pairs = [(r._src, r._dst) for r in oriented.collect()]
+    )
+    # Single-job gate probe: collect at most gate//2 + 1 rows — if the
+    # limit wasn't hit, the whole (bounded) edge list is already on the
+    # driver and union-find proceeds; if it WAS hit, the edge list is
+    # over the gate and we fall to the distributed path. One bounded
+    # collect replaces the checkpoint+count+collect triple (2 fewer
+    # Spark jobs per merge — DBSCAN/LSH call this on tiny edge sets).
+    probe_cap = driver_max_edges // 2 + 1
+    probe = oriented.limit(probe_cap).collect()
+    if 2 * len(probe) <= driver_max_edges:
+        # Union-find needs neither symmetrized nor deduplicated edges.
+        pairs = [(r._src, r._dst) for r in probe]
         parent: dict = {}
 
         def find(a):
@@ -800,6 +806,9 @@ def connected_components(
             .distinct()
         )
 
+    # Distributed path: pin the (large) edge list once so the star
+    # rounds and the node universe don't re-derive upstream lineage.
+    oriented = oriented.localCheckpoint()
     # Isolated/self-loop-only nodes never enter the star rounds; they
     # rejoin as their own component at the end.
     all_nodes = (
@@ -1104,6 +1113,54 @@ def cosine_topk(
 # --------------------------------------------------------------------------
 # density clustering
 # --------------------------------------------------------------------------
+def dbscan_padded(
+    points: DataFrame,
+    id_col: str,
+    x: str,
+    y: str,
+    eps: float,
+    cell: float,
+) -> DataFrame:
+    """The grid + ε-halo projection DBSCAN clusters over: each point
+    replicated into every neighbor cell whose ε-padded region contains
+    it. Exposed separately so a bench/iteration loop can persist it
+    once and sweep (eps-compatible) min_pts settings without repaying
+    the scan + explode + shuffle — pass the result to :func:`dbscan`
+    as ``padded=``.
+
+    Halo replication rides a PRE-FILTERED offset array: the applicable
+    neighbor offsets are selected inside a JVM higher-order filter
+    BEFORE the explode, so only the ~(1+2eps/cell)²× real replicas are
+    ever generated — the explode-9×-then-filter form materialized 9n
+    rows to keep ~2n of them."""
+    f = points.select(
+        F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
+    )
+    home = f.withColumn("_cx", F.floor(F.col("_x") / cell)).withColumn(
+        "_cy", F.floor(F.col("_y") / cell)
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    applicable = F.filter(
+        offsets,
+        lambda o: (F.col("_x") >= (F.col("_cx") + o.dx) * cell - eps)
+        & (F.col("_x") < (F.col("_cx") + o.dx + 1) * cell + eps)
+        & (F.col("_y") >= (F.col("_cy") + o.dy) * cell - eps)
+        & (F.col("_y") < (F.col("_cy") + o.dy + 1) * cell + eps),
+    )
+    return home.withColumn("_o", F.explode(applicable)).select(
+        "_id", "_x", "_y",
+        (F.col("_cx") + F.col("_o.dx")).alias("_tcx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_tcy"),
+        ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_is_home"),
+    )
+
+
 def dbscan(
     points: DataFrame,
     id_col: str,
@@ -1112,13 +1169,15 @@ def dbscan(
     eps: float,
     min_pts: int,
     cell: float,
+    padded: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed, exact DBSCAN over 2-D points; returns
     (id_col, cluster, is_core) — noise rows carry NULL cluster.
 
     1. Cut the plane into ``cell``-width cells; replicate each point
        into every neighbor cell whose ε-padded region contains it
-       (halo), so a home point's full ε-neighborhood is local.
+       (halo), so a home point's full ε-neighborhood is local
+       (:func:`dbscan_padded`; pass a persisted one via ``padded``).
     2. Per-cell local DBSCAN in an Arrow ``applyInPandas`` kernel
        (numpy BFS) — home core flags are globally exact.
     3. Cross-cell core-core ε-pairs (grid equi-join) become merge
@@ -1134,28 +1193,8 @@ def dbscan(
     if cell < eps:
         raise ValueError(f"cell ({cell}) must be >= eps ({eps})")
     spark = points.sparkSession
-    f = points.select(
-        F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
-    )
-    home = f.withColumn("_cx", F.floor(F.col("_x") / cell)).withColumn(
-        "_cy", F.floor(F.col("_y") / cell)
-    )
-    padded = (
-        home.withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            "_id", "_x", "_y",
-            (F.col("_cx") + F.col("_dx")).alias("_tcx"),
-            (F.col("_cy") + F.col("_dy")).alias("_tcy"),
-            ((F.col("_dx") == 0) & (F.col("_dy") == 0)).alias("_is_home"),
-        )
-        .filter(
-            (F.col("_x") >= F.col("_tcx") * cell - eps)
-            & (F.col("_x") < (F.col("_tcx") + 1) * cell + eps)
-            & (F.col("_y") >= F.col("_tcy") * cell - eps)
-            & (F.col("_y") < (F.col("_tcy") + 1) * cell + eps)
-        )
-    )
+    if padded is None:
+        padded = dbscan_padded(points, id_col, x, y, eps, cell)
 
     def local_dbscan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1225,10 +1264,16 @@ def dbscan(
     # also pins the kernel's parallelism: AQE's byte-based coalescing
     # would starve the CPU-bound Python stage of cores.
     par = spark.sparkContext.defaultParallelism
-    bucketed = padded.withColumn(
-        "_bkt", F.pmod(F.hash("_tcx", "_tcy"), F.lit(par))
-    )
-    local = bucketed.repartition(par, "_bkt").groupBy("_bkt").applyInPandas(
+    if "_bkt" in padded.columns:
+        # Caller pre-bucketed (and usually persisted) the projection —
+        # its HashPartitioning(_bkt) satisfies the groupBy's required
+        # distribution, so no exchange is inserted here.
+        bucketed = padded
+    else:
+        bucketed = padded.withColumn(
+            "_bkt", F.pmod(F.hash("_tcx", "_tcy"), F.lit(par))
+        ).repartition(par, "_bkt")
+    local = bucketed.groupBy("_bkt").applyInPandas(
         lambda pdf: local_dbscan_bucket(pdf),
         "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, _x DOUBLE, _y DOUBLE",
     ).localCheckpoint()

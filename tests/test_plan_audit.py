@@ -69,7 +69,7 @@ CARTESIAN_ALLOWED = {
 COLLECT_ALLOWED = {
     ("sources/scans.py", "DESCRIBE EXTENDED"),   # catalog-stats rows (a12)
     ("sources/scans.py", 'load(spark, sf_dir, "nation")'),  # 25-row dim
-    ("api.py", "oriented.collect()"),            # ≤ driver_max_edges, gated
+    ("api.py", "oriented.limit(probe_cap).collect()"),  # ≤ gate+1 rows, gated
     ("api.py", 'sym.agg(F.min("_src"))'),        # 1-row scalar seed
     ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
     ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
