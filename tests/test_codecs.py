@@ -1,0 +1,90 @@
+"""Pure-stdlib image codec tests (functions/codecs.py) + the k13
+multimodal decode contract over the real fixture."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from glonassdatamining_spark.functions import codecs as C
+
+
+def test_ppm_roundtrip_exact():
+    rng = random.Random(5)
+    for w, h in [(1, 1), (8, 4), (13, 7)]:
+        px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        f = C.decode_ppm(C.encode_ppm(w, h, px))
+        assert f["width"] == w and f["height"] == h and f["maxval"] == 255
+        assert f["mean_r"] == pytest.approx(sum(px[0::3]) / (w * h))
+        assert f["mean_g"] == pytest.approx(sum(px[1::3]) / (w * h))
+        assert f["mean_b"] == pytest.approx(sum(px[2::3]) / (w * h))
+
+
+def test_ppm_header_grammar():
+    # comments + arbitrary whitespace are legal netpbm headers
+    px = bytes(range(12))
+    data = b"P6 # a comment\n# another\n 2\t2 \n255\n" + px
+    f = C.decode_ppm(data)
+    assert f and f["width"] == 2 and f["height"] == 2
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",
+        b"P5\n1 1\n255\n\x00",             # wrong magic
+        b"P6\n2 2\n255\n\x00\x00",          # truncated body
+        b"P6\n0 2\n255\n",                  # zero width
+        b"P6\n2 2\n70000\n" + b"\x00" * 12,  # 2-byte maxval unsupported
+        b"P6\nx y\n255\n" + b"\x00" * 12,    # non-numeric
+    ],
+)
+def test_ppm_malformed_returns_none(bad):
+    assert C.decode_ppm(bad) is None
+
+
+def test_bmp_roundtrip_channel_means():
+    rng = random.Random(9)
+    for w, h in [(1, 1), (5, 3), (4, 4)]:  # 5 → stride padding path
+        px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        f = C.decode_bmp(C.encode_bmp(w, h, px))
+        assert f["width"] == w and f["height"] == h
+        # encode takes BGR rows: channel 0 is blue
+        assert f["mean_b"] == pytest.approx(sum(px[0::3]) / (w * h))
+        assert f["mean_r"] == pytest.approx(sum(px[2::3]) / (w * h))
+
+
+def test_bmp_malformed_returns_none():
+    assert C.decode_bmp(b"") is None
+    assert C.decode_bmp(b"BM" + b"\x00" * 60) is None  # bpp 0
+    ok = C.encode_bmp(2, 2, bytes(12))
+    assert C.decode_bmp(ok[:30]) is None  # truncated
+
+
+def test_k13_decodes_genuine_ppm_bytes(spark):
+    """Driver-shaped run of k13: every fixture document becomes a real
+    P6 image whose decoded features must match a python-side re-read
+    of the same payload construction."""
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.llm_ops import _PPM_H, _PPM_W
+    from glonassdatamining_spark.sources import load
+    from tests.conftest import SF_DIR
+
+    out = {
+        r.doc_id: r
+        for r in registry.get("k13_multimodal_decode")
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs) > 0
+    px = 3 * _PPM_W * _PPM_H
+    for d in docs[:50]:
+        body = (d.text.encode("utf-8") + b" " * px)[:px]
+        exp = C.decode_ppm(C.encode_ppm(_PPM_W, _PPM_H, body))
+        got = out[d.doc_id]
+        assert (got.width, got.height, got.maxval) == (_PPM_W, _PPM_H, 255)
+        assert got.mean_r == pytest.approx(exp["mean_r"])
+        assert got.mean_g == pytest.approx(exp["mean_g"])
+        assert got.mean_b == pytest.approx(exp["mean_b"])
