@@ -284,3 +284,69 @@ def n7_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "u", "v")
         .limit(20)
     )
+
+
+@register(
+    "n8_clustering_coefficient",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src), "
+        "tri AS (SELECT a.src AS node, COUNT(*) AS t "
+        "FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN edges e ON e.src = a.dst AND e.dst = b.dst GROUP BY a.src) "
+        "SELECT d.node, CAST(d.degree AS BIGINT) AS degree, "
+        "CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles, "
+        "ROUND(CASE WHEN d.degree >= 2 "
+        "THEN 2.0 * COALESCE(t.t, 0) / (d.degree * (d.degree - 1)) "
+        "ELSE 0.0 END, 4) AS clustering_coeff "
+        "FROM deg d LEFT JOIN tri t USING (node)"
+    ),
+    section="N8",
+)
+def n8_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (round-4 addition): per node,
+    2·triangles / (deg·(deg−1)) — the standard community-density
+    diagnostic next to N3's global triangle count. Wedge enumeration
+    is one self-equi-join of the symmetrized edge list on the center
+    node (``a.dst < b.dst`` orients each wedge once), closed against
+    the oriented edge list by a second equi-join — compact-forward's
+    shape, never all-pairs; both joins broadcast when the edge list is
+    small and shuffle on node keys otherwise (AQE picks). The tiny
+    edge list is checkpointed once and fans into all three uses."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+    ).select(
+        F.col("a.src").alias("node"),
+        F.col("a.dst").alias("v"),
+        F.col("b.dst").alias("w"),
+    )
+    tri = (
+        wedges.join(
+            e, (F.col("v") == F.col("src")) & (F.col("w") == F.col("dst"))
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("t", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("clustering_coeff"),
+    )

@@ -1773,3 +1773,47 @@ def k35_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+_SOURCE_CAP = 40  # per-source document budget
+
+
+@register(
+    "k36_source_cap_sample",
+    oracle=(
+        "WITH ranked AS (SELECT source, doc_id, n_chars, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total, "
+        f"CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_kept, "
+        f"CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN n_chars ELSE 0 END) "
+        "AS BIGINT) AS kept_chars "
+        "FROM ranked GROUP BY source"
+    ),
+    section="K36",
+)
+def k36_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (round-4 addition): the mixture-control
+    step every pretraining curation pipeline runs — no single
+    source/domain may contribute more than N documents, and the budget
+    keeps the highest-quality (here: longest) docs first,
+    deterministically tie-broken. One window shuffle on the source key
+    (domain cardinality ≫ executor count at corpus scale, so the
+    partitioning is even); Spark plants a WindowGroupLimit-style
+    per-partition rank so the kept set never materializes beyond the
+    cap per key. Complements k28's target-share mixture plan (shares)
+    with a hard per-domain ceiling (counts)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select("source", "doc_id", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.col("rn") <= _SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )

@@ -661,3 +661,75 @@ def e17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@register(
+    "e18_rfm_segments",
+    oracle=(
+        "WITH cust AS (SELECT o_custkey, "
+        "date_diff('day', max(o_orderdate), TIMESTAMP '2026-01-01') AS r, "
+        "CAST(COUNT(*) AS DOUBLE) AS f, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec "
+        "FROM orders GROUP BY o_custkey), "
+        "cuts AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rc, "
+        "quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fc, "
+        "quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mc FROM cust), "
+        "seg AS (SELECT "
+        "1 + len(list_filter(c.rc, b -> cust.r > b)) AS r_quintile, "
+        "1 + len(list_filter(c.fc, b -> cust.f > b)) AS f_quintile, "
+        "1 + len(list_filter(c.mc, b -> cust.m > b)) AS m_quintile, "
+        "cust.m_dec FROM cust, cuts c) "
+        "SELECT CAST(r_quintile AS INT) AS r_quintile, "
+        "CAST(f_quintile AS INT) AS f_quintile, "
+        "CAST(m_quintile AS INT) AS m_quintile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "ROUND(CAST(SUM(m_dec) AS DOUBLE), 2) AS monetary_total "
+        "FROM seg GROUP BY 1, 2, 3"
+    ),
+    section="E18",
+)
+def e18_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (round-4 addition): per customer
+    Recency (days from a fixed anchor past the data horizon),
+    Frequency (order count), Monetary (decimal-exact total spend),
+    each bucketed into quintiles — the classic CRM segmentation grid.
+
+    Scale design: quintile assignment rides EXACT interpolated
+    percentile cutoffs (one 4-value scalar row, broadcast) + a strict
+    ``value > cutoff`` count — NOT a global ``ntile`` window, which
+    would serialize every customer through a single task at 10⁸
+    customers. Per-customer monetary sums ride DECIMAL(18,2) so
+    cross-engine accumulation order can't skew a cent; the cutoffs are
+    the standard (1−g)·x⌊i⌋ + g·x⌈i⌉ interpolation, bit-identical in
+    both engines on identical sorted inputs."""
+    o = load(spark, sf_dir, "orders")
+    anchor = F.lit("2026-01-01").cast("timestamp")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).cast("double").alias("r"),
+        F.count(F.lit(1)).cast("double").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_dec"),
+    ).withColumn("m", F.col("m_dec").cast("double"))
+    probs = F.lit([0.2, 0.4, 0.6, 0.8])
+    cuts = cust.agg(
+        F.percentile("r", probs).alias("rc"),
+        F.percentile("f", probs).alias("fc"),
+        F.percentile("m", probs).alias("mc"),
+    )
+
+    def quintile(v: str, cutcol: str):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(cutcol), lambda b: F.col(v) > b))
+        ).cast("int")
+
+    seg = cust.join(F.broadcast(cuts)).select(
+        quintile("r", "rc").alias("r_quintile"),
+        quintile("f", "fc").alias("f_quintile"),
+        quintile("m", "mc").alias("m_quintile"),
+        "m_dec",
+    )
+    return seg.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("m_dec").cast("double"), 2).alias("monetary_total"),
+    )

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
                               # length/prefix for dict×dict at scale)
     "q22_global_sales_opportunity",  # 1-row scalar avg, broadcast
     "q15_top_supplier",       # 1-row scalar max, broadcast
+    "e18_rfm_segments",       # 1-row quintile-cutoff struct, broadcast
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
