@@ -377,19 +377,18 @@ def wkb_double(hx: Column, off) -> Column:
     )
 
 
-def st_polygon_from_wkb(wkb: Column | str) -> Column:
-    """Parse a little-endian WKB POLYGON (type 3, any number of rings)
-    into ``array<array<struct<x,y>>>`` — same layout as
-    :func:`st_polygon_rings_from_wkt` (ring 1 = shell, rest = holes,
-    closing vertices dropped). Big-endian or non-polygon input yields
-    null. Ring offsets are data-dependent, so the ring walk is an
-    ``aggregate`` over ring indices carrying (byte offset, rings
-    parsed so far) — still one codegen'd expression per row."""
-    c = F.col(wkb) if isinstance(wkb, str) else wkb
-    hx = F.hex(c)
-    nrings = wkb_uint32(hx, F.lit(5))
+# Corrupt-input caps: a flipped byte in a count field must degrade to
+# null, not drive F.sequence toward a 2^31-element allocation.
+_MAX_RINGS = 1024
+_MAX_PTS = 1_048_576
+
+
+def _rings_walk(hx: Column, off0, nrings) -> Column:
+    """Parse ``nrings`` WKB rings starting at byte offset ``off0``;
+    returns struct(off = first byte after the rings, rings = parsed
+    arrays, closing vertices dropped). Caller guards nrings ≥ 1."""
     acc0 = F.struct(
-        F.lit(9).cast("long").alias("off"),
+        off0.cast("long").alias("off"),
         F.array()
         .cast("array<array<struct<x:double,y:double>>>")
         .alias("rings"),
@@ -398,7 +397,7 @@ def st_polygon_from_wkb(wkb: Column | str) -> Column:
     def step(acc, _):
         npts = wkb_uint32(hx, acc.off)
         ring = F.when(
-            npts >= 1,
+            npts.between(1, _MAX_PTS),
             F.transform(
                 F.sequence(F.lit(0), (npts - 1).cast("int")),
                 lambda j: F.struct(
@@ -408,21 +407,89 @@ def st_polygon_from_wkb(wkb: Column | str) -> Column:
             ),
         ).otherwise(F.array().cast("array<struct<x:double,y:double>>"))
         return F.struct(
-            (acc.off + 4 + 16 * npts).alias("off"),
+            (acc.off + 4 + 16 * F.least(npts, F.lit(_MAX_PTS))).alias("off"),
             F.concat(acc.rings, F.array(_drop_closing(ring))).alias("rings"),
         )
 
-    parsed = F.aggregate(
-        F.sequence(F.lit(1), nrings.cast("int")),
-        acc0,
-        step,
-        lambda acc: acc.rings,
-    )
+    return F.aggregate(F.sequence(F.lit(1), nrings.cast("int")), acc0, step)
+
+
+def st_polygon_from_wkb(wkb: Column | str) -> Column:
+    """Parse a little-endian WKB POLYGON (type 3, any number of rings)
+    into ``array<array<struct<x,y>>>`` — same layout as
+    :func:`st_polygon_rings_from_wkt` (ring 1 = shell, rest = holes,
+    closing vertices dropped). Big-endian, non-polygon, or
+    count-corrupted input yields null. Ring offsets are
+    data-dependent, so the ring walk is an ``aggregate`` over ring
+    indices carrying (byte offset, rings parsed so far) — still one
+    codegen'd expression per row."""
+    c = F.col(wkb) if isinstance(wkb, str) else wkb
+    hx = F.hex(c)
+    nrings = wkb_uint32(hx, F.lit(5))
     return F.when(
         (_wkb_byte(hx, F.lit(0)) == 1)
         & (wkb_uint32(hx, F.lit(1)) == 3)
-        & (nrings >= 1),
-        parsed,
+        & nrings.between(1, _MAX_RINGS),
+        _rings_walk(hx, F.lit(9), nrings).rings,
+    )
+
+
+def st_multipolygon_from_wkb(wkb: Column | str) -> Column:
+    """Parse a little-endian WKB MULTIPOLYGON (type 6) into
+    ``array<array<array<struct<x,y>>>>`` — one rings-array per member
+    polygon (each member carries its own WKB header, per spec; only
+    little-endian members are supported). Null on malformed input.
+    The polygon walk nests the ring walk: an outer ``aggregate`` over
+    polygon indices threads the byte offset through each member's
+    inner ring ``aggregate`` — still pure Catalyst, zero Python."""
+    c = F.col(wkb) if isinstance(wkb, str) else wkb
+    hx = F.hex(c)
+    npolys = wkb_uint32(hx, F.lit(5))
+    acc0 = F.struct(
+        F.lit(9).cast("long").alias("off"),
+        F.array()
+        .cast("array<array<array<struct<x:double,y:double>>>>")
+        .alias("polys"),
+        F.lit(True).alias("ok"),
+    )
+
+    def step(acc, _):
+        # member header: 1 byte order + 4 type, then nrings
+        member_ok = (
+            acc.ok
+            & (_wkb_byte(hx, acc.off) == 1)
+            & (wkb_uint32(hx, acc.off + 1) == 3)
+        )
+        nrings = wkb_uint32(hx, acc.off + 5)
+        rw = _rings_walk(hx, acc.off + 9, nrings)
+        good = member_ok & nrings.between(1, _MAX_RINGS)
+        return F.struct(
+            F.when(good, rw.off).otherwise(acc.off).alias("off"),
+            F.when(good, F.concat(acc.polys, F.array(rw.rings)))
+            .otherwise(acc.polys)
+            .alias("polys"),
+            good.alias("ok"),
+        )
+
+    parsed = F.aggregate(
+        F.sequence(F.lit(1), npolys.cast("int")),
+        acc0,
+        step,
+    )
+    return F.when(
+        (_wkb_byte(hx, F.lit(0)) == 1)
+        & (wkb_uint32(hx, F.lit(1)) == 6)
+        & npolys.between(1, _MAX_RINGS)
+        & parsed.ok,
+        parsed.polys,
+    )
+
+
+def st_area_multipolygon(polys: Column) -> Column:
+    """Total even-odd area of a parsed MULTIPOLYGON: Σ member
+    (shell − holes) areas, folded in member order."""
+    return F.aggregate(
+        polys, F.lit(0.0), lambda acc, rings: acc + st_area_multiring(rings)
     )
 
 

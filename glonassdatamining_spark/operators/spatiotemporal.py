@@ -2228,3 +2228,88 @@ def i35_st_measures_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("perimeter").cast("decimal(28,12)")).cast("double"), 4
         ).alias("total_perimeter"),
     )
+
+
+@register(
+    "i36_wkb_multipolygon_area",
+    oracle=(
+        FIXES_CTE
+        + _HOLE_GEO_CTE
+        + ", geo2 AS (SELECT obj_id, x0, x1, y0, y1, hx0, hx1, hy0, hy1, "
+        "(x1 - x0) + 1.0 AS dx FROM geo) "
+        "SELECT obj_id, 2 AS n_polys, "
+        "(" + _rect_shoelace_sql("x0", "y0", "x1", "y1")
+        + " - " + _rect_shoelace_sql("hx0", "hy0", "hx1", "hy1") + ")"
+        + " + (" + _rect_shoelace_sql("(x0 + dx)", "y0", "(x1 + dx)", "y1")
+        + " - " + _rect_shoelace_sql("(hx0 + dx)", "hy0", "(hx1 + dx)", "hy1")
+        + ") AS area FROM geo2"
+    ),
+    section="I36",
+)
+def i36_wkb_multipolygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB MULTIPOLYGON end to end (round-4 addition, closing the
+    round-3 'what's missing' geometry item): each object owns TWO
+    disjoint shell+hole polygons (the i33 bbox geometry and a copy
+    translated one width to the right), packed as one WKB MULTIPOLYGON
+    (each member with its own spec-mandated header), parsed by the
+    pure-Catalyst nested walk (``st_multipolygon_from_wkb`` — outer
+    polygon aggregate threading byte offsets through inner ring
+    aggregates), measured by the member-order area fold. The oracle
+    recomputes both members' shell−hole shoelaces on the translated
+    coordinates with the identical IEEE fold — parser or fold drift
+    anywhere breaks the hash."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area_multipolygon,
+        st_multipolygon_from_wkb,
+    )
+
+    import pandas as pd
+
+    geo = _hole_geo(spark, sf_dir).withColumn(
+        "dx", (F.col("x1") - F.col("x0")) + F.lit(1.0)
+    )
+
+    def _encode_fn(x0, y0, x1, y1, hx0, hy0, hx1, hy1, dx):
+        import struct
+
+        def ring(vs):
+            closed = vs + [vs[0]]
+            return struct.pack("<I", len(closed)) + b"".join(
+                struct.pack("<dd", px, py) for px, py in closed
+            )
+
+        def poly(rings):
+            return struct.pack("<BII", 1, 3, len(rings)) + b"".join(
+                ring(r) for r in rings
+            )
+
+        out = []
+        for a, b, c, d, e, f, g, h, t in zip(
+            x0, y0, x1, y1, hx0, hy0, hx1, hy1, dx
+        ):
+            p1 = [
+                [(a, b), (c, b), (c, d), (a, d)],
+                [(e, f), (g, f), (g, h), (e, h)],
+            ]
+            p2 = [
+                [(a + t, b), (c + t, b), (c + t, d), (a + t, d)],
+                [(e + t, f), (g + t, f), (g + t, h), (e + t, h)],
+            ]
+            out.append(struct.pack("<BII", 1, 6, 2) + poly(p1) + poly(p2))
+        return pd.Series(out)
+
+    _encode = F.pandas_udf(_encode_fn, "binary")
+    wkb_df = geo.select(
+        "obj_id",
+        _encode(
+            "x0", "y0", "x1", "y1", "hx0", "hy0", "hx1", "hy1", "dx"
+        ).alias("wkb"),
+    ).localCheckpoint()
+    parsed = wkb_df.select(
+        "obj_id", st_multipolygon_from_wkb("wkb").alias("polys")
+    )
+    return parsed.select(
+        "obj_id",
+        F.size("polys").alias("n_polys"),
+        st_area_multipolygon(F.col("polys")).alias("area"),
+    )

@@ -480,3 +480,62 @@ def test_wkt_polygon_with_holes_parse(spark):
         F.size(G.st_polygon_rings_from_wkt("pg")).alias("n"),
     ).collect()[0]
     assert r.n == 2 and r.a == 96.0
+
+
+def test_wkb_multipolygon_roundtrip_and_area(spark):
+    """Nested MULTIPOLYGON walk: random members round-trip bit-exactly
+    and total area matches a python shoelace; corrupt counts → null."""
+    import struct as st
+
+    def ring_b(r):
+        closed = r + [r[0]]
+        return st.pack("<I", len(closed)) + b"".join(
+            st.pack("<dd", x, y) for x, y in closed
+        )
+
+    def poly_b(rings):
+        return st.pack("<BII", 1, 3, len(rings)) + b"".join(ring_b(r) for r in rings)
+
+    def py_shoelace(ring):
+        n = len(ring)
+        return abs(sum(ring[i][0] * ring[(i + 1) % n][1] - ring[(i + 1) % n][0] * ring[i][1] for i in range(n))) / 2.0
+
+    rng = random.Random(21)
+    cases = []
+    for i in range(15):
+        polys = []
+        for p in range(rng.randint(1, 3)):
+            cx, cy = rng.uniform(-100, 100), rng.uniform(-100, 100)
+            shell = [(cx - 3, cy - 3), (cx + 3, cy - 3), (cx + 3, cy + 3), (cx - 3, cy + 3)]
+            rings = [shell]
+            if rng.random() < 0.5:
+                rings.append([(cx - 1, cy - 1), (cx + 1, cy - 1), (cx + 1, cy + 1), (cx - 1, cy + 1)])
+            polys.append(rings)
+        cases.append((i, polys))
+    rows_in = [
+        (i, st.pack("<BII", 1, 6, len(p)) + b"".join(poly_b(x) for x in p))
+        for i, p in cases
+    ]
+    rows_in.append((99, st.pack("<BII", 1, 6, 2**31 - 5) + b"\x00" * 16))  # corrupt count
+    df = spark.createDataFrame(rows_in, "i int, wkb binary")
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            G.st_multipolygon_from_wkb("wkb").alias("p"),
+        )
+        .select(
+            "i",
+            F.size("p").alias("n"),
+            G.st_area_multipolygon(F.col("p")).alias("area"),
+        )
+        .collect()
+    }
+    for i, polys in cases:
+        exp = sum(
+            py_shoelace(rings[0]) - sum(py_shoelace(h) for h in rings[1:])
+            for rings in polys
+        )
+        assert got[i].n == len(polys)
+        assert got[i].area == pytest.approx(exp, abs=1e-9)
+    assert got[99].n is None and got[99].area is None
