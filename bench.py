@@ -60,6 +60,10 @@ HEADLINE = [
     # round-3 additions (BASELINE.md: geometry tier, no earlier baseline):
     "i30_polygon_intersect_pairs",  # grid-bucketed polygon-polygon join
     "i31_path_self_intersections",  # O(m²)-in-row segment crossing scan
+    # round-4 additions (BASELINE.md: WKB + curation tier, no earlier baseline):
+    "i33_wkb_polygon_hole_area",    # WKB encode → pure-Catalyst parse → area
+    "e18_rfm_segments",             # percentile-cutoff RFM segmentation
+    "n8_clustering_coefficient",    # wedge join + triangle closure per node
 ]
 
 
