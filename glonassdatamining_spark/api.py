@@ -1155,7 +1155,13 @@ def dbscan_padded(
     )
     return home.withColumn("_o", F.explode(applicable)).select(
         "_id", "_x", "_y",
-        (F.col("_cx") + F.col("_o.dx")).alias("_tcx"),
+        # (eps, cell) ride as column METADATA (zero per-row cost) so
+        # dbscan() can refuse a projection built for different
+        # parameters — a stale-halo mismatch yields silently wrong
+        # clusters, not an error, without this tag.
+        (F.col("_cx") + F.col("_o.dx")).alias(
+            "_tcx", metadata={"eps": float(eps), "cell": float(cell)}
+        ),
         (F.col("_cy") + F.col("_o.dy")).alias("_tcy"),
         ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_is_home"),
     )
@@ -1195,6 +1201,14 @@ def dbscan(
     spark = points.sparkSession
     if padded is None:
         padded = dbscan_padded(points, id_col, x, y, eps, cell)
+    else:
+        meta = padded.schema["_tcx"].metadata or {}
+        if (meta.get("eps"), meta.get("cell")) != (float(eps), float(cell)):
+            raise ValueError(
+                f"padded projection was built for eps/cell "
+                f"{meta.get('eps')}/{meta.get('cell')}, not {eps}/{cell} — "
+                "its halo would be wrong for these parameters"
+            )
 
     def local_dbscan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -19,6 +19,35 @@ from __future__ import annotations
 import struct
 
 
+def pack_wkb_ring(vertices: list[tuple[float, float]]) -> bytes:
+    """Open ring → closed little-endian WKB ring bytes (count + the
+    closing vertex repeated, per spec). The ONE packer every WKB
+    encoder and test in the repo shares — byte-format drift between
+    hand-rolled copies would silently desynchronize the encode side
+    from the pure-Catalyst parsers."""
+    closed = list(vertices) + [vertices[0]]
+    return struct.pack("<I", len(closed)) + b"".join(
+        struct.pack("<dd", x, y) for x, y in closed
+    )
+
+
+def pack_wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    """Rings (shell first) → little-endian WKB POLYGON (type 3)."""
+    return struct.pack("<BII", 1, 3, len(rings)) + b"".join(
+        pack_wkb_ring(r) for r in rings
+    )
+
+
+def pack_wkb_multipolygon(
+    polys: list[list[list[tuple[float, float]]]],
+) -> bytes:
+    """Member polygons → little-endian WKB MULTIPOLYGON (type 6);
+    each member carries its own header, per spec."""
+    return struct.pack("<BII", 1, 6, len(polys)) + b"".join(
+        pack_wkb_polygon(p) for p in polys
+    )
+
+
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     """Pack raw interleaved RGB bytes (len == 3*width*height) into a
     binary P6 PPM file."""
@@ -32,7 +61,11 @@ def decode_ppm(data: bytes) -> dict | None:
     ``#`` comments, per the netpbm spec) + raw RGB samples. Returns
     width/height/maxval plus per-channel means, or None if malformed.
     Only maxval <= 255 (1 byte/sample) is supported."""
-    if not data.startswith(b"P6"):
+    # The magic must be exactly 'P6' followed by whitespace or a
+    # comment — 'P63 4…' is NOT a 3-wide PPM.
+    if not data.startswith(b"P6") or (
+        len(data) > 2 and not data[2:3].isspace() and data[2:3] != b"#"
+    ):
         return None
     pos = 2
     fields: list[int] = []

@@ -253,10 +253,20 @@ def segments_intersect(a, b) -> Column:
     16-multiplication orientation test only when the bboxes overlap,
     so a long mostly-monotone trajectory's pair scan does ~O(m²)
     comparisons but only O(crossing-candidates) multiplications
-    (round-3 judge ask: cap the in-row quadratic kernel). ``~overlap``
-    is null on null coords, so the null branch still falls through to
-    the orientation test and propagates null per the module contract."""
-    guard = ~seg_bbox_overlap(a, b)
+    (round-3 judge ask: cap the in-row quadratic kernel). Null coords
+    are checked EXPLICITLY before the guard — least/greatest skip
+    nulls, so a partially-null edge could otherwise read as a definite
+    non-overlap and return False where the contract demands null."""
+    # one null-propagating sum instead of 8 isNull tests — the pair
+    # kernels evaluate this per candidate pair, so expression-tree size
+    # is perf-critical (a larger tree pushed the 4000-segment staircase
+    # property test past the codegen method limit into interpreted
+    # mode). The null branch must be EXPLICIT: three-valued AND/OR can
+    # collapse a partially-null orientation test to False, and
+    # least/greatest skip nulls in the bbox guard.
+    anynull = (
+        a.x1 + a.y1 + a.x2 + a.y2 + b.x1 + b.y1 + b.x2 + b.y2
+    ).isNull()
     d1 = _cross(b.x1, b.y1, b.x2, b.y2, a.x1, a.y1)
     d2 = _cross(b.x1, b.y1, b.x2, b.y2, a.x2, a.y2)
     d3 = _cross(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1)
@@ -271,7 +281,11 @@ def segments_intersect(a, b) -> Column:
         | ((d3 == 0) & _on_segment(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1))
         | ((d4 == 0) & _on_segment(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2))
     )
-    return F.when(guard, F.lit(False)).otherwise(proper | touch)
+    return (
+        F.when(anynull, F.lit(None).cast("boolean"))
+        .when(~seg_bbox_overlap(a, b), F.lit(False))
+        .otherwise(proper | touch)
+    )
 
 
 def st_intersects_polygon(ring_a: Column, ring_b: Column) -> Column:
@@ -383,6 +397,17 @@ _MAX_RINGS = 1024
 _MAX_PTS = 1_048_576
 
 
+def _let(expr: Column, fn) -> Column:
+    """Let-binding for Catalyst: evaluate ``expr`` ONCE and reference
+    it many times through a lambda variable. Referencing a big
+    expression twice (e.g. ``walk.off`` and ``walk.rings``) duplicates
+    its whole subtree in the plan — for the WKB ring walks that
+    doubles/quadruples an already-large aggregate tree and stalls
+    codegen/JIT. ``transform`` over a 1-element array gives real
+    single-evaluation semantics."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _rings_walk(hx: Column, off0, nrings) -> Column:
     """Parse ``nrings`` WKB rings starting at byte offset ``off0``;
     returns struct(off = first byte after the rings, rings = parsed
@@ -430,7 +455,14 @@ def st_polygon_from_wkb(wkb: Column | str) -> Column:
         (_wkb_byte(hx, F.lit(0)) == 1)
         & (wkb_uint32(hx, F.lit(1)) == 3)
         & nrings.between(1, _MAX_RINGS),
-        _rings_walk(hx, F.lit(9), nrings).rings,
+        # Truncation check: the walk's end offset must lie inside the
+        # buffer — otherwise missing bytes would decode as zeros and
+        # return plausible-but-wrong geometry instead of null. The
+        # walk is let-bound so the offset check doesn't duplicate it.
+        _let(
+            _rings_walk(hx, F.lit(9), nrings),
+            lambda w: F.when(w.off <= F.length(c), w.rings),
+        ),
     )
 
 
@@ -461,14 +493,18 @@ def st_multipolygon_from_wkb(wkb: Column | str) -> Column:
             & (wkb_uint32(hx, acc.off + 1) == 3)
         )
         nrings = wkb_uint32(hx, acc.off + 5)
-        rw = _rings_walk(hx, acc.off + 9, nrings)
         good = member_ok & nrings.between(1, _MAX_RINGS)
-        return F.struct(
-            F.when(good, rw.off).otherwise(acc.off).alias("off"),
-            F.when(good, F.concat(acc.polys, F.array(rw.rings)))
-            .otherwise(acc.polys)
-            .alias("polys"),
-            good.alias("ok"),
+        # the inner walk is let-bound: referencing .off and .rings
+        # directly would duplicate the whole inner aggregate subtree
+        return _let(
+            _rings_walk(hx, acc.off + 9, nrings),
+            lambda rw: F.struct(
+                F.when(good, rw.off).otherwise(acc.off).alias("off"),
+                F.when(good, F.concat(acc.polys, F.array(rw.rings)))
+                .otherwise(acc.polys)
+                .alias("polys"),
+                good.alias("ok"),
+            ),
         )
 
     parsed = F.aggregate(
@@ -479,9 +515,14 @@ def st_multipolygon_from_wkb(wkb: Column | str) -> Column:
     return F.when(
         (_wkb_byte(hx, F.lit(0)) == 1)
         & (wkb_uint32(hx, F.lit(1)) == 6)
-        & npolys.between(1, _MAX_RINGS)
-        & parsed.ok,
-        parsed.polys,
+        & npolys.between(1, _MAX_RINGS),
+        _let(
+            parsed,
+            lambda p: F.when(
+                p.ok & (p.off <= F.length(c)),  # truncation check
+                p.polys,
+            ),
+        ),
     )
 
 

@@ -1989,6 +1989,15 @@ def i32_wkt_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pkg_root() -> str:
+    """Repo root for executor-side sys.path injection (see k13)."""
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
 # Shared geo CTE for i33/i34: per-object inflated bbox shell + centered
 # half-size hole. The 0.00037 hole offset keeps every hole boundary off
 # the fixes' milli-coordinate grid, so strict-inequality SQL and the
@@ -2028,21 +2037,26 @@ def _hole_polygon_wkb(bb: DataFrame) -> DataFrame:
     # no type hints: `from __future__ import annotations` stringifies
     # them and pyspark's hint resolver can't evaluate module-level
     # strings inside a nested scope — the classic form infers SCALAR.
-    def _encode_fn(x0, y0, x1, y1, hx0, hy0, hx1, hy1):
-        import struct
+    # pkg_root rides the closure so executors without the repo on
+    # PYTHONPATH can import the shared packer (k13's pattern).
+    pkg_root = _pkg_root()
 
-        def ring(vs):
-            closed = vs + [vs[0]]
-            return struct.pack("<I", len(closed)) + b"".join(
-                struct.pack("<dd", px, py) for px, py in closed
-            )
+    def _encode_fn(x0, y0, x1, y1, hx0, hy0, hx1, hy1):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import pack_wkb_polygon
 
         out = []
         for a, b, c, d, e, f, g, h in zip(x0, y0, x1, y1, hx0, hy0, hx1, hy1):
             out.append(
-                struct.pack("<BII", 1, 3, 2)
-                + ring([(a, b), (c, b), (c, d), (a, d)])
-                + ring([(e, f), (g, f), (g, h), (e, h)])
+                pack_wkb_polygon(
+                    [
+                        [(a, b), (c, b), (c, d), (a, d)],
+                        [(e, f), (g, f), (g, h), (e, h)],
+                    ]
+                )
             )
         return pd.Series(out)
 
@@ -2269,19 +2283,16 @@ def i36_wkb_multipolygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dx", (F.col("x1") - F.col("x0")) + F.lit(1.0)
     )
 
+    pkg_root = _pkg_root()
+
     def _encode_fn(x0, y0, x1, y1, hx0, hy0, hx1, hy1, dx):
-        import struct
+        import sys
 
-        def ring(vs):
-            closed = vs + [vs[0]]
-            return struct.pack("<I", len(closed)) + b"".join(
-                struct.pack("<dd", px, py) for px, py in closed
-            )
-
-        def poly(rings):
-            return struct.pack("<BII", 1, 3, len(rings)) + b"".join(
-                ring(r) for r in rings
-            )
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import (
+            pack_wkb_multipolygon,
+        )
 
         out = []
         for a, b, c, d, e, f, g, h, t in zip(
@@ -2295,7 +2306,7 @@ def i36_wkb_multipolygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [(a + t, b), (c + t, b), (c + t, d), (a + t, d)],
                 [(e + t, f), (g + t, f), (g + t, h), (e + t, h)],
             ]
-            out.append(struct.pack("<BII", 1, 6, 2) + poly(p1) + poly(p2))
+            out.append(pack_wkb_multipolygon([p1, p2]))
         return pd.Series(out)
 
     _encode = F.pandas_udf(_encode_fn, "binary")

@@ -88,3 +88,10 @@ def test_k13_decodes_genuine_ppm_bytes(spark):
         assert got.mean_r == pytest.approx(exp["mean_r"])
         assert got.mean_g == pytest.approx(exp["mean_g"])
         assert got.mean_b == pytest.approx(exp["mean_b"])
+
+
+def test_ppm_magic_requires_separator():
+    """Code-review r4 finding: 'P63 4…' must NOT parse as a 3-wide
+    image — the magic must be exactly P6 + whitespace/comment."""
+    assert C.decode_ppm(b"P63 4\n255\n" + b"\x00" * 36) is None
+    assert C.decode_ppm(b"P6#c\n3 4 255\n" + b"\x00" * 36) is not None

@@ -371,17 +371,12 @@ def test_bbox_guard_preserves_crossing_semantics(spark):
     assert got == expected and expected > 0
 
 
-def _wkb_polygon(rings, byteorder="<"):
-    import struct
+def _wkb_polygon(rings):
+    # the shared packer — the t2 oracles (i33/i34/i36) stay the
+    # independent leg; this validates parse-of-what-we-pack
+    from glonassdatamining_spark.functions.codecs import pack_wkb_polygon
 
-    out = struct.pack(byteorder + "BI" if byteorder == "<" else ">BI", 1 if byteorder == "<" else 0, 3)
-    out += struct.pack(byteorder + "I", len(rings))
-    for r in rings:
-        closed = r + [r[0]]
-        out += struct.pack(byteorder + "I", len(closed))
-        for (x, y) in closed:
-            out += struct.pack(byteorder + "dd", x, y)
-    return out
+    return pack_wkb_polygon(rings)
 
 
 def test_wkb_polygon_roundtrip_exact(spark):
@@ -487,14 +482,7 @@ def test_wkb_multipolygon_roundtrip_and_area(spark):
     and total area matches a python shoelace; corrupt counts → null."""
     import struct as st
 
-    def ring_b(r):
-        closed = r + [r[0]]
-        return st.pack("<I", len(closed)) + b"".join(
-            st.pack("<dd", x, y) for x, y in closed
-        )
-
-    def poly_b(rings):
-        return st.pack("<BII", 1, 3, len(rings)) + b"".join(ring_b(r) for r in rings)
+    from glonassdatamining_spark.functions.codecs import pack_wkb_multipolygon
 
     def py_shoelace(ring):
         n = len(ring)
@@ -512,11 +500,9 @@ def test_wkb_multipolygon_roundtrip_and_area(spark):
                 rings.append([(cx - 1, cy - 1), (cx + 1, cy - 1), (cx + 1, cy + 1), (cx - 1, cy + 1)])
             polys.append(rings)
         cases.append((i, polys))
-    rows_in = [
-        (i, st.pack("<BII", 1, 6, len(p)) + b"".join(poly_b(x) for x in p))
-        for i, p in cases
-    ]
+    rows_in = [(i, pack_wkb_multipolygon(p)) for i, p in cases]
     rows_in.append((99, st.pack("<BII", 1, 6, 2**31 - 5) + b"\x00" * 16))  # corrupt count
+    rows_in.append((98, pack_wkb_multipolygon(cases[0][1])[:-7]))  # truncated
     df = spark.createDataFrame(rows_in, "i int, wkb binary")
     got = {
         r.i: r
@@ -539,3 +525,44 @@ def test_wkb_multipolygon_roundtrip_and_area(spark):
         assert got[i].n == len(polys)
         assert got[i].area == pytest.approx(exp, abs=1e-9)
     assert got[99].n is None and got[99].area is None
+    assert got[98].n is None and got[98].area is None  # truncated → null
+
+
+def test_wkb_truncated_polygon_yields_null(spark):
+    """Code-review r4 finding: missing bytes used to decode as zeros
+    and return plausible-but-wrong geometry; the end-offset ≤ buffer
+    check must null truncated input instead."""
+    full = _wkb_polygon([[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]])
+    df = spark.createDataFrame(
+        [(full,), (full[:-2],), (full[:-17],)], "wkb binary"
+    )
+    rows = df.select(
+        G.st_area_multiring(G.st_polygon_from_wkb("wkb")).alias("a")
+    ).collect()
+    assert rows[0].a == 100.0
+    assert rows[1].a is None and rows[2].a is None
+
+
+def test_segments_intersect_partial_null_yields_null(spark):
+    """Code-review r4 finding: least/greatest skip nulls, so a
+    partially-null edge could read as a definite bbox non-overlap and
+    return False; the explicit null check must propagate null."""
+    df = spark.createDataFrame(
+        [
+            (None, 0.0, 1.0, 1.0, 5.0, 5.0, 6.0, 6.0),   # far apart + null
+            (0.0, 0.0, 1.0, 1.0, 0.5, 0.0, 0.5, None),   # overlapping + null
+            (0.0, 0.0, 1.0, 1.0, 0.0, 1.0, 1.0, 0.0),    # clean crossing
+        ],
+        "ax1 double, ay1 double, ax2 double, ay2 double, "
+        "bx1 double, by1 double, bx2 double, by2 double",
+    )
+    a = F.struct(
+        F.col("ax1").alias("x1"), F.col("ay1").alias("y1"),
+        F.col("ax2").alias("x2"), F.col("ay2").alias("y2"),
+    )
+    b = F.struct(
+        F.col("bx1").alias("x1"), F.col("by1").alias("y1"),
+        F.col("bx2").alias("x2"), F.col("by2").alias("y2"),
+    )
+    rows = df.select(G.segments_intersect(a, b).alias("hit")).collect()
+    assert rows[0].hit is None and rows[1].hit is None and rows[2].hit is True
