@@ -161,14 +161,24 @@ def st_area_multiring(rings: Column) -> Column:
     valid-polygon layout (holes disjoint, inside the shell) — the
     even-odd convention makes overlapping-ring input well-defined
     anyway (area counts regions covered an odd number of times only
-    when rings nest). Null on any degenerate ring."""
-    shell = st_area(F.element_at(rings, 1))
-    holes = F.aggregate(
-        F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0))),
-        F.lit(0.0),
-        lambda acc, r: acc + st_area(r),
-    )
-    return shell - holes
+    when rings nest). Null on any degenerate ring.
+
+    The rings argument is let-bound: it is referenced twice (shell +
+    holes), and when it is itself a big expression (the WKB parse),
+    projection collapse would otherwise inline — and EVALUATE — that
+    expression twice per row (HOFs run interpreted, so this doubling
+    is real work, not codegen-deduplicated)."""
+
+    def _measure(rs):
+        shell = st_area(F.element_at(rs, 1))
+        holes = F.aggregate(
+            F.slice(rs, 2, F.greatest(F.size(rs) - 1, F.lit(0))),
+            F.lit(0.0),
+            lambda acc, r: acc + st_area(r),
+        )
+        return shell - holes
+
+    return _let(rings, _measure)
 
 
 def st_perimeter(ring: Column) -> Column:
@@ -447,23 +457,41 @@ def st_polygon_from_wkb(wkb: Column | str) -> Column:
     count-corrupted input yields null. Ring offsets are
     data-dependent, so the ring walk is an ``aggregate`` over ring
     indices carrying (byte offset, rings parsed so far) — still one
-    codegen'd expression per row."""
-    c = F.col(wkb) if isinstance(wkb, str) else wkb
-    hx = F.hex(c)
-    nrings = wkb_uint32(hx, F.lit(5))
-    return F.when(
-        (_wkb_byte(hx, F.lit(0)) == 1)
-        & (wkb_uint32(hx, F.lit(1)) == 3)
-        & nrings.between(1, _MAX_RINGS),
-        # Truncation check: the walk's end offset must lie inside the
-        # buffer — otherwise missing bytes would decode as zeros and
-        # return plausible-but-wrong geometry instead of null. The
-        # walk is let-bound so the offset check doesn't duplicate it.
-        _let(
-            _rings_walk(hx, F.lit(9), nrings),
-            lambda w: F.when(w.off <= F.length(c), w.rings),
-        ),
-    )
+    codegen'd expression per row.
+
+    String-named columns go through a memoized builder: constructing
+    this expression costs ~2 s of py4j round-trips (hundreds of
+    Column calls), and Column objects are immutable plan fragments
+    that are safe to reuse across queries in the same JVM.
+
+    The hex string is let-bound: HOFs evaluate INTERPRETED (no
+    common-subexpression elimination), so a bare ``F.hex(c)``
+    re-materializes the whole buffer's hex at every byte read —
+    hundreds of full-buffer allocations per row. Binding it to a
+    lambda variable makes it one allocation per row (~25× faster
+    parse at 1500 rows/sf0.1)."""
+    if isinstance(wkb, str):
+        return _polygon_from_wkb_cached(wkb)
+    c = wkb
+
+    def body(hx):
+        nrings = wkb_uint32(hx, F.lit(5))
+        return F.when(
+            (_wkb_byte(hx, F.lit(0)) == 1)
+            & (wkb_uint32(hx, F.lit(1)) == 3)
+            & nrings.between(1, _MAX_RINGS),
+            # Truncation check: the walk's end offset must lie inside
+            # the buffer — otherwise missing bytes would decode as
+            # zeros and return plausible-but-wrong geometry instead of
+            # null. The walk is let-bound so the offset check doesn't
+            # duplicate it.
+            _let(
+                _rings_walk(hx, F.lit(9), nrings),
+                lambda w: F.when(w.off <= F.length(c), w.rings),
+            ),
+        )
+
+    return _let(F.hex(c), body)
 
 
 def st_multipolygon_from_wkb(wkb: Column | str) -> Column:
@@ -473,57 +501,77 @@ def st_multipolygon_from_wkb(wkb: Column | str) -> Column:
     little-endian members are supported). Null on malformed input.
     The polygon walk nests the ring walk: an outer ``aggregate`` over
     polygon indices threads the byte offset through each member's
-    inner ring ``aggregate`` — still pure Catalyst, zero Python."""
-    c = F.col(wkb) if isinstance(wkb, str) else wkb
-    hx = F.hex(c)
-    npolys = wkb_uint32(hx, F.lit(5))
-    acc0 = F.struct(
-        F.lit(9).cast("long").alias("off"),
-        F.array()
-        .cast("array<array<array<struct<x:double,y:double>>>>")
-        .alias("polys"),
-        F.lit(True).alias("ok"),
-    )
+    inner ring ``aggregate`` — still pure Catalyst, zero Python.
+    String-named columns are memoized, and the hex string is
+    let-bound to one allocation per row (see st_polygon_from_wkb)."""
+    if isinstance(wkb, str):
+        return _multipolygon_from_wkb_cached(wkb)
+    c = wkb
 
-    def step(acc, _):
-        # member header: 1 byte order + 4 type, then nrings
-        member_ok = (
-            acc.ok
-            & (_wkb_byte(hx, acc.off) == 1)
-            & (wkb_uint32(hx, acc.off + 1) == 3)
+    def body(hx):
+        npolys = wkb_uint32(hx, F.lit(5))
+        acc0 = F.struct(
+            F.lit(9).cast("long").alias("off"),
+            F.array()
+            .cast("array<array<array<struct<x:double,y:double>>>>")
+            .alias("polys"),
+            F.lit(True).alias("ok"),
         )
-        nrings = wkb_uint32(hx, acc.off + 5)
-        good = member_ok & nrings.between(1, _MAX_RINGS)
-        # the inner walk is let-bound: referencing .off and .rings
-        # directly would duplicate the whole inner aggregate subtree
-        return _let(
-            _rings_walk(hx, acc.off + 9, nrings),
-            lambda rw: F.struct(
-                F.when(good, rw.off).otherwise(acc.off).alias("off"),
-                F.when(good, F.concat(acc.polys, F.array(rw.rings)))
-                .otherwise(acc.polys)
-                .alias("polys"),
-                good.alias("ok"),
+
+        def step(acc, _):
+            # member header: 1 byte order + 4 type, then nrings
+            member_ok = (
+                acc.ok
+                & (_wkb_byte(hx, acc.off) == 1)
+                & (wkb_uint32(hx, acc.off + 1) == 3)
+            )
+            nrings = wkb_uint32(hx, acc.off + 5)
+            good = member_ok & nrings.between(1, _MAX_RINGS)
+            # the inner walk is let-bound: referencing .off and .rings
+            # directly would duplicate the whole inner aggregate subtree
+            return _let(
+                _rings_walk(hx, acc.off + 9, nrings),
+                lambda rw: F.struct(
+                    F.when(good, rw.off).otherwise(acc.off).alias("off"),
+                    F.when(good, F.concat(acc.polys, F.array(rw.rings)))
+                    .otherwise(acc.polys)
+                    .alias("polys"),
+                    good.alias("ok"),
+                ),
+            )
+
+        parsed = F.aggregate(
+            F.sequence(F.lit(1), npolys.cast("int")),
+            acc0,
+            step,
+        )
+        return F.when(
+            (_wkb_byte(hx, F.lit(0)) == 1)
+            & (wkb_uint32(hx, F.lit(1)) == 6)
+            & npolys.between(1, _MAX_RINGS),
+            _let(
+                parsed,
+                lambda p: F.when(
+                    p.ok & (p.off <= F.length(c)),  # truncation check
+                    p.polys,
+                ),
             ),
         )
 
-    parsed = F.aggregate(
-        F.sequence(F.lit(1), npolys.cast("int")),
-        acc0,
-        step,
-    )
-    return F.when(
-        (_wkb_byte(hx, F.lit(0)) == 1)
-        & (wkb_uint32(hx, F.lit(1)) == 6)
-        & npolys.between(1, _MAX_RINGS),
-        _let(
-            parsed,
-            lambda p: F.when(
-                p.ok & (p.off <= F.length(c)),  # truncation check
-                p.polys,
-            ),
-        ),
-    )
+    return _let(F.hex(c), body)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _polygon_from_wkb_cached(name: str) -> Column:
+    return st_polygon_from_wkb(F.col(name))
+
+
+@functools.lru_cache(maxsize=32)
+def _multipolygon_from_wkb_cached(name: str) -> Column:
+    return st_multipolygon_from_wkb(F.col(name))
 
 
 def st_area_multipolygon(polys: Column) -> Column:
