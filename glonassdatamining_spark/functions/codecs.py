@@ -158,3 +158,51 @@ def decode_bmp(data: bytes) -> dict | None:
         "mean_g": tg / npx,
         "mean_b": tb / npx,
     }
+
+
+def encode_wav(samples: list[int], framerate: int = 8000) -> bytes:
+    """Pack 16-bit mono PCM samples into a genuine RIFF/WAVE file via
+    the stdlib ``wave`` writer — a file any audio tool opens."""
+    import array
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> dict | None:
+    """REAL RIFF/WAVE decode via the stdlib ``wave`` reader: parses
+    the chunk structure + fmt header, reads the PCM frames, and
+    returns duration/amplitude features. 16-bit mono PCM only (the
+    seam's import-try would route other encodings to richer libs).
+    Malformed input → None (quarantine upstream, a16's pattern)."""
+    import array
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                return None
+            n = w.getnframes()
+            rate = w.getframerate()
+            samples = array.array("h", w.readframes(n))
+    except (wave.Error, EOFError, ValueError):
+        return None
+    if len(samples) != n or n == 0 or rate <= 0:
+        return None
+    # abs sums stay exact ints (|s| ≤ 2^15, n < 2^38 before 2^53 risk)
+    sum_abs = sum(abs(s) for s in samples)
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "duration_ms": n * 1000 // rate,
+        "peak": max(abs(s) for s in samples),
+        "mean_abs": sum_abs / n,
+    }

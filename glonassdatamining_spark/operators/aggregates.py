@@ -15,7 +15,7 @@ returns HUGEINT, which pandas can't hold losslessly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
@@ -827,3 +827,58 @@ def d25_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.split("text", " ").alias("tokens"))
     return count_min_estimates(toks, "tokens", width=2048, depth=4)
+
+
+@register(
+    "d26_weighted_median",
+    oracle=(
+        "WITH c AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber, "
+        "SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER "
+        "(PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cumw, "
+        "SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER "
+        "(PARTITION BY l_returnflag) AS totw FROM lineitem) "
+        "SELECT l_returnflag, l_extendedprice AS weighted_median, "
+        "CAST(totw AS DOUBLE) AS total_weight FROM c "
+        "WHERE 2 * cumw >= totw "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) = 1"
+    ),
+    section="D26",
+)
+def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the total QUANTITY
+    (not half the rows) lies at or below — the robust centre for
+    skewed weighted data (exact, unlike D8b's sketch). One window
+    shuffle on the group key carrying a running EXACT-DECIMAL weight
+    sum, then the first row crossing totw/2 — lower-weighted-median
+    convention, deterministic via the (price, orderkey, linenumber)
+    total order. Scales like any single window: group partitions must
+    fit an executor; for a giant single group, pre-aggregate equal
+    prices first (the histogram trick) to shrink the sorted run."""
+    li = load(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(wo).alias("cumw"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(wp).alias("totw"),
+    ).filter(F.lit(2) * F.col("cumw") >= F.col("totw"))
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median"),
+            F.col("totw").cast("double").alias("total_weight"),
+        )
+    )

@@ -350,3 +350,63 @@ def n8_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("clustering_coeff"),
     )
+
+
+@register(
+    "n9_node_similarity",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY 1), "
+        "common AS (SELECT a.dst AS u, b.dst AS w, "
+        "CAST(COUNT(*) AS BIGINT) AS n_common "
+        "FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst "
+        "GROUP BY 1, 2) "
+        "SELECT u, w, n_common, "
+        "CAST(n_common AS DOUBLE) / CAST(du.d + dw.d - n_common AS DOUBLE) "
+        "AS jaccard "
+        "FROM common JOIN deg du ON u = du.node JOIN deg dw ON w = dw.node "
+        "WHERE CAST(n_common AS DOUBLE) / CAST(du.d + dw.d - n_common AS DOUBLE) "
+        ">= 0.5"
+    ),
+    section="N9",
+)
+def n9_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood (Jaccard) node similarity over the co-purchase
+    graph — the link-prediction / entity-resolution primitive: pairs
+    of nodes scored by |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)|, emitted at ≥0.5.
+    Candidate pairs come from the wedge self-join on a SHARED NEIGHBOR
+    (n8's shape): only nodes at distance 2 are ever paired, so the
+    pair space is Σ deg(v)² over hub nodes, never |V|² — the same
+    inverted-index principle as k2b/i11. Intersection size falls out
+    of the wedge count; union size from two broadcast-able degree
+    joins. At 100 TB: hub nodes bound the wedge fanout — cap or
+    sample super-hub adjacency (the standard cut) before this join;
+    the fixture graph's max degree is small so no cap is declared."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("du") + F.col("dw") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(du, "u")
+        .join(dw, "w")
+        .filter(jac >= 0.5)
+        .select("u", "w", "n_common", jac.alias("jaccard"))
+    )

@@ -1817,3 +1817,161 @@ def k36_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# K37 — multimodal AUDIO: real RIFF/WAVE encode → decode → features
+# --------------------------------------------------------------------------
+@register(
+    "k37_wav_audio_stats",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(800 + (doc_id % 100) * 16 AS INT) AS n_samples, "
+        "CAST(8000 AS INT) AS sample_rate, "
+        "CAST((800 + (doc_id % 100) * 16) // 8 AS BIGINT) AS duration_ms, "
+        "CAST((doc_id % 50 + 10) * 100 AS INT) AS peak, "
+        "CAST((doc_id % 50 + 10) * 100 AS DOUBLE) AS mean_abs "
+        "FROM documents"
+    ),
+    section="K37",
+)
+def k37_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO end to end with a REAL codec — the audio twin
+    of k13's image path. Each document gets a genuine RIFF/WAVE
+    payload (stdlib ``wave`` writer: real chunk structure, fmt header,
+    16-bit mono PCM square wave whose amplitude/length derive from
+    doc_id), materialized as an opaque binary column; an Arrow
+    ``mapInPandas`` stage then runs the REAL stdlib ``wave`` parser
+    over the bytes and emits duration/peak/mean-amplitude features.
+
+    Oracle-checkable because the synthetic signal's features are
+    closed-form in doc_id: a ±A square wave has peak = mean_abs = A
+    exactly (integer sums, no FP accumulation error), so the DuckDB
+    side recomputes the expected features arithmetically — any drift
+    in the encoder OR decoder (header bytes, frame count, sample
+    decode) breaks the hash.
+
+    100 TB shape: identical to k13 — payloads are opaque binary,
+    decode parallelism == partition count, zero shuffle; richer
+    encodings (MP3/FLAC) enter this same seam behind an import-try."""
+    import pandas as pd
+
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def encode_batches(batches):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                a = int(did % 50 + 10) * 100
+                n = 800 + int(did % 100) * 16
+                payloads.append(
+                    encode_wav([a if i % 2 == 0 else -a for i in range(n)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_batches(batches):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import decode_wav
+
+        for pdf in batches:
+            feats = [decode_wav(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": [f["n_samples"] if f else None for f in feats],
+                    "sample_rate": [f["sample_rate"] if f else None for f in feats],
+                    "duration_ms": [f["duration_ms"] if f else None for f in feats],
+                    "peak": [f["peak"] if f else None for f in feats],
+                    "mean_abs": [f["mean_abs"] if f else None for f in feats],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.mapInPandas(
+        encode_batches, "doc_id BIGINT, payload BINARY"
+    ).localCheckpoint()  # materialize the real bytes before decode
+    return wav.mapInPandas(
+        decode_batches,
+        "doc_id BIGINT, n_samples INT, sample_rate INT, duration_ms BIGINT, "
+        "peak INT, mean_abs DOUBLE",
+    )
+
+
+# --------------------------------------------------------------------------
+# K38 — n-gram novelty scoring (corpus-order deduplication pressure)
+# --------------------------------------------------------------------------
+@register(
+    "k38_ngram_novelty",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]"
+        "))) AS tri FROM (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3)), "
+        "first AS (SELECT tri, CAST(MIN(doc_id) AS BIGINT) AS first_doc "
+        "FROM sh GROUP BY 1) "
+        "SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri, "
+        "CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_novel, "
+        "CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty "
+        "FROM sh JOIN first f ON sh.tri = f.tri GROUP BY 1"
+    ),
+    section="K38",
+)
+def k38_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word trigrams whose FIRST appearance (by ingestion order
+    = doc_id) is in that document — the streaming-dedup pressure
+    metric: near-zero novelty means the doc is recombined boilerplate
+    even when no single prior doc matches it (which is why it
+    complements pairwise dedup k2/k29/k30).
+
+    Plan: distinct-trigram explode → global min(doc_id) per trigram
+    (one map-side-combinable shuffle on the trigram key) → equi-join
+    back → per-doc fold. Never pairwise. At 100 TB the trigram key
+    space is the corpus vocabulary³ but the JOIN is equi on hash keys
+    — exactly the k30 inverted-index shape; salting the head trigrams
+    (stopword runs) is the known skew lever."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), i -> "
+                    "concat(element_at(w, i + 1), ' ', element_at(w, i + 2), "
+                    "' ', element_at(w, i + 3)))"
+                )
+            )
+        ).alias("tri"),
+    )
+    first = tris.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        tris.join(first, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

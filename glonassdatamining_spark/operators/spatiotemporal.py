@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
 from glonassdatamining_spark.sources import load
-from glonassdatamining_spark.stable import EVENTS_CTE, dsum, o_dsum
+from glonassdatamining_spark.stable import EVENTS_CTE, davg, dsum, o_dsum
 
 FIXES_CTE = (
     EVENTS_CTE
@@ -2384,4 +2384,231 @@ def i36_wkb_multipolygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_id",
         F.size("polys").alias("n_polys"),
         st_area_multipolygon(F.col("polys")).alias("area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.I mobility-mining tier (round 4): the classic human-mobility
+# statistics (González et al. 2008, "Understanding individual human
+# mobility patterns") over the fixes table — radius of gyration,
+# visit-location entropy, home-location inference, jump-length
+# distribution. All four are single-pass groupBy/window plans whose
+# aggregation state is exact-integer or exact-decimal, so the DuckDB
+# oracles are bit-identical without tolerance.
+#
+# Integer-proxy discipline: x = ix/1000 with ix = event_id*7919 %
+# 100000 an EXACT integer, so moments like Σx² are computed as exact
+# integer sums Σix² (ix² < 1e10, sf0.1 row count 6e5 → Σ < 6e15,
+# far under 2^63) and converted to doubles ONCE at the end — both
+# engines then perform the identical few IEEE ops.
+# ---------------------------------------------------------------------------
+
+_IX = "(event_id * 7919 % 100000)"
+_IY = "(event_id * 104729 % 100000)"
+
+
+@register(
+    "i37_radius_of_gyration",
+    oracle=(
+        EVENTS_CTE
+        + ", m AS (SELECT user_id AS obj_id, COUNT(*) AS n, "
+        f"CAST(SUM({_IX}) AS BIGINT) AS sx, "
+        f"CAST(SUM({_IY}) AS BIGINT) AS sy, "
+        f"CAST(SUM({_IX} * {_IX}) AS BIGINT) AS sx2, "
+        f"CAST(SUM({_IY} * {_IY}) AS BIGINT) AS sy2 "
+        "FROM events GROUP BY 1) "
+        "SELECT obj_id, CAST(n AS BIGINT) AS n_fixes, "
+        "sqrt(greatest("
+        "CAST(sx2 + sy2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) "
+        "- (CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) "
+        "* (CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) "
+        "- (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) "
+        "* (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)), "
+        "0.0)) AS radius_gyration FROM m"
+    ),
+    section="I37",
+)
+def i37_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per object — RMS distance of an object's
+    fixes from its own centroid, THE standard scalar for how far an
+    individual ranges (González et al. 2008). One groupBy via the
+    algebraic identity rg² = E[x²+y²] − E[x]² − E[y]²: a single
+    map-side-combinable shuffle carrying five exact-integer sums, vs
+    the naive two-pass centroid-join which shuffles the fact table
+    twice. At 100 TB this is the cheapest possible shape — state is
+    40 bytes per object regardless of fix count.
+
+    FP determinism: moments are exact BIGINT sums of the integer
+    position proxies; the /1e3, /1e6 scaling and the subtract/sqrt
+    are the same IEEE ops on both engines (greatest(·,0) guards the
+    identity's tiny-negative cancellation for 1-fix objects)."""
+    ev = load(spark, sf_dir, "events")
+    ix = F.col("event_id") * 7919 % 100000
+    iy = F.col("event_id") * 104729 % 100000
+    m = ev.groupBy(F.col("user_id").alias("obj_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ix).alias("sx"),
+        F.sum(iy).alias("sy"),
+        F.sum(ix * ix).alias("sx2"),
+        F.sum(iy * iy).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / (nd * 1000.0)
+    my = F.col("sy").cast("double") / (nd * 1000.0)
+    rg2 = (
+        (F.col("sx2") + F.col("sy2")).cast("double") / (nd * 1000000.0)
+        - mx * mx
+        - my * my
+    )
+    return m.select(
+        "obj_id",
+        F.col("n").cast("bigint").alias("n_fixes"),
+        F.sqrt(F.greatest(rg2, F.lit(0.0))).alias("radius_gyration"),
+    )
+
+
+@register(
+    "i38_location_entropy",
+    oracle=(
+        EVENTS_CTE
+        + ", cells AS (SELECT user_id AS obj_id, "
+        f"({_IX} // 10000) * 10 + ({_IY} // 10000) AS cell, "
+        "COUNT(*) AS c FROM events GROUP BY 1, 2), "
+        "tot AS (SELECT obj_id, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1) "
+        "SELECT cells.obj_id, COUNT(*) AS n_cells, "
+        "CAST(-SUM(CAST(ROUND("
+        "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * "
+        "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9))) "
+        "AS DOUBLE) AS entropy "
+        "FROM cells JOIN tot ON cells.obj_id = tot.obj_id GROUP BY 1"
+    ),
+    section="I38",
+)
+def i38_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each object's visit distribution over the
+    10×10 spatial grid — the mobility-predictability measure (Song et
+    al. 2010 report ~93% predictability from exactly this quantity).
+    Two map-side-combinable shuffles, both on obj keys (cell counts,
+    then the entropy fold); at 100 TB both partial-aggregate before
+    the exchange and the second shuffle carries ≤100 rows/object.
+
+    FP discipline (k22's): each p·ln p term is rounded to 9 dp —
+    quashing sub-ulp libm ln() differences — then summed as exact
+    DECIMAL, so the fold is order-insensitive across engines."""
+    ev = load(spark, sf_dir, "events")
+    cell = (
+        (F.col("event_id") * 7919 % 100000) / F.lit(10000)
+    ).cast("long") * 10 + (
+        (F.col("event_id") * 104729 % 100000) / F.lit(10000)
+    ).cast("long")
+    cells = ev.groupBy(F.col("user_id").alias("obj_id"), cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_tot = cells.groupBy("obj_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 9).cast("decimal(28,9)")
+    return (
+        cells.join(w_tot, "obj_id")
+        .groupBy("obj_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (-F.sum(term)).cast("double").alias("entropy"),
+        )
+    )
+
+
+@register(
+    "i39_home_location",
+    oracle=(
+        EVENTS_CTE
+        + ", night AS (SELECT user_id AS obj_id, "
+        f"({_IX} // 10000) * 10 + ({_IY} // 10000) AS cell "
+        "FROM events WHERE EXTRACT(hour FROM ts) >= 22 OR EXTRACT(hour FROM ts) < 6), "
+        "cnt AS (SELECT obj_id, cell, COUNT(*) AS n_night FROM night GROUP BY 1, 2) "
+        "SELECT obj_id, cell AS home_cell, CAST(n_night AS BIGINT) AS n_night "
+        "FROM cnt QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY obj_id ORDER BY n_night DESC, cell) = 1"
+    ),
+    section="I39",
+)
+def i39_home_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home-location inference: each object's modal night-time
+    (22:00–06:00) grid cell — the standard anchor-point heuristic for
+    mobility datasets. Count shuffle + one per-object window (both on
+    obj keys, so on a bucketed-by-user table the second is
+    exchange-free); deterministic tie-break on cell id."""
+    ev = load(spark, sf_dir, "events")
+    cell = (
+        (F.col("event_id") * 7919 % 100000) / F.lit(10000)
+    ).cast("long") * 10 + (
+        (F.col("event_id") * 104729 % 100000) / F.lit(10000)
+    ).cast("long")
+    hr = F.hour("ts")
+    cnt = (
+        ev.filter((hr >= 22) | (hr < 6))
+        .groupBy(F.col("user_id").alias("obj_id"), cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_night"))
+    )
+    w = Window.partitionBy("obj_id").orderBy(F.desc("n_night"), F.asc("cell"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "obj_id",
+            F.col("cell").alias("home_cell"),
+            F.col("n_night").cast("bigint").alias("n_night"),
+        )
+    )
+
+
+@register(
+    "i40_jump_length_histogram",
+    oracle=(
+        FIXES_CTE
+        + ", seq AS (SELECT obj_id, x, y, "
+        "lag(x) OVER w AS px, lag(y) OVER w AS py FROM fixes "
+        "WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "jumps AS (SELECT sqrt((x - px) * (x - px) + (y - py) * (y - py)) AS d "
+        "FROM seq WHERE px IS NOT NULL) "
+        "SELECT least(CAST(floor(d / 5.0) AS BIGINT), 19) AS bucket, "
+        "COUNT(*) AS n_jumps, "
+        "CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) / COUNT(d) AS avg_jump "
+        "FROM jumps GROUP BY 1"
+    ),
+    section="I40",
+)
+def i40_jump_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-length (displacement) distribution: consecutive-fix
+    distances bucketed at 5 units, capped at bucket 19 — the truncated
+    power-law fingerprint plot of Brockmann et al. 2006. One window
+    shuffle on obj (sessionization's E8 shape) then a 20-row
+    map-side-combinable histogram aggregate; never materializes pairs.
+
+    The lag/sqrt arithmetic runs on identical doubles in both engines;
+    the bucket floor is exact (5-unit grid ≫ FP noise) and the
+    per-bucket mean uses the decimal-sum discipline."""
+    f = fixes(spark, sf_dir)
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    seq = f.select(
+        "x",
+        "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).filter(F.col("px").isNotNull())
+    d = F.sqrt(
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+    )
+    return (
+        seq.select(
+            F.least(F.floor(d / 5.0).cast("bigint"), F.lit(19).cast("bigint")).alias(
+                "bucket"
+            ),
+            d.alias("d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_jumps"),
+            davg("d", "avg_jump"),
+        )
     )

@@ -733,3 +733,130 @@ def e18_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("m_dec").cast("double"), 2).alias("monetary_total"),
     )
+
+
+@register(
+    "e19_mean_shift_changepoint",
+    oracle=(
+        EVENTS_CTE
+        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "cum AS (SELECT event_type, d, cnt, "
+        "ROW_NUMBER() OVER w AS i, "
+        "CAST(SUM(cnt) OVER w AS BIGINT) AS c, "
+        "CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd "
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)), "
+        "shifts AS (SELECT event_type, d, "
+        "abs(CAST(c AS DOUBLE) / CAST(i AS DOUBLE) "
+        "- CAST(tot - c AS DOUBLE) / CAST(nd - i AS DOUBLE)) AS shift "
+        "FROM cum WHERE i < nd) "
+        "SELECT event_type, d AS change_day, shift "
+        "FROM shifts QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY shift DESC, d) = 1"
+    ),
+    section="E19",
+)
+def e19_mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on each event type's daily-count series:
+    the split day maximizing |mean(before) − mean(after)| — the
+    binary-segmentation statistic (the non-recursive core of CUSUM
+    methods, so unlike CUSUM itself it is plain-window expressible in
+    BOTH engines and stays hash-checkable). Day-rollup shuffle, then
+    two windows on the ~|types|×|days| series — the heavy lifting
+    (daily counts) partial-aggregates map-side, and the window input
+    is tiny at any corpus scale.
+
+    All window state is exact integers; the two divisions and the
+    subtract happen once per row in identical IEEE order."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    wp = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(w).alias("i"),
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("nd"),
+    ).filter(F.col("i") < F.col("nd"))
+    shift = F.abs(
+        F.col("c").cast("double") / F.col("i").cast("double")
+        - (F.col("tot") - F.col("c")).cast("double")
+        / (F.col("nd") - F.col("i")).cast("double")
+    )
+    ranked = cum.select(
+        "event_type", F.col("d").alias("change_day"), shift.alias("shift")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("shift"), F.asc("change_day")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "e20_lag1_autocorrelation",
+    oracle=(
+        EVENTS_CTE
+        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "pairs AS (SELECT event_type, cnt AS y, "
+        "lag(cnt) OVER (PARTITION BY event_type ORDER BY d) AS x FROM daily), "
+        "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sx2, "
+        "CAST(SUM(y * y) AS BIGINT) AS sy2 "
+        "FROM pairs WHERE x IS NOT NULL GROUP BY 1) "
+        "SELECT event_type, n AS n_pairs, "
+        "CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0 THEN "
+        "CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) * CAST(n * sy2 - sy * sy AS DOUBLE)) "
+        "ELSE NULL END AS lag1_autocorr FROM s"
+    ),
+    section="E20",
+)
+def e20_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily-count series —
+    the burstiness/seasonality screen run before any forecasting model.
+    Daily-rollup shuffle + one lag window + one scalar aggregate; the
+    Pearson r over (cnt_t, cnt_{t-1}) pairs is assembled from six
+    EXACT integer sums (counts are ints; their products fit BIGINT
+    until ~10^9 events/type/day) so the final ratio is one identical
+    IEEE expression on both engines — no tolerance, no rounding."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type",
+        F.col("cnt").alias("y"),
+        F.lag("cnt").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    dx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("lag1_autocorr"),
+    )

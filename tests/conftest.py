@@ -94,6 +94,7 @@ EMPTY_AT_SMOKE = {
     "i3b_haversine_self_join",
     "q7_nation_volume",
     "i30_polygon_intersect_pairs",  # 15 objects at sf0.001 → no overlaps
+    "n9_node_similarity",  # 6k-row basket graph too sparse for j≥0.5 pairs
 }
 
 
