@@ -1975,3 +1975,100 @@ def k38_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K39 — LM-score quality band filter (the decision layer over K22)
+# --------------------------------------------------------------------------
+_LM_CHAIN_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), "
+    "tot AS (SELECT SUM(c) AS t FROM vocab), "
+    "scored AS (SELECT doc_id, "
+    "ROUND(CAST(SUM(CAST(ROUND(ln(CAST(v.c AS DOUBLE) / CAST(t.t AS DOUBLE)), 9) "
+    "AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logp "
+    "FROM toks JOIN vocab v USING (tok) CROSS JOIN tot t GROUP BY doc_id), "
+    "stats AS (SELECT CAST(SUM(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE) "
+    "/ COUNT(*) AS m, "
+    "sqrt(greatest(CAST(SUM(CAST(ROUND(avg_logp * avg_logp, 9) AS DECIMAL(28,9))) "
+    "AS DOUBLE) / COUNT(*) "
+    "- (CAST(SUM(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) "
+    "* (CAST(SUM(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)), 0.0)) AS sd "
+    "FROM scored) "
+)
+
+
+@register(
+    "k39_lm_quality_bands",
+    oracle=(
+        _LM_CHAIN_SQL
+        + "SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) "
+        "AS band_mean_logp FROM ("
+        "SELECT CASE WHEN avg_logp < m - sd THEN 'low' "
+        "WHEN avg_logp > m + sd THEN 'high' ELSE 'mid' END AS band, avg_logp "
+        "FROM scored CROSS JOIN stats) GROUP BY 1"
+    ),
+    section="K39",
+)
+def k39_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-band assignment over K22's unigram-LM scores — the
+    DECISION layer of perplexity filtering: docs are banded low/mid/
+    high by whether their mean log-probability sits more than one
+    corpus stddev from the corpus mean (too-surprising = off-
+    distribution garbage; too-predictable = boilerplate — both are
+    cut in curation pipelines before training).
+
+    The corpus (mean, stddev) is ONE scalar row broadcast to every
+    doc — never a global window. FP: per-doc scores are 6dp-rounded
+    (k22), the corpus moments use exact DECIMAL sums of those rounded
+    values (squares re-rounded at 9dp), and the band comparisons run
+    on identically-computed doubles."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    logp = F.round(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")), 9
+    ).cast("decimal(28,9)")
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(logp).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logp"
+            )
+        )
+    )
+    dsum_lp = F.sum(F.col("avg_logp").cast("decimal(28,6)")).cast("double")
+    dsum_sq = F.sum(
+        F.round(F.col("avg_logp") * F.col("avg_logp"), 9).cast("decimal(28,9)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    stats = scored.agg(
+        (dsum_lp / n).alias("m"),
+        F.sqrt(
+            F.greatest(
+                dsum_sq / n - (dsum_lp / n) * (dsum_lp / n), F.lit(0.0)
+            )
+        ).alias("sd"),
+    )
+    band = (
+        F.when(F.col("avg_logp") < F.col("m") - F.col("sd"), "low")
+        .when(F.col("avg_logp") > F.col("m") + F.col("sd"), "high")
+        .otherwise("mid")
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(band.alias("band"), "avg_logp")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("avg_logp").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("band_mean_logp"),
+        )
+    )

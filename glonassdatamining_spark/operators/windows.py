@@ -860,3 +860,58 @@ def e20_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.sqrt(dx.cast("double") * dy.cast("double")),
         ).alias("lag1_autocorr"),
     )
+
+
+@register(
+    "e21_seasonal_indices",
+    oracle=(
+        EVENTS_CTE
+        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "dow AS (SELECT event_type, "
+        "CAST(date_part('isodow', d) AS INT) AS dow, "
+        "CAST(SUM(cnt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS nd "
+        "FROM daily GROUP BY 1, 2), "
+        "ov AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS st, "
+        "CAST(COUNT(*) AS BIGINT) AS nt FROM daily GROUP BY 1) "
+        "SELECT dow.event_type, dow.dow, "
+        "CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS dow_mean, "
+        "(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) / "
+        "(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index "
+        "FROM dow JOIN ov ON dow.event_type = ov.event_type"
+    ),
+    section="E21",
+)
+def e21_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices per event type — the ratio-to-
+    moving-average decomposition's seasonal component (classical
+    multiplicative seasonality): mean daily count per ISO weekday ÷
+    overall mean daily count. Two chained map-side-combinable
+    aggregates over the tiny types×days series plus a broadcast-size
+    join; the heavy shuffle is only the daily rollup.
+
+    All state is exact integers (ISO weekday avoids the Spark-Sun=1 /
+    DuckDB-Sun=0 dayofweek trap, SURVEY §5.3 #5); the two divisions
+    and the final ratio run identically on both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    dow = daily.groupBy(
+        "event_type", (F.weekday("d") + 1).cast("int").alias("dow")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    ov = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    dow_mean = F.col("s").cast("double") / F.col("nd").cast("double")
+    ov_mean = F.col("st").cast("double") / F.col("nt").cast("double")
+    return dow.join(F.broadcast(ov), "event_type").select(
+        "event_type",
+        "dow",
+        dow_mean.alias("dow_mean"),
+        (dow_mean / ov_mean).alias("seasonal_index"),
+    )

@@ -437,3 +437,47 @@ def l14_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.groupBy(F.col("w.start").alias("w_start"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "l15_bus_source_twin",
+    oracle=(
+        "WITH g AS (SELECT unnest(generate_series(0, 3999)) AS msg_id), "
+        "f AS (SELECT msg_id, msg_id % 50 AS obj_id, "
+        "CAST(msg_id * 7919 % 100000 AS DOUBLE) / 1000.0 AS x, "
+        "CAST(msg_id * 104729 % 100000 AS DOUBLE) / 1000.0 AS y FROM g) "
+        "SELECT obj_id, COUNT(*) AS n_msgs, "
+        "CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sum_x, "
+        "CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sum_y "
+        "FROM f GROUP BY obj_id"
+    ),
+    section="L15",
+)
+def l15_bus_source_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the gnssbus MESSAGE-BUS streaming source
+    (streaming/bus.py: Kafka's partitioned offset-addressed log
+    protocol as a Spark 4 Python DataSourceStreamReader — partitioned
+    log, broker-paced latestOffset, pure-function replayable reads,
+    checkpoint-recovered restarts). The bus log's content is a pure
+    function of (partition, offset), so this twin reproduces the FULL
+    consumed log arithmetically from spark.range — and the DuckDB
+    oracle hash-checks it end to end. The LIVE consumption (multiple
+    micro-batches, complete-mode agg, mid-stream restart recovery) is
+    asserted equal to this twin in tests/test_streaming.py.
+
+    100 TB/day shape: swap format("gnssbus") for format("kafka"); the
+    offset checkpointing, recovery, and the agg plan are identical —
+    that is the point of the source abstraction."""
+    from glonassdatamining_spark.streaming.bus import BUS_PARTS, BUS_TOTAL
+
+    msgs = spark.range(BUS_PARTS * BUS_TOTAL).select(
+        F.col("id").alias("msg_id"),
+        (F.col("id") % 50).alias("obj_id"),
+        ((F.col("id") * 7919 % 100000).cast("double") / 1000.0).alias("x"),
+        ((F.col("id") * 104729 % 100000).cast("double") / 1000.0).alias("y"),
+    )
+    return msgs.groupBy("obj_id").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        dsum("x", "sum_x"),
+        dsum("y", "sum_y"),
+    )

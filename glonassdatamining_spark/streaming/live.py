@@ -630,3 +630,48 @@ def l14_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "n_active")
     )
     return _drain_to_memory(agg, f"l14_mem_{uuid.uuid4().hex[:8]}", "append")
+
+
+def l15_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15 live form: the gnssbus message-bus source (Kafka's offset
+    contract as a Python DataSourceStreamReader — streaming/bus.py)
+    consumed to the end of its virtual log over multiple broker-paced
+    micro-batches, aggregated per object in complete mode. Must equal
+    the l15 batch twin exactly (asserted in tests/test_streaming.py,
+    along with mid-stream stop/restart recovery from the checkpointed
+    offsets)."""
+    import time as _t
+    import uuid
+
+    from glonassdatamining_spark.streaming.bus import (
+        BUS_PARTS,
+        BUS_TOTAL,
+        register_bus,
+    )
+
+    register_bus(spark)
+    stream = spark.readStream.format("gnssbus").load()
+    agg = stream.groupBy("obj_id").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        dsum("x", "sum_x"),
+        dsum("y", "sum_y"),
+    )
+    name = f"l15_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    want = BUS_PARTS * BUS_TOTAL
+    try:
+        deadline = _t.time() + 60
+        rows_by_batch: dict = {}
+        while _t.time() < deadline and sum(rows_by_batch.values()) < want:
+            for pr in q.recentProgress or []:
+                rows_by_batch[pr["batchId"]] = pr.get("numInputRows", 0)
+            _t.sleep(0.15)
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -265,3 +265,84 @@ def test_l14_dedup_then_window_closed_windows(spark):
     must_emit = {w for w in wmap if w < horizon}
     missing = must_emit - set(gmap)
     assert not missing, f"closed windows never emitted: {missing}"
+
+
+def test_l15_bus_stream_equals_twin(spark):
+    """The gnssbus message-bus source consumed to the end of its
+    virtual log (multiple broker-paced micro-batches) must equal the
+    closed-form batch twin — the Kafka-contract scan path end to end."""
+    got = live.l15_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l15_bus_source_twin")
+    assert len(got) == 50, "bus stream did not consume the full log"
+    compare_frames(got, want, "l15_stream_vs_batch")
+
+
+def test_l15_bus_restart_recovers_from_checkpointed_offsets(spark, tmp_path):
+    """Kafka-semantics recovery: stop the consumer mid-log, restart
+    with the same checkpoint, and the union of idempotent per-batch
+    outputs must cover every (part, off) of the log EXACTLY once —
+    offsets resume from the checkpoint, no loss, no duplication.
+    Also exercises the post-restart clamp (the virtual broker cursor
+    rewinds to zero on restart; ranges must never rewind)."""
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.streaming.bus import (
+        BUS_PARTS,
+        BUS_TOTAL,
+        register_bus,
+    )
+
+    register_bus(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    broker = str(tmp_path / "broker")
+
+    def write_batch(df, batch_id):
+        # idempotent sink: one dir per batch id, overwritten on replay
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    def run(min_batches, deadline_s):
+        q = (
+            spark.readStream.format("gnssbus")
+            .option("brokerDir", broker)
+            .load()
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+        try:
+            t0 = time.time()
+            while time.time() - t0 < deadline_s:
+                done = len(glob.glob(f"{out}/batch=*"))
+                if done >= min_batches:
+                    break
+                time.sleep(0.1)
+        finally:
+            q.stop()
+
+    # first run: stop mid-log (the virtual log takes 4 batches of 250)
+    run(min_batches=2, deadline_s=30)
+    mid = spark.read.option("basePath", out).parquet(f"{out}/batch=*").count()
+    assert mid < BUS_PARTS * BUS_TOTAL, "first run consumed everything — stop earlier"
+    # restart from the same checkpoint: must finish the log
+    t0 = time.time()
+    while time.time() - t0 < 60:
+        run(min_batches=10**9, deadline_s=15)  # drain until deadline
+        n = spark.read.option("basePath", out).parquet(f"{out}/batch=*").count()
+        if n >= BUS_PARTS * BUS_TOTAL:
+            break
+    rows = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    total = rows.count()
+    distinct = rows.select("part", "off").distinct().count()
+    assert total == BUS_PARTS * BUS_TOTAL, f"lost or duplicated records: {total}"
+    assert distinct == BUS_PARTS * BUS_TOTAL
+    # content is the pure (part, off) function — spot-check the join key
+    bad = rows.filter(
+        (F.col("msg_id") != F.col("off") * BUS_PARTS + F.col("part"))
+        | (F.col("obj_id") != F.col("msg_id") % 50)
+    ).count()
+    assert bad == 0
