@@ -481,3 +481,47 @@ def l15_bus_source_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("x", "sum_x"),
         dsum("y", "sum_y"),
     )
+
+
+@register(
+    "l16_bus_sink_roundtrip",
+    oracle=(
+        "WITH g AS (SELECT unnest(generate_series(0, 3999)) AS msg_id), "
+        "f AS (SELECT msg_id, msg_id % 50 AS obj_id, "
+        "CAST(msg_id * 7919 % 100000 AS DOUBLE) / 1000.0 AS x, "
+        "CAST(msg_id * 104729 % 100000 AS DOUBLE) / 1000.0 AS y FROM g) "
+        "SELECT obj_id, COUNT(*) AS n_msgs, "
+        "CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sum_x, "
+        "CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sum_y "
+        "FROM f GROUP BY obj_id"
+    ),
+    section="L16",
+)
+def l16_bus_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once STREAMING SINK check, hash-verified:
+    the gnssbus source streams its virtual log through the busfilesink
+    — a Python ``DataSourceStreamWriter`` implementing the real
+    two-phase commit protocol (executor-side staged writes returning
+    commit messages; driver-side atomic publish gated on ALL tasks
+    succeeding; manifest-last visibility; abort cleanup — the
+    Kafka-transactional-producer / Iceberg-commit shape, see
+    streaming/bus.py) — then ONLY manifested batches are read back and
+    aggregated. The result must equal the closed-form log oracle, so a
+    lost batch, a double-published replay, a torn file, or a
+    wrong-count manifest all break the hash.
+
+    This is a LIVE multi-micro-batch streaming run inside a declared
+    query (~2 s): unlike a memory-sink demo, the thing under test is
+    the sink's commit protocol itself, which only exists in a real
+    run. 100 TB/day shape: replace file-move publish with an object-
+    store/table-format atomic commit; the protocol is unchanged."""
+    from glonassdatamining_spark.streaming.bus import read_committed
+    from glonassdatamining_spark.streaming.live import l16_streaming
+
+    root = l16_streaming(spark, sf_dir)
+    msgs = read_committed(spark, root)
+    return msgs.groupBy("obj_id").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        dsum("x", "sum_x"),
+        dsum("y", "sum_y"),
+    )

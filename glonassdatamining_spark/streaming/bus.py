@@ -1,5 +1,6 @@
-"""Message-bus streaming source (SURVEY §2.L15) — Kafka's contract
-as a Spark 4 Python ``DataSourceStreamReader``.
+"""Message-bus streaming source + exactly-once sink (SURVEY §2.L15/L16)
+— Kafka's contract as Spark 4 Python ``DataSourceStreamReader`` /
+``DataSourceStreamWriter``.
 
 The sandbox has no broker, but "no real message-bus source" must not
 stay a gap (round-3 judge 'What's missing' #4): everything that makes
@@ -31,23 +32,50 @@ virtual log:
   restarts it on the same checkpoint, and proves every (part, off)
   arrives EXACTLY once through an idempotent per-batch sink.
 
-Record payload is the deterministic GNSS-fix arithmetic of a17's
-batch source (msg_id = off·P + part; x/y from the 7919/104729 lattice)
-so the DECLARED twin query (streaming/batch_twins.py l15) has a full
-closed-form DuckDB oracle — a hash-check of the bus scan path.
+The WRITE side (``busfilesink``) implements the real two-phase commit
+protocol every exactly-once sink (Kafka transactional producer,
+Iceberg/Delta commit) is built on:
 
-A real Kafka deployment swaps this module for ``format("kafka")``;
-the query code, offset checkpointing, and recovery behavior are
-identical by construction.
+1. ``write(iterator)`` on EXECUTORS stages each task's rows to a
+   uniquely-named file and returns a WriterCommitMessage carrying the
+   staged path + row count — no data is visible yet.
+2. ``commit(messages, batchId)`` on the DRIVER, only after ALL tasks
+   succeeded, atomically publishes the batch: staged files move into
+   ``committed/batch=<id>/`` and a _SUCCESS manifest (with per-file
+   counts) lands LAST. Readers only trust manifested batches, so a
+   crash between moves is invisible.
+3. ``abort(messages, batchId)`` deletes staged files — a failed batch
+   leaves no trace and Spark retries the whole micro-batch.
+
+Replays after restart re-stage and re-publish into the SAME batch dir
+(publish is an idempotent overwrite), so source-offset replay + this
+sink = exactly-once end to end, proven hash-exact by the l16 declared
+query (bus source → sink → manifest-gated read-back → closed-form
+oracle).
+
+PICKLING CONSTRAINT (why the classes live inside factory functions):
+Spark runs Python data-source creation and executor reads/writes in
+separate Python WORKER processes that inherit only the environment —
+not the driver's ``sys.path`` inserts — so a module-level class would
+be cloudpickled BY REFERENCE and die with ModuleNotFoundError under
+the driver contract (arbitrary cwd, no PYTHONPATH). Defining the
+classes in function scope makes cloudpickle serialize them BY VALUE,
+self-contained; on a real cluster ``--py-files`` would make module
+scope work too, but by-value is the form that works everywhere (same
+reasoning as a17's in-function batch source).
+
+Record payload is the deterministic GNSS-fix arithmetic of a17's
+batch source (msg_id = off·P + part; x/y from the 7919/104729
+lattice) so the DECLARED twins (streaming/batch_twins.py l15/l16)
+have full closed-form DuckDB oracles — hash checks of the bus scan
+and commit paths.
+
+A real Kafka deployment swaps these for ``format("kafka")``; the
+query code, offset checkpointing, and recovery behavior are identical
+by construction.
 """
 
 from __future__ import annotations
-
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceStreamReader,
-    InputPartition,
-)
 
 BUS_PARTS = 4
 BUS_STEP = 250
@@ -57,7 +85,9 @@ BUS_SCHEMA = "part INT, off BIGINT, msg_id BIGINT, obj_id BIGINT, x DOUBLE, y DO
 
 def fix_tuple(part: int, off: int, n_parts: int) -> tuple:
     """The pure (partition, offset) → record function: the log's
-    content, same arithmetic as a17's batch generator."""
+    content, same arithmetic as a17's batch generator. (Driver-side
+    convenience twin of the inlined arithmetic in the reader — the
+    reader can't reference this module, see the pickling note.)"""
     msg_id = off * n_parts + part
     return (
         part,
@@ -69,91 +99,233 @@ def fix_tuple(part: int, off: int, n_parts: int) -> tuple:
     )
 
 
-class _BusRange(InputPartition):
-    def __init__(self, part: int, start: int, end: int, n_parts: int):
-        self.part = part
-        self.start = start
-        self.end = end
-        self.n_parts = n_parts
+def make_bus_source():
+    """Build the gnssbus DataSource class (self-contained, pickles by
+    value — see the module docstring's pickling note)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
+    default_parts, default_step, default_total = BUS_PARTS, BUS_STEP, BUS_TOTAL
 
-class _BusStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
-        self.n_parts = int(options.get("numpartitions", BUS_PARTS))
-        self.step = int(options.get("stepperbatch", BUS_STEP))
-        self.total = int(options.get("totalperpartition", BUS_TOTAL))
-        # The high-watermark is BROKER state, not consumer state: a
-        # consumer restart must not rewind the log's end (Spark would
-        # commit the rewound latestOffset as its new position and
-        # re-read the gap — duplicates). With brokerDir set, the
-        # watermark persists across reader instances, exactly like a
-        # broker that keeps producing while the consumer is down.
-        self._broker = options.get("brokerdir")
-        self._cur = self._load_hwm()
+    class _BusRange(InputPartition):
+        def __init__(self, part: int, start: int, end: int, n_parts: int):
+            self.part = part
+            self.start = start
+            self.end = end
+            self.n_parts = n_parts
 
-    def _load_hwm(self) -> int:
-        if self._broker:
-            import os
+    class _BusStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("numpartitions", default_parts))
+            self.step = int(options.get("stepperbatch", default_step))
+            self.total = int(options.get("totalperpartition", default_total))
+            # The high-watermark is BROKER state, not consumer state:
+            # a consumer restart must not rewind the log's end (Spark
+            # would commit the rewound latestOffset as its new
+            # position and re-read the gap — duplicates). With
+            # brokerDir set, the watermark persists across reader
+            # instances, exactly like a broker that keeps producing
+            # while the consumer is down.
+            self._broker = options.get("brokerdir")
+            self._cur = self._load_hwm()
 
-            try:
-                with open(os.path.join(self._broker, "hwm")) as fh:
-                    return int(fh.read())
-            except (OSError, ValueError):
-                return 0
-        return 0
+        def _load_hwm(self) -> int:
+            if self._broker:
+                import os
 
-    def _store_hwm(self) -> None:
-        if self._broker:
-            import os
+                try:
+                    with open(os.path.join(self._broker, "hwm")) as fh:
+                        return int(fh.read())
+                except (OSError, ValueError):
+                    return 0
+            return 0
 
-            os.makedirs(self._broker, exist_ok=True)
-            tmp = os.path.join(self._broker, "hwm.tmp")
-            with open(tmp, "w") as fh:
-                fh.write(str(self._cur))
-            os.replace(tmp, os.path.join(self._broker, "hwm"))
+        def _store_hwm(self) -> None:
+            if self._broker:
+                import os
 
-    def initialOffset(self) -> dict:
-        return {str(p): 0 for p in range(self.n_parts)}
+                os.makedirs(self._broker, exist_ok=True)
+                tmp = os.path.join(self._broker, "hwm.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write(str(self._cur))
+                os.replace(tmp, os.path.join(self._broker, "hwm"))
 
-    def latestOffset(self) -> dict:
-        self._cur = min(self._cur + self.step, self.total)
-        self._store_hwm()
-        return {str(p): self._cur for p in range(self.n_parts)}
+        def initialOffset(self) -> dict:
+            return {str(p): 0 for p in range(self.n_parts)}
 
-    def partitions(self, start: dict, end: dict):
-        out = []
-        for p in range(self.n_parts):
-            s = int(start.get(str(p), 0))
-            # clamp: after a restart the checkpointed start can be
-            # ahead of the restarted virtual cursor — an empty range,
-            # never a rewind (Kafka can't un-consume either)
-            e = max(s, int(end.get(str(p), 0)))
-            out.append(_BusRange(p, s, e, self.n_parts))
-        return out
+        def latestOffset(self) -> dict:
+            self._cur = min(self._cur + self.step, self.total)
+            self._store_hwm()
+            return {str(p): self._cur for p in range(self.n_parts)}
 
-    def read(self, partition: _BusRange):
-        for off in range(partition.start, partition.end):
-            yield fix_tuple(partition.part, off, partition.n_parts)
+        def partitions(self, start: dict, end: dict):
+            out = []
+            for p in range(self.n_parts):
+                s = int(start.get(str(p), 0))
+                # clamp: after a broker-state wipe the checkpointed
+                # start can be ahead of the virtual cursor — an empty
+                # range, never a rewind (Kafka can't un-consume either)
+                e = max(s, int(end.get(str(p), 0)))
+                out.append(_BusRange(p, s, e, self.n_parts))
+            return out
 
-    def commit(self, end: dict) -> None:
-        pass  # virtual log: nothing to truncate
+        def read(self, partition):
+            np_ = partition.n_parts
+            for off in range(partition.start, partition.end):
+                msg_id = off * np_ + partition.part
+                yield (
+                    partition.part,
+                    off,
+                    msg_id,
+                    msg_id % 50,
+                    float(msg_id * 7919 % 100000) / 1000.0,
+                    float(msg_id * 104729 % 100000) / 1000.0,
+                )
 
-    def stop(self) -> None:
-        pass
+        def commit(self, end: dict) -> None:
+            pass  # virtual log: nothing to truncate
 
+        def stop(self) -> None:
+            pass
 
-class GnssBusDataSource(DataSource):
-    @classmethod
-    def name(cls):
-        return "gnssbus"
+    class GnssBusDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "gnssbus"
 
-    def schema(self):
-        return BUS_SCHEMA
+        def schema(self):
+            return (
+                "part INT, off BIGINT, msg_id BIGINT, obj_id BIGINT, "
+                "x DOUBLE, y DOUBLE"
+            )
 
-    def streamReader(self, schema):
-        return _BusStreamReader(self.options)
+        def streamReader(self, schema):
+            return _BusStreamReader(self.options)
+
+    return GnssBusDataSource
 
 
 def register_bus(spark) -> None:
     """Idempotent per-session registration of the gnssbus format."""
-    spark.dataSource.register(GnssBusDataSource)
+    spark.dataSource.register(make_bus_source())
+
+
+def make_bus_sink():
+    """Build the busfilesink DataSource class (self-contained, pickles
+    by value). Returns (DataSource class, writer class) — the writer
+    is exposed for the protocol unit tests."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _BusSinkMessage(WriterCommitMessage):
+        # commit messages must be picklable plain data
+        def __init__(self, staged_path: str, n_rows: int):
+            self.staged_path = staged_path
+            self.n_rows = n_rows
+
+    class _BusSinkWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("busfilesink requires option 'path'")
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            staging = os.path.join(self.path, "staging")
+            os.makedirs(staging, exist_ok=True)
+            staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.csv")
+            n = 0
+            with open(staged, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        f"{row.part},{row.off},{row.msg_id},{row.obj_id},"
+                        f"{row.x!r},{row.y!r}\n"
+                    )
+                    n += 1
+            return _BusSinkMessage(staged, n)
+
+        def commit(self, messages, batchId) -> None:
+            import json
+            import os
+            import shutil
+
+            batch_dir = os.path.join(
+                self.path, "committed", f"batch={batchId}"
+            )
+            # idempotent publish: a replayed batch overwrites its dir
+            shutil.rmtree(batch_dir, ignore_errors=True)
+            os.makedirs(batch_dir)
+            counts = {}
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                dst = os.path.join(batch_dir, f"part-{i:05d}.csv")
+                os.replace(m.staged_path, dst)
+                counts[f"part-{i:05d}.csv"] = m.n_rows
+            # manifest LAST: readers only trust manifested batches
+            tmp = os.path.join(batch_dir, "_SUCCESS.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"batchId": batchId, "files": counts}, fh)
+            os.replace(tmp, os.path.join(batch_dir, "_SUCCESS"))
+
+        def abort(self, messages, batchId) -> None:
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(m.staged_path)
+                    except OSError:
+                        pass
+
+    class BusFileSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "busfilesink"
+
+        def streamWriter(self, schema, overwrite):
+            return _BusSinkWriter(self.options)
+
+    return BusFileSinkDataSource, _BusSinkWriter
+
+
+def register_bus_sink(spark) -> None:
+    sink_cls, _ = make_bus_sink()
+    spark.dataSource.register(sink_cls)
+
+
+def read_committed(spark, path: str):
+    """Read back ONLY manifested batches (the sink's visibility rule).
+
+    Asserts per-file row counts against each manifest — a torn or
+    replayed-but-unpublished file can't slip into the result. Runs on
+    the driver (manifests are tiny); the row files go through the
+    distributed CSV reader."""
+    import glob
+    import json
+    import os
+
+    committed = os.path.join(path, "committed")
+    files = []
+    for mf in sorted(glob.glob(os.path.join(committed, "batch=*", "_SUCCESS"))):
+        with open(mf) as fh:
+            manifest = json.load(fh)
+        bdir = os.path.dirname(mf)
+        for fname, n in manifest["files"].items():
+            fpath = os.path.join(bdir, fname)
+            with open(fpath) as fh:
+                got = sum(1 for _ in fh)
+            if got != n:
+                raise IOError(f"manifest mismatch in {fpath}: {got} != {n}")
+            files.append(fpath)
+    if not files:
+        return spark.createDataFrame([], BUS_SCHEMA)
+    return spark.read.schema(BUS_SCHEMA).csv(files)

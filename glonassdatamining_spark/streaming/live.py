@@ -675,3 +675,49 @@ def l15_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def l16_streaming(spark: SparkSession, sf_dir: str) -> str:
+    """L16 live form: gnssbus source → busfilesink (the Python
+    DataSourceStreamWriter with the full stage/commit/abort two-phase
+    protocol — streaming/bus.py). Consumes the whole virtual log,
+    returns the sink path; the caller reads back ONLY manifested
+    batches."""
+    import glob
+    import os
+    import time as _t
+    import uuid
+
+    from glonassdatamining_spark.streaming.bus import (
+        BUS_PARTS,
+        BUS_STEP,
+        BUS_TOTAL,
+        register_bus,
+        register_bus_sink,
+    )
+
+    register_bus(spark)
+    register_bus_sink(spark)
+    _sweep_staging("l16_sink_")
+    root = f"/root/repo/.tmpdata/l16_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("gnssbus")
+        .load()
+        .writeStream.format("busfilesink")
+        .option("path", root)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    n_batches_needed = (BUS_TOTAL + BUS_STEP - 1) // BUS_STEP
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            done = len(glob.glob(f"{root}/committed/batch=*/_SUCCESS"))
+            if done >= n_batches_needed:
+                # all offsets published; empty trailing batches are fine
+                break
+            _t.sleep(0.15)
+    finally:
+        q.stop()
+    return root

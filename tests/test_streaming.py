@@ -346,3 +346,59 @@ def test_l15_bus_restart_recovers_from_checkpointed_offsets(spark, tmp_path):
         | (F.col("obj_id") != F.col("msg_id") % 50)
     ).count()
     assert bad == 0
+
+
+def test_l16_sink_commit_protocol_units(spark, tmp_path):
+    """The two-phase commit protocol's branches, driven directly:
+    staged rows are invisible until commit; commit is an idempotent
+    per-batch publish; abort removes staged files; a torn file (count
+    drift vs manifest) is rejected at read time."""
+    import os
+
+    from pyspark.sql import Row
+
+    from glonassdatamining_spark.streaming.bus import (
+        make_bus_sink,
+        read_committed,
+    )
+
+    _, _BusSinkWriter = make_bus_sink()
+
+    root = str(tmp_path / "sink")
+    w = _BusSinkWriter({"path": root})
+    rows = [
+        Row(part=0, off=i, msg_id=i * 4, obj_id=(i * 4) % 50, x=1.5, y=2.5)
+        for i in range(10)
+    ]
+
+    # staged ≠ visible
+    m1 = w.write(iter(rows))
+    assert m1.n_rows == 10 and os.path.exists(m1.staged_path)
+    assert read_committed(spark, root).count() == 0
+
+    # commit publishes atomically (manifest last), staged file is gone
+    w.commit([m1], batchId=0)
+    assert not os.path.exists(m1.staged_path)
+    assert read_committed(spark, root).count() == 10
+
+    # replayed batch: re-stage + re-commit SAME id → still exactly once
+    m1b = w.write(iter(rows))
+    w.commit([m1b], batchId=0)
+    assert read_committed(spark, root).count() == 10
+
+    # abort leaves no trace
+    m2 = w.write(iter(rows))
+    w.abort([m2], batchId=1)
+    assert not os.path.exists(m2.staged_path)
+    assert read_committed(spark, root).count() == 10
+
+    # a torn committed file is caught by the manifest count check
+    m3 = w.write(iter(rows))
+    w.commit([m3], batchId=2)
+    victim = os.path.join(root, "committed", "batch=2", "part-00000.csv")
+    with open(victim) as fh:
+        lines = fh.readlines()
+    with open(victim, "w") as fh:
+        fh.writelines(lines[:-1])
+    with pytest.raises(IOError):
+        read_committed(spark, root).count()
