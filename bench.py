@@ -64,6 +64,12 @@ HEADLINE = [
     "i33_wkb_polygon_hole_area",    # WKB encode → pure-Catalyst parse → area
     "e18_rfm_segments",             # percentile-cutoff RFM segmentation
     "n8_clustering_coefficient",    # wedge join + triangle closure per node
+    "i37_radius_of_gyration",       # one-shuffle exact-moment mobility scalar
+    "k38_ngram_novelty",            # trigram inverted-index novelty join
+    "k37_wav_audio_stats",          # real WAV encode→decode Arrow pipeline
+    # (l15/l16 bus queries are NOT benched: their duration is wall-clock
+    # micro-batch trigger pacing, not work — a throughput-style number
+    # would be meaningless. Their evidence is the t2 hash + live tests.)
 ]
 
 
