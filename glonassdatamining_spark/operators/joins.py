@@ -649,3 +649,74 @@ def c9d_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors, "user_id", "ts", "err_ts",
         direction="backward", tolerance_s=_ASOF_TOL_S,
     )
+
+
+@register(
+    "c16_fuzzy_string_join",
+    oracle=(
+        "SELECT a.c_custkey AS key1, b.c_custkey AS key2, "
+        "a.c_name AS name1, b.c_name AS name2, "
+        "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist "
+        "FROM customer a JOIN customer b "
+        "ON a.c_custkey < b.c_custkey "
+        "AND levenshtein(a.c_name, b.c_name) <= 1"
+    ),
+    section="C16",
+)
+def c16_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate STRING join (edit distance ≤ 1) at scale — the
+    entity-resolution primitive, via the deletion-neighborhood
+    (SymSpell/FastSS) candidate generator: each string emits its L
+    1-deletion variants as join keys; two strings within one edit
+    MUST share a key (substitution → same deletion at the edited
+    position; insert/delete → one string equals the other's variant),
+    so candidates come from plain equi-joins — O(n·L) keys, never the
+    O(n²) all-pairs Levenshtein. Exact verify prunes collisions.
+
+    The brute-force DuckDB oracle re-derives every qualifying pair
+    with real quadratic levenshtein — if the neighborhood generator
+    ever lost a true pair, the hash would break (i30's
+    independent-algorithm oracle discipline).
+
+    100 TB shape: key explosion is narrow per-row work; the candidate
+    equi-join shuffles on the variant key (bounded fanout per key for
+    ID-like strings; cap pathological hot keys — variants of single-character runs —
+    the way k38 salts stopword trigrams). Generalizes to ed ≤ k with
+    k-deletion neighborhoods (keys = C(L,k))."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    # L 1-deletion variants + the string itself (catches insert/delete
+    # pairs where one IS the other's variant, and exact duplicates)
+    variants = c.select(
+        "key",
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), i -> "
+                        "concat(substring(name, 1, i - 1), "
+                        "substring(name, i + 1, length(name))))"
+                    ),
+                )
+            )
+        ).alias("vk"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.vk") == F.col("b.vk")) & (F.col("a.key") < F.col("b.key")))
+        .select(
+            F.col("a.key").alias("key1"),
+            F.col("b.key").alias("key2"),
+            F.col("a.name").alias("name1"),
+            F.col("b.name").alias("name2"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name1", "name2")
+    return cand.filter(dist <= 1).select(
+        "key1", "key2", "name1", "name2", dist.cast("int").alias("dist")
+    )

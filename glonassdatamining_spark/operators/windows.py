@@ -915,3 +915,54 @@ def e21_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow_mean.alias("dow_mean"),
         (dow_mean / ov_mean).alias("seasonal_index"),
     )
+
+
+@register(
+    "e22_moving_median",
+    oracle=(
+        EVENTS_CTE
+        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) "
+        "SELECT event_type, d, cnt, "
+        "median(cnt) OVER (PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7 "
+        "FROM daily"
+    ),
+    section="E22",
+)
+def e22_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day MOVING MEDIAN of each event type's daily counts —
+    the robust smoother used where moving averages are wrecked by
+    spikes. Spark has no windowed median, so the frame is materialized
+    per row (``collect_list`` over ROWS BETWEEN 6 PRECEDING AND
+    CURRENT), sorted in-JVM, and the lower/upper middles averaged —
+    matching DuckDB's interpolated ``median() OVER``. The frame is a
+    CONSTANT 7 elements, so per-row cost is O(7 log 7) and state never
+    grows with history (a windowed percentile over an UNBOUNDED frame
+    would not scale; this shape is why production moving-quantiles are
+    frame-bounded or sketch-based, d8b's tier).
+
+    Exactness: frame values are integers; odd frames index the middle
+    directly, even frames average two integers — one IEEE division by
+    2.0 on both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("cnt").over(w))
+    n = F.size(arr)
+    mid = ((n + 1) / F.lit(2)).cast("int")
+    lo = (n / F.lit(2)).cast("int")
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(arr, mid).cast("double"),
+    ).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, lo + 1)).cast("double")
+        / 2.0
+    )
+    return daily.select("event_type", "d", "cnt", med.alias("med7"))

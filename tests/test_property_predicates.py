@@ -523,3 +523,189 @@ def test_grid_distance_join_matches_brute_force(spark, seed):
     assert got == want, (
         f"seed {seed} eps {eps}: missing {want - got}, extra {got - want}"
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzzy_join_neighborhood_loses_no_pair(spark, seed):
+    """c16's deletion-neighborhood candidate generator vs brute-force
+    Python Levenshtein on ADVERSARIAL random strings (repeats, shared
+    prefixes, varied lengths — shapes the fixture's uniform-length
+    names never produce). The generator must find EVERY ed≤1 pair."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab0"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 9)))
+            for _ in range(40)]
+    # inject guaranteed near-duplicates: substitutions, inserts, deletes
+    mutated = []
+    for s in base[:15]:
+        i = rng.randrange(len(s))
+        mutated.append(s[:i] + rng.choice(alphabet) + s[i:])      # insert
+        mutated.append(s[:i] + s[i + 1:])                          # delete
+        mutated.append(s[:i] + rng.choice(alphabet) + s[i + 1:])   # substitute
+    names = sorted(set(base + [m for m in mutated if m]))
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert want, "vacuous: no near-pairs generated"
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "key BIGINT, name STRING"
+    )
+    variants = df.select(
+        "key",
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), i -> "
+                        "concat(substring(name, 1, i - 1), "
+                        "substring(name, i + 1, length(name))))"
+                    ),
+                )
+            )
+        ).alias("vk"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    got_rows = (
+        a.join(b, (F.col("a.vk") == F.col("b.vk")) & (F.col("a.key") < F.col("b.key")))
+        .select(
+            F.col("a.name").alias("n1"), F.col("b.name").alias("n2")
+        )
+        .distinct()
+        .filter(F.levenshtein("n1", "n2") <= 1)
+        .collect()
+    )
+    got = {tuple(sorted((r.n1, r.n2))) for r in got_rows}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_radius_of_gyration_matches_two_pass_model(spark, seed):
+    """i37's one-pass algebraic identity vs the textbook two-pass
+    definition (centroid, then RMS distance) in plain Python floats on
+    random points — proves the identity rewrite, not just the oracle
+    mirror."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(5), rng.randrange(100000))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "obj_id BIGINT, event_id BIGINT")
+
+    from pyspark.sql import functions as SF
+
+    ix = SF.col("event_id") * 7919 % 100000
+    iy = SF.col("event_id") * 104729 % 100000
+    m = df.groupBy("obj_id").agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum(ix).alias("sx"),
+        SF.sum(iy).alias("sy"),
+        SF.sum(ix * ix).alias("sx2"),
+        SF.sum(iy * iy).alias("sy2"),
+    )
+    nd = SF.col("n").cast("double")
+    mx = SF.col("sx").cast("double") / (nd * 1000.0)
+    my = SF.col("sy").cast("double") / (nd * 1000.0)
+    rg2 = (
+        (SF.col("sx2") + SF.col("sy2")).cast("double") / (nd * 1000000.0)
+        - mx * mx
+        - my * my
+    )
+    got = {
+        r.obj_id: r.rg
+        for r in m.select(
+            "obj_id", SF.sqrt(SF.greatest(rg2, SF.lit(0.0))).alias("rg")
+        ).collect()
+    }
+
+    by_obj: dict = {}
+    for obj, eid in rows:
+        x = (eid * 7919 % 100000) / 1000.0
+        y = (eid * 104729 % 100000) / 1000.0
+        by_obj.setdefault(obj, []).append((x, y))
+    for obj, pts in by_obj.items():
+        cx = sum(p[0] for p in pts) / len(pts)
+        cy = sum(p[1] for p in pts) / len(pts)
+        want = math.sqrt(
+            sum((p[0] - cx) ** 2 + (p[1] - cy) ** 2 for p in pts) / len(pts)
+        )
+        assert got[obj] == pytest.approx(want, rel=1e-9), obj
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mean_shift_changepoint_finds_planted_shift(spark, seed):
+    """e19's binary-segmentation statistic on a series with a PLANTED
+    level shift: the argmax split must land exactly on the plant, and
+    the shift magnitude must match the brute-force python scan."""
+    import random
+
+    rng = random.Random(seed)
+    n_days, plant = 60, 25 + rng.randrange(10)
+    counts = [
+        (100 if i < plant else 300) + rng.randrange(-5, 6)
+        for i in range(n_days)
+    ]
+    rows = [
+        ("t", f"2024-03-{1:02d}", i, c) for i, c in enumerate(counts)
+    ]
+    df = spark.createDataFrame(
+        [(t, i, c) for t, _, i, c in rows], "event_type STRING, i INT, cnt BIGINT"
+    )
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    w = W.partitionBy("event_type").orderBy("i")
+    wp = W.partitionBy("event_type")
+    cum = df.select(
+        "event_type",
+        "i",
+        SF.row_number().over(w).alias("rn"),
+        SF.sum("cnt").over(w).alias("c"),
+        SF.sum("cnt").over(wp).alias("tot"),
+        SF.count(SF.lit(1)).over(wp).alias("nd"),
+    ).filter(SF.col("rn") < SF.col("nd"))
+    shift = SF.abs(
+        SF.col("c").cast("double") / SF.col("rn").cast("double")
+        - (SF.col("tot") - SF.col("c")).cast("double")
+        / (SF.col("nd") - SF.col("rn")).cast("double")
+    )
+    top = (
+        cum.select("i", shift.alias("s"))
+        .orderBy(SF.desc("s"), SF.asc("i"))
+        .limit(1)
+        .collect()[0]
+    )
+
+    # brute force
+    best_i, best_s = None, -1.0
+    for k in range(1, n_days):
+        a = sum(counts[:k]) / k
+        b = sum(counts[k:]) / (n_days - k)
+        s = abs(a - b)
+        if s > best_s:
+            best_i, best_s = k - 1, s  # split AFTER index k-1
+    assert top.i == best_i
+    assert top.s == pytest.approx(best_s, rel=1e-12)
+    assert best_i == plant - 1, "statistic missed the planted shift"
