@@ -735,12 +735,28 @@ def e18_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the E19–E22 time-series tier: the daily-count series per
+# event type — ONE map-side-combinable rollup shuffle; every detector
+# below runs over this tiny types×days frame.
+_DAILY_SQL = (
+    ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)"
+)
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
 @register(
     "e19_mean_shift_changepoint",
     oracle=(
         EVENTS_CTE
-        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        + _DAILY_SQL
+        + ", "
         "cum AS (SELECT event_type, d, cnt, "
         "ROW_NUMBER() OVER w AS i, "
         "CAST(SUM(cnt) OVER w AS BIGINT) AS c, "
@@ -769,10 +785,7 @@ def e19_mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All window state is exact integers; the two divisions and the
     subtract happen once per row in identical IEEE order."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("d")
     wp = Window.partitionBy("event_type")
     cum = daily.select(
@@ -805,8 +818,8 @@ def e19_mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e20_lag1_autocorrelation",
     oracle=(
         EVENTS_CTE
-        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        + _DAILY_SQL
+        + ", "
         "pairs AS (SELECT event_type, cnt AS y, "
         "lag(cnt) OVER (PARTITION BY event_type ORDER BY d) AS x FROM daily), "
         "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
@@ -831,10 +844,7 @@ def e20_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer sums (counts are ints; their products fit BIGINT
     until ~10^9 events/type/day) so the final ratio is one identical
     IEEE expression on both engines — no tolerance, no rounding."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("d")
     pairs = daily.select(
         "event_type",
@@ -866,8 +876,8 @@ def e20_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e21_seasonal_indices",
     oracle=(
         EVENTS_CTE
-        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        + _DAILY_SQL
+        + ", "
         "dow AS (SELECT event_type, "
         "CAST(date_part('isodow', d) AS INT) AS dow, "
         "CAST(SUM(cnt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS nd "
@@ -893,10 +903,7 @@ def e21_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     All state is exact integers (ISO weekday avoids the Spark-Sun=1 /
     DuckDB-Sun=0 dayofweek trap, SURVEY §5.3 #5); the two divisions
     and the final ratio run identically on both engines."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_counts(spark, sf_dir)
     dow = daily.groupBy(
         "event_type", (F.weekday("d") + 1).cast("int").alias("dow")
     ).agg(
@@ -921,8 +928,8 @@ def e21_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e22_moving_median",
     oracle=(
         EVENTS_CTE
-        + ", daily AS (SELECT event_type, date_trunc('day', ts) AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) "
+        + _DAILY_SQL
+        + " "
         "SELECT event_type, d, cnt, "
         "median(cnt) OVER (PARTITION BY event_type ORDER BY d "
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7 "
@@ -945,10 +952,7 @@ def e22_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: frame values are integers; odd frames index the middle
     directly, even frames average two integers — one IEEE division by
     2.0 on both engines."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    daily = _daily_counts(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",  # 1-row scalar avg, broadcast
     "q15_top_supplier",       # 1-row scalar max, broadcast
     "e18_rfm_segments",       # 1-row quintile-cutoff struct, broadcast
+    "k39_lm_quality_bands",   # 1-row corpus (mean, sd), broadcast (k22's shape)
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
