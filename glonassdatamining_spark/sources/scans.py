@@ -635,3 +635,51 @@ def a17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("x", "sum_x"),
         dsum("y", "sum_y"),
     )
+
+
+@register(
+    "a18_xml_roundtrip",
+    oracle=(
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY lang, source"
+    ),
+    section="A18",
+)
+def a18_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange via Spark 4's NATIVE XML source (rowTag
+    mode, no external package): documents written as XML, read back
+    with an explicit schema, aggregated. The oracle runs the identical
+    aggregate on the original parquet — full content-equality of the
+    round trip (a13's discipline). Text rides XML character escaping
+    (&amp;/&lt;), so the corpus's punctuation exercises the
+    encoder/decoder for real.
+
+    100 TB note: XML is a line-unsplittable row format here (one doc
+    per element, multiline) — fine as an INTERCHANGE edge (feeds,
+    exports), never the analytical store; first hop is parquet, as
+    this query's write-side shows."""
+    import os
+
+    out = _derived_base(sf_dir, "xml_docs", "documents")
+    if not os.path.exists(out + "/_SUCCESS"):
+        (
+            load(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .option("rowTag", "doc")
+            .format("xml")
+            .save(out)
+        )
+    docs = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT"
+        )
+        .load(out)
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
