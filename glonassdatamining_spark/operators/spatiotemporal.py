@@ -2612,3 +2612,99 @@ def i40_jump_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("d", "avg_jump"),
         )
     )
+
+
+@register(
+    "i41_morans_i",
+    oracle=(
+        EVENTS_CTE
+        + ", grid AS (SELECT a.i AS gx, b.i AS gy FROM "
+        "generate_series(0, 9) a(i) CROSS JOIN generate_series(0, 9) b(i)), "
+        "cnt AS (SELECT " + _IX + " // 10000 AS gx, " + _IY + " // 10000 AS gy, "
+        "COUNT(*) AS c FROM events GROUP BY 1, 2), "
+        "cells AS (SELECT grid.gx, grid.gy, "
+        "CAST(COALESCE(cnt.c, 0) AS BIGINT) AS x "
+        "FROM grid LEFT JOIN cnt ON grid.gx = cnt.gx AND grid.gy = cnt.gy), "
+        "pairs AS (SELECT a.x AS xi, b.x AS xj FROM cells a JOIN cells b "
+        "ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS s2 "
+        "FROM cells), "
+        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS w, "
+        "CAST(SUM(xi * xj) AS BIGINT) AS sxx, "
+        "CAST(SUM(xi + xj) AS BIGINT) AS sxpx FROM pairs) "
+        "SELECT n AS n_cells, w AS n_links, "
+        "(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) * "
+        "((CAST(sxx AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* CAST(sxpx AS DOUBLE) "
+        "+ (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(w AS DOUBLE)) / "
+        "(CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) "
+        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS moran_i "
+        "FROM m CROSS JOIN p"
+    ),
+    section="I41",
+)
+def i41_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the fix-density
+    surface (Moran 1950) — THE clustered-vs-dispersed screen run
+    before any hotspot analysis (i12 is its local cousin): rook-
+    adjacency weights over the 10×10 density grid, I = (N/W)·
+    Σw(xi−x̄)(xj−x̄)/Σ(xi−x̄)².
+
+    FP determinism by ALGEBRAIC EXPANSION: the cross products are
+    rewritten as Σwxixj − x̄·Σw(xi+xj) + x̄²W and the denominator as
+    Σx² − Nx̄², so every aggregate is an EXACT integer (counts and
+    their products over 0/1 weights) and the final I is a handful of
+    identical IEEE ops — no float accumulation anywhere, same
+    discipline as i37/e20.
+
+    Scale shape: one count shuffle on the cell key; the grid and its
+    rook-pair join are O(cells) = O(100) rows regardless of input
+    size (at planetary grids, cells ~ 10⁶ — still a broadcast-size
+    frame); the heavy data never joins itself."""
+    ev = load(spark, sf_dir, "events")
+    gx = ((F.col("event_id") * 7919 % 100000) / F.lit(10000)).cast("long")
+    gy = ((F.col("event_id") * 104729 % 100000) / F.lit(10000)).cast("long")
+    cnt = ev.groupBy(gx.alias("gx"), gy.alias("gy")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        spark.range(10)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(10).select(F.col("id").alias("gy")))
+    )
+    cells = grid.join(cnt, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce("c", F.lit(0)).cast("bigint").alias("x")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.abs(F.col("a.gx") - F.col("b.gx")) + F.abs(F.col("a.gy") - F.col("b.gy")))
+        == 1,
+    ).select(F.col("a.x").alias("xi"), F.col("b.x").alias("xj"))
+    m = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    p = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxx"),
+        F.sum(F.col("xi") + F.col("xj")).alias("sxpx"),
+    )
+    nd = F.col("n").cast("double")
+    wd = F.col("w").cast("double")
+    mean = F.col("s").cast("double") / nd
+    num = (
+        F.col("sxx").cast("double")
+        - mean * F.col("sxpx").cast("double")
+        + mean * mean * wd
+    )
+    den = F.col("s2").cast("double") - nd * mean * mean
+    return m.crossJoin(p).select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("n_links"),
+        ((nd / wd) * (num / den)).alias("moran_i"),
+    )
