@@ -206,3 +206,80 @@ def decode_wav(data: bytes) -> dict | None:
         "peak": max(abs(s) for s in samples),
         "mean_abs": sum_abs / n,
     }
+
+
+def encode_y4m(
+    width: int, height: int, frames: list[bytes], fps: int = 25
+) -> bytes:
+    """Pack raw 4:4:4 YCbCr frames into a genuine YUV4MPEG2 stream —
+    the uncompressed video container every ffmpeg/mjpegtools build
+    reads. Each frame must be width*height*3 bytes (Y, Cb, Cr planes)."""
+    head = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()
+    out = [head]
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame size mismatch")
+        out.append(b"FRAME\n")
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> dict | None:
+    """REAL YUV4MPEG2 decode: parses the stream header grammar
+    (W/H/F/C tags), walks the FRAME markers, slices the Y/Cb/Cr
+    planes, and returns per-frame luma means plus stream metadata.
+    4:4:4 only (the seam's import-try would route other samplings to
+    ffmpeg). Malformed/truncated input → None (a16's pattern)."""
+    if not data.startswith(b"YUV4MPEG2"):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    width = height = None
+    fps_num = 25
+    chroma = "420"  # Y4M default when no C tag
+    for tag in data[9:nl].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:]
+        try:
+            if k == b"W":
+                width = int(v)
+            elif k == b"H":
+                height = int(v)
+            elif k == b"F":
+                fps_num = int(v.split(b":")[0])
+            elif k == b"C":
+                chroma = v.decode("ascii", "replace")
+        except ValueError:
+            return None
+    if not width or not height or width <= 0 or height <= 0:
+        return None
+    if not chroma.startswith("444"):
+        return None  # only 4:4:4 planes are sliced here
+    plane = width * height
+    fsize = plane * 3
+    pos = nl + 1
+    luma_means = []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            return None
+        pos = fnl + 1
+        frame = data[pos : pos + fsize]
+        if len(frame) != fsize:
+            return None  # truncated frame
+        y = frame[:plane]
+        luma_means.append(sum(y) / plane)  # exact: int sum / int
+        pos += fsize
+    if not luma_means:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps_num,
+        "n_frames": len(luma_means),
+        "luma_means": luma_means,
+    }

@@ -2072,3 +2072,104 @@ def k39_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_mean_logp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K40 — multimodal VIDEO: real YUV4MPEG2 encode → parse → frame sample
+# --------------------------------------------------------------------------
+@register(
+    "k40_video_frame_stats",
+    oracle=(
+        "WITH f AS (SELECT doc_id, unnest(generate_series(0, "
+        "(3 + doc_id % 5) - 1)) AS frame_idx FROM documents) "
+        "SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(3 + doc_id % 5 AS INT) AS n_frames, "
+        "CAST((doc_id * 7 + frame_idx * 13) % 256 AS DOUBLE) AS mean_y "
+        "FROM f WHERE frame_idx % 2 = 0"
+    ),
+    section="K40",
+)
+def k40_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO end to end with a REAL container codec — the
+    video leg beside k13 (image) and k37 (audio), replacing the
+    declared byte-window fake in k15's sampler with genuine decode:
+    each document gets a true YUV4MPEG2 stream (header grammar, FRAME
+    markers, 4:4:4 planes — a file ffmpeg plays), built by the stdlib
+    packer; an Arrow ``mapInPandas`` stage PARSES the container back
+    (functions/codecs.py decode_y4m: real tag grammar, frame walk,
+    plane slicing), samples every 2nd frame, and emits per-frame luma
+    means. k15 keeps the pure-plumbing contract; this query is the
+    decode made real.
+
+    Hash-checkable because the synthetic frames carry closed-form
+    luma ((doc_id·7 + idx·13) mod 256 — constant per plane, so the
+    plane mean is EXACT) and frame counts (3 + doc_id mod 5); a drift
+    anywhere in header writing, frame walking, plane slicing, or the
+    sampling stride breaks the oracle.
+
+    100 TB shape: identical to k13/k37 — opaque binary, zero-shuffle
+    narrow decode, frames inherit the parent partitioning."""
+    import pandas as pd
+
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    w, h = 8, 4
+
+    def encode_batches(batches):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import encode_y4m
+
+        plane = w * h
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 3 + int(did % 5)
+                frames = [
+                    bytes([(int(did) * 7 + i * 13) % 256] * plane)
+                    + bytes([128] * plane) * 2
+                    for i in range(n)
+                ]
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_batches(batches):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import decode_y4m
+
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_mean = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                v = decode_y4m(bytes(b))
+                if v is None:
+                    continue  # quarantine upstream, a16's pattern
+                for i in range(0, v["n_frames"], 2):  # sample stride 2
+                    out_doc.append(did)
+                    out_idx.append(i)
+                    out_n.append(v["n_frames"])
+                    out_mean.append(v["luma_means"][i])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "n_frames": out_n,
+                    "mean_y": out_mean,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    vid = docs.mapInPandas(
+        encode_batches, "doc_id BIGINT, payload BINARY"
+    ).localCheckpoint()  # materialize the real container bytes
+    return vid.mapInPandas(
+        decode_batches,
+        "doc_id BIGINT, frame_idx INT, n_frames INT, mean_y DOUBLE",
+    )

@@ -141,3 +141,27 @@ def test_wav_malformed_degrades_to_none():
         w.setframerate(8000)
         w.writeframes(b"\x00" * 8)
     assert C.decode_wav(buf.getvalue()) is None
+
+
+def test_y4m_roundtrip_and_header_grammar():
+    """encode_y4m → decode_y4m is exact; the parser honors the real
+    tag grammar (order-independent tags, fps ratio) and rejects
+    non-4:4:4 chroma (the import-try seam's contract)."""
+    fr = [bytes(range(36)) + bytes([128] * 72), bytes([7] * 108)]
+    v = C.decode_y4m(C.encode_y4m(6, 6, fr, fps=30))
+    assert (v["width"], v["height"], v["fps"], v["n_frames"]) == (6, 6, 30, 2)
+    assert v["luma_means"][0] == sum(range(36)) / 36
+    assert v["luma_means"][1] == 7.0
+    # reordered tags still parse; C420 refused
+    assert C.decode_y4m(b"YUV4MPEG2 C444 H1 W2 F25:1\nFRAME\n" + b"\x05" * 6)[
+        "luma_means"
+    ] == [5.0]
+    assert C.decode_y4m(b"YUV4MPEG2 W2 H1 F25:1 C420jpeg\nFRAME\n" + b"\x05" * 3) is None
+
+
+def test_y4m_malformed_degrades_to_none():
+    b = C.encode_y4m(4, 3, [bytes([9] * 36)])
+    assert C.decode_y4m(b[:-1]) is None          # truncated frame
+    assert C.decode_y4m(b"YUV4MPEG2 W0 H3 C444\n") is None
+    assert C.decode_y4m(b.replace(b"FRAME", b"FRAMX")) is None
+    assert C.decode_y4m(b"MPEG") is None
