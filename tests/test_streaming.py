@@ -305,13 +305,17 @@ def test_l15_bus_restart_recovers_from_checkpointed_offsets(spark, tmp_path):
         df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
 
     def run(min_batches, deadline_s):
+        # slow pace (10 batches of 100): stopping after 2 committed
+        # dirs can never race the end of the log, even under full-suite
+        # host load (the l10 flake lesson)
         q = (
             spark.readStream.format("gnssbus")
             .option("brokerDir", broker)
+            .option("stepPerBatch", 100)
             .load()
             .writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="150 milliseconds")
+            .trigger(processingTime="250 milliseconds")
             .start()
         )
         try:
@@ -324,7 +328,7 @@ def test_l15_bus_restart_recovers_from_checkpointed_offsets(spark, tmp_path):
         finally:
             q.stop()
 
-    # first run: stop mid-log (the virtual log takes 4 batches of 250)
+    # first run: stop mid-log (at this pace the log takes 10 batches)
     run(min_batches=2, deadline_s=30)
     mid = spark.read.option("basePath", out).parquet(f"{out}/batch=*").count()
     assert mid < BUS_PARTS * BUS_TOTAL, "first run consumed everything — stop earlier"
