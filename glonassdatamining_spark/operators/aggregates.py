@@ -882,3 +882,77 @@ def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("totw").cast("double").alias("total_weight"),
         )
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "d27_correlation_matrix",
+    oracle=(
+        "WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + ", ".join(
+            f"CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS s_{c}"
+            for c in _CORR_COLS
+        )
+        + ", "
+        + ", ".join(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(28,6))) AS DOUBLE) AS p_{a}_{b}"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i:]
+        )
+        + " FROM lineitem) "
+        "SELECT col_a, col_b, "
+        "(nd * pab - sa * sb) / "
+        "(sqrt(nd * paa - sa * sa) * sqrt(nd * pbb - sb * sb)) AS pearson_r "
+        "FROM (SELECT CAST(n AS DOUBLE) AS nd, col_a, col_b, sa, sb, pab, paa, pbb "
+        "FROM m, (VALUES "
+        + ", ".join(
+            f"('{a}', '{b}', s_{a}, s_{b}, p_{a}_{b}, p_{a}_{a}, p_{b}_{b})"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:]
+        ).replace(f"s_{_CORR_COLS[0]}", f"s_{_CORR_COLS[0]}")
+        + ") v(col_a, col_b, sa, sb, pab, paa, pbb))"
+    ),
+    section="D27",
+)
+def d27_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures — the
+    column-profiling step beyond D16's univariate stats. ONE pass,
+    one scalar aggregate: all C(4,2) correlations are assembled from
+    14 moments (sums, self- and cross-products) computed in a single
+    map-side-combinable reduction — never one job per pair (MLlib's
+    Correlation.corr would also one-pass this, but through a vector
+    assembly; this form stays hash-checkable).
+
+    FP determinism: the measures carry ≤2 decimal places, so every
+    product has ≤4 — the DECIMAL(28,6) per-row casts are EXACT, the
+    sums order-insensitive, and the final r is the identical IEEE
+    expression on both engines (e20's discipline, continuous-valued
+    here)."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(28,6)"))
+                .cast("double")
+                .alias(f"p_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    nd = F.col("n").cast("double")
+    pairs = None
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            r = (nd * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+                F.sqrt(nd * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(nd * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            row = m.select(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                r.alias("pearson_r"),
+            )
+            pairs = row if pairs is None else pairs.unionAll(row)
+    return pairs

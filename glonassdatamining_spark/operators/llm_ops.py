@@ -2174,3 +2174,48 @@ def k40_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id BIGINT, frame_idx INT, n_frames INT, mean_y DOUBLE",
     )
+
+
+@register(
+    "k41_dup_cluster_sizes",
+    oracle=(
+        "WITH corpus AS (SELECT text FROM documents "
+        "UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0 "
+        "UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0), "
+        "cl AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz "
+        "FROM corpus GROUP BY 1) "
+        "SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(COUNT(*) * (sz - 1) AS BIGINT) AS removable_docs "
+        "FROM cl GROUP BY sz"
+    ),
+    section="K41",
+)
+def k41_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup AUDIT beside
+    k1's dedup itself: how many exact-content clusters exist at each
+    size, and how many documents dedup would remove (Σ clusters·
+    (size−1)). The shape of this histogram is what decides between
+    exact dedup and the fuzzy tiers (a long tail of size-2 clusters →
+    near-dup methods matter; a few giant clusters → boilerplate
+    detection). Two chained map-side-combinable aggregates; at 100 TB
+    swap md5 for xxhash64 (k1's note).
+
+    The fixture corpus is dup-free, so the audited corpus plants
+    known duplication (every 7th doc re-ingested once, every 21st
+    twice — the multi-source re-crawl pattern) on BOTH sides; the
+    histogram must recover exactly the planted 1/2/3 cluster mix."""
+    d = load(spark, sf_dir, "documents")
+    corpus = (
+        d.select("text")
+        .unionAll(d.filter(F.col("doc_id") % 7 == 0).select("text"))
+        .unionAll(d.filter(F.col("doc_id") % 21 == 0).select("text"))
+    )
+    cl = corpus.groupBy(F.md5(F.encode("text", "utf-8")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return cl.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("sz") - 1)).cast("bigint").alias(
+            "removable_docs"
+        ),
+    )

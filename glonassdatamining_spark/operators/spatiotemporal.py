@@ -2708,3 +2708,86 @@ def i41_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("n_links"),
         ((nd / wd) * (num / den)).alias("moran_i"),
     )
+
+
+@register(
+    "i42_turning_angles",
+    oracle=(
+        FIXES_CTE
+        + ", seq AS (SELECT obj_id, ts, event_id, x, y, "
+        "lag(x) OVER w AS px, lag(y) OVER w AS py FROM fixes "
+        "WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "hdg AS (SELECT obj_id, ts, event_id, "
+        "ROUND(atan2(y - py, x - px), 9) AS h FROM seq "
+        "WHERE px IS NOT NULL AND (x <> px OR y <> py)), "
+        "turns AS (SELECT ROUND(h - lag(h) OVER "
+        "(PARTITION BY obj_id ORDER BY ts, event_id), 9) AS t FROM hdg), "
+        "norm AS (SELECT ROUND(t - floor((t + pi()) / (2 * pi())) * (2 * pi()), 9) "
+        "AS ta FROM turns WHERE t IS NOT NULL) "
+        "SELECT CAST(least(floor((ta + pi()) / (pi() / 6.0)), 11) AS BIGINT) "
+        "AS bucket, COUNT(*) AS n_turns, "
+        "CAST(SUM(CAST(ta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_angle "
+        "FROM norm GROUP BY 1"
+    ),
+    section="I42",
+)
+def i42_turning_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-angle distribution — the movement-behavior fingerprint
+    beside i40's jump lengths (correlated-random-walk analysis keys on
+    exactly these two marginals): per consecutive fix pair, the
+    heading change normalized to (−π, π], histogrammed in 30°
+    buckets. Two windows on the obj key (the E8/i40 shuffle, reused),
+    then a 12-row map-side-combinable histogram.
+
+    FP discipline for TRANSCENDENTALS (k22's, applied to atan2):
+    headings and their differences are rounded to 9 dp — sub-ulp
+    Java-vs-C libm atan2 drift vanishes — and the 30° bucket edges
+    are multiples of π/6, irrational, so no 9dp-rounded value can sit
+    ON a boundary; per-bucket means ride exact DECIMAL(28,9) sums.
+    Zero-displacement pairs (lattice re-visits) are excluded on both
+    sides — atan2(0,0) is convention, not a heading."""
+    f = fixes(spark, sf_dir)
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    seq = f.select(
+        "obj_id",
+        "ts",
+        "event_id",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).filter(
+        F.col("px").isNotNull()
+        & ((F.col("x") != F.col("px")) | (F.col("y") != F.col("py")))
+    )
+    hdg = seq.select(
+        "obj_id",
+        "ts",
+        "event_id",
+        F.round(F.atan2(F.col("y") - F.col("py"), F.col("x") - F.col("px")), 9).alias(
+            "h"
+        ),
+    )
+    t = F.round(F.col("h") - F.lag("h").over(w), 9)
+    pi = 3.141592653589793
+    turns = hdg.select(t.alias("t")).filter(F.col("t").isNotNull())
+    ta = F.round(
+        F.col("t") - F.floor((F.col("t") + pi) / (2 * pi)) * (2 * pi), 9
+    )
+    norm = turns.select(ta.alias("ta"))
+    return (
+        norm.select(
+            F.least(
+                F.floor((F.col("ta") + pi) / (pi / 6.0)), F.lit(11)
+            ).cast("bigint").alias("bucket"),
+            "ta",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (
+                F.sum(F.col("ta").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_angle"),
+        )
+    )
