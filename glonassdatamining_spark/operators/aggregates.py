@@ -956,3 +956,65 @@ def d27_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pairs = row if pairs is None else pairs.unionAll(row)
     return pairs
+
+
+@register(
+    "d28_chi_square_independence",
+    oracle=(
+        "WITH o AS (SELECT l_returnflag AS rf, l_linestatus AS ls, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), "
+        "rt AS (SELECT rf, CAST(SUM(n) AS BIGINT) AS r FROM o GROUP BY 1), "
+        "ct AS (SELECT ls, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, "
+        "CAST(COUNT(DISTINCT rf) AS BIGINT) AS nr, "
+        "CAST(COUNT(DISTINCT ls) AS BIGINT) AS nc FROM o) "
+        "SELECT CAST(SUM(CAST(ROUND("
+        "(CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) "
+        "* (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) "
+        "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9) "
+        "AS DECIMAL(28,9))) AS DOUBLE) AS chi2, "
+        "CAST(MIN((nr - 1) * (nc - 1)) AS BIGINT) AS dof, "
+        "CAST(MIN(t) AS BIGINT) AS n_rows "
+        "FROM o JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN tot"
+    ),
+    section="D28",
+)
+def d28_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for the returnflag ×
+    linestatus contingency table — the categorical-association
+    profiling step beside D27's numeric correlations. One count
+    shuffle builds the table; margins and the statistic fold over the
+    R×C (here 3×2) cells, so everything after the first aggregate is
+    broadcast-size at any input scale.
+
+    FP discipline: observed counts and margins are exact integers;
+    each cell's (o−e)²/e term is rounded to 9 dp then DECIMAL-summed
+    (k22's transcendental treatment applied to division chains), so
+    the cell fold is order-insensitive across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rt = o.groupBy("rf").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = o.groupBy("ls").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = o.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.countDistinct("rf").cast("bigint").alias("nr"),
+        F.countDistinct("ls").cast("bigint").alias("nc"),
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("t").cast(
+        "double"
+    )
+    term = F.round(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e, 9
+    ).cast("decimal(28,9)")
+    return (
+        o.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(term).cast("double").alias("chi2"),
+            F.min((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            F.min("t").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -970,3 +970,59 @@ def e22_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2.0
     )
     return daily.select("event_type", "d", "cnt", med.alias("med7"))
+
+
+@register(
+    "e23_seasonal_anomaly_days",
+    oracle=(
+        EVENTS_CTE
+        + _DAILY_SQL
+        + ", dow AS (SELECT event_type, "
+        "CAST(date_part('isodow', d) AS INT) AS dow, "
+        "CAST(SUM(cnt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS nd "
+        "FROM daily GROUP BY 1, 2) "
+        "SELECT daily.event_type, d, cnt, "
+        "CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS expected, "
+        "CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) AS ratio, "
+        "CASE WHEN CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) "
+        ">= 1.2 THEN 'high' ELSE 'low' END AS direction "
+        "FROM daily JOIN dow ON daily.event_type = dow.event_type "
+        "AND CAST(date_part('isodow', d) AS INT) = dow.dow "
+        "WHERE CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) >= 1.2 "
+        "OR CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) <= 0.8"
+    ),
+    section="E23",
+)
+def e23_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly days: each day's count compared to
+    ITS OWN weekday's mean for that event type (E21's seasonal
+    component used as the expectation), flagging ±20% deviations —
+    the correct form of daily-volume alerting (a raw-mean threshold
+    misfires every weekend). Composes the shared daily rollup with a
+    broadcast-size (type × weekday) expectation join; all state exact
+    integers, the ratio one identical IEEE division chain on both
+    engines (boundary days are deterministic because both engines
+    compare the same double)."""
+    daily = _daily_counts(spark, sf_dir)
+    dow_of = (F.weekday("d") + 1).cast("int")
+    dow = daily.groupBy(
+        "event_type", dow_of.alias("dow")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    expected = F.col("s").cast("double") / F.col("nd").cast("double")
+    ratio = F.col("cnt").cast("double") / expected
+    return (
+        daily.withColumn("dow", dow_of)
+        .join(F.broadcast(dow), ["event_type", "dow"])
+        .filter((ratio >= 1.2) | (ratio <= 0.8))
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            expected.alias("expected"),
+            ratio.alias("ratio"),
+            F.when(ratio >= 1.2, "high").otherwise("low").alias("direction"),
+        )
+    )

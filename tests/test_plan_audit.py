@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "e18_rfm_segments",       # 1-row quintile-cutoff struct, broadcast
     "k39_lm_quality_bands",   # 1-row corpus (mean, sd), broadcast (k22's shape)
     "i41_morans_i",           # constant 100-cell grid × itself (rook pairs) + 1-row moments
+    "d28_chi_square_independence",  # 1-row totals × the R×C cell table, broadcast
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
