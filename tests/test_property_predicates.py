@@ -709,3 +709,92 @@ def test_mean_shift_changepoint_finds_planted_shift(spark, seed):
     assert top.i == best_i
     assert top.s == pytest.approx(best_s, rel=1e-12)
     assert best_i == plant - 1, "statistic missed the planted shift"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_moving_median_matches_pandas_rolling(spark, seed):
+    """e22's collect/sort/interpolate frame construction vs pandas'
+    rolling(7, min_periods=1).median() on random integer series —
+    including the even-frame interpolated case the first 6 rows hit."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows = []
+    for grp in ("a", "b"):
+        for i in range(40):
+            rows.append((grp, i, rng.randrange(0, 50)))
+    df = spark.createDataFrame(rows, "g STRING, i INT, cnt BIGINT")
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    w = W.partitionBy("g").orderBy("i").rowsBetween(-6, W.currentRow)
+    arr = SF.array_sort(SF.collect_list("cnt").over(w))
+    n = SF.size(arr)
+    mid = ((n + 1) / SF.lit(2)).cast("int")
+    lo = (n / SF.lit(2)).cast("int")
+    med = SF.when(n % 2 == 1, SF.element_at(arr, mid).cast("double")).otherwise(
+        (SF.element_at(arr, lo) + SF.element_at(arr, lo + 1)).cast("double") / 2.0
+    )
+    got = {
+        (r.g, r.i): r.m
+        for r in df.select("g", "i", med.alias("m")).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "i", "cnt"]).sort_values(["g", "i"])
+    for g, sub in pdf.groupby("g"):
+        want = sub["cnt"].rolling(7, min_periods=1).median()
+        for i, wv in zip(sub["i"], want):
+            assert got[(g, i)] == wv, (g, i)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_jump_histogram_matches_python_model(spark, seed):
+    """i40's lag-window displacement bucketing vs a plain-python model
+    over random fix sequences (shuffled input order — the window's
+    (ts, event_id) sort must impose the same sequence)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for obj in range(4):
+        for k in range(60):
+            rows.append((obj, k, rng.randrange(100000)))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "obj_id BIGINT, ts BIGINT, event_id BIGINT")
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    x = ((SF.col("event_id") * 7919 % 100000).cast("double") / 1000.0)
+    y = ((SF.col("event_id") * 104729 % 100000).cast("double") / 1000.0)
+    w = W.partitionBy("obj_id").orderBy("ts", "event_id")
+    seq = df.select(
+        x.alias("x"), y.alias("y"),
+        SF.lag(x).over(w).alias("px"), SF.lag(y).over(w).alias("py"),
+    ).filter(SF.col("px").isNotNull())
+    d = SF.sqrt(
+        (SF.col("x") - SF.col("px")) * (SF.col("x") - SF.col("px"))
+        + (SF.col("y") - SF.col("py")) * (SF.col("y") - SF.col("py"))
+    )
+    got = {
+        r.bucket: r.n
+        for r in seq.select(
+            SF.least(SF.floor(d / 5.0).cast("bigint"), SF.lit(19).cast("bigint")).alias("bucket")
+        ).groupBy("bucket").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    }
+
+    want: dict = {}
+    by_obj: dict = {}
+    for obj, ts, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        xx = (eid * 7919 % 100000) / 1000.0
+        yy = (eid * 104729 % 100000) / 1000.0
+        if obj in by_obj:
+            pxx, pyy = by_obj[obj]
+            dist = math.sqrt((xx - pxx) ** 2 + (yy - pyy) ** 2)
+            b = min(int(dist // 5.0), 19)
+            want[b] = want.get(b, 0) + 1
+        by_obj[obj] = (xx, yy)
+    assert got == want
