@@ -1018,3 +1018,233 @@ def d28_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@register(
+    "d29_welch_ttest",
+    oracle=(
+        "WITH s AS (SELECT "
+        "CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n1, "
+        "CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n2, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) "
+        "FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS sx1, "
+        "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) "
+        "FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS sxx1, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) "
+        "FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS sx2, "
+        "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) "
+        "FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS sxx2 "
+        "FROM lineitem WHERE l_returnflag IN ('R', 'A')), "
+        "d AS (SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2, "
+        "(sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1, "
+        "(sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2 FROM s), "
+        "e AS (SELECT n1, n2, m1, m2, v1 / n1 AS se1, v2 / n2 AS se2 FROM d) "
+        "SELECT n1, n2, ROUND(m1, 9) AS mean_r, ROUND(m2, 9) AS mean_a, "
+        "ROUND((m1 - m2) / sqrt(se1 + se2), 9) AS t_stat, "
+        "ROUND((se1 + se2) * (se1 + se2) / "
+        "(se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS dof "
+        "FROM e"
+    ),
+    section="D29",
+)
+def d29_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (unequal variances) of l_extendedprice
+    between returnflag R and A — the classical inference step beside
+    D28's categorical chi-square. ONE map-side-combinable aggregate
+    (conditional moment sums per group), then the t statistic and the
+    Welch–Satterthwaite dof fold over a single broadcast-size row —
+    constant output at any input scale.
+
+    FP discipline (D27's moment treatment): 2dp prices → 4dp squares,
+    each per-row product cast to exact DECIMAL before SUM (the IEEE
+    product is bit-identical on both engines; the decimal sum is
+    order-insensitive), then one identically-ordered double expression
+    chain on both sides."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    x = F.col("l_extendedprice")
+
+    def mom(flag: str, which: str) -> Column:
+        cond = F.col("l_returnflag") == flag
+        if which == "n":
+            return F.count(F.when(cond, F.lit(1))).cast("bigint")
+        e = x if which == "s" else x * x
+        return F.sum(F.when(cond, e.cast("decimal(28,6)"))).cast("double")
+
+    s = li.agg(
+        mom("R", "n").alias("n1"), mom("A", "n").alias("n2"),
+        mom("R", "s").alias("sx1"), mom("R", "ss").alias("sxx1"),
+        mom("A", "s").alias("sx2"), mom("A", "ss").alias("sxx2"),
+    )
+    d = s.select(
+        "n1", "n2",
+        (F.col("sx1") / F.col("n1")).alias("m1"),
+        (F.col("sx2") / F.col("n2")).alias("m2"),
+        ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+         / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
+         / (F.col("n2") - 1)).alias("v2"),
+    )
+    e = d.select(
+        "n1", "n2", "m1", "m2",
+        (F.col("v1") / F.col("n1")).alias("se1"),
+        (F.col("v2") / F.col("n2")).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return e.select(
+        "n1", "n2",
+        F.round("m1", 9).alias("mean_r"),
+        F.round("m2", 9).alias("mean_a"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 9).alias("t_stat"),
+        F.round(
+            se * se / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ), 6,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "d30_spearman_rho",
+    oracle=(
+        "WITH g AS (SELECT l_quantity AS x, l_extendedprice AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS n_xy FROM lineitem GROUP BY 1, 2), "
+        "xa AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS cnt FROM g GROUP BY 1), "
+        "xr AS (SELECT x, CAST(2 * SUM(cnt) OVER (ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS BIGINT) AS r2x FROM xa), "
+        "ya AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS cnt FROM g GROUP BY 1), "
+        "yr AS (SELECT y, CAST(2 * SUM(cnt) OVER (ORDER BY y ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS BIGINT) AS r2y FROM ya), "
+        "m AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(n_xy * r2x AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(n_xy * r2y AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(n_xy * r2x * r2x AS DECIMAL(38,0))) AS DOUBLE) AS sxx, "
+        "CAST(SUM(CAST(n_xy * r2y * r2y AS DECIMAL(38,0))) AS DOUBLE) AS syy, "
+        "CAST(SUM(CAST(n_xy * r2x * r2y AS DECIMAL(38,0))) AS DOUBLE) AS sxy "
+        "FROM g JOIN xr USING (x) JOIN yr USING (y)) "
+        "SELECT n AS n_rows, "
+        "ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * "
+        "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS rho FROM m"
+    ),
+    section="D30",
+)
+def d30_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (l_quantity, l_extendedprice) with
+    textbook average-rank tie handling — the robust companion to D27's
+    Pearson matrix. Never ranks row-by-row: ranks are computed over the
+    DISTINCT-VALUE tables (one groupBy each), where the doubled average
+    rank 2·r̄ = 2·cumcount − cnt + 1 stays integral, and the Pearson
+    moments fold over the (x, y) pair-count table weighted by n_xy —
+    so the only ordered scans run over value cardinalities, not rows.
+    Scale shape: the distinct-value prefix sum is a single ordered
+    window over ≤|distinct| rows (two-tier range-partitioned prefix
+    sum when a measure's cardinality itself is huge); everything else
+    is equi-join + one map-side-combinable aggregate. Doubled-rank
+    moments stay ≤ n·(2n)² — exact in BIGINT through sf0.1, DECIMAL(38)
+    sums beyond."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+
+    def ranks(col: str) -> DataFrame:
+        a = g.groupBy(col).agg(F.sum("n_xy").cast("bigint").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return a.select(
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("bigint")
+            .alias(f"r2{col}"),
+        )
+
+    j = g.join(ranks("x"), "x").join(ranks("y"), "y")
+    dec38 = "decimal(38,0)"
+    m = j.agg(
+        F.sum("n_xy").cast("bigint").alias("n"),
+        F.sum((F.col("n_xy") * F.col("r2x")).cast(dec38)).cast("double").alias("sx"),
+        F.sum((F.col("n_xy") * F.col("r2y")).cast(dec38)).cast("double").alias("sy"),
+        F.sum((F.col("n_xy") * F.col("r2x") * F.col("r2x")).cast(dec38))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("n_xy") * F.col("r2y") * F.col("r2y")).cast(dec38))
+        .cast("double").alias("syy"),
+        F.sum((F.col("n_xy") * F.col("r2x") * F.col("r2y")).cast(dec38))
+        .cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ), 9,
+        ).alias("rho"),
+    )
+
+
+@register(
+    "d31_ks_two_sample",
+    oracle=(
+        "WITH g AS (SELECT l_extendedprice AS x, "
+        "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS c1, "
+        "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS c2 "
+        "FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY 1), "
+        "w AS (SELECT CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, "
+        "CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2 FROM g), "
+        "tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
+        "CAST(SUM(c2) AS BIGINT) AS n2 FROM g) "
+        "SELECT n1, n2, "
+        "CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num, "
+        "ROUND(CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) / "
+        "(CAST(n1 AS DOUBLE) * n2), 9) AS d_stat "
+        "FROM w CROSS JOIN tot GROUP BY n1, n2"
+    ),
+    section="D31",
+)
+def d31_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic between the
+    l_extendedprice distributions of open vs finished lineitems —
+    distribution-equality testing beside D29's mean test. The ECDF gap
+    is maximized INTEGER-exactly: per distinct value, cumulative counts
+    cum1/cum2 fold via one ordered prefix sum, and the supremum of
+    |F1−F2| is max |cum1·n2 − cum2·n1| (cross-multiplied, no per-row
+    division), divided once at the end — bit-identical across engines
+    with no float fold anywhere. Scale shape: groupBy on value, one
+    window over distinct values (tiered prefix sum at extreme
+    cardinality), 1-row broadcast totals, constant output."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isin("O", "F")
+    )
+    g = li.groupBy(F.col("l_extendedprice").alias("x")).agg(
+        F.count(F.when(F.col("l_linestatus") == "O", F.lit(1)))
+        .cast("bigint").alias("c1"),
+        F.count(F.when(F.col("l_linestatus") == "F", F.lit(1)))
+        .cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w).cast("bigint").alias("cum2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    diff = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(diff).cast("bigint").alias("ks_num"),
+            F.round(
+                F.max(diff).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")), 9,
+            ).alias("d_stat"),
+        )
+    )

@@ -2791,3 +2791,65 @@ def i42_turning_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_angle"),
         )
     )
+
+
+@register(
+    "i43_ripley_k",
+    oracle=(
+        FIXES_CTE
+        + ", sub AS (SELECT event_id, x, y FROM fixes WHERE event_id % 2 = 0), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sub), "
+        "p AS (SELECT sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist "
+        "FROM sub a JOIN sub b ON a.event_id < b.event_id "
+        "AND abs(a.x - b.x) <= 2.0 AND abs(a.y - b.y) <= 2.0 "
+        "WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 2.0), "
+        "r AS (SELECT * FROM (VALUES (0.5), (1.0), (2.0)) AS t(r)), "
+        "c AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM r JOIN p ON p.dist <= r.r GROUP BY r) "
+        "SELECT r, n_pairs, "
+        "10000.0 * 2.0 * n_pairs / (CAST(n AS DOUBLE) * (n - 1)) AS k_hat, "
+        "ROUND(sqrt(10000.0 * 2.0 * n_pairs / (CAST(n AS DOUBLE) * (n - 1)) "
+        "/ 3.141592653589793), 9) AS l_hat "
+        "FROM c CROSS JOIN tot"
+    ),
+    section="I43",
+)
+def i43_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern statistic at radii {0.5, 1, 2} over the
+    even-event-id fix subsample — K̂(r) = A·2·pairs(r) / (n·(n−1)) with
+    the [0,100)² fixture domain's A = 10⁴, plus the variance-stabilized
+    L̂(r) = √(K̂/π) (Ripley 1977; clustered ⇔ L̂(r) > r). Pair counting
+    rides the public grid-bucket kernel (cell = r_max, half-neighborhood
+    probe — candidates O(local density · n), never O(n²)); each
+    surviving pair is binned into every radius it fits via a 3-row
+    broadcast radii dimension, so the whole statistic is one bounded
+    join + one 3-group aggregate at any scale. The oracle is the
+    brute-force bbox'd cross join — count equality per radius proves
+    the bucketing loses no pairs. All-integer pair counts; the K/L
+    folds are single identically-ordered double expressions."""
+    from glonassdatamining_spark.api import grid_distance_join
+
+    sub = (
+        fixes(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "x", "y")
+    )
+    pairs = grid_distance_join(sub, "event_id", "x", "y", 2.0)
+    radii = spark.createDataFrame([(0.5,), (1.0,), (2.0,)], "r double")
+    tot = sub.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = (
+        pairs.crossJoin(F.broadcast(radii))
+        .filter(F.col("dist") <= F.col("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    k = (
+        F.lit(10000.0) * 2.0 * F.col("n_pairs")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "n_pairs",
+        k.alias("k_hat"),
+        F.round(F.sqrt(k / 3.141592653589793), 9).alias("l_hat"),
+    )
