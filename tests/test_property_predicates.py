@@ -798,3 +798,151 @@ def test_jump_histogram_matches_python_model(spark, seed):
             want[b] = want.get(b, 0) + 1
         by_obj[obj] = (xx, yy)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_spearman_construction_matches_python_model(spark, seed):
+    """d30's distinct-value doubled-rank + weighted-moment construction
+    vs a direct python average-rank Pearson on random tied integer
+    pairs — tie handling must agree to float precision."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(0, 12), rng.randrange(0, 20)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+    g = df.groupBy("x", "y").agg(SF.count(SF.lit(1)).cast("bigint").alias("n_xy"))
+
+    def ranks(col):
+        a = g.groupBy(col).agg(SF.sum("n_xy").cast("bigint").alias("cnt"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+        return a.select(
+            col,
+            (2 * SF.sum("cnt").over(w) - SF.col("cnt") + 1)
+            .cast("bigint").alias(f"r2{col}"),
+        )
+
+    j = g.join(ranks("x"), "x").join(ranks("y"), "y")
+    m = j.agg(
+        SF.sum("n_xy").cast("double").alias("n"),
+        SF.sum(SF.col("n_xy") * SF.col("r2x")).cast("double").alias("sx"),
+        SF.sum(SF.col("n_xy") * SF.col("r2y")).cast("double").alias("sy"),
+        SF.sum(SF.col("n_xy") * SF.col("r2x") * SF.col("r2x")).cast("double").alias("sxx"),
+        SF.sum(SF.col("n_xy") * SF.col("r2y") * SF.col("r2y")).cast("double").alias("syy"),
+        SF.sum(SF.col("n_xy") * SF.col("r2x") * SF.col("r2y")).cast("double").alias("sxy"),
+    ).collect()[0]
+    num = m.n * m.sxy - m.sx * m.sy
+    den = (m.n * m.sxx - m.sx * m.sx) ** 0.5 * (m.n * m.syy - m.sy * m.sy) ** 0.5
+    got = num / den
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        rk = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0  # average of ranks i+1 .. j
+            for t in order[i:j]:
+                rk[t] = r
+            i = j
+        return rk
+
+    rx = avg_ranks([x_ for x_, _ in rows])
+    ry = avg_ranks([y_ for _, y_ in rows])
+    nn = len(rows)
+    mx, my = sum(rx) / nn, sum(ry) / nn
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    want = cov / (vx ** 0.5 * vy ** 0.5)
+    assert abs(got - want) < 1e-10, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_welch_ttest_matches_python_model(spark, seed):
+    """d29's conditional-moment construction vs a direct two-pass python
+    Welch t / Welch–Satterthwaite dof on random 2dp samples."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [
+        ("R" if rng.random() < 0.5 else "A", round(rng.uniform(10, 500), 2))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE")
+    x = SF.col("v")
+
+    def mom(flag, which):
+        cond = SF.col("grp") == flag
+        if which == "n":
+            return SF.count(SF.when(cond, SF.lit(1))).cast("bigint")
+        e = x if which == "s" else x * x
+        return SF.sum(SF.when(cond, e.cast("decimal(28,6)"))).cast("double")
+
+    s = df.agg(
+        mom("R", "n").alias("n1"), mom("A", "n").alias("n2"),
+        mom("R", "s").alias("sx1"), mom("R", "ss").alias("sxx1"),
+        mom("A", "s").alias("sx2"), mom("A", "ss").alias("sxx2"),
+    ).collect()[0]
+    m1, m2 = s.sx1 / s.n1, s.sx2 / s.n2
+    v1 = (s.sxx1 - s.sx1 * s.sx1 / s.n1) / (s.n1 - 1)
+    v2 = (s.sxx2 - s.sx2 * s.sx2 / s.n2) / (s.n2 - 1)
+    se1, se2 = v1 / s.n1, v2 / s.n2
+    got_t = (m1 - m2) / (se1 + se2) ** 0.5
+    got_dof = (se1 + se2) ** 2 / (se1 ** 2 / (s.n1 - 1) + se2 ** 2 / (s.n2 - 1))
+
+    a = [v for g_, v in rows if g_ == "R"]
+    b = [v for g_, v in rows if g_ == "A"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((u - ma) ** 2 for u in a) / (len(a) - 1)
+    vb = sum((u - mb) ** 2 for u in b) / (len(b) - 1)
+    sa, sb = va / len(a), vb / len(b)
+    want_t = (ma - mb) / (sa + sb) ** 0.5
+    want_dof = (sa + sb) ** 2 / (sa ** 2 / (len(a) - 1) + sb ** 2 / (len(b) - 1))
+    assert abs(got_t - want_t) < 1e-7, (got_t, want_t)
+    assert abs(got_dof - want_dof) < 1e-4, (got_dof, want_dof)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ks_statistic_matches_python_model(spark, seed):
+    """d31's cross-multiplied prefix-sum supremum vs a direct python
+    two-sample KS over random integer samples WITH ties — integer
+    numerator must match exactly."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [
+        ("O" if rng.random() < 0.6 else "F", rng.randrange(0, 30))
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, v BIGINT")
+    g = df.groupBy("v").agg(
+        SF.count(SF.when(SF.col("grp") == "O", 1)).cast("bigint").alias("c1"),
+        SF.count(SF.when(SF.col("grp") == "F", 1)).cast("bigint").alias("c2"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = g.select(
+        SF.sum("c1").over(w).alias("cum1"), SF.sum("c2").over(w).alias("cum2")
+    )
+    n1 = sum(1 for gr, _ in rows if gr == "O")
+    n2 = len(rows) - n1
+    got = cum.agg(
+        SF.max(SF.abs(SF.col("cum1") * n2 - SF.col("cum2") * n1))
+    ).collect()[0][0]
+
+    xs = sorted({v for _, v in rows})
+    want = 0
+    for t in xs:
+        c1 = sum(1 for gr, v in rows if gr == "O" and v <= t)
+        c2 = sum(1 for gr, v in rows if gr == "F" and v <= t)
+        want = max(want, abs(c1 * n2 - c2 * n1))
+    assert got == want, (got, want)
