@@ -1248,3 +1248,61 @@ def d31_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_stat"),
         )
     )
+
+
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@register(
+    "d32_benford_digits",
+    oracle=(
+        "WITH obs AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS "
+        "DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+        "CAST(COUNT(*) AS BIGINT) AS n_obs FROM lineitem GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM obs), "
+        "exp AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
+        + ") AS e(digit, exp_share)) "
+        "SELECT obs.digit, n_obs, "
+        "ROUND(CAST(n_obs AS DOUBLE) / t, 9) AS obs_share, exp_share "
+        "FROM obs JOIN exp ON exp.digit = obs.digit CROSS JOIN tot"
+    ),
+    section="D32",
+)
+def d32_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit profile of
+    l_extendedprice — the fraud/data-quality screen from the digit-
+    analysis canon (Benford 1938; Nigrini 1996): observed digit shares
+    beside the expected log10(1 + 1/d). The digit is extracted from
+    the DECIMAL(18,2)-formatted string (both engines print a plain
+    fixed-point literal — no float-formatting divergence, no
+    transcendental log on data); expected shares are PYTHON-generated
+    double literals injected identically into both plans, so no
+    engine libm is consulted anywhere. One 9-group count shuffle +
+    broadcast total; constant output at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    obs = (
+        li.select(
+            F.substring(
+                F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+                1, 1,
+            ).cast("bigint").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("t"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit bigint, exp_share double"
+    )
+    return (
+        obs.join(F.broadcast(exp), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("t"), 9)
+            .alias("obs_share"),
+            "exp_share",
+        )
+    )

@@ -410,3 +410,71 @@ def n9_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("u", "w", "n_common", jac.alias("jaccard"))
     )
+
+
+@register(
+    "n10_degree_assortativity",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION ALL "
+        "SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY src), "
+        "ends AS (SELECT du.d AS ds, dv.d AS dt FROM sym "
+        "JOIN deg du ON du.node = sym.src JOIN deg dv ON dv.node = sym.dst), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ds AS DECIMAL(38,0))) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(dt AS DECIMAL(38,0))) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(ds * ds AS DECIMAL(38,0))) AS DOUBLE) AS sxx, "
+        "CAST(SUM(CAST(dt * dt AS DECIMAL(38,0))) AS DOUBLE) AS syy, "
+        "CAST(SUM(CAST(ds * dt AS DECIMAL(38,0))) AS DOUBLE) AS sxy "
+        "FROM ends) "
+        "SELECT n AS n_edge_ends, "
+        "ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * "
+        "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS assortativity FROM m"
+    ),
+    section="N10",
+)
+def n10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the co-purchase graph
+    (Newman 2002): Pearson correlation of the endpoint degrees over
+    the symmetrized edge-end list — do high-degree parts co-purchase
+    with other hubs (r > 0) or with the periphery (r < 0)? Shape:
+    degree table (one groupBy of the edge list) joined back onto both
+    endpoints — two vertex-sized equi-joins, then ONE map-side-
+    combinable moment aggregate; at 100 TB the degree frame is
+    broadcast-able (vertex count ≪ edge count) and nothing but the
+    edge scan is O(|E|). Degree products DECIMAL(38)-summed exactly
+    (D30's discipline); the r fold is one identically-ordered double
+    expression on both engines."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("src").alias("_u"), F.col("d").alias("ds"))
+    dv = deg.select(F.col("src").alias("_v"), F.col("d").alias("dt"))
+    ends = (
+        sym.join(du, sym.src == du._u)
+        .join(dv, sym.dst == dv._v)
+        .select("ds", "dt")
+    )
+    dec38 = "decimal(38,0)"
+    m = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ds").cast(dec38)).cast("double").alias("sx"),
+        F.sum(F.col("dt").cast(dec38)).cast("double").alias("sy"),
+        F.sum((F.col("ds") * F.col("ds")).cast(dec38)).cast("double").alias("sxx"),
+        F.sum((F.col("dt") * F.col("dt")).cast(dec38)).cast("double").alias("syy"),
+        F.sum((F.col("ds") * F.col("dt")).cast(dec38)).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ), 9,
+        ).alias("assortativity"),
+    )

@@ -1026,3 +1026,98 @@ def e23_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ratio >= 1.2, "high").otherwise("low").alias("direction"),
         )
     )
+
+
+@register(
+    "e24_mann_kendall_trend",
+    oracle=(
+        EVENTS_CTE
+        + _DAILY_SQL
+        + ", "
+        "s AS (SELECT a.event_type, "
+        "CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt "
+        "THEN -1 ELSE 0 END) AS BIGINT) AS s_stat "
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type "
+        "AND a.d < b.d GROUP BY 1), "
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily "
+        "GROUP BY 1), "
+        "ties AS (SELECT event_type, CAST(COALESCE(SUM(t * (t - 1) * "
+        "(2 * t + 5)), 0) AS BIGINT) AS tie_corr FROM "
+        "(SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS t FROM daily "
+        "GROUP BY 1, 2) GROUP BY 1), "
+        "v AS (SELECT s.event_type, s.s_stat, nd.n, "
+        "CAST(n * (n - 1) * (2 * n + 5) - tie_corr AS DOUBLE) / 18.0 AS var_s "
+        "FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)) "
+        "SELECT event_type, n AS n_days, s_stat, var_s, "
+        "ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+        "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END, 9) AS z "
+        "FROM v"
+    ),
+    section="E24",
+)
+def e24_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type's daily-count
+    series (Mann 1945; Kendall 1975) — the nonparametric trend screen
+    completing the detection tier (E19 changepoint, E20 ACF, E23
+    seasonal anomalies): S = Σ_{i<j} sgn(x_j − x_i), tie-corrected
+    variance, continuity-corrected z. All-pairs runs WITHIN a series
+    whose length is the day count — O(d²) per type on a ~90-row frame
+    (the O(d log d) rank form is the lever if series reach millions of
+    points); the join is equi on event_type so candidates never cross
+    series. Everything is integer-exact until the single /18 and the
+    final z division."""
+    daily = _daily_counts(spark, sf_dir).localCheckpoint()
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+                .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("bigint").alias("tie_corr")
+        )
+    )
+    n = F.col("n")
+    v = (
+        s.join(nd, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type", "s_stat", n.alias("n"),
+            (
+                (n * (n - 1) * (2 * n + 5) - F.col("tie_corr")).cast("double")
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    sc = F.col("s_stat")
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s",
+        F.round(
+            F.when(sc > 0, (sc - 1) / F.sqrt(F.col("var_s")))
+            .when(sc < 0, (sc + 1) / F.sqrt(F.col("var_s")))
+            .otherwise(F.lit(0.0)), 9,
+        ).alias("z"),
+    )
