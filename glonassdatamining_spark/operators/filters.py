@@ -206,3 +206,35 @@ def b8_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_B8_SQL)
+
+
+_B9_SQL = (
+    "WITH RECURSIVE spine(m) AS ("
+    "  SELECT TIMESTAMP '1995-01-01'"
+    "  UNION ALL"
+    "  SELECT m + INTERVAL 1 MONTH FROM spine "
+    "WHERE m < TIMESTAMP '2001-08-01'), "
+    "u AS (SELECT date_trunc('month', o_orderdate) AS m, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_orderpriority = '1-URGENT' GROUP BY 1) "
+    "SELECT spine.m AS month, COALESCE(n, CAST(0 AS BIGINT)) AS n_urgent "
+    "FROM spine LEFT JOIN u ON u.m = spine.m"
+)
+
+
+@register("b9_recursive_cte", oracle=_B9_SQL, section="B9")
+def b9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating the 80-month
+    calendar spine over the orders range, LEFT-joined to monthly URGENT
+    order counts — the canonical spine/gap-fill pattern: months with
+    zero urgent orders surface as explicit 0 rows (three such months at
+    sf0.001) instead of silently missing. ONE SQL string runs verbatim
+    on both engines. Scale shape: the recursion builds only the
+    constant-size spine (80 rows, well under Spark's default 100-level
+    ``spark.sql.cteRecursionLevelLimit``; raise the knob for deeper
+    spines), broadcast into the left join; the fact-side aggregate is
+    one ordinary month-key groupBy."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_B9_SQL)
