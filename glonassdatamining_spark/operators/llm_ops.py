@@ -2219,3 +2219,75 @@ def k41_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removable_docs"
         ),
     )
+
+
+_K42_DF_CAP = 10  # drop shingles present in more than this many sources
+
+
+@register(
+    "k42_source_overlap",
+    oracle=(
+        "WITH sh0 AS (SELECT DISTINCT source, s FROM "
+        "(SELECT source, unnest(" + _SHINGLE_SQL + ") AS s FROM "
+        "(SELECT source, string_split(text, ' ') AS l FROM documents))), "
+        "keep AS (SELECT s FROM sh0 GROUP BY s "
+        f"HAVING COUNT(*) <= {_K42_DF_CAP}), "
+        "sh AS (SELECT source, sh0.s FROM sh0 JOIN keep ON keep.s = sh0.s), "
+        "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh "
+        "GROUP BY 1), "
+        "shared AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared FROM sh a "
+        "JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT src_a, src_b, n_shared, "
+        "ROUND(CAST(n_shared AS DOUBLE) / least(za.n, zb.n), 6) AS containment "
+        "FROM shared JOIN sz za ON za.source = src_a "
+        "JOIN sz zb ON zb.source = src_b"
+    ),
+    section="K42",
+)
+def k42_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    count of shared distinct 3-gram shingles and the containment score
+    n_shared / min(|A|, |B|) — the mixture-level audit that tells a
+    curation pipeline WHICH feeds are re-crawling each other before
+    doc-level dedup (K1/K2b) runs. Ubiquitous shingles (document
+    frequency > 10 sources) are pruned first — that is both the
+    semantic (boilerplate n-grams say nothing about provenance) and
+    THE scale lever: the inverted-index equi-join on the shingle key
+    (K30's shape) then never sees a hot key touching every partition,
+    so pair candidates stay O(Σ df²) with df bounded, never
+    O(sources²·shingles). Source-pair output is quadratic only in the
+    SOURCE count (20 here) — broadcast-size at any corpus scale."""
+    sh0 = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("_toks"))
+        .select("source", F.explode(_shingles("_toks")).alias("s"))
+        .distinct()
+    )
+    sh = sh0.join(
+        sh0.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _K42_DF_CAP)
+        .select("s"),
+        "s",
+    ).localCheckpoint()
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )
