@@ -492,3 +492,60 @@ def h15_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("_url", F.lit("QUERY")).alias("query"),
         F.parse_url("_url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
     )
+
+
+@register(
+    "h16_inet_funcs",
+    oracle=(
+        "WITH ip AS (SELECT c_custkey, "
+        "(c_custkey * 2654435761) % 4294967296 AS a FROM customer), "
+        "oct AS (SELECT c_custkey, a, "
+        "a // 16777216 AS o1, (a // 65536) % 256 AS o2, "
+        "(a // 256) % 256 AS o3, a % 256 AS o4 FROM ip), "
+        "cls AS (SELECT c_custkey, a, "
+        "o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_str, "
+        "CASE WHEN a // 16777216 = 10 THEN 'rfc1918/8' "
+        "WHEN a // 1048576 = 2753 THEN 'rfc1918/12' "
+        "WHEN a // 65536 = 49320 THEN 'rfc1918/16' "
+        "ELSE 'public' END AS ip_class FROM oct) "
+        "SELECT ip_class, CAST(COUNT(*) AS BIGINT) AS n_custs, "
+        "MIN(ip_str) AS min_ip, MAX(ip_str) AS max_ip "
+        "FROM cls GROUP BY 1"
+    ),
+    section="H16",
+)
+def h16_inet_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inet function group — the network-analytics scalar surface
+    (Trino's ip-address functions, re-expressed as exact integer
+    arithmetic since Spark has no inet type): deterministic synthetic
+    IPv4s (Knuth multiplicative hash of c_custkey, exact in BIGINT on
+    both engines), octet extraction by div/mod, dotted-quad rendering,
+    and CIDR-block classification — membership in p-prefix block B is
+    ip div 2^(32−p) = base div 2^(32−p), applied for the three RFC-1918
+    ranges (10/8 → 10, 172.16/12 → 2753, 192.168/16 → 49320). Pure
+    codegen scalar chain + one 4-group aggregate; the lexicographic
+    MIN/MAX of the dotted strings are deterministic (exact strings)."""
+    c = load(spark, sf_dir, "customer")
+    a = (F.col("c_custkey") * 2654435761) % 4294967296
+    ip = c.select("c_custkey", a.alias("a"))
+    d = ip.select(
+        "c_custkey",
+        "a",
+        F.expr("a div 16777216").alias("o1"),
+        F.expr("(a div 65536) % 256").alias("o2"),
+        F.expr("(a div 256) % 256").alias("o3"),
+        (F.col("a") % 256).alias("o4"),
+    )
+    cls = d.select(
+        F.concat_ws(".", "o1", "o2", "o3", "o4").alias("ip_str"),
+        F.when(F.expr("a div 16777216") == 10, "rfc1918/8")
+        .when(F.expr("a div 1048576") == 2753, "rfc1918/12")
+        .when(F.expr("a div 65536") == 49320, "rfc1918/16")
+        .otherwise("public")
+        .alias("ip_class"),
+    )
+    return cls.groupBy("ip_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.min("ip_str").alias("min_ip"),
+        F.max("ip_str").alias("max_ip"),
+    )
