@@ -1306,3 +1306,60 @@ def d32_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exp_share",
         )
     )
+
+
+@register(
+    "d33_gini_coefficient",
+    oracle=(
+        "WITH spend AS (SELECT o_custkey, "
+        "SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS x FROM orders "
+        "GROUP BY 1), "
+        "rk AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) "
+        "AS BIGINT) AS rn FROM spend), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(x * rn AS DECIMAL(38,6))) AS DOUBLE) AS a FROM rk) "
+        "SELECT n AS n_customers, s AS total_spend, "
+        "ROUND((2.0 * a - (CAST(n AS DOUBLE) + 1.0) * s) / "
+        "(CAST(n AS DOUBLE) * s), 9) AS gini FROM m"
+    ),
+    section="D33",
+)
+def d33_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of per-customer order spend —
+    the inequality/concentration profile (Gini 1912; the canonical
+    'whale curve' one-number summary) beside D16's per-column profile:
+    G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending-ranked spends.
+    Per-customer sums stay EXACT DECIMAL; the rank-weighted sum i·x is
+    a decimal·bigint product summed exactly, so both engines fold the
+    same rationals and the G expression is one identically-ordered
+    double chain. Ranks tie-break on custkey — swapping equal spends
+    leaves Σ i·x unchanged, so the tie-break cannot move the result.
+    Scale shape: one groupBy + ONE ordered window over the customer
+    frame (range-partitioned two-tier prefix ranking at extreme
+    cardinality) + one moment aggregate."""
+    spend = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("x")
+    )
+    rk = spend.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("rn")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_spend"),
+        F.round(
+            (2.0 * F.col("a") - (nd + 1.0) * F.col("s")) / (nd * F.col("s")), 9
+        ).alias("gini"),
+    )

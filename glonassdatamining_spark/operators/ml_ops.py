@@ -355,3 +355,56 @@ def j11_model_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p1") == F.col("p2")).cast("int")).alias("n_agree"),
         )
     )
+
+
+@register("j12_isotonic_regression", oracle=None, section="J12")
+def j12_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (round-4 addition): MLlib's pool-adjacent-
+    violators fit of order totalprice as a MONOTONE nondecreasing
+    function of basket quantity mass — the calibration primitive
+    (probability calibration, dose-response, monotone tariff curves)
+    the tree/linear tiers can't express. Deterministic: PAV has no
+    seed, and the feature/label aggregates are exact. Returns the
+    fitted step function sampled at quantity deciles (boundary,
+    prediction) so the output is small and stable. rows-only: the
+    pooled step function isn't SQL-expressible. Scale: MLlib
+    parallelizes PAV by sorting feature-partitioned blocks and
+    pooling across boundaries — one sort shuffle of the (feature,
+    label) frame, linear after that; tests assert monotonicity and
+    bracketing against the raw means."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    li = load(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").cast("double").alias("qty_mass")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    data = o.join(feats, o.o_orderkey == feats.l_orderkey).select(
+        F.col("o_totalprice").cast("double").alias("label"), "qty_mass"
+    )
+    assembled = VectorAssembler(
+        inputCols=["qty_mass"], outputCol="features"
+    ).transform(data)
+    model = IsotonicRegression(featuresCol="features", labelCol="label").fit(
+        assembled
+    )
+    deciles = (
+        data.agg(
+            F.percentile_approx(
+                "qty_mass",
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+                10000,
+            ).alias("qs")
+        )
+        .select(F.explode("qs").alias("qty_decile"))
+        .distinct()
+    )
+    scored = model.transform(
+        VectorAssembler(inputCols=["qty_decile"], outputCol="features").transform(
+            deciles.select(F.col("qty_decile").cast("double"))
+        )
+    )
+    return scored.select(
+        F.col("qty_decile"), F.round("prediction", 4).alias("fitted_price")
+    ).orderBy("qty_decile")

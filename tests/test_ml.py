@@ -235,3 +235,21 @@ def test_model_persistence_identical_predictions(spark):
     got = registry.get("j11_model_persistence").builder(spark, SF_DIR).toPandas()
     assert len(got) > 0
     assert (got["n_agree"] == got["n_docs"]).all(), got
+
+
+def test_j12_isotonic_monotone_and_bracketed(spark):
+    """j12: the PAV step function sampled at quantity deciles must be
+    nondecreasing and stay inside the raw label range."""
+    got = (
+        registry.get("j12_isotonic_regression")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values("qty_decile")
+    )
+    assert len(got) >= 5
+    fitted = got["fitted_price"].tolist()
+    assert all(b >= a - 1e-9 for a, b in zip(fitted, fitted[1:])), fitted
+    from glonassdatamining_spark.sources import load
+
+    o = load(spark, SF_DIR, "orders").toPandas()["o_totalprice"]
+    assert fitted[0] >= o.min() - 1e-6 and fitted[-1] <= o.max() + 1e-6
