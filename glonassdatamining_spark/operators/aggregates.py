@@ -1363,3 +1363,70 @@ def d33_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.col("a") - (nd + 1.0) * F.col("s")) / (nd * F.col("s")), 9
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# D34 — Herfindahl–Hirschman concentration index
+# --------------------------------------------------------------------------
+@register(
+    "d34_hhi_concentration",
+    oracle=(
+        "WITH spend AS (SELECT c_nationkey, o_custkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
+        "AS cents FROM orders JOIN customer ON c_custkey = o_custkey "
+        "GROUP BY 1, 2), "
+        "m AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(cents) AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) AS q "
+        "FROM spend GROUP BY 1) "
+        "SELECT n_name, n_customers, "
+        "ROUND(10000.0 * q / (s * s), 9) AS hhi "
+        "FROM m JOIN nation ON n_nationkey = c_nationkey"
+    ),
+    section="D34",
+)
+def d34_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of customer-spend concentration
+    within each nation — the antitrust-canon market-concentration
+    one-number (Herfindahl 1950; Hirschman 1945): HHI = 10000·Σsᵢ²
+    over customer revenue shares sᵢ, 10000/n for a perfectly even
+    market, 10000 for a monopsony. Complements D33's Gini (rank-based
+    inequality) with the share-of-squares form regulators actually
+    threshold. Per-customer spend is EXACT integer cents (DECIMAL
+    cast before ×100, so the double o_totalprice never rounds
+    differently); Σcents and Σcents² are exact DECIMAL(38) sums, and
+    the only floating arithmetic is the final q/(s·s) — IEEE-exact
+    multiply + divide, identical in both engines, then rounded.
+    Scale shape: one (nation, customer) groupBy + one nation-level
+    moment aggregate + a broadcast join onto the 25-row nation dim;
+    at 100 TB the cents sums stay in DECIMAL(38) (no 2^53 double
+    ceiling until the FINAL scalar division, where s ~ 1e15 cents is
+    still exact)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = spend.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("double").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("q"),
+    )
+    return m.join(
+        F.broadcast(n), m.c_nationkey == n.n_nationkey
+    ).select(
+        "n_name",
+        "n_customers",
+        F.round(10000.0 * F.col("q") / (F.col("s") * F.col("s")), 9).alias(
+            "hhi"
+        ),
+    )

@@ -2291,3 +2291,89 @@ def k42_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K43 — per-source distribution drift (total-variation distance)
+# --------------------------------------------------------------------------
+@register(
+    "k43_source_drift_tv",
+    oracle=(
+        "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM toks GROUP BY 1, 2), "
+        "vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM st "
+        "GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM vocab), "
+        "src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st "
+        "GROUP BY 1), "
+        "terms AS (SELECT st.source, "
+        "CAST(SUM(CAST(abs(st.c * t.n - v.ct * s.ns) AS DECIMAL(38,0))) "
+        "AS DOUBLE) AS present, "
+        "CAST(SUM(CAST(v.ct AS DECIMAL(38,0))) AS DOUBLE) AS ct_seen, "
+        "ANY_VALUE(s.ns) AS ns, ANY_VALUE(t.n) AS n "
+        "FROM st JOIN vocab v USING (tok) JOIN src s USING (source) "
+        "CROSS JOIN tot t GROUP BY st.source) "
+        "SELECT source, ns AS n_tokens, "
+        "ROUND((present + CAST(ns AS DOUBLE) * (CAST(n AS DOUBLE) - ct_seen)) "
+        "/ (2.0 * CAST(ns AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS tv_drift "
+        "FROM terms"
+    ),
+    section="K43",
+)
+def k43_source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: the total-variation distance
+    TV(Pₛ, P) = ½·Σₜ|Pₛ(t) − P(t)| between each source's unigram
+    token distribution and the whole-corpus distribution — the
+    mixture-drift monitor a curation pipeline runs per feed per crawl
+    (flagging a source whose language suddenly shifts) beside K27's
+    target-share audit and K42's pairwise overlap. Computed
+    INTEGER-exactly via cross-multiplication (D31's KS discipline):
+    |c_{s,t}·N − C_t·n_s| never forms a float ratio, the vocabulary
+    mass a source never emits collapses to the closed-form correction
+    n_s·(N − Σ_{t∈s}C_t) (no left-join against the full vocab for
+    absent tokens), and the single double division happens once per
+    source, rounded. Scale shape: one explode→(source,token) groupBy,
+    a token-keyed equi-join onto the vocab rollup (the K30 inverted-
+    index shape — no hot key: every token row joins exactly one vocab
+    row), a broadcast source-totals join, and a scalar cross join;
+    output is one row per source. DECIMAL(38) holds c·N up to 1e19
+    rows² of corpus before widening is needed."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = st.localCheckpoint()
+    vocab = st.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
+    tot = vocab.agg(F.sum("ct").cast("bigint").alias("n"))
+    src = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    terms = (
+        st.join(vocab, "tok")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("c") * F.col("n") - F.col("ct") * F.col("ns"))
+                .cast("decimal(38,0)")
+            ).cast("double").alias("present"),
+            F.sum(F.col("ct").cast("decimal(38,0)")).cast("double")
+            .alias("ct_seen"),
+            F.first("ns").alias("ns"),
+            F.first("n").alias("n"),
+        )
+    )
+    ns, n = F.col("ns").cast("double"), F.col("n").cast("double")
+    return terms.select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        F.round(
+            (F.col("present") + ns * (n - F.col("ct_seen")))
+            / (2.0 * ns * n),
+            9,
+        ).alias("tv_drift"),
+    )

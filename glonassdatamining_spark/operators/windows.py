@@ -1121,3 +1121,72 @@ def e24_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0)), 9,
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# E25 — maximum drawdown (peak-to-trough decline vs the running peak)
+# --------------------------------------------------------------------------
+@register(
+    "e25_max_drawdown",
+    oracle=(
+        EVENTS_CTE
+        + _DAILY_SQL
+        + ", dd AS (SELECT event_type, d, cnt, "
+        "CAST(MAX(cnt) OVER (PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS peak FROM daily), "
+        "r AS (SELECT event_type, d, cnt, peak, peak - cnt AS draw, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY peak - cnt DESC, d) AS rk FROM dd) "
+        "SELECT event_type, d AS trough_date, peak AS peak_cnt, "
+        "cnt AS trough_cnt, draw AS max_drawdown, "
+        "ROUND(CAST(draw AS DOUBLE) / CAST(peak AS DOUBLE), 9) AS dd_frac "
+        "FROM r WHERE rk = 1"
+    ),
+    section="E25",
+)
+def e25_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's daily-count series — the
+    worst peak-to-trough decline vs the running peak (the standard
+    risk/stability summary from quantitative finance, here read as
+    'how far did activity fall below its historical high'), beside
+    E19's changepoint and E24's monotone-trend reads of the same
+    series. Everything is INTEGER-exact (counts, running max,
+    difference); the single trough row per series is picked by
+    (drawdown DESC, day ASC) rank — a total order, so ties break
+    identically in both engines — and only the final fraction is one
+    double division, rounded. Scale shape: the shared daily rollup
+    (one shuffle), ONE ordered window per series for the running
+    peak, one rank window on the same partitioning (no extra
+    exchange), then a one-row-per-type filter. The window key is
+    event_type; for million-series cardinality the partition count
+    rides the shuffle setting, and a skewed single series is the
+    range-partitioned two-tier running-max rewrite documented in
+    E3."""
+    daily = _daily_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type", "d", "cnt",
+        F.max("cnt").over(w).cast("bigint").alias("peak"),
+    ).withColumn("draw", F.col("peak") - F.col("cnt"))
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("draw"), F.asc("d"))
+    )
+    return (
+        dd.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("trough_date"),
+            F.col("peak").alias("peak_cnt"),
+            F.col("cnt").alias("trough_cnt"),
+            F.col("draw").alias("max_drawdown"),
+            F.round(
+                F.col("draw").cast("double") / F.col("peak").cast("double"), 9
+            ).alias("dd_frac"),
+        )
+    )

@@ -946,3 +946,36 @@ def test_ks_statistic_matches_python_model(spark, seed):
         c2 = sum(1 for gr, v in rows if gr == "F" and v <= t)
         want = max(want, abs(c1 * n2 - c2 * n1))
     assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_gini_construction_matches_python_model(spark, seed):
+    """d33's rank-weighted decimal construction vs the direct
+    mean-absolute-difference Gini definition on random 2dp spends:
+    G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·x̄), equal to the rank form for any tie
+    ordering."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [(i, round(rng.uniform(1, 1000), 2)) for i in range(120)]
+    df = spark.createDataFrame(rows, "k BIGINT, x DOUBLE")
+    rk = df.select(
+        SF.col("x").cast("decimal(28,6)").alias("xd"),
+        SF.row_number().over(W.orderBy("x", "k")).cast("bigint").alias("rn"),
+    )
+    m = rk.agg(
+        SF.count(SF.lit(1)).cast("bigint").alias("n"),
+        SF.sum("xd").cast("double").alias("s"),
+        SF.sum((SF.col("xd") * SF.col("rn")).cast("decimal(38,6)"))
+        .cast("double").alias("a"),
+    ).collect()[0]
+    got = (2.0 * m.a - (m.n + 1.0) * m.s) / (m.n * m.s)
+
+    xs = [x for _, x in rows]
+    n = len(xs)
+    mad = sum(abs(a - b) for a in xs for b in xs)
+    want = mad / (2.0 * n * n * (sum(xs) / n))
+    assert abs(got - want) < 1e-9, (got, want)
