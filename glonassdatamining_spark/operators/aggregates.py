@@ -1430,3 +1430,90 @@ def d34_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# D35 — closed-form OLS regression from exact moments
+# --------------------------------------------------------------------------
+@register(
+    "d35_ols_regression",
+    oracle=(
+        "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx, "
+        "SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) "
+        "AS DECIMAL(38,0))) AS sxx, "
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT)) AS DECIMAL(38,0)) AS sy, "
+        "SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT) AS DECIMAL(38,0))) AS syy, "
+        "SUM(CAST(CAST(l_quantity AS BIGINT) * "
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS DECIMAL(38,0))) AS sxy FROM lineitem GROUP BY 1), "
+        "d AS (SELECT l_returnflag, n, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS d1, "
+        "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS d2, "
+        "CAST(n * syy - sy * sy AS DOUBLE) AS d3, "
+        "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd FROM m) "
+        "SELECT l_returnflag, n AS n_rows, "
+        "ROUND(d1 / d2, 9) AS slope_cents_per_unit, "
+        "ROUND((syd - (d1 / d2) * sxd) / CAST(n AS DOUBLE), 9) "
+        "AS intercept_cents, "
+        "ROUND((d1 * d1) / (d2 * d3), 9) AS r2 FROM d"
+    ),
+    section="D35",
+)
+def d35_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple OLS of extended price (in integer cents) on
+    quantity per return flag — slope, intercept, R² from the normal
+    equations (the regr_slope/regr_r2 family of the SQL:2003 OLAP
+    canon), computed from EXACT moments so the two engines cannot
+    drift: x is integer quantity, y exact integer cents (DECIMAL cast
+    before ×100), and n, Σx, Σy, Σx², Σy², Σxy are all DECIMAL(38)
+    sums folded exactly; the determinants n·Σxy−ΣxΣy, n·Σx²−(Σx)²,
+    n·Σy²−(Σy)² are exact DECIMAL products/differences, and only the
+    final slope/intercept/R² expressions are floating — each a short
+    IEEE-exact mul/div chain replayed in the identical order in both
+    engines, then rounded. (Built-in regr_slope/corr are NOT used
+    precisely because their internal float accumulation order is
+    engine-private — D7 uses them under ROUND; this is the exact
+    twin.) Scale shape: ONE map-side-combinable groupBy over
+    lineitem, 3-row output; the moments never leave DECIMAL(38)
+    (no 2^53 ceiling until the final scalar folds, exact to ~1e15
+    cents·units)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n")
+    d1 = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d2 = (
+        n * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    ).cast("double")
+    d3 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    d = m.select(
+        "l_returnflag", "n",
+        d1.alias("d1"), d2.alias("d2"), d3.alias("d3"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    slope = F.col("d1") / F.col("d2")
+    return d.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(slope, 9).alias("slope_cents_per_unit"),
+        F.round(
+            (F.col("syd") - slope * F.col("sxd")) / F.col("n").cast("double"),
+            9,
+        ).alias("intercept_cents"),
+        F.round(
+            (F.col("d1") * F.col("d1")) / (F.col("d2") * F.col("d3")), 9
+        ).alias("r2"),
+    )

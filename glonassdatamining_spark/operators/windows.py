@@ -1190,3 +1190,80 @@ def e25_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dd_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E26 — Pareto concentration: smallest user set covering 80% of events
+# --------------------------------------------------------------------------
+@register(
+    "e26_pareto_share",
+    oracle=(
+        EVENTS_CTE
+        + ", uc AS (SELECT event_type, user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users FROM uc GROUP BY 1), "
+        "cum AS (SELECT event_type, cnt, "
+        "CAST(SUM(cnt) OVER (PARTITION BY event_type "
+        "ORDER BY cnt DESC, user_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS running, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY cnt DESC, user_id) AS BIGINT) AS rk FROM uc) "
+        "SELECT cum.event_type, n_users, total AS n_events, "
+        "MIN(rk) AS users_for_80pct, "
+        "ROUND(CAST(MIN(rk) AS DOUBLE) / CAST(n_users AS DOUBLE), 9) "
+        "AS user_share FROM cum JOIN tot ON tot.event_type = cum.event_type "
+        "WHERE running * 10 >= total * 8 GROUP BY 1, 2, 3"
+    ),
+    section="E26",
+)
+def e26_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of activity: per event type, the SMALLEST
+    number of users whose (descending) event counts cover at least
+    80% of all events — the '80/20 rule' read directly off the Lorenz
+    curve, beside D33/D34's scalar inequality summaries. Entirely
+    INTEGER-exact: the 80% threshold is the cross-multiplied
+    running·10 ≥ total·8 (no float share per row), the descending
+    cumulative rides a (cnt DESC, user_id) total order so ties rank
+    identically in both engines, and the single double division is
+    the final user-share ratio, rounded. Scale shape: one
+    (type, user) groupBy, one ordered window per type sharing its
+    partitioning with the rank, a broadcast totals join, and a
+    threshold-filtered MIN — one row per type out. Skewed single-type
+    user counts ride E3's two-tier range-partitioned running-sum
+    rewrite at extreme cardinality."""
+    uc = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = uc.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    cum = uc.select(
+        "event_type",
+        F.sum("cnt").over(w).cast("bigint").alias("running"),
+        F.row_number().over(rk).cast("bigint").alias("rk"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("running") * 10 >= F.col("total") * 8)
+        .groupBy("event_type", "n_users", F.col("total").alias("n_events"))
+        .agg(F.min("rk").alias("users_for_80pct"))
+        .select(
+            "event_type", "n_users", "n_events", "users_for_80pct",
+            F.round(
+                F.col("users_for_80pct").cast("double")
+                / F.col("n_users").cast("double"),
+                9,
+            ).alias("user_share"),
+        )
+    )
