@@ -979,3 +979,167 @@ def test_gini_construction_matches_python_model(spark, seed):
     mad = sum(abs(a - b) for a in xs for b in xs)
     want = mad / (2.0 * n * n * (sum(xs) / n))
     assert abs(got - want) < 1e-9, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hhi_construction_matches_python_model(spark, seed):
+    """d34's cents-moment construction vs the direct HHI definition
+    10000·Σ(xᵢ/Σx)² on random 2dp spends."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [(i, round(rng.uniform(1, 5000), 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k BIGINT, x DOUBLE")
+    cents = (SF.col("x").cast("decimal(18,2)") * 100).cast("bigint")
+    m = df.select(cents.alias("c")).agg(
+        SF.sum("c").cast("double").alias("s"),
+        SF.sum(SF.col("c").cast("decimal(38,0)") * SF.col("c"))
+        .cast("double").alias("q"),
+    ).collect()[0]
+    got = 10000.0 * m.q / (m.s * m.s)
+
+    xs = [round(x * 100) for _, x in rows]  # exact cents
+    tot = sum(xs)
+    want = 10000.0 * sum((c / tot) ** 2 for c in xs)
+    assert abs(got - want) < 1e-6, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ols_determinants_match_python_lstsq(spark, seed):
+    """d35's exact-decimal determinant slope/intercept/R² vs a direct
+    python least-squares fit on random (int x, 2dp y) points."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [
+        (float(q), round(3.0 * q + rng.uniform(-50, 50) + 100, 2))
+        for q in (rng.randint(1, 50) for _ in range(300))
+    ]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    xi = SF.col("x").cast("bigint")
+    yi = (SF.col("y").cast("decimal(18,2)") * 100).cast("bigint")
+    m = df.agg(
+        SF.count(SF.lit(1)).cast("bigint").alias("n"),
+        SF.sum(xi).cast("bigint").alias("sx"),
+        SF.sum((xi * xi).cast("decimal(38,0)")).alias("sxx"),
+        SF.sum(yi).cast("decimal(38,0)").alias("sy"),
+        SF.sum((yi * yi).cast("decimal(38,0)")).alias("syy"),
+        SF.sum((xi * yi).cast("decimal(38,0)")).alias("sxy"),
+    ).collect()[0]
+    import decimal as D
+    d1 = float(m.n * m.sxy - m.sx * m.sy)
+    d2 = float(m.n * m.sxx - D.Decimal(m.sx) * m.sx)
+    d3 = float(m.n * m.syy - m.sy * m.sy)
+    got_slope = d1 / d2
+    got_icept = (float(m.sy) - got_slope * float(m.sx)) / float(m.n)
+    got_r2 = (d1 * d1) / (d2 * d3)
+
+    xs = [x for x, _ in rows]
+    ys = [round(y * 100) for _, y in rows]  # exact cents
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    sxx = sum((a - mx) ** 2 for a in xs)
+    syy = sum((b - my) ** 2 for b in ys)
+    want_slope = sxy / sxx
+    want_icept = my - want_slope * mx
+    want_r2 = sxy * sxy / (sxx * syy)
+    assert abs(got_slope - want_slope) < 1e-6, (got_slope, want_slope)
+    assert abs(got_icept - want_icept) < 1e-3, (got_icept, want_icept)
+    assert abs(got_r2 - want_r2) < 1e-9, (got_r2, want_r2)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_max_drawdown_matches_python_model(spark, seed):
+    """e25's running-peak window construction vs a direct python scan
+    over a random integer series."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(1, 1000)) for i in range(150)]
+    df = spark.createDataFrame(rows, "t BIGINT, v BIGINT")
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    got = (
+        df.select((SF.max("v").over(w) - SF.col("v")).alias("draw"))
+        .agg(SF.max("draw").cast("bigint").alias("m"))
+        .collect()[0].m
+    )
+    peak, want = 0, 0
+    for _, v in rows:
+        peak = max(peak, v)
+        want = max(want, peak - v)
+    assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pareto_threshold_matches_python_model(spark, seed):
+    """e26's cross-multiplied 80% cutoff vs a direct python greedy
+    cover over random user counts (including tie groups)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(1, 30)) for i in range(80)]
+    df = spark.createDataFrame(rows, "u BIGINT, cnt BIGINT")
+    total = sum(c for _, c in rows)
+    w = W.orderBy(SF.desc("cnt"), SF.asc("u")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rkw = W.orderBy(SF.desc("cnt"), SF.asc("u"))
+    got = (
+        df.select(
+            SF.sum("cnt").over(w).alias("running"),
+            SF.row_number().over(rkw).cast("bigint").alias("rk"),
+        )
+        .filter(SF.col("running") * 10 >= SF.lit(total) * 8)
+        .agg(SF.min("rk").alias("k"))
+        .collect()[0].k
+    )
+    acc, want = 0, 0
+    for _, c in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += c
+        want += 1
+        if acc * 10 >= total * 8:
+            break
+    assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_tv_cross_multiplication_matches_fraction_model(spark, seed):
+    """k43's integer cross-multiplied TV distance vs the direct
+    ½Σ|p−q| fraction model on random token streams, including the
+    absent-token correction term."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    srcs = {
+        s: [rng.choice(vocab[: rng.randint(10, 40)]) for _ in range(500)]
+        for s in ("alpha", "beta", "gamma")
+    }
+    corpus = Counter()
+    for toks in srcs.values():
+        corpus.update(toks)
+    n = sum(corpus.values())
+    for s, toks in srcs.items():
+        cs = Counter(toks)
+        ns = sum(cs.values())
+        # integer construction (the k43 kernel)
+        present = sum(abs(c * n - corpus[t] * ns) for t, c in cs.items())
+        ct_seen = sum(corpus[t] for t in cs)
+        got = (present + ns * (n - ct_seen)) / (2.0 * ns * n)
+        # direct fraction model over the FULL vocabulary
+        want = 0.5 * sum(
+            abs(cs.get(t, 0) / ns - corpus[t] / n) for t in corpus
+        )
+        assert abs(got - want) < 1e-12, (s, got, want)
