@@ -478,3 +478,67 @@ def n10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), 9,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# N11 — per-component structure profile (order / size / density)
+# --------------------------------------------------------------------------
+@register(
+    "n11_component_profile",
+    oracle=(
+        "WITH RECURSIVE " + _EDGES_SQL_CC + ", "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "reach(node, lbl) AS ("
+        "  SELECT src, src FROM sym"
+        "  UNION"
+        "  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node), "
+        "comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node), "
+        "v AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+        "FROM comp GROUP BY 1), "
+        "ec AS (SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges "
+        "FROM edges e JOIN comp c ON c.node = e.src GROUP BY 1) "
+        "SELECT v.component, n_vertices, n_edges, "
+        "ROUND(2.0 * CAST(n_edges AS DOUBLE) / "
+        "(CAST(n_vertices AS DOUBLE) * (CAST(n_vertices AS DOUBLE) - 1.0)), 9) "
+        "AS density "
+        "FROM v JOIN ec ON ec.component = v.component"
+    ),
+    section="N11",
+)
+def n11_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component structure profile of the co-purchase graph:
+    order (vertex count), size (edge count) and density
+    2E/(V·(V−1)) for every weakly connected component — the
+    community-level rollup that turns N1's node→component map into
+    the summary a graph-mining pipeline actually reports (which
+    communities are cliques vs threads). Counts are INTEGER-exact;
+    density is one IEEE-exact double expression, rounded. Every
+    co-purchase vertex has ≥1 edge, so V ≥ 2 in every component and
+    the density denominator never hits zero. Scale shape: the N1
+    hybrid CC kernel (star-contraction above the driver gate) + one
+    vertex rollup + one edge-keyed equi-join onto the component map
+    (edges join on their src endpoint — both endpoints share the
+    component by definition) + a component-keyed count; output is
+    one row per component. The oracle reruns the identical fixpoint
+    as N1's recursive-CTE closure, then the same two rollups."""
+    from glonassdatamining_spark.api import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR_CC).localCheckpoint()
+    comp = connected_components(edges, "src", "dst")
+    v = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    )
+    ec = (
+        edges.join(
+            comp.select(F.col("node").alias("src"), "component"), "src"
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    nv = F.col("n_vertices").cast("double")
+    return v.join(ec, "component").select(
+        "component", "n_vertices", "n_edges",
+        F.round(
+            2.0 * F.col("n_edges").cast("double") / (nv * (nv - 1.0)), 9
+        ).alias("density"),
+    )
