@@ -408,3 +408,51 @@ def j12_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         F.col("qty_decile"), F.round("prediction", 4).alias("fitted_price")
     ).orderBy("qty_decile")
+
+
+@register("j13_linear_regression", oracle=None, section="J13")
+def j13_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LinearRegression (round-4 addition): unregularized
+    least-squares fit of extended price on quantity per return flag —
+    the distributed 'normal'-solver twin of D35's exact closed-form
+    moments, and the tier's calibration check: tests assert the MLlib
+    coefficients match D35's determinant arithmetic to ~1e-6
+    relative, so the two independent solvers certify each other.
+    Deterministic: solver='normal' computes the same normal equations
+    via exact-enough Gram accumulation (no SGD, no seed). rows-only:
+    the iterative/solver internals aren't SQL-expressible — D35 IS
+    the SQL-checkable face of this operator. Scale: one treeAggregate
+    of the 2×2 Gram matrix per group — map-side-combinable, no
+    shuffle beyond the per-flag split."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    li = load(spark, sf_dir, "lineitem")
+    flags = [r[0] for r in li.select("l_returnflag").distinct().collect()]
+    out = []
+    for flag in sorted(flags):
+        data = (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_quantity").cast("double").alias("qty"),
+                F.col("l_extendedprice").cast("double").alias("label"),
+            )
+        )
+        assembled = VectorAssembler(
+            inputCols=["qty"], outputCol="features"
+        ).transform(data)
+        model = LinearRegression(
+            featuresCol="features", labelCol="label",
+            regParam=0.0, solver="normal",
+        ).fit(assembled)
+        out.append(
+            (
+                flag,
+                float(model.coefficients[0]),
+                float(model.intercept),
+                float(model.summary.r2),
+            )
+        )
+    return spark.createDataFrame(
+        out, "l_returnflag STRING, slope DOUBLE, intercept DOUBLE, r2 DOUBLE"
+    )

@@ -253,3 +253,29 @@ def test_j12_isotonic_monotone_and_bracketed(spark):
 
     o = load(spark, SF_DIR, "orders").toPandas()["o_totalprice"]
     assert fitted[0] >= o.min() - 1e-6 and fitted[-1] <= o.max() + 1e-6
+
+
+def test_j13_matches_d35_closed_form(spark):
+    """j13's MLlib normal-equation solve and d35's exact-decimal
+    determinant arithmetic are independent solvers of the same least
+    squares problem — they must agree (slope/intercept in cents vs
+    dollars differ by the ×100 unit change only)."""
+    ml = (
+        registry.get("j13_linear_regression")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    ex = (
+        registry.get("d35_ols_regression")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    assert set(ml.index) == set(ex.index)
+    for flag in ml.index:
+        slope_d = ex.loc[flag, "slope_cents_per_unit"] / 100.0
+        icept_d = ex.loc[flag, "intercept_cents"] / 100.0
+        assert abs(ml.loc[flag, "slope"] - slope_d) <= 1e-4 * max(1.0, abs(slope_d)), flag
+        assert abs(ml.loc[flag, "intercept"] - icept_d) <= 1e-4 * max(1.0, abs(icept_d)), flag
+        assert abs(ml.loc[flag, "r2"] - ex.loc[flag, "r2"]) < 1e-6, flag

@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "k12_embedding_neardup",  # brute-force twin of j6 LSH
     "i12_hotspot_zscore",     # 1-row global moments, broadcast
     "k22_unigram_loglik",     # 1-row vocab total, broadcast
+    "k43_source_drift_tv",    # 1-row corpus-total scalar, broadcast
     "l4_watermark_filter",    # 1-row scalar max, broadcast
     "d22_heavy_hitters",      # 1-row corpus token total, broadcast
     "d23_hll_set_ops",        # 5-row per-type sketch table × itself
@@ -80,6 +81,7 @@ COLLECT_ALLOWED = {
     ("api.py", 'sym.agg(F.min("_src"))'),        # 1-row scalar seed
     ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
     ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
+    ("operators/ml_ops.py", 'li.select("l_returnflag").distinct()'),  # 3-row flag dim (j13)
 }
 
 
