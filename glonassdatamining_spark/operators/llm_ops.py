@@ -2377,3 +2377,81 @@ def k43_source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("tv_drift"),
     )
+
+
+# --------------------------------------------------------------------------
+# K44 — quality-rule ablation / co-fire matrix
+# --------------------------------------------------------------------------
+_K44_RULES = ["short", "repetitive", "tiny"]
+
+
+@register(
+    "k44_rule_ablation",
+    oracle=(
+        "WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "flags AS (SELECT doc_id, "
+        "CAST(len(toks) < 10 AS BIGINT) AS f_short, "
+        "CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.3 "
+        "AS BIGINT) AS f_repetitive, "
+        "CAST(n_chars < 50 AS BIGINT) AS f_tiny FROM t) "
+        "SELECT 'short' AS rule_a, 'short' AS rule_b, "
+        "CAST(SUM(f_short) AS BIGINT) AS n_both_fail FROM flags "
+        "UNION ALL SELECT 'short', 'repetitive', "
+        "CAST(SUM(f_short * f_repetitive) AS BIGINT) FROM flags "
+        "UNION ALL SELECT 'short', 'tiny', "
+        "CAST(SUM(f_short * f_tiny) AS BIGINT) FROM flags "
+        "UNION ALL SELECT 'repetitive', 'repetitive', "
+        "CAST(SUM(f_repetitive) AS BIGINT) FROM flags "
+        "UNION ALL SELECT 'repetitive', 'tiny', "
+        "CAST(SUM(f_repetitive * f_tiny) AS BIGINT) FROM flags "
+        "UNION ALL SELECT 'tiny', 'tiny', "
+        "CAST(SUM(f_tiny) AS BIGINT) FROM flags"
+    ),
+    section="K44",
+)
+def k44_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule ablation matrix: for K5's three drop rules
+    (short: < 10 words; repetitive: distinct-token ratio < 0.3;
+    tiny: < 50 chars), the upper-triangle co-fire matrix — how many
+    documents each rule drops (diagonal) and how many each PAIR drops
+    together (off-diagonal). This is filter attribution, the question
+    a curation team asks before touching a threshold: is a rule doing
+    unique work, or is everything it catches already caught by
+    another rule? (n_both ≈ diagonal ⇒ the rule is redundant; ≈ 0 ⇒
+    it guards a disjoint failure mode.) Entirely INTEGER-exact —
+    boolean flags summed as 0/1 products, no floats anywhere. Scale
+    shape: ONE pass over documents computing all three flags, one
+    6-cell aggregate (map-side-combinable, constant output) — the
+    same cost as K5 itself at any corpus size."""
+    t = load(spark, sf_dir, "documents").select(
+        "n_chars", F.split("text", " ").alias("toks")
+    )
+    flags = t.select(
+        (F.size("toks") < 10).cast("bigint").alias("f_short"),
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double")
+            < 0.3
+        ).cast("bigint").alias("f_repetitive"),
+        (F.col("n_chars") < 50).cast("bigint").alias("f_tiny"),
+    )
+    m = flags.agg(
+        F.sum("f_short").cast("bigint").alias("ss"),
+        F.sum(F.col("f_short") * F.col("f_repetitive")).cast("bigint").alias("sr"),
+        F.sum(F.col("f_short") * F.col("f_tiny")).cast("bigint").alias("st"),
+        F.sum("f_repetitive").cast("bigint").alias("rr"),
+        F.sum(F.col("f_repetitive") * F.col("f_tiny")).cast("bigint").alias("rt"),
+        F.sum("f_tiny").cast("bigint").alias("tt"),
+    )
+    return m.select(
+        F.expr(
+            "stack(6, "
+            "'short', 'short', ss, "
+            "'short', 'repetitive', sr, "
+            "'short', 'tiny', st, "
+            "'repetitive', 'repetitive', rr, "
+            "'repetitive', 'tiny', rt, "
+            "'tiny', 'tiny', tt) AS (rule_a, rule_b, n_both_fail)"
+        )
+    )

@@ -2853,3 +2853,86 @@ def i43_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_hat"),
         F.round(F.sqrt(k / 3.141592653589793), 9).alias("l_hat"),
     )
+
+
+# --------------------------------------------------------------------------
+# I44 — first-order mobility Markov model (grid-cell transitions)
+# --------------------------------------------------------------------------
+_I44_MIN_TRANS = 2
+
+
+@register(
+    "i44_mobility_markov",
+    oracle=(
+        FIXES_CTE
+        + ", cells AS (SELECT obj_id, ts, event_id, "
+        "CAST(floor(x / 10.0) AS INT) AS cx, "
+        "CAST(floor(y / 10.0) AS INT) AS cy FROM fixes), "
+        "hops AS (SELECT obj_id, cx, cy, "
+        "lead(cx) OVER w AS nx, lead(cy) OVER w AS ny "
+        "FROM cells WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "trans AS (SELECT cx AS from_cx, cy AS from_cy, "
+        "nx AS to_cx, ny AS to_cy, CAST(COUNT(*) AS BIGINT) AS n_trans "
+        "FROM hops WHERE nx IS NOT NULL AND (nx <> cx OR ny <> cy) "
+        "GROUP BY 1, 2, 3, 4), "
+        "tot AS (SELECT from_cx, from_cy, CAST(SUM(n_trans) AS BIGINT) AS t "
+        "FROM trans GROUP BY 1, 2) "
+        "SELECT from_cx, from_cy, to_cx, to_cy, n_trans, "
+        "ROUND(CAST(n_trans AS DOUBLE) / CAST(t AS DOUBLE), 9) AS p "
+        "FROM trans JOIN tot USING (from_cx, from_cy) "
+        f"WHERE n_trans >= {_I44_MIN_TRANS}"
+    ),
+    section="I44",
+)
+def i44_mobility_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order mobility Markov chain over the I5 grid: for every
+    (from-cell → to-cell) movement between consecutive fixes of the
+    same object, the transition count and conditional probability
+    P(to | from) — the location-prediction / privacy-attack primitive
+    of the mobility-mining canon (Gambs et al. 2012's mobility Markov
+    chains), turning I10's OD endpoints into a full transition model.
+    Self-transitions (same cell) are collapsed out so the chain
+    captures MOVEMENT, and rare transitions below a support floor are
+    pruned to keep the model denoised and the output bounded.
+    Deterministic: consecutive pairs ride a (ts, event_id) total
+    order, counts are exact, and the single probability division is
+    rounded. Scale shape: ONE window shuffle on obj_id (shared order
+    for lead), one (from,to) groupBy, then a from-cell totals join —
+    cell-pair cardinality is bounded by the grid (≤ cells²), so the
+    totals side broadcasts at any corpus scale."""
+    f = fixes(spark, sf_dir)
+    cells = f.select(
+        "obj_id", "ts", "event_id",
+        F.floor(F.col("x") / 10.0).cast("int").alias("cx"),
+        F.floor(F.col("y") / 10.0).cast("int").alias("cy"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    hops = cells.select(
+        "cx", "cy",
+        F.lead("cx").over(w).alias("nx"),
+        F.lead("cy").over(w).alias("ny"),
+    )
+    trans = (
+        hops.filter(
+            F.col("nx").isNotNull()
+            & ((F.col("nx") != F.col("cx")) | (F.col("ny") != F.col("cy")))
+        )
+        .groupBy(
+            F.col("cx").alias("from_cx"), F.col("cy").alias("from_cy"),
+            F.col("nx").alias("to_cx"), F.col("ny").alias("to_cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    tot = trans.groupBy("from_cx", "from_cy").agg(
+        F.sum("n_trans").cast("bigint").alias("t")
+    )
+    return (
+        trans.join(F.broadcast(tot), ["from_cx", "from_cy"])
+        .filter(F.col("n_trans") >= _I44_MIN_TRANS)
+        .select(
+            "from_cx", "from_cy", "to_cx", "to_cy", "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("t").cast("double"), 9
+            ).alias("p"),
+        )
+    )
