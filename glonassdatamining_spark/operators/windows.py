@@ -1267,3 +1267,100 @@ def e26_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("user_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E27 — CUSUM drift alarm (integer-scaled, fold-exact)
+# --------------------------------------------------------------------------
+_E27_H_MULT = 2  # alarm when scaled CUSUM exceeds H = 2·total
+
+
+@register(
+    "e27_cusum_alarm",
+    oracle=(
+        EVENTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _DAILY_SQL
+        + ", idx AS (SELECT event_type, cnt, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) "
+        "AS BIGINT) AS i FROM daily), "
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd, "
+        "CAST(SUM(cnt) AS BIGINT) AS total FROM idx GROUP BY 1), "
+        "rec(event_type, i, s, alarms, first_alarm, maxs) AS ("
+        "  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM g"
+        "  UNION ALL"
+        "  SELECT r.event_type, r.i + 1, "
+        "  greatest(CAST(0 AS BIGINT), r.s + (x.cnt * g.nd - g.total)), "
+        "  r.alarms + CASE WHEN greatest(CAST(0 AS BIGINT), "
+        f"  r.s + (x.cnt * g.nd - g.total)) > {_E27_H_MULT} * g.total "
+        "  THEN 1 ELSE 0 END, "
+        "  CASE WHEN r.first_alarm = 0 AND greatest(CAST(0 AS BIGINT), "
+        f"  r.s + (x.cnt * g.nd - g.total)) > {_E27_H_MULT} * g.total "
+        "  THEN r.i + 1 ELSE r.first_alarm END, "
+        "  greatest(r.maxs, greatest(CAST(0 AS BIGINT), "
+        "  r.s + (x.cnt * g.nd - g.total))) "
+        "  FROM rec r JOIN g ON g.event_type = r.event_type "
+        "  JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1) "
+        "SELECT r.event_type, g.nd AS n_days, r.alarms AS n_alarm_days, "
+        "r.first_alarm AS first_alarm_day, r.maxs AS max_cusum_scaled "
+        "FROM rec r JOIN g ON g.event_type = r.event_type WHERE r.i = g.nd"
+    ),
+    section="E27",
+)
+def e27_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarm per event type (Page 1954 — the
+    sequential change detector that completes the detection tier:
+    E19 finds the single best mean-shift in hindsight, E23 flags
+    seasonal outlier days, E24 scores monotone trend; CUSUM is the
+    ONLINE accumulate-and-alarm form). Everything is INTEGER-exact:
+    residuals are cross-multiplied (cnt·n_days − total, D31's
+    discipline — the daily mean never becomes a float), the
+    recursion S_t = max(0, S_{t-1} + r_t) folds bigints, and the
+    alarm threshold H = 2·total is integer too. The fold is
+    inherently sequential per series — Spark replays it as ONE
+    F.aggregate HOF over the day-ordered count array (codegen'd,
+    no Python), the oracle as a recursive CTE stepping the identical
+    fixpoint — two independent implementations of the same exact
+    recursion. Scale shape: the shared daily rollup, then one
+    groupBy collecting each series (day counts are bounded — ~90
+    here; a years-long series is still thousands of elements, fine
+    in one array); output one row per type."""
+    daily = _daily_counts(spark, sf_dir)
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "cnt"))),
+            lambda x: x["cnt"].cast("bigint"),
+        ).alias("cnts"),
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        zero.alias("s"), zero.alias("alarms"), zero.alias("first"),
+        zero.alias("idx"), zero.alias("maxs"),
+    )
+
+    def _step(acc, cnt):
+        idx = acc["idx"] + 1
+        s2 = F.greatest(zero, acc["s"] + (cnt * F.col("nd") - F.col("total")))
+        alarm = s2 > _E27_H_MULT * F.col("total")
+        return F.struct(
+            s2.alias("s"),
+            (acc["alarms"] + alarm.cast("bigint")).alias("alarms"),
+            F.when((acc["first"] == zero) & alarm, idx)
+            .otherwise(acc["first"]).alias("first"),
+            idx.alias("idx"),
+            F.greatest(acc["maxs"], s2).alias("maxs"),
+        )
+
+    folded = g.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.aggregate("cnts", init, _step).alias("acc"),
+    )
+    return folded.select(
+        "event_type", "n_days",
+        F.col("acc.alarms").alias("n_alarm_days"),
+        F.col("acc.first").alias("first_alarm_day"),
+        F.col("acc.maxs").alias("max_cusum_scaled"),
+    )

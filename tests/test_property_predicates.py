@@ -1143,3 +1143,47 @@ def test_tv_cross_multiplication_matches_fraction_model(spark, seed):
             abs(cs.get(t, 0) / ns - corpus[t] / n) for t in corpus
         )
         assert abs(got - want) < 1e-12, (s, got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cusum_fold_matches_python_model(spark, seed):
+    """e27's F.aggregate CUSUM fold vs a direct python recursion on a
+    random integer series (same integer scaling and threshold)."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    cnts = [rng.randint(0, 50) for _ in range(90)]
+    nd, total = len(cnts), sum(cnts)
+    df = spark.createDataFrame([(cnts,)], "cnts ARRAY<BIGINT>")
+    zero = SF.lit(0).cast("bigint")
+    init = SF.struct(
+        zero.alias("s"), zero.alias("alarms"), zero.alias("first"),
+        zero.alias("idx"), zero.alias("maxs"),
+    )
+
+    def step(acc, cnt):
+        idx = acc["idx"] + 1
+        s2 = SF.greatest(zero, acc["s"] + (cnt * SF.lit(nd) - SF.lit(total)))
+        alarm = s2 > 2 * SF.lit(total)
+        return SF.struct(
+            s2.alias("s"),
+            (acc["alarms"] + alarm.cast("bigint")).alias("alarms"),
+            SF.when((acc["first"] == zero) & alarm, idx)
+            .otherwise(acc["first"]).alias("first"),
+            idx.alias("idx"),
+            SF.greatest(acc["maxs"], s2).alias("maxs"),
+        )
+
+    got = df.select(SF.aggregate("cnts", init, step).alias("a")).collect()[0].a
+
+    s = alarms = first = maxs = 0
+    for i, c in enumerate(cnts, 1):
+        s = max(0, s + (c * nd - total))
+        if s > 2 * total:
+            alarms += 1
+            if first == 0:
+                first = i
+        maxs = max(maxs, s)
+    assert (got.s, got.alarms, got.first, got.maxs) == (s, alarms, first, maxs)
