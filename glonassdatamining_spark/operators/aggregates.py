@@ -1517,3 +1517,68 @@ def d35_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d1") * F.col("d1")) / (F.col("d2") * F.col("d3")), 9
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# D36 — trimmed mean (rank-trimmed, interpolation-free)
+# --------------------------------------------------------------------------
+@register(
+    "d36_trimmed_mean",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority, o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM orders), "
+        "rk AS (SELECT o_orderpriority, cents, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY cents, o_orderkey) AS BIGINT) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n "
+        "FROM c), "
+        "kept AS (SELECT o_orderpriority, cents, n FROM rk "
+        "WHERE rn > n // 20 AND rn <= n - n // 20) "
+        "SELECT o_orderpriority, ANY_VALUE(n) AS n_rows, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE) / 100.0, 9) AS trimmed_mean "
+        "FROM kept GROUP BY 1"
+    ),
+    section="D36",
+)
+def d36_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% trimmed mean of order totalprice per priority — the robust
+    location estimate beside D18's MAD screen and D8's percentiles,
+    computed the INTERPOLATION-FREE way so the engines cannot drift:
+    the trim cuts are integer RANK cutoffs (drop rank ≤ ⌊n/20⌋ from
+    each tail over a (cents, orderkey) total order — ties cannot move
+    the kept multiset because equal cents are interchangeable in the
+    sum), prices ride exact integer cents, the kept-sum is an exact
+    DECIMAL(38), and the only floating arithmetic is the final
+    sum/count/100 chain, identically ordered and rounded. Scale
+    shape: one rank window + one count window sharing a single
+    (priority) partitioning, then a map-side-combinable aggregate;
+    extreme single-group cardinality rides E3's two-tier
+    range-partitioned ranking rewrite."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority", "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    rk = c.select(
+        "o_orderpriority", "cents",
+        F.row_number().over(wp.orderBy("cents", "o_orderkey"))
+        .cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    k = F.floor(F.col("n") / 20).cast("bigint")
+    kept = rk.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return kept.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100.0,
+            9,
+        ).alias("trimmed_mean"),
+    )
