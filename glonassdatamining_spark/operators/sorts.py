@@ -106,3 +106,29 @@ def f5_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "f6_hash_sample",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE md5(CAST(o_orderkey AS VARCHAR)) < '19'"
+    ),
+    section="F6",
+)
+def f6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sample (~25/256 ≈ 9.8%): keep a
+    row iff md5(key) sorts below a fixed hex prefix — the
+    reproducible-pipeline complement of F4's seeded RNG sample. A
+    hash sample is stable under repartitioning, re-runs, engine
+    changes, AND incremental appends (a row's fate depends only on
+    its key), which is why train/eval splits and A/B bucketing at
+    100 TB are done this way rather than with RNG streams — and,
+    unlike F4, it is exactly oracle-checkable because md5 and string
+    comparison are engine-independent. Scale shape: a pure narrow
+    filter fused into the scan stage — no shuffle, no state, no
+    seed coordination across executors."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.md5(F.col("o_orderkey").cast("string")) < "19"
+    ).select("o_orderkey", "o_totalprice")
