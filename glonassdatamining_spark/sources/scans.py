@@ -683,3 +683,65 @@ def a18_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "a19_parquet_metadata",
+    oracle=None,  # file-path-parameterized — mirrored against DuckDB's
+    # parquet_metadata() in tests/test_bucketing.py instead (static
+    # oracle SQL cannot name the sf-dependent path)
+    section="A19",
+)
+def a19_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer audit: per row group of every fixture table —
+    row count, column count, compressed bytes — the lake-health
+    introspection behind small-file detection (A10 fixes what this
+    finds), row-group sizing for `maxPartitionBytes` tuning, and
+    stats-pruning coverage checks. The footer reads are DISTRIBUTED:
+    the file list parallelizes and each task opens only footers
+    (pyarrow, ~KB per file, never data pages) — at 100 TB with
+    millions of files this is exactly the manifest-scan shape, no
+    driver-side listing loop beyond the path glob. Mirrored against
+    DuckDB's parquet_metadata() on the same files in
+    tests/test_bucketing.py (static oracle SQL cannot carry the
+    sf-dependent path)."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path STRING"
+    ).repartition(max(1, min(len(paths), 8)))
+
+    def _footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = []
+            for p in b["path"]:
+                md = pq.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    out.append(
+                        (
+                            os.path.basename(p),
+                            i,
+                            rg.num_rows,
+                            rg.num_columns,
+                            rg.total_byte_size,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "row_group_id", "n_rows",
+                    "n_columns", "total_byte_size",
+                ],
+            )
+
+    return pdf.mapInPandas(
+        _footers,
+        "file_name STRING, row_group_id INT, n_rows BIGINT, "
+        "n_columns INT, total_byte_size BIGINT",
+    )

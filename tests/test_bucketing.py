@@ -83,3 +83,38 @@ def test_compaction_reduces_file_count(spark):
     compacted = glob.glob(f"/root/repo/.tmpdata/compact_{sf}_*/compacted/*.parquet")
     assert len(frag) == 32
     assert 1 <= len(compacted) <= 4
+
+
+def test_a19_footer_audit_matches_duckdb(spark):
+    """a19's distributed pyarrow footer read vs DuckDB's
+    parquet_metadata() on the same files — the oracle this rows-only
+    query cannot carry in static SQL (the path is sf-dependent)."""
+    import duckdb
+
+    from glonassdatamining_spark import registry
+    from tests.conftest import SF_DIR
+
+    got = (
+        registry.get("a19_parquet_metadata")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["file_name", "row_group_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) >= 10  # every fixture table contributes ≥1 row group
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT parse_filename(file_name) AS file_name, row_group_id, "
+        "ANY_VALUE(row_group_num_rows) AS n_rows, "
+        "CAST(COUNT(*) AS INT) AS n_columns, "
+        "ANY_VALUE(row_group_bytes) AS total_byte_size "
+        f"FROM parquet_metadata('{SF_DIR}/*.parquet') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchdf()
+    con.close()
+    assert len(got) == len(want)
+    for c in ("file_name", "row_group_id", "n_rows", "n_columns"):
+        assert (got[c].values == want[c].values).all(), c
+    # uncompressed-size accounting differs by footer-overhead definition
+    # in no engine; both read total_byte_size from the same field:
+    assert (got["total_byte_size"].values == want["total_byte_size"].values).all()
