@@ -67,6 +67,10 @@ HEADLINE = [
     "i37_radius_of_gyration",       # one-shuffle exact-moment mobility scalar
     "k38_ngram_novelty",            # trigram inverted-index novelty join
     "k37_wav_audio_stats",          # real WAV encode→decode Arrow pipeline
+    # round-4 late additions (BASELINE.md: no earlier baseline):
+    "k43_source_drift_tv",          # integer-exact per-source TV drift
+    "i44_mobility_markov",          # grid-cell transition model
+    "e27_cusum_alarm",              # HOF-folded sequential detector
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)
