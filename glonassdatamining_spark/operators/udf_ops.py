@@ -246,3 +246,66 @@ def m6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         net_price, "l_orderkey BIGINT, l_linenumber INT, net DOUBLE"
     )
+
+
+# --------------------------------------------------------------------------
+# M7 — cogrouped-map pandas UDF (applyInPandas over a cogroup)
+# --------------------------------------------------------------------------
+@register(
+    "m7_cogrouped_map",
+    oracle=(
+        "WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS "
+        "n_orders, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT)) AS BIGINT) AS spend_cents FROM orders GROUP BY 1), "
+        "e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM main.events GROUP BY 1) "
+        "SELECT COALESCE(o.k, e.k) AS k, "
+        "COALESCE(n_orders, 0) AS n_orders, "
+        "COALESCE(spend_cents, 0) AS spend_cents, "
+        "COALESCE(n_events, 0) AS n_events "
+        "FROM o FULL OUTER JOIN e ON o.k = e.k"
+    ),
+    section="M7",
+)
+def m7_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF — the two-sided Arrow surface
+    (``groupBy().cogroup().applyInPandas``) the M tier was missing
+    beside M2's one-sided grouped map: orders and events are
+    co-shuffled on the shared key and each (left, right) pandas pair
+    is merged in one python callback (the custom-merge shape for
+    as-of joins, per-entity reconciliation, feature stitching —
+    anything where the merge logic needs both frames at once). The
+    demo merge is deliberately EXACT — integer counts and integer
+    cents (2dp-stored doubles ×100 round to exact cents; no .5 ties
+    can exist) — so the whole cogroup path is hash-checked against a
+    FULL OUTER JOIN oracle, not just materialized. Scale shape: two
+    key-partitioned shuffles (one per side, the same as any join),
+    Arrow-batched python per key group; key groups are
+    customer-sized, never corpus-sized."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    e = load(spark, sf_dir, "events").select("user_id")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left):
+            k = int(left["o_custkey"].iloc[0])
+            spend = int(sum(round(x * 100) for x in left["o_totalprice"]))
+        else:
+            k = int(right["user_id"].iloc[0])
+            spend = 0
+        return pd.DataFrame(
+            {
+                "k": [k],
+                "n_orders": [len(left)],
+                "spend_cents": [spend],
+                "n_events": [len(right)],
+            }
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "k BIGINT, n_orders BIGINT, spend_cents BIGINT, n_events BIGINT",
+        )
+    )
