@@ -720,3 +720,60 @@ def c16_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 1).select(
         "key1", "key2", "name1", "name2", dist.cast("int").alias("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# C18 — join-key skew profile (the diagnostic behind C13's salted join)
+# --------------------------------------------------------------------------
+@register(
+    "c18_skew_profile",
+    oracle=(
+        "WITH kf AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS f "
+        "FROM lineitem GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS nk, CAST(MAX(f) AS BIGINT) AS fmax "
+        "FROM kf) "
+        "SELECT CAST(floor(log2(f)) AS INT) AS freq_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(f) AS BIGINT) AS n_rows, "
+        "ANY_VALUE(ROUND(CAST(tot.fmax AS DOUBLE) * tot.nk / tot.n, 9)) "
+        "AS skew_factor "
+        "FROM kf CROSS JOIN tot GROUP BY 1"
+    ),
+    section="C18",
+)
+def c18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of lineitem's part key — the diagnostic
+    a pipeline runs BEFORE choosing C13's salted join: per log2
+    frequency bucket, how many keys and how many rows live there,
+    plus the global skew factor fmax·n_keys/n_rows (1.0 = perfectly
+    uniform; ≫1 = a hot key owns the join). A shuffle join's slowest
+    task is the hottest key's row count, so this histogram IS the
+    straggler forecast — and it costs ONE groupBy + a 9-ish-row
+    aggregate, run on the 100 TB table the join will shuffle anyway.
+    log2 buckets are exact on bigint counts (floor(log2(f)) is exact
+    for f < 2^53 — both engines bucket identically: log2 of an
+    integer is correctly rounded and floor cannot straddle because f
+    is never a rounding-boundary power); counts exact, one rounded
+    double for the factor."""
+    kf = load(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    kf = kf.localCheckpoint()
+    tot = kf.agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.max("f").cast("bigint").alias("fmax"),
+    )
+    return (
+        kf.crossJoin(F.broadcast(tot))
+        .groupBy(F.floor(F.log2("f")).cast("int").alias("freq_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.round(
+                F.first("fmax").cast("double") * F.first("nk") / F.first("n"),
+                9,
+            ).alias("skew_factor"),
+        )
+    )
