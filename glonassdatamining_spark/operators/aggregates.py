@@ -1582,3 +1582,73 @@ def d36_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("trimmed_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# D37 — decile share table (the Lorenz curve D33's Gini integrates)
+# --------------------------------------------------------------------------
+@register(
+    "d37_decile_shares",
+    oracle=(
+        "WITH spend AS (SELECT o_custkey, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+        "dk AS (SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) "
+        "AS decile FROM spend), "
+        "agg AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS c "
+        "FROM dk GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS t FROM agg) "
+        "SELECT decile, n_customers, "
+        "ROUND(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share, "
+        "ROUND(CAST(SUM(c) OVER (ORDER BY decile "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "/ CAST(t AS DOUBLE), 9) AS cum_share "
+        "FROM agg CROSS JOIN tot"
+    ),
+    section="D37",
+)
+def d37_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile table — the Lorenz curve D33's Gini
+    integrates and E26's 80/20 threshold reads one point of, spelled
+    out: per ascending spend decile, the customer count, revenue
+    share, and cumulative share ('the top decile holds X% of
+    revenue'). NTILE bucketing is engine-identical (standard SQL:
+    ⌊n/10⌋ base size, first n mod 10 buckets one larger) over a
+    (cents, custkey) total order; per-decile sums are exact
+    DECIMAL(38) cents, the cumulative rides an exact decimal running
+    sum over 10 rows, and each share is ONE rounded double division.
+    Scale shape: one customer groupBy + one global-order rank window
+    (the E3 two-tier range-partitioned rewrite at extreme
+    cardinality) + a 10-row aggregate."""
+    spend = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).cast("bigint").alias("cents")
+    )
+    dk = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    agg = dk.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("c"),
+    )
+    tot = agg.agg(F.sum("c").cast("decimal(38,0)").alias("t"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers",
+            F.round(F.col("c").cast("double") / F.col("t").cast("double"), 9)
+            .alias("share"),
+            F.round(
+                F.sum("c").over(wcum).cast("double")
+                / F.col("t").cast("double"),
+                9,
+            ).alias("cum_share"),
+        )
+    )
