@@ -542,3 +542,84 @@ def n11_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("n_edges").cast("double") / (nv * (nv - 1.0)), 9
         ).alias("density"),
     )
+
+
+# --------------------------------------------------------------------------
+# N12 — rich-club coefficient ladder
+# --------------------------------------------------------------------------
+_N12_KS = [1, 2, 4, 8]
+
+
+@register(
+    "n12_rich_club",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY 1), "
+        "ks AS (SELECT unnest(" + str(_N12_KS) + ") AS k), "
+        "rich AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich "
+        "FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1), "
+        "re AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges "
+        "FROM ks JOIN edges e ON TRUE "
+        "JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst "
+        "WHERE da.d > ks.k AND db.d > ks.k GROUP BY 1) "
+        "SELECT rich.k, n_rich, COALESCE(n_edges, 0) AS n_edges, "
+        "ROUND(2.0 * CAST(COALESCE(n_edges, 0) AS DOUBLE) / "
+        "(CAST(n_rich AS DOUBLE) * (CAST(n_rich AS DOUBLE) - 1.0)), 9) "
+        "AS phi FROM rich LEFT JOIN re ON re.k = rich.k WHERE n_rich >= 2"
+    ),
+    section="N12",
+)
+def n12_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient ladder (Zhou & Mondragón 2004): for each
+    degree threshold k, the density φ(k) = 2E_k/(N_k(N_k−1)) among
+    nodes of degree > k — do the hubs of the co-purchase graph form
+    their own densely wired club (φ rising with k) or spread across
+    the periphery? The one-number-per-threshold complement of N10's
+    global assortativity r. Counts are INTEGER-exact; φ is one
+    rounded IEEE expression; thresholds with fewer than two rich
+    nodes are dropped (undefined denominator). Scale shape: the
+    degree rollup (one groupBy of the edge ends), a 4-row threshold
+    dimension broadcast against it and against the degree-annotated
+    edge list (two vertex-sized equi-joins, N10's ends shape) — the
+    threshold cross multiplies work by |ks|=4, never by |V|."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()
+    ks = spark.createDataFrame([(k,) for k in _N12_KS], "k INT")
+    rich = (
+        F.broadcast(ks).join(deg, deg.d > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dt"))
+    ends = e.join(da, "src").join(db, "dst")
+    re_ = (
+        F.broadcast(ks).join(
+            ends, (F.col("ds") > F.col("k")) & (F.col("dt") > F.col("k"))
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    nr = F.col("n_rich").cast("double")
+    return (
+        rich.join(re_, "k", "left")
+        .filter(F.col("n_rich") >= 2)
+        .select(
+            "k", "n_rich",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint")
+            .alias("n_edges"),
+            F.round(
+                2.0 * F.coalesce(F.col("n_edges"), F.lit(0)).cast("double")
+                / (nr * (nr - 1.0)),
+                9,
+            ).alias("phi"),
+        )
+    )
