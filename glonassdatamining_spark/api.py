@@ -2070,3 +2070,34 @@ def count_min_estimates(
         .groupBy("token")
         .agg(F.min("c").cast("bigint").alias("est"))
     )
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew census: per log2 frequency bucket, the key and
+    row counts, plus the global skew factor fmax·n_keys/n_rows
+    (1.0 = uniform; ≫1 = a hot key owns the shuffle). The diagnostic
+    to run BEFORE picking `salted_agg`/C13's salt factor — a shuffle
+    join's slowest task is the hottest key's row count, so the top
+    bucket of this histogram IS the straggler forecast. One groupBy
+    over the table the join would shuffle anyway + a ~log2(fmax)-row
+    aggregate; SURVEY §2.C18 is the registered fixture demo."""
+    kf = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    ).localCheckpoint()
+    tot = kf.agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.max("f").cast("bigint").alias("fmax"),
+    )
+    return (
+        kf.crossJoin(F.broadcast(tot))
+        .groupBy(F.floor(F.log2("f")).cast("int").alias("freq_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.round(
+                F.first("fmax").cast("double") * F.first("nk") / F.first("n"),
+                9,
+            ).alias("skew_factor"),
+        )
+    )

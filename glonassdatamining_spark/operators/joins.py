@@ -756,24 +756,6 @@ def c18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer is correctly rounded and floor cannot straddle because f
     is never a rounding-boundary power); counts exact, one rounded
     double for the factor."""
-    kf = load(spark, sf_dir, "lineitem").groupBy(
-        F.col("l_partkey").alias("k")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    kf = kf.localCheckpoint()
-    tot = kf.agg(
-        F.sum("f").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("nk"),
-        F.max("f").cast("bigint").alias("fmax"),
-    )
-    return (
-        kf.crossJoin(F.broadcast(tot))
-        .groupBy(F.floor(F.log2("f")).cast("int").alias("freq_bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-            F.sum("f").cast("bigint").alias("n_rows"),
-            F.round(
-                F.first("fmax").cast("double") * F.first("nk") / F.first("n"),
-                9,
-            ).alias("skew_factor"),
-        )
-    )
+    from glonassdatamining_spark.api import skew_profile
+
+    return skew_profile(load(spark, sf_dir, "lineitem"), "l_partkey")

@@ -529,3 +529,29 @@ def test_count_min_never_underestimates(spark):
         n_exact += got[t] == true_n
     # sparse regime sanity: the vast majority of estimates are exact
     assert n_exact >= 0.9 * len(exact)
+
+
+def test_skew_profile_matches_python_census(spark):
+    """api.skew_profile vs a direct python Counter census on a skewed
+    synthetic key column (one hot key + a uniform tail)."""
+    from collections import Counter
+    from math import floor, log2
+
+    from glonassdatamining_spark.api import skew_profile
+
+    keys = [0] * 500 + [i % 37 + 1 for i in range(700)]
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    got = {
+        r.freq_bucket: (r.n_keys, r.n_rows, r.skew_factor)
+        for r in skew_profile(df, "k").collect()
+    }
+    c = Counter(keys)
+    want: dict[int, list[int]] = {}
+    for _, f in c.items():
+        b = floor(log2(f))
+        nk, nr = want.get(b, (0, 0))
+        want[b] = (nk + 1, nr + f)
+    assert {b: v[:2] for b, v in got.items()} == want
+    factor = max(c.values()) * len(c) / len(keys)
+    for _, _, sf_ in got.values():
+        assert abs(sf_ - round(factor, 9)) < 1e-12
