@@ -1364,3 +1364,77 @@ def e27_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acc.first").alias("first_alarm_day"),
         F.col("acc.maxs").alias("max_cusum_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# E28 — inter-arrival gap profile (rank-exact percentiles)
+# --------------------------------------------------------------------------
+@register(
+    "e28_interarrival_profile",
+    oracle=(
+        EVENTS_CTE
+        + ", g AS (SELECT event_type, "
+        "epoch_ms(ts) - lag(epoch_ms(ts)) OVER "
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap "
+        "FROM events), "
+        "gg AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g "
+        "WHERE gap IS NOT NULL), "
+        "r AS (SELECT event_type, gap, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) "
+        "AS BIGINT) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+        "FROM gg) "
+        "SELECT event_type, ANY_VALUE(n) AS n_gaps, "
+        "CAST(MIN(gap) AS BIGINT) AS min_gap_ms, "
+        "MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS p50_gap_ms, "
+        "MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS p90_gap_ms, "
+        "CAST(MAX(gap) AS BIGINT) AS max_gap_ms, "
+        "ROUND(CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / "
+        "CAST(ANY_VALUE(n) AS DOUBLE), 6) AS mean_gap_ms "
+        "FROM r GROUP BY 1"
+    ),
+    section="E28",
+)
+def e28_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per event type: min / lower-median /
+    p90 / max / mean of the millisecond gaps between a user's
+    consecutive events of that type — the burstiness profile behind
+    rate-limit sizing, session-timeout choice (E8's gap parameter is
+    read off this table) and anomaly baselining, beside I18's
+    per-user threshold gaps. Percentiles are RANK-EXACT (D36's
+    interpolation-free discipline): the profile selects the element
+    at integer rank (n+1)//2 and ⌈9n/10⌉ over a gap total order —
+    equal gaps are interchangeable, so the selected VALUE is
+    deterministic; gaps are exact integer ms (epoch diff on the
+    ms-truncated ts both engines share), the mean is an exact
+    DECIMAL sum with one rounded division. Scale shape: one
+    (user,type) lag window, then one (type) rank window + the
+    profile aggregate sharing its partitioning — two shuffles
+    total; the E3 two-tier rewrite is the extreme-cardinality
+    lever."""
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis(ts_ms("ts"))
+    wl = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (ms - F.lag(ms).over(wl)).cast("bigint").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    wt = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type", "gap",
+        F.row_number().over(wt.orderBy("gap")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    med = F.floor((F.col("n") + 1) / 2)
+    p90 = F.floor((9 * F.col("n") + 9) / 10)
+    return r.groupBy("event_type").agg(
+        F.first("n").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_ms"),
+        F.max(F.when(F.col("rn") == med, F.col("gap"))).alias("p50_gap_ms"),
+        F.max(F.when(F.col("rn") == p90, F.col("gap"))).alias("p90_gap_ms"),
+        F.max("gap").cast("bigint").alias("max_gap_ms"),
+        F.round(
+            F.sum(F.col("gap").cast("decimal(38,0)")).cast("double")
+            / F.first("n").cast("double"),
+            6,
+        ).alias("mean_gap_ms"),
+    )
