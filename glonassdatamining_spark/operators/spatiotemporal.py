@@ -2941,3 +2941,99 @@ def i44_mobility_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# I45 — OD flow asymmetry (directional imbalance of the I44 chain)
+# --------------------------------------------------------------------------
+@register(
+    "i45_od_asymmetry",
+    oracle=(
+        FIXES_CTE
+        + ", cells AS (SELECT obj_id, ts, event_id, "
+        "CAST(floor(x / 10.0) AS INT) AS cx, "
+        "CAST(floor(y / 10.0) AS INT) AS cy FROM fixes), "
+        "hops AS (SELECT obj_id, cx, cy, "
+        "lead(cx) OVER w AS nx, lead(cy) OVER w AS ny "
+        "FROM cells WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "trans AS (SELECT cx AS fx, cy AS fy, nx AS tx, ny AS ty, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM hops "
+        "WHERE nx IS NOT NULL AND (nx <> cx OR ny <> cy) GROUP BY 1,2,3,4), "
+        "und AS (SELECT "
+        "CASE WHEN fx < tx OR (fx = tx AND fy <= ty) THEN fx ELSE tx END AS ax, "
+        "CASE WHEN fx < tx OR (fx = tx AND fy <= ty) THEN fy ELSE ty END AS ay, "
+        "CASE WHEN fx < tx OR (fx = tx AND fy <= ty) THEN tx ELSE fx END AS bx, "
+        "CASE WHEN fx < tx OR (fx = tx AND fy <= ty) THEN ty ELSE fy END AS by_, "
+        "CASE WHEN fx < tx OR (fx = tx AND fy <= ty) THEN n ELSE 0 END AS fwd, "
+        "CASE WHEN fx < tx OR (fx = tx AND fy <= ty) THEN 0 ELSE n END AS rev "
+        "FROM trans), "
+        "pair AS (SELECT ax, ay, bx, by_, CAST(SUM(fwd) AS BIGINT) AS n_fwd, "
+        "CAST(SUM(rev) AS BIGINT) AS n_rev FROM und GROUP BY 1,2,3,4) "
+        "SELECT ax, ay, bx, by_ AS by2, n_fwd, n_rev, "
+        "ROUND(CAST(abs(n_fwd - n_rev) AS DOUBLE) / "
+        "CAST(n_fwd + n_rev AS DOUBLE), 9) AS asymmetry "
+        "FROM pair WHERE n_fwd + n_rev >= " + str(_I44_MIN_TRANS * 2)
+    ),
+    section="I45",
+)
+def i45_od_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional flow imbalance of the I44 transition chain: for
+    every unordered cell pair {a,b}, the forward and reverse movement
+    counts and the asymmetry |f(a→b) − f(b→a)| / (f(a→b) + f(b→a)) —
+    0 for tidal two-way corridors, 1 for one-way drains; the standard
+    commuting-structure read on an OD matrix (morning-in/evening-out
+    shows up as paired high-asymmetry cells), turning I10's raw
+    endpoint counts into a direction diagnostic. The unordered-pair
+    fold is a pure CASE canonicalization ((a,b) with a ≤ b
+    lexicographically — no join: each directed count lands in the fwd
+    or rev column of its canonical pair and ONE groupBy merges them);
+    counts exact, one rounded division, thin pairs pruned by the I44
+    support floor. Scale shape: I44's window + groupBy, then one
+    more bounded (≤ cells²) groupBy."""
+    f = fixes(spark, sf_dir)
+    cells = f.select(
+        "obj_id", "ts", "event_id",
+        F.floor(F.col("x") / 10.0).cast("int").alias("cx"),
+        F.floor(F.col("y") / 10.0).cast("int").alias("cy"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    hops = cells.select(
+        "cx", "cy",
+        F.lead("cx").over(w).alias("nx"),
+        F.lead("cy").over(w).alias("ny"),
+    )
+    trans = (
+        hops.filter(
+            F.col("nx").isNotNull()
+            & ((F.col("nx") != F.col("cx")) | (F.col("ny") != F.col("cy")))
+        )
+        .groupBy(
+            F.col("cx").alias("fx"), F.col("cy").alias("fy"),
+            F.col("nx").alias("tx"), F.col("ny").alias("ty"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    is_fwd = (F.col("fx") < F.col("tx")) | (
+        (F.col("fx") == F.col("tx")) & (F.col("fy") <= F.col("ty"))
+    )
+    und = trans.select(
+        F.when(is_fwd, F.col("fx")).otherwise(F.col("tx")).alias("ax"),
+        F.when(is_fwd, F.col("fy")).otherwise(F.col("ty")).alias("ay"),
+        F.when(is_fwd, F.col("tx")).otherwise(F.col("fx")).alias("bx"),
+        F.when(is_fwd, F.col("ty")).otherwise(F.col("fy")).alias("by2"),
+        F.when(is_fwd, F.col("n")).otherwise(F.lit(0)).alias("fwd"),
+        F.when(is_fwd, F.lit(0)).otherwise(F.col("n")).alias("rev"),
+    )
+    pair = und.groupBy("ax", "ay", "bx", "by2").agg(
+        F.sum("fwd").cast("bigint").alias("n_fwd"),
+        F.sum("rev").cast("bigint").alias("n_rev"),
+    )
+    tot = F.col("n_fwd") + F.col("n_rev")
+    return pair.filter(tot >= _I44_MIN_TRANS * 2).select(
+        "ax", "ay", "bx", "by2", "n_fwd", "n_rev",
+        F.round(
+            F.abs(F.col("n_fwd") - F.col("n_rev")).cast("double")
+            / tot.cast("double"),
+            9,
+        ).alias("asymmetry"),
+    )

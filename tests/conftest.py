@@ -95,6 +95,7 @@ EMPTY_AT_SMOKE = {
     "q7_nation_volume",
     "i30_polygon_intersect_pairs",  # 15 objects at sf0.001 → no overlaps
     "n9_node_similarity",  # 6k-row basket graph too sparse for j≥0.5 pairs
+    "i45_od_asymmetry",  # 1k-event chain: no pair reaches the ≥4 support floor
 }
 
 
