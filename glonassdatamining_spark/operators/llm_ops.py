@@ -2455,3 +2455,59 @@ def k44_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'tiny', 'tiny', tt) AS (rule_a, rule_b, n_both_fail)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K45 — shingle document-frequency census (the boilerplate-mass profile)
+# --------------------------------------------------------------------------
+@register(
+    "k45_shingle_df_profile",
+    oracle=(
+        "WITH sh AS (SELECT DISTINCT doc_id, s FROM "
+        "(SELECT doc_id, unnest(" + _SHINGLE_SQL + ") AS s FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS l FROM documents))), "
+        "df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh "
+        "GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(df) AS BIGINT) AS n FROM df) "
+        "SELECT CAST(floor(log2(df)) AS INT) AS df_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        "CAST(SUM(df) AS BIGINT) AS n_postings, "
+        "ROUND(CAST(SUM(df) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE), "
+        "9) AS posting_share "
+        "FROM df GROUP BY 1"
+    ),
+    section="K45",
+)
+def k45_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency census: per log2(df) bucket, how
+    many distinct 3-gram shingles live there and how much of the
+    inverted index's posting mass they carry — the boilerplate-mass
+    profile that JUSTIFIES K42's df-cap (and every inverted-index
+    op's hot-key guard: the top buckets are exactly the keys whose
+    postings lists would dominate a shingle equi-join). C18's
+    skew-census shape applied to the dedup tier's join key. Counts
+    exact; log2 bucketing exact on bigint df (power-of-two
+    boundaries); one rounded share division per bucket. Scale
+    shape: one (doc, shingle) distinct + one shingle groupBy + a
+    ~log2(max df)-row aggregate — strictly cheaper than any dedup
+    op that will consume the same index."""
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("_toks"))
+        .select("doc_id", F.explode(_shingles("_toks")).alias("s"))
+        .distinct()
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    df = df.localCheckpoint()
+    tot = df.agg(F.sum("df").cast("bigint").alias("n"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .groupBy(F.floor(F.log2("df")).cast("int").alias("df_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.round(
+                F.sum("df").cast("double") / F.first("n").cast("double"), 9
+            ).alias("posting_share"),
+        )
+    )
