@@ -1747,6 +1747,7 @@ def ewma(
     value: str,
     alpha: float,
     out_col: str = "ewma",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key along the time
     axis (adjust=False recursion: y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁);
@@ -1757,7 +1758,9 @@ def ewma(
     pandas' C-vectorized ``ewm`` inside. State is O(1) per row — the
     streaming twin is a ``transformWithState`` carrying yₜ₋₁. A
     window-function closed form exists (powers of (1−α)) but overflows
-    for long series; the kernel has no such bound.
+    for long series; the kernel has no such bound. Pass ``tiebreak``
+    (a unique column) whenever ``ts`` can collide within a key — the
+    stable sort alone would inherit nondeterministic partition order.
     """
     import pandas as pd
 
@@ -1767,7 +1770,9 @@ def ewma(
     out_schema = f"{fields}, {out_col} double"
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts)
+        # ts collisions exist at scale; an explicit tiebreak keeps the
+        # sequential fold deterministic regardless of partition order
+        pdf = pdf.sort_values([ts, tiebreak] if tiebreak else ts)
         pdf[out_col] = (
             pdf[value].ewm(alpha=alpha, adjust=False).mean().astype(float)
         )

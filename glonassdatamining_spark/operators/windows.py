@@ -347,7 +347,7 @@ def e11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glonassdatamining_spark.api import ewma
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    out = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.3, tiebreak="event_id")
     return out.select(
         "user_id", "event_id", F.round("ewma", 6).alias("ewma_value")
     )
