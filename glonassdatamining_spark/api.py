@@ -1583,6 +1583,7 @@ def rdp_simplify(
     x_col: str,
     y_col: str,
     eps: float,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Ramer–Douglas–Peucker polyline simplification per trajectory:
     keep the minimal subset of fixes whose piecewise-linear hull stays
@@ -1607,7 +1608,12 @@ def rdp_simplify(
     )
 
     def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, ignore_index=True)
+        # explicit tiebreak: order_col collisions would otherwise
+        # inherit nondeterministic partition order (ewma's discipline)
+        pdf = pdf.sort_values(
+            [order_col, tiebreak] if tiebreak else order_col,
+            ignore_index=True,
+        )
         x = pdf[x_col].to_numpy(dtype=float)
         y = pdf[y_col].to_numpy(dtype=float)
         n = len(pdf)
@@ -1634,8 +1640,11 @@ def rdp_simplify(
                 stack.append((m, b))
         return pdf.loc[keep, [id_col, order_col, x_col, y_col]]
 
+    cols = [id_col, order_col, x_col, y_col] + (
+        [tiebreak] if tiebreak else []
+    )
     return (
-        df.select(id_col, order_col, x_col, y_col)
+        df.select(*cols)
         .groupBy(id_col)
         .applyInPandas(simplify, schema)
     )
@@ -1689,6 +1698,7 @@ def trajectory_dtw(
     y_col: str,
     ref_id,
     band: int | None = 64,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """DTW similarity of every trajectory against a reference
     trajectory; returns (id_col, n_points, dtw). The classic
@@ -1706,8 +1716,8 @@ def trajectory_dtw(
 
     ref = (
         df.filter(F.col(id_col) == ref_id)
-        .select(order_col, x_col, y_col)
-        .orderBy(order_col)
+        .select(order_col, x_col, y_col, *([tiebreak] if tiebreak else []))
+        .orderBy(*([order_col, tiebreak] if tiebreak else [order_col]))
         .toPandas()
     )
     rx = ref[x_col].to_numpy(dtype=float)
@@ -1720,7 +1730,9 @@ def trajectory_dtw(
 
     def per_traj(pdf: pd.DataFrame) -> pd.DataFrame:
         rx_, ry_ = bc.value
-        pdf = pdf.sort_values(order_col)
+        pdf = pdf.sort_values(
+            [order_col, tiebreak] if tiebreak else order_col
+        )
         d = _dtw(
             pdf[x_col].to_numpy(dtype=float),
             pdf[y_col].to_numpy(dtype=float),
@@ -1730,8 +1742,11 @@ def trajectory_dtw(
             {id_col: [pdf[id_col].iloc[0]], "n_points": [len(pdf)], "dtw": [d]}
         )
 
+    cols = [id_col, order_col, x_col, y_col] + (
+        [tiebreak] if tiebreak else []
+    )
     return (
-        df.select(id_col, order_col, x_col, y_col)
+        df.select(*cols)
         .groupBy(id_col)
         .applyInPandas(per_traj, out_schema)
     )

@@ -662,7 +662,9 @@ def i14_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glonassdatamining_spark.api import rdp_simplify
 
     f = fixes(spark, sf_dir).withColumn("seq", F.unix_millis("ts"))
-    return rdp_simplify(f, "obj_id", "seq", "x", "y", eps=5.0)
+    return rdp_simplify(
+        f, "obj_id", "seq", "x", "y", eps=5.0, tiebreak="event_id"
+    )
 
 
 @register(
@@ -679,7 +681,9 @@ def i15_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glonassdatamining_spark.api import trajectory_dtw
 
     f = fixes(spark, sf_dir).withColumn("seq", F.unix_millis("ts"))
-    out = trajectory_dtw(f, "obj_id", "seq", "x", "y", ref_id=0, band=64)
+    out = trajectory_dtw(
+        f, "obj_id", "seq", "x", "y", ref_id=0, band=64, tiebreak="event_id"
+    )
     return out.select("obj_id", "n_points", F.round("dtw", 6).alias("dtw"))
 
 
