@@ -1187,3 +1187,132 @@ def test_cusum_fold_matches_python_model(spark, seed):
                 first = i
         maxs = max(maxs, s)
     assert (got.s, got.alarms, got.first, got.maxs) == (s, alarms, first, maxs)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_markov_transitions_match_python_model(spark, seed):
+    """i44's lead-window transition construction vs a direct python
+    walk over random per-object cell sequences (self-transitions
+    collapsed, counts exact)."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for obj in range(8):
+        for t in range(60):
+            rows.append((obj, t, eid, rng.randint(0, 3), rng.randint(0, 3)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "obj BIGINT, t BIGINT, eid BIGINT, cx INT, cy INT"
+    )
+    w = W.partitionBy("obj").orderBy("t", "eid")
+    hops = df.select(
+        "cx", "cy",
+        SF.lead("cx").over(w).alias("nx"), SF.lead("cy").over(w).alias("ny"),
+    )
+    got = Counter(
+        {
+            (r.cx, r.cy, r.nx, r.ny): r.n
+            for r in hops.filter(
+                SF.col("nx").isNotNull()
+                & ((SF.col("nx") != SF.col("cx")) | (SF.col("ny") != SF.col("cy")))
+            )
+            .groupBy("cx", "cy", "nx", "ny")
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .collect()
+        }
+    )
+    want: Counter = Counter()
+    for obj in range(8):
+        seq = [(cx, cy) for o, _, _, cx, cy in rows if o == obj]
+        for a, b in zip(seq, seq[1:]):
+            if a != b:
+                want[(a[0], a[1], b[0], b[1])] += 1
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_od_asymmetry_canonicalization_matches_python_model(spark, seed):
+    """i45's join-free CASE canonicalization vs a direct python
+    unordered-pair fold on random directed counts."""
+    import random
+    from collections import defaultdict
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    trans = [
+        (rng.randint(0, 3), rng.randint(0, 3), rng.randint(0, 3),
+         rng.randint(0, 3), rng.randint(1, 20))
+        for _ in range(80)
+    ]
+    trans = [(fx, fy, tx, ty, n) for fx, fy, tx, ty, n in trans
+             if (fx, fy) != (tx, ty)]
+    df = spark.createDataFrame(
+        trans, "fx INT, fy INT, tx INT, ty INT, n BIGINT"
+    )
+    is_fwd = (SF.col("fx") < SF.col("tx")) | (
+        (SF.col("fx") == SF.col("tx")) & (SF.col("fy") <= SF.col("ty"))
+    )
+    und = df.select(
+        SF.when(is_fwd, SF.col("fx")).otherwise(SF.col("tx")).alias("ax"),
+        SF.when(is_fwd, SF.col("fy")).otherwise(SF.col("ty")).alias("ay"),
+        SF.when(is_fwd, SF.col("tx")).otherwise(SF.col("fx")).alias("bx"),
+        SF.when(is_fwd, SF.col("ty")).otherwise(SF.col("fy")).alias("by2"),
+        SF.when(is_fwd, SF.col("n")).otherwise(SF.lit(0)).alias("fwd"),
+        SF.when(is_fwd, SF.lit(0)).otherwise(SF.col("n")).alias("rev"),
+    )
+    got = {
+        (r.ax, r.ay, r.bx, r.by2): (r.f, r.r)
+        for r in und.groupBy("ax", "ay", "bx", "by2")
+        .agg(SF.sum("fwd").alias("f"), SF.sum("rev").alias("r"))
+        .collect()
+    }
+    want: dict = defaultdict(lambda: [0, 0])
+    for fx, fy, tx, ty, n in trans:
+        if (fx, fy) <= (tx, ty):
+            want[(fx, fy, tx, ty)][0] += n
+        else:
+            want[(tx, ty, fx, fy)][1] += n
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_df_census_matches_python_counter(spark, seed):
+    """k45's log2 df-bucket census vs a direct python Counter on a
+    random (doc, term) incidence."""
+    import random
+    from collections import Counter
+    from math import floor, log2
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    pairs = {(rng.randint(0, 60), rng.randint(0, 25)) for _ in range(600)}
+    df = spark.createDataFrame(
+        [(d, t) for d, t in sorted(pairs)], "doc BIGINT, term BIGINT"
+    )
+    dfreq = df.groupBy("term").agg(SF.count(SF.lit(1)).alias("df"))
+    got = {
+        r.b: (r.n_terms, r.n_postings)
+        for r in dfreq.groupBy(
+            SF.floor(SF.log2("df")).cast("int").alias("b")
+        )
+        .agg(
+            SF.count(SF.lit(1)).alias("n_terms"),
+            SF.sum("df").alias("n_postings"),
+        )
+        .collect()
+    }
+    c = Counter(t for _, t in pairs)
+    want: dict = {}
+    for f in c.values():
+        b = floor(log2(f))
+        nt, np_ = want.get(b, (0, 0))
+        want[b] = (nt + 1, np_ + f)
+    assert got == want
