@@ -1316,3 +1316,68 @@ def test_df_census_matches_python_counter(spark, seed):
         nt, np_ = want.get(b, (0, 0))
         want[b] = (nt + 1, np_ + f)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ntile_bucketing_matches_python_model(spark, seed):
+    """d37's NTILE(10) over a (value, key) total order vs the SQL
+    standard's definition (⌊n/10⌋ base size, first n mod 10 buckets
+    one larger) computed directly in python."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    n = rng.randint(95, 115)  # deliberately not divisible by 10
+    rows = [(i, rng.randint(1, 40)) for i in range(n)]  # heavy ties
+    df = spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+    got = {
+        r.k: r.d
+        for r in df.select(
+            "k", SF.ntile(10).over(W.orderBy("v", "k")).alias("d")
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    base, extra = divmod(n, 10)
+    want, i = {}, 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        for k, _ in order[i: i + size]:
+            want[k] = b
+        i += size
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_rank_percentile_selection_matches_python_model(spark, seed):
+    """e28's element-at-integer-rank percentiles ((n+1)//2 and
+    ⌈9n/10⌉) vs direct python selection on a random series with
+    ties."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    vals = [rng.randint(0, 200) for _ in range(rng.randint(30, 90))]
+    df = spark.createDataFrame([(v,) for v in vals], "gap BIGINT")
+    r = df.select(
+        "gap",
+        SF.row_number().over(W.orderBy("gap")).cast("bigint").alias("rn"),
+        SF.count(SF.lit(1)).over(
+            W.partitionBy().orderBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    med = SF.floor((SF.col("n") + 1) / 2)
+    p90 = SF.floor((9 * SF.col("n") + 9) / 10)
+    got = r.agg(
+        SF.max(SF.when(SF.col("rn") == med, SF.col("gap"))).alias("p50"),
+        SF.max(SF.when(SF.col("rn") == p90, SF.col("gap"))).alias("p90"),
+    ).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    assert got.p50 == s[(n + 1) // 2 - 1]
+    assert got.p90 == s[-(-9 * n // 10) - 1]
