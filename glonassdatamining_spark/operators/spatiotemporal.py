@@ -3041,3 +3041,83 @@ def i45_od_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("asymmetry"),
     )
+
+
+# --------------------------------------------------------------------------
+# I46 — cell throughput census (arrivals / departures / net flow)
+# --------------------------------------------------------------------------
+@register(
+    "i46_cell_throughput",
+    oracle=(
+        FIXES_CTE
+        + ", cells AS (SELECT obj_id, ts, event_id, "
+        "CAST(floor(x / 10.0) AS INT) AS cx, "
+        "CAST(floor(y / 10.0) AS INT) AS cy FROM fixes), "
+        "hops AS (SELECT obj_id, cx, cy, "
+        "lead(cx) OVER w AS nx, lead(cy) OVER w AS ny "
+        "FROM cells WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "mv AS (SELECT cx, cy, nx, ny FROM hops "
+        "WHERE nx IS NOT NULL AND (nx <> cx OR ny <> cy)), "
+        "dep AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_out "
+        "FROM mv GROUP BY 1, 2), "
+        "arr AS (SELECT nx AS cx, ny AS cy, CAST(COUNT(*) AS BIGINT) AS n_in "
+        "FROM mv GROUP BY 1, 2) "
+        "SELECT COALESCE(dep.cx, arr.cx) AS cell_x, "
+        "COALESCE(dep.cy, arr.cy) AS cell_y, "
+        "COALESCE(n_in, 0) AS n_in, COALESCE(n_out, 0) AS n_out, "
+        "COALESCE(n_in, 0) - COALESCE(n_out, 0) AS net_flow, "
+        "COALESCE(n_in, 0) + COALESCE(n_out, 0) AS turnover "
+        "FROM dep FULL OUTER JOIN arr "
+        "ON dep.cx = arr.cx AND dep.cy = arr.cy "
+        f"WHERE COALESCE(n_in, 0) + COALESCE(n_out, 0) >= {_I44_MIN_TRANS}"
+    ),
+    section="I46",
+)
+def i46_cell_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell throughput census over the I44 movement chain: per grid
+    cell, inbound and outbound movement counts, net flow (sinks vs
+    sources: commuter districts drain by day and fill by night) and
+    turnover — the node-level marginals of the I44 transition matrix
+    and I45's pair asymmetry, completing the OD tier's
+    matrix/pair/node triptych. INTEGER-exact counts, no floating
+    arithmetic at all; thin cells pruned by the I44 support floor.
+    Scale shape: one window shuffle (shared with I44's plan), two
+    cell-keyed counts off the same movement frame, one FULL OUTER
+    equi-join on the bounded (≤ grid-size) cell key."""
+    f = fixes(spark, sf_dir)
+    cells = f.select(
+        "obj_id", "ts", "event_id",
+        F.floor(F.col("x") / 10.0).cast("int").alias("cx"),
+        F.floor(F.col("y") / 10.0).cast("int").alias("cy"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    mv = (
+        cells.select(
+            "cx", "cy",
+            F.lead("cx").over(w).alias("nx"),
+            F.lead("cy").over(w).alias("ny"),
+        )
+        .filter(
+            F.col("nx").isNotNull()
+            & ((F.col("nx") != F.col("cx")) | (F.col("ny") != F.col("cy")))
+        )
+        .localCheckpoint()
+    )
+    dep = mv.groupBy(F.col("cx"), F.col("cy")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out")
+    )
+    arr = mv.groupBy(
+        F.col("nx").alias("cx"), F.col("ny").alias("cy")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    j = dep.join(arr, ["cx", "cy"], "full_outer")
+    n_in = F.coalesce(F.col("n_in"), F.lit(0)).cast("bigint")
+    n_out = F.coalesce(F.col("n_out"), F.lit(0)).cast("bigint")
+    return (
+        j.select(
+            F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"),
+            n_in.alias("n_in"), n_out.alias("n_out"),
+            (n_in - n_out).alias("net_flow"),
+            (n_in + n_out).alias("turnover"),
+        )
+        .filter(F.col("turnover") >= _I44_MIN_TRANS)
+    )

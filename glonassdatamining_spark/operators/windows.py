@@ -1438,3 +1438,110 @@ def e28_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_gap_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# E29 — series volatility profile (integer-exact roughness)
+# --------------------------------------------------------------------------
+@register(
+    "e29_volatility_profile",
+    oracle=(
+        EVENTS_CTE
+        + _DAILY_SQL
+        + ", ch AS (SELECT event_type, "
+        "cnt - lag(cnt) OVER w AS d, "
+        "sign(cnt - lag(cnt) OVER w) * sign(lag(cnt) OVER w - "
+        "lag(cnt, 2) OVER w) AS flip "
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)) "
+        "SELECT event_type, CAST(COUNT(d) AS BIGINT) AS n_changes, "
+        "CAST(MAX(abs(d)) AS BIGINT) AS max_abs_change, "
+        "ROUND(CAST(SUM(CAST(abs(d) AS DECIMAL(38,0))) AS DOUBLE) / "
+        "CAST(COUNT(d) AS DOUBLE), 6) AS mean_abs_change, "
+        "CAST(COALESCE(SUM(CASE WHEN flip < 0 THEN 1 END), 0) AS BIGINT) "
+        "AS n_direction_flips FROM ch GROUP BY 1"
+    ),
+    section="E29",
+)
+def e29_volatility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volatility of each event type's count series:
+    change count, max and mean absolute change, and the number of
+    direction flips (an up-move immediately followed by a down-move
+    or vice versa — sign(Δ_t)·sign(Δ_{t−1}) < 0) — the roughness
+    profile that separates a noisy-but-flat series from a trending
+    one BEFORE pointing E19/E24/E27's detectors at it. Entirely
+    INTEGER-exact (differences, signs, flips; the mean is an exact
+    DECIMAL sum with one rounded division). Scale shape: the shared
+    daily rollup + ONE ordered window per series computing both lags,
+    then a map-side-combinable profile aggregate."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    ch = daily.select(
+        "event_type",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("dd"),
+        (
+            F.signum(F.col("cnt") - F.lag("cnt").over(w))
+            * F.signum(F.lag("cnt").over(w) - F.lag("cnt", 2).over(w))
+        ).alias("flip"),
+    )
+    return ch.groupBy("event_type").agg(
+        F.count("dd").cast("bigint").alias("n_changes"),
+        F.max(F.abs("dd")).cast("bigint").alias("max_abs_change"),
+        F.round(
+            F.sum(F.abs("dd").cast("decimal(38,0)")).cast("double")
+            / F.count("dd").cast("double"),
+            6,
+        ).alias("mean_abs_change"),
+        F.coalesce(
+            F.sum(F.when(F.col("flip") < 0, 1)), F.lit(0)
+        ).cast("bigint").alias("n_direction_flips"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E30 — record-breaking days (running high-water marks)
+# --------------------------------------------------------------------------
+@register(
+    "e30_record_days",
+    oracle=(
+        EVENTS_CTE
+        + _DAILY_SQL
+        + ", r AS (SELECT event_type, d, cnt, "
+        "MAX(cnt) OVER (PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_peak "
+        "FROM daily), "
+        "rec AS (SELECT event_type, d, cnt FROM r "
+        "WHERE prev_peak IS NULL OR cnt > prev_peak) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_record_days, "
+        "MAX(d) AS last_record_day, CAST(MAX(cnt) AS BIGINT) AS peak_cnt "
+        "FROM rec GROUP BY 1"
+    ),
+    section="E30",
+)
+def e30_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking days per event type: how often the daily count
+    set a new all-time high, when the last record fell, and the
+    standing peak — the growth-cadence summary dual to E25's
+    drawdown (records cluster early in a flat series, keep coming in
+    a growing one; streak analysis over record GAPS is E16's shape).
+    INTEGER-exact: a day is a record iff its count strictly exceeds
+    the running max over [start, t) (first day is a record by the
+    NULL frame), all counts exact. Scale shape: the shared daily
+    rollup + ONE ordered window per series with a 1-PRECEDING frame,
+    then a filter and a 3-column aggregate."""
+    daily = _daily_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = daily.select(
+        "event_type", "d", "cnt", F.max("cnt").over(w).alias("prev_peak")
+    )
+    rec = r.filter(
+        F.col("prev_peak").isNull() | (F.col("cnt") > F.col("prev_peak"))
+    )
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_record_days"),
+        F.max("d").alias("last_record_day"),
+        F.max("cnt").cast("bigint").alias("peak_cnt"),
+    )
