@@ -2511,3 +2511,55 @@ def k45_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("posting_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K46 — token frequency-of-frequencies spectrum (Good–Turing input)
+# --------------------------------------------------------------------------
+@register(
+    "k46_freq_spectrum",
+    oracle=(
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks "
+        "GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, "
+        "CAST(SUM(c) AS BIGINT) AS n FROM vocab) "
+        "SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "CAST(c * COUNT(*) AS BIGINT) AS n_tokens, "
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT v FROM tot) "
+        "AS DOUBLE), 9) AS type_share "
+        "FROM vocab GROUP BY c ORDER BY c"
+    ),
+    section="K46",
+)
+def k46_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum N_c = |{types seen
+    exactly c times}| — the count-of-counts table that feeds
+    Good–Turing smoothing (Good 1953), singleton/hapax analysis
+    (N₁/V is the unseen-mass estimate), and vocabulary-growth
+    projections for tokenizer sizing (K19's coverage read from the
+    other side). Entirely INTEGER-exact except one rounded
+    type-share division. Scale shape: token groupBy → count groupBy
+    (the second input is vocabulary-sized, the output is
+    max-frequency-sized — tiny); both map-side-combinable."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()
+    tot = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    return (
+        vocab.groupBy(F.col("c").alias("freq"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "freq", "n_types",
+            (F.col("freq") * F.col("n_types")).cast("bigint")
+            .alias("n_tokens"),
+            F.round(
+                F.col("n_types").cast("double") / F.col("v").cast("double"), 9
+            ).alias("type_share"),
+        )
+    )

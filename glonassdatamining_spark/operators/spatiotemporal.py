@@ -3121,3 +3121,71 @@ def i46_cell_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("turnover") >= _I44_MIN_TRANS)
     )
+
+
+# --------------------------------------------------------------------------
+# I47 — revisit rate (exploration vs return, Song et al. 2010)
+# --------------------------------------------------------------------------
+@register(
+    "i47_revisit_rate",
+    oracle=(
+        FIXES_CTE
+        + ", cells AS (SELECT obj_id, ts, event_id, "
+        "CAST(floor(x / 10.0) AS INT) AS cx, "
+        "CAST(floor(y / 10.0) AS INT) AS cy FROM fixes), "
+        "seq AS (SELECT obj_id, cx, cy, "
+        "lag(cx) OVER w AS px, lag(cy) OVER w AS py "
+        "FROM cells WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "stops AS (SELECT obj_id, cx, cy FROM seq "
+        "WHERE px IS NULL OR cx <> px OR cy <> py), "
+        "m AS (SELECT obj_id, CAST(COUNT(*) AS BIGINT) AS n_stops, "
+        "CAST(COUNT(DISTINCT (cx, cy)) AS BIGINT) AS n_distinct "
+        "FROM stops GROUP BY 1) "
+        "SELECT obj_id, n_stops, n_distinct, "
+        "n_stops - n_distinct AS n_returns, "
+        "ROUND(CAST(n_stops - n_distinct AS DOUBLE) / "
+        "CAST(n_stops AS DOUBLE), 9) AS revisit_rate FROM m"
+    ),
+    section="I47",
+)
+def i47_revisit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit rate per object: over the collapsed cell sequence
+    (consecutive duplicates removed — the same 'stop' chain I44
+    transitions ride), the fraction of stops that RETURN to a
+    previously visited cell — the exploration-vs-return split of
+    human-mobility canon (Song et al. 2010's explorers vs returners;
+    I38's entropy scores the same regularity as bits, this scores it
+    as a rate). INTEGER-exact: stops and distinct cells are exact
+    counts, returns their difference, one rounded division; first
+    fix is always a stop so the denominator is ≥ 1. Scale shape:
+    ONE obj window (shared with I44's plan) + one per-object
+    count/count-distinct aggregate."""
+    f = fixes(spark, sf_dir)
+    cells = f.select(
+        "obj_id", "ts", "event_id",
+        F.floor(F.col("x") / 10.0).cast("int").alias("cx"),
+        F.floor(F.col("y") / 10.0).cast("int").alias("cy"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    seq = cells.select(
+        "obj_id", "cx", "cy",
+        F.lag("cx").over(w).alias("px"),
+        F.lag("cy").over(w).alias("py"),
+    )
+    stops = seq.filter(
+        F.col("px").isNull()
+        | (F.col("cx") != F.col("px"))
+        | (F.col("cy") != F.col("py"))
+    )
+    m = stops.groupBy("obj_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stops"),
+        F.countDistinct("cx", "cy").cast("bigint").alias("n_distinct"),
+    )
+    ret = F.col("n_stops") - F.col("n_distinct")
+    return m.select(
+        "obj_id", "n_stops", "n_distinct",
+        ret.alias("n_returns"),
+        F.round(
+            ret.cast("double") / F.col("n_stops").cast("double"), 9
+        ).alias("revisit_rate"),
+    )

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "d37_decile_shares",      # 1-row revenue-total scalar, broadcast
     "n12_rich_club",          # 4-row threshold dim, broadcast (c7's band shape)
     "k45_shingle_df_profile", # 1-row posting-total scalar, broadcast
+    "k46_freq_spectrum",      # 1-row vocab-size scalar, broadcast
     "l4_watermark_filter",    # 1-row scalar max, broadcast
     "d22_heavy_hitters",      # 1-row corpus token total, broadcast
     "d23_hll_set_ops",        # 5-row per-type sketch table × itself
