@@ -759,3 +759,46 @@ def c18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glonassdatamining_spark.api import skew_profile
 
     return skew_profile(load(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# C9e — forward as-of join (the look-ahead direction)
+# --------------------------------------------------------------------------
+@register(
+    "c9e_asof_forward",
+    oracle=(
+        EVENTS_CTE
+        + ", l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts AS err_ts, MAX(event_id) AS err_event_id "
+        "      FROM events WHERE event_type = 'error' GROUP BY user_id, ts) "
+        "SELECT l.event_id, l.user_id, l.ts, r.err_event_id, r.err_ts "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts <= r.err_ts"
+    ),
+    section="C9e",
+)
+def c9e_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the EARLIEST error
+    (same user) at-or-after it — the look-ahead direction (time-to-
+    next-failure, next-quote-after-trade) completing C9's
+    backward/nearest/tolerance family. Same kernel (``api.asof_join``,
+    direction='forward'): union-tag + ONE shuffle on the key + a
+    running first-over-reversed-order scan — no range join, no
+    Python; DuckDB's ASOF with ``<=`` is the exact semantic twin.
+    Right side deduped per (user, ts) so ties can't be
+    engine-dependent."""
+    from glonassdatamining_spark.api import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("event_id").alias("err_event_id"))
+    )
+    return asof_join(
+        left, right, "user_id", "ts", "err_ts", direction="forward"
+    ).select("event_id", "user_id", "ts", "err_event_id", "err_ts")
