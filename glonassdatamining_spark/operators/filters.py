@@ -238,3 +238,51 @@ def b9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_B9_SQL)
+
+
+# --------------------------------------------------------------------------
+# B10 — collation-aware comparison (Spark 4 collations)
+# --------------------------------------------------------------------------
+@register(
+    "b10_collation_compare",
+    oracle=(
+        "WITH mixed AS (SELECT CASE WHEN doc_id % 2 = 1 "
+        "THEN upper(substr(source, 1, 1)) || substr(source, 2) "
+        "ELSE source END AS s FROM documents) "
+        "SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_binary_distinct, "
+        "CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS n_ci_distinct "
+        "FROM mixed"
+    ),
+    section="B10",
+)
+def b10_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4's collation engine):
+    the same distinct-count run under binary collation and under
+    UTF8_LCASE — the declarative way to make grouping / joins /
+    dedup case-insensitive WITHOUT wrapping every column in lower()
+    (the collated comparison pushes into hash computation and
+    codegen; a lower() wrapper blocks dictionary-encoding reuse and
+    rewrites every predicate). Mixed case is synthesized
+    deterministically (odd doc_ids title-cased) since the fixture is
+    lowercase; the DuckDB oracle replays the lower() identity —
+    UTF8_LCASE equality ≡ equality of lower() for ASCII — so the
+    collated path is hash-checked, not just materialized. Scale
+    shape: two distinct aggregates over one scan, both
+    map-side-combinable."""
+    mixed = load(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.upper(F.substring("source", 1, 1)),
+                F.expr("substr(source, 2)"),
+            ),
+        )
+        .otherwise(F.col("source"))
+        .alias("s")
+    )
+    return mixed.agg(
+        F.countDistinct("s").cast("bigint").alias("n_binary_distinct"),
+        F.countDistinct(F.collate(F.col("s"), "UTF8_LCASE"))
+        .cast("bigint")
+        .alias("n_ci_distinct"),
+    )
