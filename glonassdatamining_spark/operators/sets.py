@@ -250,3 +250,66 @@ def g7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             status.alias("status"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G8 — referential-integrity audit (FK orphan census)
+# --------------------------------------------------------------------------
+@register(
+    "g8_referential_audit",
+    oracle=(
+        "SELECT 'lineitem.l_orderkey->orders' AS fk_edge, "
+        "CAST(COUNT(*) AS BIGINT) AS n_child_rows, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) "
+        "AS n_orphans, "
+        "ROUND(CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 9) AS orphan_rate "
+        "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+        "UNION ALL "
+        "SELECT 'orders.o_custkey->customer', "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT), "
+        "ROUND(CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 9) "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+    ),
+    section="G8",
+)
+def g8_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per declared FK edge, the child
+    row count, orphan count (child keys with no parent) and orphan
+    rate — the reconciliation every ingest pipeline runs before
+    trusting joins (an orphan rate > 0 silently turns INNER joins
+    into row-droppers; G4's EXCEPT shows the keys, this censuses the
+    damage). Counts INTEGER-exact, one rounded rate each. Scale
+    shape: per edge, ONE left join on the key the downstream joins
+    shuffle anyway + a map-side-combinable conditional count — at
+    100 TB the parent side is the (much smaller) dim and broadcasts;
+    the fixture edges verify 0 orphans, and the t2 hash pins that
+    zero cross-engine (a nonzero would mismatch loudly)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def edge(child, pcol, parent, pkey, name):
+        j = child.join(
+            F.broadcast(parent), child[pcol] == parent[pkey], "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(parent[pkey].isNull().cast("int")).cast("bigint")
+            .alias("n_orphans"),
+            F.round(
+                F.sum(parent[pkey].isNull().cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("orphan_rate"),
+        )
+
+    return edge(
+        li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+        "lineitem.l_orderkey->orders",
+    ).unionAll(
+        edge(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
+    )
