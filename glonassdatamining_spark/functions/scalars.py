@@ -549,3 +549,43 @@ def h16_inet_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ip_str").alias("min_ip"),
         F.max("ip_str").alias("max_ip"),
     )
+
+
+# --------------------------------------------------------------------------
+# H17 — try_* arithmetic (the ANSI-mode safety companions)
+# --------------------------------------------------------------------------
+@register(
+    "h17_try_arithmetic",
+    oracle=(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) FILTER (WHERE l_quantity = 25) AS BIGINT) "
+        "AS n_nulled, "
+        "CAST(SUM(CASE WHEN l_quantity <> 25 THEN "
+        "CAST(ROUND(l_extendedprice / (l_quantity - 25), 6) "
+        "AS DECIMAL(28,6)) END) AS DOUBLE) AS sum_safe_div "
+        "FROM lineitem GROUP BY 1"
+    ),
+    section="H17",
+)
+def h17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* arithmetic under ANSI mode: this session pins
+    spark.sql.ansi.enabled=true (SURVEY §5.2's posture), so a plain
+    division by zero THROWS — `try_divide` is the declarative
+    per-expression escape hatch (NULL instead of abort) that lets a
+    pipeline keep strict semantics globally while tolerating known
+    bad cells locally, without a CASE wrapped around every operand.
+    The demo divides price by (quantity − 25) — genuinely zero for
+    the qty=25 slice — counts the nulled rows, and DECIMAL-sums the
+    per-row ROUND(…, 6) quotients (k22's discipline: division is
+    IEEE-exact per row, the sum rides order-free decimals). The
+    oracle replays the CASE form try_divide desugars to. Scale
+    shape: one map-side-combinable groupBy over the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(q.isNull().cast("int")).cast("bigint").alias("n_nulled"),
+        F.sum(F.round(q, 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_safe_div"),
+    )
