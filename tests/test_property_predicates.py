@@ -1381,3 +1381,109 @@ def test_rank_percentile_selection_matches_python_model(spark, seed):
     n = len(s)
     assert got.p50 == s[(n + 1) // 2 - 1]
     assert got.p90 == s[-(-9 * n // 10) - 1]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_volatility_flips_match_python_model(spark, seed):
+    """e29's double-lag sign-flip construction vs a direct python scan
+    over a random integer series."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    vals = [rng.randint(0, 40) for _ in range(100)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t BIGINT, v BIGINT"
+    )
+    w = W.orderBy("t")
+    got = (
+        df.select(
+            (
+                SF.signum(SF.col("v") - SF.lag("v").over(w))
+                * SF.signum(SF.lag("v").over(w) - SF.lag("v", 2).over(w))
+            ).alias("flip")
+        )
+        .agg(
+            SF.coalesce(SF.sum(SF.when(SF.col("flip") < 0, 1)), SF.lit(0))
+            .cast("bigint").alias("n")
+        )
+        .collect()[0].n
+    )
+    want = 0
+    for i in range(2, len(vals)):
+        d1, d0 = vals[i] - vals[i - 1], vals[i - 1] - vals[i - 2]
+        if d1 * d0 < 0:
+            want += 1
+    assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_record_days_match_python_model(spark, seed):
+    """e30's 1-PRECEDING running-max record detection vs a direct
+    python high-water scan."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    vals = [rng.randint(0, 60) for _ in range(120)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t BIGINT, v BIGINT"
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    got = (
+        df.select("v", SF.max("v").over(w).alias("pp"))
+        .filter(SF.col("pp").isNull() | (SF.col("v") > SF.col("pp")))
+        .count()
+    )
+    peak, want = None, 0
+    for v in vals:
+        if peak is None or v > peak:
+            want += 1
+            peak = v if peak is None else max(peak, v)
+    assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_revisit_rate_matches_python_model(spark, seed):
+    """i47's collapsed-sequence stop/distinct counts vs a direct
+    python walk."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(seed)
+    rows = []
+    for obj in range(6):
+        for t in range(50):
+            rows.append((obj, t, rng.randint(0, 3), rng.randint(0, 1)))
+    df = spark.createDataFrame(rows, "obj BIGINT, t BIGINT, cx INT, cy INT")
+    w = W.partitionBy("obj").orderBy("t")
+    seq = df.select(
+        "obj", "cx", "cy",
+        SF.lag("cx").over(w).alias("px"), SF.lag("cy").over(w).alias("py"),
+    )
+    stops = seq.filter(
+        SF.col("px").isNull()
+        | (SF.col("cx") != SF.col("px"))
+        | (SF.col("cy") != SF.col("py"))
+    )
+    got = {
+        r.obj: (r.s, r.d)
+        for r in stops.groupBy("obj").agg(
+            SF.count(SF.lit(1)).alias("s"),
+            SF.countDistinct("cx", "cy").alias("d"),
+        ).collect()
+    }
+    want = {}
+    for obj in range(6):
+        cells = [(cx, cy) for o, _, cx, cy in rows if o == obj]
+        collapsed = [cells[0]] + [
+            b for a, b in zip(cells, cells[1:]) if a != b
+        ]
+        want[obj] = (len(collapsed), len(set(collapsed)))
+    assert got == want
