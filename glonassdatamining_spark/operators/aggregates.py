@@ -1652,3 +1652,101 @@ def d37_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D38 — Cramér's V effect size (+ dominant-cell diagnostic)
+# --------------------------------------------------------------------------
+@register(
+    "d38_cramers_v",
+    oracle=(
+        "WITH o AS (SELECT l_returnflag AS rf, l_linestatus AS ls, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), "
+        "rt AS (SELECT rf, CAST(SUM(n) AS BIGINT) AS r FROM o GROUP BY 1), "
+        "ct AS (SELECT ls, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, "
+        "CAST(COUNT(DISTINCT rf) AS BIGINT) AS nr, "
+        "CAST(COUNT(DISTINCT ls) AS BIGINT) AS nc FROM o), "
+        "cells AS (SELECT rf, ls, "
+        "ROUND((CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) "
+        "/ CAST(t AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * "
+        "CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) / (CAST(r AS DOUBLE) * "
+        "CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS term, "
+        "t, nr, nc FROM o JOIN rt USING (rf) JOIN ct USING (ls) "
+        "CROSS JOIN tot), "
+        "agg AS (SELECT CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) "
+        "AS chi2, ANY_VALUE(t) AS t, ANY_VALUE(nr) AS nr, "
+        "ANY_VALUE(nc) AS nc FROM cells), "
+        "dom AS (SELECT rf || '/' || ls AS dominant_cell FROM cells "
+        "ORDER BY term DESC, rf, ls LIMIT 1) "
+        "SELECT chi2, "
+        "ROUND(sqrt(chi2 / (CAST(t AS DOUBLE) * "
+        "CAST(least(nr - 1, nc - 1) AS DOUBLE))), 9) AS cramers_v, "
+        "dominant_cell FROM agg CROSS JOIN dom"
+    ),
+    section="D38",
+)
+def d38_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the returnflag × linestatus table —
+    D28 answers 'is the association statistically nonzero?'; V =
+    √(χ²/(n·min(r−1,c−1))) answers 'is it LARGE?' on the
+    scale-invariant 0–1 scale regulators and feature-selection
+    pipelines threshold (Cramér 1946) — plus the dominant cell (the
+    largest (o−e)²/e contributor, tie-broken lexicographically), the
+    post-hoc read of WHERE the association lives. FP discipline is
+    D28's verbatim: exact integer counts/margins, per-cell terms
+    rounded then DECIMAL-summed, and the final V is one
+    IEEE-exact-division + sqrt (sqrt IS correctly rounded by IEEE),
+    rounded. Scale shape: one count shuffle, then everything folds
+    over the R×C broadcast-size cell table."""
+    li = load(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    o = o.localCheckpoint()
+    rt = o.groupBy("rf").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = o.groupBy("ls").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = o.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.countDistinct("rf").cast("bigint").alias("nr"),
+        F.countDistinct("ls").cast("bigint").alias("nc"),
+    )
+    nd, rd, cd, td = (
+        F.col("n").cast("double"), F.col("r").cast("double"),
+        F.col("c").cast("double"), F.col("t").cast("double"),
+    )
+    e = rd * cd / td
+    cells = (
+        o.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rf", "ls", "t", "nr", "nc",
+            F.round((nd - e) * (nd - e) / e, 9).alias("term"),
+        )
+    )
+    agg = cells.agg(
+        F.sum(F.col("term").cast("decimal(28,9)")).cast("double")
+        .alias("chi2"),
+        F.first("t").alias("t"),
+        F.first("nr").alias("nr"),
+        F.first("nc").alias("nc"),
+        F.max_by(
+            F.concat_ws("/", "rf", "ls"),
+            F.struct(F.col("term"), F.col("rf"), F.col("ls")),
+        ).alias("dominant_cell"),
+    )
+    return agg.select(
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("t").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
+        "dominant_cell",
+    )

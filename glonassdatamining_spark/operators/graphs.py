@@ -21,7 +21,7 @@ compact-forward algorithm shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
@@ -622,4 +622,69 @@ def n12_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("phi"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# N13 — degree Gini (hub inequality as one number)
+# --------------------------------------------------------------------------
+@register(
+    "n13_degree_gini",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY 1), "
+        "rk AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d, node) "
+        "AS BIGINT) AS rn FROM deg), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(d) AS BIGINT) AS s, "
+        "CAST(SUM(CAST(d * rn AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a "
+        "FROM rk) "
+        "SELECT n AS n_nodes, s AS sum_degree, "
+        "ROUND((2.0 * CAST(a AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * "
+        "CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 9) "
+        "AS degree_gini FROM m"
+    ),
+    section="N13",
+)
+def n13_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree distribution — hub inequality
+    as ONE number (0 = regular graph, →1 = a few hubs own all the
+    edges), the scalar companion to N6's full distribution and
+    N10's mixing coefficient; D33's rank-weighted construction
+    applied to graph structure. ENTIRELY integer-exact until the
+    final identically-ordered double fold: degrees are bigints, the
+    rank-weighted sum Σ i·d₍ᵢ₎ is exact DECIMAL(38), ranks
+    tie-break on node id (equal degrees are interchangeable in the
+    sum, so the tie-break cannot move G). Scale shape: degree
+    rollup + ONE global-order rank window (the E3 two-tier rewrite
+    at extreme cardinality) + one moment aggregate."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    rk = deg.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "node"))
+        .cast("bigint").alias("rn"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum((F.col("d") * F.col("rn")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("a"),
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    return m.select(
+        F.col("n").alias("n_nodes"),
+        F.col("s").alias("sum_degree"),
+        F.round(
+            (2.0 * F.col("a").cast("double") - (nd + 1.0) * sd) / (nd * sd),
+            9,
+        ).alias("degree_gini"),
     )
