@@ -1545,3 +1545,55 @@ def e30_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("last_record_day"),
         F.max("cnt").cast("bigint").alias("peak_cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# E31 — day-of-week × hour activity profile
+# --------------------------------------------------------------------------
+@register(
+    "e31_dow_hour_profile",
+    oracle=(
+        EVENTS_CTE
+        + ", g AS (SELECT event_type, "
+        "CAST(date_part('isodow', ts) AS INT) AS dow, "
+        "CAST(date_part('hour', ts) AS INT) AS hod, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2, 3), "
+        "t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total "
+        "FROM g GROUP BY 1) "
+        "SELECT g.event_type, dow, hod, cnt, "
+        "ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share "
+        "FROM g JOIN t ON t.event_type = g.event_type"
+    ),
+    section="E31",
+)
+def e31_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap per event type —
+    the calendar fingerprint behind E21's dow-level seasonal indices
+    (this is the full 7×24 matrix those indices marginalize; a
+    workday type shows office-hours mass, a batch job shows one hot
+    cell). INTEGER-exact counts keyed on ISO weekday + hour (both
+    engines read the same ms-truncated UTC ts), one rounded share
+    division against a broadcast per-type total. Scale shape: ONE
+    map-side-combinable (type, dow, hour) groupBy — the output is
+    bounded at types×168 rows at any input scale."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts")).alias("_dw"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+    g = g.select(
+        "event_type",
+        ((F.col("_dw") + 5) % 7 + 1).cast("int").alias("dow"),
+        "hod", "cnt",
+    ).localCheckpoint()
+    t = g.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    return g.join(F.broadcast(t), "event_type").select(
+        "event_type", "dow", "hod", "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.col("total").cast("double"), 9
+        ).alias("share"),
+    )

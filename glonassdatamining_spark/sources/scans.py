@@ -745,3 +745,68 @@ def a19_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name STRING, row_group_id INT, n_rows BIGINT, "
         "n_columns INT, total_byte_size BIGINT",
     )
+
+
+@register(
+    "a20_footer_column_stats",
+    oracle=None,  # path-parameterized like A19 — mirrored against
+    # DuckDB parquet_metadata() per column chunk in tests/test_bucketing.py
+    section="A20",
+)
+def a20_footer_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-chunk statistics audit: per (file, row group, column) —
+    value count, null count, and whether min/max statistics are
+    present — the footer-level visibility behind stats-based row-group
+    pruning (A3's predicate pushdown only skips row groups whose
+    min/max PROVE exclusion; a column without stats silently scans
+    everything) and null-density screening before a join. Same
+    DISTRIBUTED manifest-scan shape as A19: parallelized file list →
+    mapInPandas opening footers only. Mirrored against DuckDB's
+    parquet_metadata() in tests/test_bucketing.py."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path STRING"
+    ).repartition(max(1, min(len(paths), 8)))
+
+    def _stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = []
+            for p in b["path"]:
+                md = pq.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    for j in range(rg.num_columns):
+                        col = rg.column(j)
+                        st = col.statistics
+                        out.append(
+                            (
+                                os.path.basename(p),
+                                i,
+                                col.path_in_schema,
+                                col.num_values,
+                                None if st is None else st.null_count,
+                                bool(
+                                    st is not None
+                                    and st.has_min_max
+                                ),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "row_group_id", "column_name",
+                    "n_values", "null_count", "has_min_max",
+                ],
+            )
+
+    return pdf.mapInPandas(
+        _stats,
+        "file_name STRING, row_group_id INT, column_name STRING, "
+        "n_values BIGINT, null_count BIGINT, has_min_max BOOLEAN",
+    )

@@ -118,3 +118,43 @@ def test_a19_footer_audit_matches_duckdb(spark):
     # uncompressed-size accounting differs by footer-overhead definition
     # in no engine; both read total_byte_size from the same field:
     assert (got["total_byte_size"].values == want["total_byte_size"].values).all()
+
+
+def test_a20_column_stats_match_duckdb(spark):
+    """a20's distributed column-chunk stats vs DuckDB's
+    parquet_metadata() on the same files."""
+    import duckdb
+
+    from glonassdatamining_spark import registry
+    from tests.conftest import SF_DIR
+
+    got = (
+        registry.get("a20_footer_column_stats")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["file_name", "row_group_id", "column_name"])
+        .reset_index(drop=True)
+    )
+    assert len(got) >= 40  # every table contributes its column chunks
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT parse_filename(file_name) AS file_name, row_group_id, "
+        "replace(path_in_schema, ', ', '.') AS column_name, "
+        "num_values AS n_values, "
+        "stats_null_count AS null_count, "
+        "(stats_min_value IS NOT NULL OR stats_max_value IS NOT NULL) "
+        "AS has_min_max "
+        f"FROM parquet_metadata('{SF_DIR}/*.parquet') "
+        "ORDER BY 1, 2, 3"
+    ).fetchdf()
+    con.close()
+    assert len(got) == len(want)
+    for c in ("file_name", "row_group_id", "column_name", "n_values"):
+        assert (got[c].values == want[c].values).all(), c
+    import pandas as pd
+
+    gn = got["null_count"].astype("float64")
+    wn = want["null_count"].astype("float64")
+    assert ((gn == wn) | (gn.isna() & wn.isna())).all()
+    assert (got["has_min_max"].astype(bool).values
+            == want["has_min_max"].astype(bool).values).all()
