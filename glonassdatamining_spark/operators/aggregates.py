@@ -1750,3 +1750,76 @@ def d38_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         "dominant_cell",
     )
+
+
+# --------------------------------------------------------------------------
+# D39 — IQR outlier fences (rank-exact Tukey boxplot rule)
+# --------------------------------------------------------------------------
+@register(
+    "d39_iqr_outliers",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority, o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM orders), "
+        "rk AS (SELECT o_orderpriority, cents, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY cents, o_orderkey) AS BIGINT) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n "
+        "FROM c), "
+        "q AS (SELECT o_orderpriority, ANY_VALUE(n) AS n_rows, "
+        "MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1, "
+        "MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3 "
+        "FROM rk GROUP BY 1) "
+        "SELECT q.o_orderpriority, n_rows, q1 AS q1_cents, "
+        "q3 AS q3_cents, "
+        "CAST(COUNT(*) FILTER (WHERE 2 * cents > 5 * q3 - 3 * q1 "
+        "OR 2 * cents < 5 * q1 - 3 * q3) AS BIGINT) AS n_outliers "
+        "FROM rk JOIN q ON q.o_orderpriority = rk.o_orderpriority "
+        "GROUP BY 1, 2, 3, 4"
+    ),
+    section="D39",
+)
+def d39_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier census per order priority: quartiles,
+    and the count of rows outside the 1.5·IQR fences — the classic
+    robust outlier rule beside D18's MAD screen, computed ENTIRELY in
+    integers: quartiles are rank-selected elements (D36/E28's
+    interpolation-free discipline — element at ⌈n/4⌉ and ⌈3n/4⌉ over
+    a (cents, orderkey) total order), and the fence tests are
+    cross-multiplied (2·x > 5·q3 − 3·q1 ⇔ x > q3 + 1.5·IQR — the 1.5
+    never becomes a float). No floating arithmetic ANYWHERE in this
+    query. Scale shape: one rank window + count window on a shared
+    partitioning, a broadcast quartile join back, one conditional
+    count."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority", "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    rk = c.select(
+        "o_orderpriority", "cents",
+        F.row_number().over(wp.orderBy("cents", "o_orderkey"))
+        .cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    ).localCheckpoint()
+    q1r = F.floor((F.col("n") + 3) / 4)
+    q3r = F.floor((3 * F.col("n") + 3) / 4)
+    q = rk.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n_rows"),
+        F.max(F.when(F.col("rn") == q1r, F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("rn") == q3r, F.col("cents"))).alias("q3"),
+    )
+    j = rk.select("o_orderpriority", "cents").join(
+        F.broadcast(q), "o_orderpriority"
+    )
+    outlier = (2 * F.col("cents") > 5 * F.col("q3") - 3 * F.col("q1")) | (
+        2 * F.col("cents") < 5 * F.col("q1") - 3 * F.col("q3")
+    )
+    return j.groupBy(
+        "o_orderpriority",
+        F.col("n_rows"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+    ).agg(F.sum(outlier.cast("int")).cast("bigint").alias("n_outliers"))
