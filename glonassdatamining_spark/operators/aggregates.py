@@ -911,7 +911,7 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
             f"('{a}', '{b}', s_{a}, s_{b}, p_{a}_{b}, p_{a}_{a}, p_{b}_{b})"
             for i, a in enumerate(_CORR_COLS)
             for b in _CORR_COLS[i + 1:]
-        ).replace(f"s_{_CORR_COLS[0]}", f"s_{_CORR_COLS[0]}")
+        )
         + ") v(col_a, col_b, sa, sb, pab, paa, pbb))"
     ),
     section="D27",
@@ -942,20 +942,28 @@ def d27_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"p_{a}_{b}")
             )
     m = li.agg(*aggs)
-    nd = F.col("n").cast("double")
-    pairs = None
-    for i, a in enumerate(_CORR_COLS):
-        for b in _CORR_COLS[i + 1:]:
-            r = (nd * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
-                F.sqrt(nd * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
-                * F.sqrt(nd * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
-            )
-            row = m.select(
-                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-                r.alias("pearson_r"),
-            )
-            pairs = row if pairs is None else pairs.unionAll(row)
-    return pairs
+    # All C(4,2) pairs emitted from ONE select over the single moment row
+    # via stack() — the aggregate subtree is planned once, not duplicated
+    # per unionAll branch (the k44_rule_ablation pattern).
+    stack_rows = ", ".join(
+        f"'{a}', '{b}', s_{a}, s_{b}, p_{a}_{b}, p_{a}_{a}, p_{b}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    n_pairs = len(_CORR_COLS) * (len(_CORR_COLS) - 1) // 2
+    stacked = m.select(
+        F.col("n").cast("double").alias("nd"),
+        F.expr(
+            f"stack({n_pairs}, {stack_rows}) "
+            "AS (col_a, col_b, sa, sb, pab, paa, pbb)"
+        ),
+    )
+    nd = F.col("nd")
+    r = (nd * F.col("pab") - F.col("sa") * F.col("sb")) / (
+        F.sqrt(nd * F.col("paa") - F.col("sa") * F.col("sa"))
+        * F.sqrt(nd * F.col("pbb") - F.col("sb") * F.col("sb"))
+    )
+    return stacked.select("col_a", "col_b", r.alias("pearson_r"))
 
 
 @register(
@@ -1731,9 +1739,11 @@ def d38_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("t").alias("t"),
         F.first("nr").alias("nr"),
         F.first("nc").alias("nc"),
-        F.max_by(
+        F.min_by(
             F.concat_ws("/", "rf", "ls"),
-            F.struct(F.col("term"), F.col("rf"), F.col("ls")),
+            F.struct(
+                (-F.col("term")).alias("t"), F.col("rf"), F.col("ls")
+            ),
         ).alias("dominant_cell"),
     )
     return agg.select(
