@@ -525,3 +525,57 @@ def l16_bus_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("x", "sum_x"),
         dsum("y", "sum_y"),
     )
+
+
+_L17_HORIZON_S = 30 * 60
+
+
+@register(
+    "l17_stream_asof_join",
+    oracle=(
+        EVENTS_CTE
+        + ", l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts AS err_ts, MAX(event_id) AS err_event_id "
+        "      FROM events WHERE event_type = 'error' GROUP BY user_id, ts) "
+        "SELECT event_id, user_id, ts, "
+        "CASE WHEN ok THEN err_event_id END AS err_event_id, "
+        "CASE WHEN ok THEN err_ts END AS err_ts FROM ("
+        "  SELECT l.event_id, l.user_id, l.ts, r.err_event_id, r.err_ts, "
+        f"  epoch(l.ts) - epoch(r.err_ts) <= {_L17_HORIZON_S} AS ok "
+        "  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts)"
+    ),
+    section="L17",
+)
+def l17_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream AS-OF enrichment twin — trade/quote alignment,
+    THE streaming as-of use case: each purchase enriched with the
+    user's latest error at-or-before it, looking back at most 30
+    minutes (the lookback horizon is what keeps the STREAMING form's
+    join state finite — an unbounded as-of cannot evict state, so the
+    horizon is part of the operator's declared semantics, exactly
+    c9d's stale-quote tolerance). Batch twin: the c9 union-tag as-of
+    kernel with tolerance = horizon — one shuffle, no range join.
+
+    Live form (streaming.live.l17_streaming): a watermarked LEFT OUTER
+    time-interval join (err_ts in [ts − 30 min, ts]) CHAINED into a
+    windowed max_by aggregation that reduces the candidate band to the
+    single latest match per purchase — the Spark 3.5+ multiple-
+    stateful-operator pipeline (join state evicted by band + delay;
+    agg rows finalize when the watermark closes their window).
+    Equality to this twin inside the final watermark horizon is
+    asserted in tests/test_streaming.py."""
+    from glonassdatamining_spark.api import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("event_id").alias("err_event_id"))
+    )
+    return asof_join(
+        purchases, errors, "user_id", "ts", "err_ts",
+        direction="backward", tolerance_s=_L17_HORIZON_S,
+    )

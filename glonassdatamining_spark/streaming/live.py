@@ -721,3 +721,71 @@ def l16_streaming(spark: SparkSession, sf_dir: str) -> str:
     finally:
         q.stop()
     return root
+
+
+def l17_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream AS-OF enrichment (L17) — trade/quote
+    alignment: each purchase gains the user's latest error
+    at-or-before it within a 30-minute lookback horizon. Structured
+    Streaming has no as-of join, so the live form is the canonical
+    two-stateful-operator pipeline (Spark 3.5+ multiple stateful
+    operators):
+
+      1. watermarked LEFT OUTER time-interval join — err_ts in
+         [ts − 30 min, ts] — producing the whole candidate band per
+         purchase (state evicted at band + delay; the horizon is what
+         makes as-of streamable at all: an unbounded lookback could
+         never evict the error side);
+      2. a chained windowed aggregation that reduces the band to the
+         single latest match: max_by over (err_ts, err_event_id) —
+         ties resolved exactly like the batch twin's per-(user, ts)
+         MAX(event_id) dedup. Grouping includes window(ts) so append
+         mode can finalize each purchase when the watermark closes
+         its window.
+
+    A purchase row therefore emits only after the watermark passes
+    BOTH its outer-join eviction point and its window end — the
+    two-batch nudge staging advances the watermark so everything
+    outside the final horizon leaves state; the boundary is asserted
+    against the l17 batch twin in tests/test_streaming.py."""
+    ev = _staged_nudged_events_stream(spark, sf_dir, "l17")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("cand_event_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    band = purchases.join(
+        errors,
+        F.expr(
+            "user_id = e_user_id AND err_ts <= ts "
+            "AND err_ts >= ts - INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    )
+    enriched = (
+        # Grouping may carry at most ONE event-time column (the
+        # window); ts re-enters as a plain max() aggregate — exact,
+        # since ts is functionally determined by event_id.
+        band.groupBy(
+            F.window("ts", "10 minutes").alias("_w"),
+            "event_id", "user_id",
+        )
+        .agg(
+            F.max("ts").alias("ts"),
+            F.max_by(
+                "cand_event_id", F.struct("err_ts", "cand_event_id")
+            ).alias("err_event_id"),
+            F.max("err_ts").alias("err_ts"),
+        )
+        .select("event_id", "user_id", "ts", "err_event_id", "err_ts")
+    )
+    return _drain_to_memory(enriched, f"l17_mem_{uuid.uuid4().hex[:8]}", "append")

@@ -406,3 +406,50 @@ def test_l16_sink_commit_protocol_units(spark, tmp_path):
         fh.writelines(lines[:-1])
     with pytest.raises(IOError):
         read_committed(spark, root).count()
+
+
+def test_l17_stream_asof_matches_twin_within_horizon(spark):
+    """Live stream-stream as-of enrichment: every emitted row must
+    equal the batch twin's row for that purchase exactly (match id,
+    match ts, NULLs included), and every purchase safely older than
+    the final watermark horizon must have been emitted. The horizon
+    stacks BOTH stateful operators' gates: 1 h watermark delay +
+    30 min join band + 10 min agg window + 10 min safety behind the
+    binding side's max event time."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.sources import load
+
+    got = live.l17_streaming(spark, SF_DIR).toPandas()
+    want = _twin(spark, "l17_stream_asof_join")
+
+    g = got.set_index("event_id").sort_index()
+    w = want.set_index("event_id").sort_index()
+    assert set(g.index) <= set(w.index), "live emitted a purchase the twin denies"
+    assert g.index.is_unique, "live emitted a purchase twice"
+    for eid in g.index:
+        gr, wr = g.loc[eid], w.loc[eid]
+        assert gr["ts"] == wr["ts"], (eid, gr["ts"], wr["ts"])
+        if pd.isna(wr["err_event_id"]):
+            assert pd.isna(gr["err_event_id"]), (eid, "expected NULL match")
+        else:
+            assert gr["err_event_id"] == wr["err_event_id"], (
+                eid, gr["err_event_id"], wr["err_event_id"],
+            )
+            assert gr["err_ts"] == wr["err_ts"]
+
+    per_side = dict(
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    )
+    horizon = min(per_side.values()) - datetime.timedelta(
+        hours=1, minutes=50
+    )
+    must_emit = set(w[w.ts < horizon].index)
+    missing = must_emit - set(g.index)
+    assert not missing, f"closed-horizon purchases never emitted: {missing}"
