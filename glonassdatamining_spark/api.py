@@ -13,11 +13,14 @@ Arrow kernels, no driver state proportional to the data.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+
+_CC_LOG = logging.getLogger("glonassdatamining_spark.cc")
 
 
 # --------------------------------------------------------------------------
@@ -692,6 +695,7 @@ def connected_components(
     dst: str,
     max_iter: int = 20,
     driver_max_edges: int = 200_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Weakly connected components over an (undirected) edge list;
     returns (node, component) with component = min member id, one row
@@ -716,6 +720,15 @@ def connected_components(
     reliable checkpoint() on a cluster). Label frames shrink to
     distinct vertices, never edge-sized.
     Eager: runs Spark jobs when called.
+
+    On a real cluster the star rounds ARE the dominant cost (two
+    checkpoints + an exceptAll fixpoint probe per round), so their
+    count is made visible: each round emits an INFO log line
+    (``glonassdatamining_spark.cc`` logger) with the remaining
+    parent-edge count, and passing ``stats_out={}`` fills it with
+    ``path`` ("driver" | "distributed"), ``rounds``, and
+    ``edge_counts`` (parent edges after each round) for callers /
+    tests that need to pin the O(log n) bound.
     """
     oriented = edges_df.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -729,6 +742,8 @@ def connected_components(
     probe_cap = driver_max_edges // 2 + 1
     probe = oriented.limit(probe_cap).collect()
     if 2 * len(probe) <= driver_max_edges:
+        if stats_out is not None:
+            stats_out.update(path="driver", rounds=0, edge_counts=[])
         # Union-find needs neither symmetrized nor deduplicated edges.
         pairs = [(r._src, r._dst) for r in probe]
         parent: dict = {}
@@ -820,9 +835,21 @@ def connected_components(
     e = oriented.filter(F.col("_src") != F.col("_dst")).localCheckpoint()
     converged = False
     prev_n = -1
+    rounds = 0
+    edge_counts: list[int] = []
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         n2 = e2.count()
+        rounds += 1
+        edge_counts.append(n2)
+        # Per-round visibility: on a cluster the two checkpoints + the
+        # exceptAll probe per round are THE dominant cost of this
+        # kernel, so the round ledger goes to the log, not just to
+        # stats_out.
+        _CC_LOG.info(
+            "connected_components: star round %d — %d parent edges remain",
+            rounds, n2,
+        )
         # Fixpoint test (exact): both frames are distinct sets, so
         # equal counts + empty one-sided difference ⇔ set equality.
         if n2 == prev_n and e2.exceptAll(e).limit(1).count() == 0:
@@ -830,6 +857,10 @@ def connected_components(
             e = e2
             break
         e, prev_n = e2, n2
+    if stats_out is not None:
+        stats_out.update(
+            path="distributed", rounds=rounds, edge_counts=edge_counts
+        )
     if not converged:
         import warnings
 

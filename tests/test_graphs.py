@@ -175,3 +175,44 @@ def test_kcore_hand_graph(spark):
     edges = spark.createDataFrame(e, "src bigint, dst bigint")
     got = {r.node: r.core_degree for r in kcore(edges, "src", "dst", 2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_cc_distributed_round_count_is_logarithmic(spark):
+    """Drive the DISTRIBUTED star-contraction branch (driver gate
+    lowered) on a 50k-node path — the O(diameter) worst case for
+    naive propagation — plus a 10k-spoke star, and pin the round
+    ledger: convergence must take more than a trivial number of
+    rounds (proving the big-graph branch actually iterated) yet stay
+    within the Kiveris O(log n) bound; labels must still be exact."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.api import connected_components
+
+    n = 50_000
+    hub = 10_000_000
+    path = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    star = spark.range(10_000).select(
+        F.lit(hub).alias("a"), (F.col("id") + hub + 1).alias("b")
+    )
+    edges = path.union(star)
+    stats: dict = {}
+    out = connected_components(
+        edges, "a", "b", driver_max_edges=1_000, stats_out=stats
+    ).localCheckpoint()
+    assert stats["path"] == "distributed"
+    assert stats["rounds"] > 3, stats
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 2, stats
+    # The parent-edge counts must be recorded once per round.
+    assert len(stats["edge_counts"]) == stats["rounds"]
+    bad_path = out.filter(
+        (F.col("node") < n) & (F.col("component") != 0)
+    ).count()
+    bad_star = out.filter(
+        (F.col("node") >= hub) & (F.col("component") != hub)
+    ).count()
+    assert bad_path == 0 and bad_star == 0
+    assert out.count() == n + 10_001
