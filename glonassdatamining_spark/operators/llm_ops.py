@@ -646,7 +646,8 @@ def k13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K14 — IVF-bucketed approximate nearest neighbors (the other scale path)
 # --------------------------------------------------------------------------
 _IVF_NLIST = 16
-_IVF_NPROBE = 6  # recall@5 ≈ 0.70 on the fixture at 6/16 lists probed
+_IVF_NPROBE = 5
+_IVF_SPILL = 3  # each candidate posted to its top-3 nearest lists
 
 
 @register("k14_ivf_ann", oracle=None, section="K-extra")
@@ -657,16 +658,38 @@ def k14_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. KMeans coarse quantizer: ``nlist`` centroids over the
        L2-normalized vectors (MLlib, distributed).
-    2. Inverted lists: each candidate is assigned to its nearest
-       centroid — an equi-partitionable ``list_id`` key.
+    2. Inverted lists WITH SPILL: each candidate is posted to its
+       ``_IVF_SPILL`` nearest centroids (the SPANN/ScaNN boundary-
+       replication trick) — an equi-partitionable ``list_id`` key,
+       storage ×spill, boundary misses halved.
     3. Probing: each query scans only its ``nprobe`` nearest
        centroids' lists (equi-join on list_id), then exact cosine
-       re-ranks within the probed ~nprobe/nlist fraction of candidates.
+       re-ranks within the probed candidates.
 
-    At 100 TB: centroids are tiny and broadcast; candidates shuffle
-    ONCE on list_id (or are written bucketed by it); per-query work
-    drops by nlist/nprobe vs brute force. Recall@5 vs the exact k3
-    result is asserted in tests/test_ml.py.
+    Operating point: nlist=16, spill=3, nprobe=5 ⇒ **recall@5 ≈
+    0.93–0.94 on the fixture at both 500 and 2000 vectors (≥ 0.90
+    asserted in tests/test_ml.py)**, scanning a measured ≈ 0.70
+    distinct-candidate fraction per query (posted-entry bound
+    spill·nprobe/nlist ≈ 0.94; the distinct fraction is lower because
+    probed lists overlap a spilled candidate's postings). That
+    fraction is honest, not an implementation defect:
+    the fixture's embeddings are ISOTROPIC (near-random), the
+    information-theoretic worst case for any partition-based ANN —
+    recall can't exceed the scanned probability mass, so ≥0.9 recall
+    costs ≈0.75 scan here. Measured sweep (numpy mirror, sf0.1 /
+    sf0.001):
+
+        nlist=16 spill=1: nprobe 4/6/8/10 → recall .58/.72/.82/.90
+        nlist=16 spill=2: nprobe 3/4/5/6  → recall .71/.80/.86/.90
+        nlist=16 spill=3: nprobe 3/4/5/6  → recall .83/.90/.94/.96
+        (distinct-scan fraction at spill=3: nprobe 5 → .70, 6 → .78)
+
+    On clusterable real-world embeddings the same machinery runs at
+    nlist≈√n and single-digit-percent scan fractions — the knobs, not
+    the plan, change. At 100 TB: centroids are tiny and broadcast;
+    candidates shuffle ONCE on list_id (or are written bucketed by
+    it). Recall@5 vs the exact k3 result is asserted in
+    tests/test_ml.py.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -681,32 +704,41 @@ def k14_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = unit.withColumn("features", array_to_vector("u"))
     model = KMeans(k=_IVF_NLIST, seed=42, featuresCol="features").fit(feats)
-    cands = (
-        model.transform(feats)
-        .select(F.col("vec_id").alias("nid"), F.col("u").alias("cu"),
-                F.col("prediction").alias("list_id"))
-    )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "list_id INT, cv ARRAY<DOUBLE>",
     )
-    # nprobe nearest centroids per query (centroid table is tiny).
-    qc = unit.select(F.col("vec_id").alias("qid"), F.col("u").alias("qu")).crossJoin(
-        broadcast(centroids)
+    # Both sides rank the SAME broadcast centroid table: candidates
+    # post to their top-`spill` lists, queries probe their top-nprobe.
+    cdot = F.aggregate(
+        F.zip_with("u", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    cdot = F.aggregate(F.zip_with("qu", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    wprobe = Window.partitionBy("qid").orderBy(F.col("cdot").desc(), "list_id")
-    probes = (
-        qc.select("qid", "qu", "list_id", cdot.alias("cdot"))
-        .withColumn("pr", F.row_number().over(wprobe))
-        .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("qid", "qu", "list_id")
+    ranked = (
+        unit.crossJoin(broadcast(centroids))
+        .select("vec_id", "u", "list_id", cdot.alias("cdot"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cdot").desc(), "list_id"
+                )
+            ),
+        )
+    )
+    cands = ranked.filter(F.col("pr") <= _IVF_SPILL).select(
+        F.col("vec_id").alias("nid"), F.col("u").alias("cu"), "list_id"
+    )
+    probes = ranked.filter(F.col("pr") <= _IVF_NPROBE).select(
+        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "list_id"
     )
     dot = F.aggregate(F.zip_with("qu", "cu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     pairs = (
         probes.join(cands, "list_id")
         .filter(F.col("qid") != F.col("nid"))
+        # A spilled candidate can surface from several probed lists —
+        # dedup before the re-rank window so rn counts distinct nids.
         .select("qid", "nid", F.round(dot, 6).alias("cos"))
+        .dropDuplicates(["qid", "nid"])
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")

@@ -118,9 +118,19 @@ def test_fpgrowth_supports_are_exact(spark):
 
 
 def test_ivf_ann_recall_vs_exact(spark):
-    """IVF top-5 must recover most of the exact brute-force top-5 —
-    quantifies the approximation the nprobe/nlist tradeoff buys."""
+    """IVF top-5 must recover ≥ 0.9 of the exact brute-force top-5 at
+    the declared operating point (nlist=16, spill=3, nprobe=5 — the
+    k14 docstring's sweep table). The fixture's embeddings are
+    isotropic, the worst case for partition-based ANN, so this recall
+    costs a measured ≈ 0.70 distinct-scan fraction; the posted-entry
+    bound spill·nprobe/nlist is asserted < 1 so the operating point
+    can't silently degrade into a (duplicated) full scan."""
     from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.llm_ops import (
+        _IVF_NLIST,
+        _IVF_NPROBE,
+        _IVF_SPILL,
+    )
 
     exact = registry.get("k3_cosine_topk").builder(spark, SF_DIR).toPandas()
     approx = registry.get("k14_ivf_ann").builder(spark, SF_DIR).toPandas()
@@ -130,7 +140,10 @@ def test_ivf_ann_recall_vs_exact(spark):
         len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth.index
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.6, f"IVF recall@5 too low: {mean_recall:.3f}"
+    assert mean_recall >= 0.9, f"IVF recall@5 too low: {mean_recall:.3f}"
+    assert _IVF_SPILL * _IVF_NPROBE < _IVF_NLIST, (
+        "operating point drifted into a duplicated full scan"
+    )
 
 
 def test_j7_pca_component_variances_decrease(spark):
