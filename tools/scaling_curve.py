@@ -1,0 +1,70 @@
+"""Record the sf0.1 → sf1 scaling curve for the bench headline set.
+
+Runs every bench.py headline query at sf0.1 and at the synthesized
+sf1 fixture (tools/make_sf1.py, 10x rows) in ONE session with the
+same hot-table bench mode, and writes per-query seconds + the
+sec(sf1)/sec(sf0.1) ratio to scale_curve.json (consumed by the
+SCALE.md table). Near-linear operators should land well under ~12x;
+declared-quadratic correctness twins (brute-force k3/c12) are
+expected to exceed it and are documented as such in SCALE.md.
+
+Run: python tools/scaling_curve.py   (~15-25 min, mostly sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
+from bench import HEADLINE  # noqa: E402
+from glonassdatamining_spark import registry  # noqa: E402
+from glonassdatamining_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = "/root/repo/.scale/sf1"
+REPS = 2
+
+
+def main() -> None:
+    spark = get_spark("gdm-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for sf_dir, key in ((SF_SMALL, "sf0.1"), (SF_BIG, "sf1")):
+        # warm pass (untimed): JIT + bench-mode projection caches
+        for name in names:
+            materialize(queries[name](spark, sf_dir))
+        best = {n: float("inf") for n in names}
+        for _ in range(REPS):
+            for name in names:  # interleaved, like bench.py
+                t0 = time.perf_counter()
+                materialize(queries[name](spark, sf_dir))
+                best[name] = min(best[name], time.perf_counter() - t0)
+        for name in names:
+            results.setdefault(name, {})[key] = round(best[name], 3)
+        print(f"== {key} done: {round(sum(best.values()), 1)} s total",
+              flush=True)
+
+    for name in names:
+        r = results[name]
+        r["ratio"] = round(r["sf1"] / r["sf0.1"], 2) if r["sf0.1"] > 0 else None
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "scale_curve.json")
+    with open(os.path.abspath(out), "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps(results, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
