@@ -1833,3 +1833,80 @@ def d39_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q1").alias("q1_cents"),
         F.col("q3").alias("q3_cents"),
     ).agg(F.sum(outlier.cast("int")).cast("bigint").alias("n_outliers"))
+
+
+# --------------------------------------------------------------------------
+# D40 — moment-based skewness / kurtosis profile
+# --------------------------------------------------------------------------
+@register(
+    "d40_skew_kurtosis",
+    oracle=(
+        "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1, "
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2, "
+        "CAST(SUM(CAST(l_quantity * l_quantity * l_quantity "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS s3, "
+        "CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS s4 "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT l_returnflag, n, "
+        "ROUND(s1 / nd, 6) AS mean_qty, "
+        "ROUND(s2 / nd - (s1 / nd) * (s1 / nd), 6) AS var_pop, "
+        "ROUND((s3 / nd - 3 * (s1 / nd) * (s2 / nd) "
+        "  + 2 * (s1 / nd) * (s1 / nd) * (s1 / nd)) "
+        " / ((s2 / nd - (s1 / nd) * (s1 / nd)) "
+        "    * sqrt(s2 / nd - (s1 / nd) * (s1 / nd))), 6) AS skewness, "
+        "ROUND((s4 / nd - 4 * (s1 / nd) * (s3 / nd) "
+        "  + 6 * (s1 / nd) * (s1 / nd) * (s2 / nd) "
+        "  - 3 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd)) "
+        " / ((s2 / nd - (s1 / nd) * (s1 / nd)) "
+        "    * (s2 / nd - (s1 / nd) * (s1 / nd))) - 3, 6) AS kurtosis_excess "
+        "FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM m)"
+    ),
+    section="D40",
+)
+def d40_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness + excess kurtosis per return flag, computed
+    from EXACT raw power sums (D16/D27's discipline pushed to the 3rd
+    and 4th moment): l_quantity carries ≤2 decimals, so q..q⁴ are
+    exact in DECIMAL(38,6), the four sums are order-insensitive, and
+    each final statistic is ONE identically-ordered IEEE expression
+    (skew = m₃/(m₂·√m₂), kurt = m₄/m₂² − 3 with every central moment
+    expanded from the raw sums in the same literal order on both
+    engines), then rounded. Spark's built-in skewness()/kurtosis()
+    are avoided deliberately: their streaming update order is
+    engine-internal and NOT hash-reproducible against any SQL oracle.
+    Scale shape: one map-side-combinable aggregate, 4 extra columns of
+    state per group — the distribution-shape profile at zero extra
+    shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1") / nd
+    m2 = F.col("s2") / nd - mean * mean
+    m3 = (
+        F.col("s3") / nd
+        - F.lit(3) * mean * (F.col("s2") / nd)
+        + F.lit(2) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / nd
+        - F.lit(4) * mean * (F.col("s3") / nd)
+        + F.lit(6) * mean * mean * (F.col("s2") / nd)
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurtosis_excess"),
+    )

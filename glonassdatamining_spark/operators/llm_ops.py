@@ -2607,3 +2607,70 @@ def k46_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("type_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K47 — denylist scrub audit (the PII-redaction pipeline shape)
+# --------------------------------------------------------------------------
+_SCRUB_DENY = ("a", "the")
+
+
+@register(
+    "k47_scrub_audit",
+    oracle=(
+        "WITH per_doc AS (SELECT source, "
+        "  len(string_split(text, ' ')) AS n_tok, "
+        "  length(text) AS len_before, "
+        "  len(list_filter(string_split(text, ' '), "
+        "      x -> x IN ('a', 'the'))) AS n_removed, "
+        "  length(array_to_string(list_filter(string_split(text, ' '), "
+        "      x -> x NOT IN ('a', 'the')), ' ')) AS len_after "
+        "  FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS docs_touched, "
+        "CAST(SUM(n_removed) AS BIGINT) AS tokens_removed, "
+        "CAST(SUM(len_before - len_after) AS BIGINT) AS chars_removed, "
+        "CAST(SUM(len_after) AS BIGINT) AS chars_after "
+        "FROM per_doc GROUP BY source"
+    ),
+    section="K47",
+)
+def k47_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrub audit — the exact pipeline shape of a PII
+    redaction pass (tokenize → match a term/pattern set → drop →
+    re-join → account for what left the corpus), run with a stopword
+    denylist because the synthetic corpus carries no addresses/phone
+    numbers to redact (an audit of a pattern with zero corpus support
+    would be vacuous evidence — §5.4 rule). Per source: docs touched,
+    tokens removed, chars removed, post-scrub volume — the ledger a
+    curation run must emit so downstream token-count budgeting stays
+    honest. Swap the IN-list literal for regexp predicates (email /
+    phone / ID shapes) and nothing else changes.
+
+    Scale shape: per-row higher-order JVM expressions (filter /
+    array_join inside codegen — no explode, no shuffle on the token
+    stream) folding into one source-keyed partial agg. Entirely
+    INTEGER-exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    deny = F.array(*[F.lit(w) for w in _SCRUB_DENY])
+    removed = F.size(F.filter(toks, lambda t: F.array_contains(deny, t)))
+    kept = F.array_join(
+        F.filter(toks, lambda t: ~F.array_contains(deny, t)), " "
+    )
+    per_doc = d.select(
+        "source",
+        F.length("text").alias("len_before"),
+        removed.alias("n_removed"),
+        F.length(kept).alias("len_after"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("int")).cast("bigint")
+        .alias("docs_touched"),
+        F.sum("n_removed").cast("bigint").alias("tokens_removed"),
+        F.sum(F.col("len_before") - F.col("len_after")).cast("bigint")
+        .alias("chars_removed"),
+        F.sum("len_after").cast("bigint").alias("chars_after"),
+    )

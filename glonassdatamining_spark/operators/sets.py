@@ -313,3 +313,71 @@ def g8_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         edge(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
     )
+
+
+# --------------------------------------------------------------------------
+# G9 — MERGE with conditional DELETE branch
+# --------------------------------------------------------------------------
+@register(
+    "g9_merge_with_delete",
+    oracle=(
+        "WITH src AS (SELECT o_custkey AS custkey, "
+        "CAST(COUNT(*) AS BIGINT) AS n_open, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS vol "
+        "FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) "
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "ROUND(CASE WHEN s.custkey IS NOT NULL THEN c.c_acctbal + s.vol "
+        "      ELSE c.c_acctbal END, 2) AS c_acctbal, "
+        "CASE WHEN s.custkey IS NULL THEN 'unchanged' ELSE 'updated' END "
+        "  AS merge_action "
+        "FROM customer c LEFT JOIN src s ON c.c_custkey = s.custkey "
+        "WHERE NOT (s.custkey IS NOT NULL AND c.c_acctbal < 0)"
+    ),
+    section="G9",
+)
+def g9_merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with a conditional DELETE branch — the account-closure /
+    GDPR-erasure shape G5's pure upsert can't express:
+
+        WHEN MATCHED AND t.balance < 0 THEN DELETE
+        WHEN MATCHED                  THEN UPDATE (balance += volume)
+        WHEN NOT MATCHED (by source)  THEN keep row unchanged
+
+    Relational identity: LEFT JOIN target×source, anti-filter the
+    matched-and-condition rows (the deletes), per-branch projection
+    for the rest — exactly the frame a lakehouse MERGE ... DELETE
+    materializes as the new table version. The delete predicate rides
+    TARGET columns (matched negative-balance accounts with open
+    volume), the update folds the source aggregate in.
+
+    Scale shape: source pre-aggregates map-side before its single
+    shuffle; one equi-join on the merge key; the delete branch is a
+    residual filter, not a second join. DECIMAL-exact source volume
+    (stable discipline), one rounded balance output."""
+    o = load(spark, sf_dir, "orders")
+    src = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_open"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double").alias("vol"),
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    j = c.join(src, c.c_custkey == src.custkey, "left")
+    kept = j.filter(
+        ~(src.custkey.isNotNull() & (c.c_acctbal < 0))
+    )
+    return kept.select(
+        c.c_custkey,
+        c.c_mktsegment,
+        F.round(
+            F.when(src.custkey.isNotNull(), c.c_acctbal + src.vol)
+            .otherwise(c.c_acctbal),
+            2,
+        ).alias("c_acctbal"),
+        F.when(src.custkey.isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

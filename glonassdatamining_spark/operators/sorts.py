@@ -132,3 +132,33 @@ def f6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.md5(F.col("o_orderkey").cast("string")) < "19"
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "f7_stratified_hash_sample",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, c_acctbal "
+        "FROM customer "
+        "WHERE md5(CAST(c_custkey AS VARCHAR)) < "
+        "      CASE WHEN c_mktsegment = 'BUILDING' THEN '40' ELSE '10' END"
+    ),
+    section="F7",
+)
+def f7_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED deterministic hash sample — F6's reproducible
+    hash-threshold gate with a PER-STRATUM rate (sampleBy's semantics
+    without its RNG): BUILDING customers kept at ~25% (md5 < '40'),
+    every other segment at ~6.25% (md5 < '10') — the class-rebalancing
+    / eval-split primitive a 100 TB curation run uses so minority
+    strata survive sampling. Same engine-independence argument as F6
+    (md5 + string compare exist identically in both engines; a row's
+    fate depends only on its key and stratum, so the sample is stable
+    under repartitioning, re-runs, and appends). Scale shape: a pure
+    narrow filter fused into the scan — the per-stratum threshold is
+    a CASE expression, not a join, so there is still no shuffle, no
+    seed coordination, no skew sensitivity."""
+    c = load(spark, sf_dir, "customer")
+    thr = F.when(F.col("c_mktsegment") == "BUILDING", "40").otherwise("10")
+    return c.filter(
+        F.md5(F.col("c_custkey").cast("string")) < thr
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")

@@ -1597,3 +1597,76 @@ def e31_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.col("total").cast("double"), 9
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# E32 — longest strictly-increasing daily run (monotone momentum)
+# --------------------------------------------------------------------------
+@register(
+    "e32_longest_increasing_run",
+    oracle=(
+        EVENTS_CTE + ", daily AS ("
+        "  SELECT user_id, date_trunc('day', ts) AS d, "
+        "  SUM(CAST(value AS DECIMAL(28,6))) AS v "
+        "  FROM events GROUP BY 1, 2), "
+        "flagged AS ("
+        "  SELECT user_id, d, v, "
+        "  CASE WHEN lag(v) OVER w IS NULL OR v <= lag(v) OVER w "
+        "       THEN 1 ELSE 0 END AS brk "
+        "  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)), "
+        "runs AS ("
+        "  SELECT user_id, d, "
+        "  SUM(brk) OVER (PARTITION BY user_id ORDER BY d "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id "
+        "  FROM flagged), "
+        "lens AS (SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS len "
+        "  FROM runs GROUP BY 1, 2) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs, "
+        "CAST(MAX(len) AS BIGINT) AS longest_run, "
+        "CAST(SUM(len) AS BIGINT) AS n_days "
+        "FROM lens GROUP BY user_id"
+    ),
+    section="E32",
+)
+def e32_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing run of daily activity totals per
+    user — the monotone-momentum read beside E16's presence streaks
+    (presence ignores magnitude) and E30's record days (records
+    compare to the all-time max, runs to YESTERDAY). Gaps-and-islands:
+    break flag where the exact daily sum fails to increase, running
+    sum of breaks numbers the runs, run lengths fold to max.
+
+    Correctness discipline: the compared quantity is the DECIMAL
+    daily sum — order-insensitive to aggregate and EXACT to compare,
+    so the strict `>` at run boundaries can never flip on an
+    engine's float summation order (the e15/e22 lesson applied to a
+    comparison instead of a value). Scale shape: one shuffle on
+    user_id, two within-partition window passes over day-grain rows
+    (≤ 30 per user here; bounded by the calendar at any scale), one
+    final fold."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(dec("value")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = daily.select(
+        "user_id", "d", "v",
+        F.when(
+            F.lag("v").over(w).isNull() | (F.col("v") <= F.lag("v").over(w)),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    runs = flagged.select(
+        "user_id", "d",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    lens = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return lens.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("len").cast("bigint").alias("longest_run"),
+        F.sum("len").cast("bigint").alias("n_days"),
+    )
