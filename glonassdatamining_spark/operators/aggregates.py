@@ -1910,3 +1910,75 @@ def d40_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurtosis_excess"),
     )
+
+
+# --------------------------------------------------------------------------
+# D41 — winsorized mean (clamp-the-tails robust location)
+# --------------------------------------------------------------------------
+@register(
+    "d41_winsorized_mean",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority AS pri, o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM orders), "
+        "rk AS (SELECT pri, cents, "
+        "row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n FROM c), "
+        "cuts AS (SELECT pri, "
+        "MIN(CASE WHEN rn = n // 10 + 1 THEN cents END) AS lo, "
+        "MIN(CASE WHEN rn = n - n // 10 THEN cents END) AS hi "
+        "FROM rk GROUP BY pri) "
+        "SELECT r.pri AS o_orderpriority, "
+        "CAST(MAX(r.n) AS BIGINT) AS n_rows, "
+        "ROUND(CAST(SUM(CAST(GREATEST(LEAST(r.cents, c.hi), c.lo) "
+        "AS DECIMAL(38,0))) AS DOUBLE) / CAST(MAX(r.n) AS DOUBLE) / 100.0, 9) "
+        "AS winsorized_mean "
+        "FROM rk r JOIN cuts c USING (pri) GROUP BY r.pri"
+    ),
+    section="D41",
+)
+def d41_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% winsorized mean of order totalprice per priority — D36's
+    trimmed mean CLAMPS instead of drops (every row still votes, the
+    tails just vote at the fence), the robust-location variant that
+    keeps n constant for downstream variance math. Same
+    interpolation-free discipline: fences are the integer-rank k+1 /
+    n−k ELEMENTS of the exact (cents, orderkey) total order (k =
+    ⌊n/10⌋), clamping is integer min/max, the sum is exact
+    DECIMAL(38), and the only floating arithmetic is the final
+    identically-ordered sum/n/100 chain, rounded. Scale shape: one
+    (priority) window partitioning shared by rank+count, a
+    5-row fence aggregate broadcast back, one map-side-combinable
+    fold."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("pri"), "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("pri")
+    rk = c.select(
+        "pri", "cents",
+        F.row_number().over(wp.orderBy("cents", "o_orderkey"))
+        .cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    k = F.floor(F.col("n") / 10).cast("bigint")
+    cuts = rk.groupBy("pri").agg(
+        F.min(F.when(F.col("rn") == k + 1, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.col("n") - k, F.col("cents"))).alias("hi"),
+    )
+    clamped = F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo"))
+    return (
+        rk.join(F.broadcast(cuts), "pri")
+        .groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(clamped.cast("decimal(38,0)")).cast("double")
+                / F.max("n").cast("double")
+                / 100.0,
+                9,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -5,7 +5,7 @@ All pure JVM column expressions — whole-stage-codegen'd, pushdown-able.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from glonassdatamining_spark.registry import register
@@ -285,4 +285,49 @@ def b10_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.collate(F.col("s"), "UTF8_LCASE"))
         .cast("bigint")
         .alias("n_ci_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — quantified comparisons (>= ALL / < ANY)
+# --------------------------------------------------------------------------
+@register(
+    "b11_quantified_comparison",
+    oracle=(
+        "SELECT a.p_brand, a.p_partkey, a.p_name, a.p_retailprice, "
+        "CAST(a.p_retailprice < ANY (SELECT p_retailprice FROM part "
+        "  WHERE p_type = 'PROMO') AS INT) AS below_some_promo "
+        "FROM part a "
+        "WHERE a.p_retailprice >= ALL (SELECT b.p_retailprice FROM part b "
+        "  WHERE b.p_brand = a.p_brand)"
+    ),
+    section="B11",
+)
+def b11_quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI quantified comparisons — brand champions via
+    ``>= ALL (correlated)`` plus a ``< ANY (uncorrelated)`` flag.
+    Spark SQL has no ALL/ANY quantifiers, so the operator is their
+    relational identity, which is also the only formulation that
+    SCALES: ``x >= ALL S`` ⇔ ``x >= max(S)`` (one window max per
+    brand, no correlated re-scan per row) and ``x < ANY S`` ⇔
+    ``x < max(S)`` (one 1-row broadcast scalar). The oracle runs
+    DuckDB's NATIVE quantifiers against this rewrite — proving the
+    identity, not assuming it. Comparisons stay on the parquet
+    doubles themselves (no arithmetic), so cross-engine equality is
+    bit-exact. Ties: every co-champion row surfaces (ALL-semantics
+    keeps ties; no row_number tie-break to diverge on)."""
+    p = load(spark, sf_dir, "part")
+    brand_max = Window.partitionBy("p_brand")
+    promo_max = p.filter(F.col("p_type") == "PROMO").agg(
+        F.max("p_retailprice").alias("promo_max")
+    )
+    return (
+        p.withColumn("_bmax", F.max("p_retailprice").over(brand_max))
+        .filter(F.col("p_retailprice") >= F.col("_bmax"))
+        .crossJoin(F.broadcast(promo_max))
+        .select(
+            "p_brand", "p_partkey", "p_name", "p_retailprice",
+            (F.col("p_retailprice") < F.col("promo_max")).cast("int")
+            .alias("below_some_promo"),
+        )
     )

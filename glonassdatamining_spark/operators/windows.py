@@ -1670,3 +1670,63 @@ def e32_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_run"),
         F.sum("len").cast("bigint").alias("n_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# E33 — oscillation (sign-flip) count of daily deltas
+# --------------------------------------------------------------------------
+@register(
+    "e33_oscillation_count",
+    oracle=(
+        EVENTS_CTE + ", daily AS ("
+        "  SELECT user_id, date_trunc('day', ts) AS d, "
+        "  SUM(CAST(value AS DECIMAL(28,6))) AS v "
+        "  FROM events GROUP BY 1, 2), "
+        "moves AS ("
+        "  SELECT user_id, d, v - lag(v) OVER w AS delta "
+        "  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)), "
+        "nz AS ("
+        "  SELECT user_id, d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s "
+        "  FROM moves WHERE delta IS NOT NULL AND delta <> 0), "
+        "flips AS ("
+        "  SELECT user_id, CASE WHEN s <> lag(s) OVER w2 THEN 1 ELSE 0 END "
+        "  AS flip FROM nz WINDOW w2 AS (PARTITION BY user_id ORDER BY d)) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves, "
+        "CAST(SUM(flip) AS BIGINT) AS n_flips "
+        "FROM flips GROUP BY user_id"
+    ),
+    section="E33",
+)
+def e33_oscillation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oscillation census per user: among nonzero day-over-day moves
+    of the daily activity total, how many reverse direction — the
+    zero-crossing/turning-point count that separates trending users
+    (few flips, E24's Mann–Kendall agrees) from mean-reverting ones
+    (E20's negative lag-1 autocorrelation, counted discretely). Same
+    exactness spine as E32: deltas are differences of DECIMAL daily
+    sums, so the sign of every move — and therefore every flip — is
+    engine-exact; the output is pure integers. Scale shape: one
+    user_id shuffle shared by both window passes (day-grain rows,
+    calendar-bounded), one fold."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(dec("value")).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    moves = daily.select(
+        "user_id", "d", (F.col("v") - F.lag("v").over(w)).alias("delta")
+    )
+    nz = moves.filter(
+        F.col("delta").isNotNull() & (F.col("delta") != 0)
+    ).select(
+        "user_id", "d",
+        F.when(F.col("delta") > 0, 1).otherwise(-1).alias("s"),
+    )
+    flips = nz.select(
+        "user_id",
+        F.when(F.col("s") != F.lag("s").over(w), 1).otherwise(0).alias("flip"),
+    )
+    return flips.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum("flip").cast("bigint").alias("n_flips"),
+    )

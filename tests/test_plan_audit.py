@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "d31_ks_two_sample",      # 1-row (n1, n2) totals, broadcast (d28's shape)
     "d32_benford_digits",     # 1-row total, broadcast (d28's shape)
     "i43_ripley_k",           # 3-row radii dim + 1-row n total, broadcast
+    "b11_quantified_comparison",  # 1-row "< ANY" scalar max, broadcast
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
