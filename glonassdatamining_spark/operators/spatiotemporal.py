@@ -3237,3 +3237,91 @@ def i47_revisit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ret.cast("double") / F.col("n_stops").cast("double"), 9
         ).alias("revisit_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# I48 — bounded kNN self-join (grid-bucketed, exact)
+# --------------------------------------------------------------------------
+_I48_EPS = 1.5
+_I48_K = 3
+
+
+@register(
+    "i48_bounded_knn_join",
+    oracle=(
+        FIXES_CTE + ", sub AS (SELECT * FROM fixes WHERE event_id % 3 = 0), "
+        "p AS (SELECT a.event_id AS event_id, b.event_id AS neighbor_id, "
+        "sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d "
+        "FROM sub a JOIN sub b ON a.event_id <> b.event_id "
+        f"WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {_I48_EPS}) "
+        "SELECT event_id, neighbor_id, ROUND(d, 4) AS dist, "
+        "CAST(row_number() OVER w AS BIGINT) AS rank "
+        "FROM p WINDOW w AS (PARTITION BY event_id ORDER BY d, neighbor_id) "
+        f"QUALIFY row_number() OVER w <= {_I48_K}"
+    ),
+    section="I48",
+)
+def i48_bounded_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-BOUNDED kNN self-join: each fix's k=3 nearest neighbors
+    within ε=1.5 — the all-points form of I4's single-point kNN and
+    the spatial sibling of C12's vector kNN, in the only shape that
+    scales: candidates come from a 3×3 grid-cell equi-join (cell = ε
+    guarantees every true ε-neighbor is in the 9-cell patch — exact,
+    not approximate), ranked per point by a within-partition window.
+    The ε bound is what makes distributed kNN honest: an UNbounded
+    kNN needs expanding-ring retries for isolated points; bounding by
+    ε (the common trajectory/contact-tracing form) keeps one join
+    pass, and isolated points simply emit nothing. 1/3 subset + the
+    brute-force oracle, i3's discipline: the hash pins both the
+    candidate completeness AND the (dist, id) tie order — rank rides
+    the RAW IEEE distance (identical expression both engines),
+    rounded only for display. Scale shape: one equi-shuffle on the
+    cell key, explode factor 9 on the probe side only, top-k window
+    per point — no all-pairs anywhere."""
+    f = fixes(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "x", "y"
+    )
+    eps = _I48_EPS
+    probe = f.select(
+        F.col("event_id").alias("a_id"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.floor(F.col("x") / eps) + dx).alias("cx"),
+                    (F.floor(F.col("y") / eps) + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("c"),
+    ).select("a_id", "ax", "ay", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    build = f.select(
+        F.col("event_id").alias("b_id"), F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    d = F.sqrt(
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.col("a_id").alias("event_id"),
+            F.col("b_id").alias("neighbor_id"),
+            d.alias("d"),
+        )
+        .filter(F.col("d") <= eps)
+    )
+    w = Window.partitionBy("event_id").orderBy("d", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _I48_K)
+        .select(
+            "event_id", "neighbor_id",
+            F.round("d", 4).alias("dist"), "rank",
+        )
+    )
