@@ -688,3 +688,50 @@ def n13_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("degree_gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# N14 — component size histogram (CC through a hash-checked fold)
+# --------------------------------------------------------------------------
+@register(
+    "n14_component_size_histogram",
+    oracle=(
+        "WITH RECURSIVE " + _EDGES_SQL_CC + ", "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "reach(node, lbl) AS ("
+        "  SELECT src, src FROM sym"
+        "  UNION"
+        "  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node), "
+        "comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node), "
+        "sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size "
+        "  FROM comp GROUP BY 1) "
+        "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components, "
+        "CAST(size * COUNT(*) AS BIGINT) AS n_nodes "
+        "FROM sizes GROUP BY size"
+    ),
+    section="N14",
+)
+def n14_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the co-purchase graph — the
+    giant-component / fragmentation fingerprint (percolation theory's
+    first read on any graph), and a second HASH-CHECKED path through
+    ``api.connected_components`` beyond N1's raw labels: the label
+    frame folds to sizes, sizes to a count-of-sizes table (K46's
+    count-of-counts shape on graph structure). Any wrong merge — a
+    split component, an over-merge, a dropped isolated pair — moves
+    this histogram, so the oracle hash re-certifies the CC kernel's
+    partition of the node set, not just its label choice. Scale
+    shape: CC's hybrid driver-gate/star-contraction path, then two
+    map-side-combinable folds whose outputs are component- and
+    size-cardinality-bounded."""
+    from glonassdatamining_spark.api import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR_CC)
+    comp = connected_components(edges, "src", "dst")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        (F.col("size") * F.count(F.lit(1))).cast("bigint").alias("n_nodes"),
+    )

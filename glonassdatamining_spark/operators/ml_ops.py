@@ -456,3 +456,46 @@ def j13_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "l_returnflag STRING, slope DOUBLE, intercept DOUBLE, r2 DOUBLE"
     )
+
+
+@register("j14_gaussian_mixture", oracle=None, section="J14")
+def j14_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian mixture (EM) soft clustering over the embeddings —
+    KMeans' probabilistic sibling: where J1 assigns hard cells, GMM
+    fits k full-covariance Gaussians and yields per-point posterior
+    responsibilities, the model family behind soft dedup-cluster
+    assignment and outlier scoring (low max-posterior = fits no
+    component). Fit in J7's 8-dim principal subspace with k=5 (see
+    the in-body note: full covariance needs points ≫ dims). Output: (vec_id, label, cluster, max_post) with the
+    posterior rounded to 6 dp; rows-only by nature (EM's optimum is
+    seed- and iteration-order-dependent — no SQL oracle exists);
+    structural validity + seed determinism asserted in
+    tests/test_ml.py. Scale shape: MLlib's distributed EM —
+    per-partition sufficient statistics, driver-side M-step over
+    k·d² covariance state (64-dim → 40 KB per component; fine), the
+    same aggregate-then-broadcast loop every iterative MLlib
+    estimator rides."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+
+    vec = _vectors(spark, sf_dir)
+    # PCA → GMM, the standard pipeline: a full-covariance component
+    # needs comfortably more points than dimensions (64-dim raw
+    # embeddings over ~50 points/component give singular covariances
+    # — Breeze rejects the eigendecomposition), so the mixture is fit
+    # in the 8-dim principal subspace. k=5 keeps ≥100 points per
+    # component at the smallest fixture.
+    pca = PCA(k=8, inputCol="features", outputCol="pc").fit(vec)
+    red = pca.transform(vec)
+    model = GaussianMixture(
+        k=5, seed=_SEED, featuresCol="pc", maxIter=30
+    ).fit(red)
+    out = model.transform(red)
+    return out.select(
+        "vec_id", "label",
+        F.col("prediction").alias("cluster"),
+        F.round(
+            F.array_max(vector_to_array("probability")), 6
+        ).alias("max_post"),
+    )

@@ -1730,3 +1730,41 @@ def e33_oscillation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_moves"),
         F.sum("flip").cast("bigint").alias("n_flips"),
     )
+
+
+# --------------------------------------------------------------------------
+# E34 — top-k WITH TIES (rank semantics, E7's sibling)
+# --------------------------------------------------------------------------
+@register(
+    "e34_topk_with_ties",
+    oracle=(
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "CAST(rank() OVER w AS BIGINT) AS rnk "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) "
+        "QUALIFY rank() OVER w <= 3"
+    ),
+    section="E34",
+)
+def e34_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order values per priority WITH TIES — ANSI
+    ``FETCH FIRST k ROWS WITH TIES`` semantics via ``rank()``:
+    where E7's ``row_number`` must invent a tie-break to cut at
+    exactly k rows (and thereby silently drops equally-qualified
+    rows), ``rank`` keeps every row tied with the k-th — the correct
+    leaderboard/threshold semantics whenever the ORDER BY key is not
+    unique. No tie-break column exists here BY DESIGN: the result
+    set is tie-closed, so it is deterministic without one (the
+    property E7 cannot have). Comparisons ride the raw parquet
+    doubles — no arithmetic, bit-exact cross-engine. Scale shape:
+    identical to E7 — one shuffle on the group key, one
+    within-partition sort, rank stops scanning at the cut."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )

@@ -292,3 +292,21 @@ def test_j13_matches_d35_closed_form(spark):
         assert abs(ml.loc[flag, "slope"] - slope_d) <= 1e-4 * max(1.0, abs(slope_d)), flag
         assert abs(ml.loc[flag, "intercept"] - icept_d) <= 1e-4 * max(1.0, abs(icept_d)), flag
         assert abs(ml.loc[flag, "r2"] - ex.loc[flag, "r2"]) < 1e-6, flag
+
+
+def test_gmm_valid_and_deterministic(spark):
+    """J14 structural validity + seed determinism (the fixture's
+    near-orthogonal embeddings make the mixture optimum geometry-
+    blind, as with J1 — so assert structure, not label recovery):
+    posteriors are probabilities, clusters span a sensible range,
+    and the same seed reproduces the same soft partition."""
+    got = registry.get("j14_gaussian_mixture").builder(spark, SF_DIR).toPandas()
+    assert len(got) == got["vec_id"].nunique()
+    assert 1 < got["cluster"].nunique() <= 5
+    assert ((got["max_post"] >= 0.0) & (got["max_post"] <= 1.0)).all()
+    # a soft max-posterior must be at least the uniform floor 1/k
+    assert (got["max_post"] >= 1.0 / 5 - 1e-9).all()
+    again = registry.get("j14_gaussian_mixture").builder(spark, SF_DIR).toPandas()
+    a = got.sort_values("vec_id")[["cluster", "max_post"]].values.tolist()
+    b = again.sort_values("vec_id")[["cluster", "max_post"]].values.tolist()
+    assert a == b, "same seed must reproduce the same mixture"
