@@ -1982,3 +1982,63 @@ def d41_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D42 — Theil index (entropy-based inequality)
+# --------------------------------------------------------------------------
+@register(
+    "d42_theil_index",
+    oracle=(
+        "WITH mu AS (SELECT o_orderpriority AS prio, "
+        "  CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+        "    / COUNT(o_totalprice) AS mu "
+        "  FROM orders GROUP BY 1), "
+        "terms AS (SELECT mu.prio, mu.n, mu.mu, "
+        "  CAST(ROUND((o.o_totalprice / mu.mu) * ln(o.o_totalprice / mu.mu), 9) "
+        "    AS DECIMAL(28,9)) AS t "
+        "  FROM orders o JOIN mu ON mu.prio = o.o_orderpriority) "
+        "SELECT prio AS o_orderpriority, n AS n_orders, "
+        "ROUND(mu, 4) AS mean_price, "
+        "ROUND(CAST(SUM(t) AS DOUBLE) / n, 9) AS theil "
+        "FROM terms GROUP BY prio, n, mu"
+    ),
+    section="D42",
+)
+def d42_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per order priority —
+    T = (1/N)·Σ (x/μ)·ln(x/μ) (Theil 1967): the entropy-based member
+    of the inequality family beside D33's Gini (rank-based) and
+    D34's HHI (share-squared); unlike Gini it is ADDITIVELY
+    DECOMPOSABLE into within/between-group terms, which is why
+    economists aggregate it hierarchically — and why it suits a
+    distributed engine (the per-group fold is map-side combinable,
+    no global rank window needed; at 100 TB Theil scales where Gini's
+    E3 two-tier rank rewrite is the harder path). FP discipline:
+    μ is the davg decimal-exact mean (identical double both engines),
+    each (x/μ)·ln(x/μ) term is one identically-ordered IEEE chain
+    rounded to 9 dp (i38's libm-ulp quash), DECIMAL-summed, ONE final
+    division. Prices are TPC-H-positive so ln never sees 0. Scale
+    shape: two passes over orders (moment agg, then term fold) with a
+    5-row broadcast μ join between them."""
+    from pyspark.sql.functions import broadcast
+
+    o = load(spark, sf_dir, "orders")
+    mu = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        davg("o_totalprice", "mu"),
+    )
+    ratio = F.col("o_totalprice") / F.col("mu")
+    term = F.round(ratio * F.log(ratio), 9).cast("decimal(28,9)")
+    return (
+        o.join(broadcast(mu), o.o_orderpriority == F.col("prio"))
+        .groupBy("prio", "n", "mu")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            F.round("mu", 4).alias("mean_price"),
+            F.round(F.col("_s").cast("double") / F.col("n"), 9).alias("theil"),
+        )
+    )

@@ -331,3 +331,33 @@ def b11_quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("below_some_promo"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B12 — GROUP BY ALL / ORDER BY ALL (resolver-driven grouping)
+# --------------------------------------------------------------------------
+_B12_SQL = (
+    "SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS prio, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+    "FROM orders GROUP BY ALL ORDER BY ALL"
+)
+
+
+@register("b12_group_by_all", oracle=_B12_SQL, section="B12")
+def b12_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (Spark 3.4+/4 resolver
+    feature, same surface in DuckDB/Snowflake): the analyzer derives
+    the grouping key as every non-aggregate SELECT item — here one
+    raw column and one COMPUTED expression (substr of the priority),
+    the case that actually exercises the resolver (it must group by
+    the expression, not the underlying column). ONE SQL string runs
+    verbatim on both engines, so what is hash-checked is the
+    resolver's grouping-key inference itself. Revenue rides the
+    stable.dsum decimal discipline. Scale shape: identical to an
+    explicit-key hash aggregate — resolution is compile-time sugar,
+    the physical plan is the same partial/final agg pair."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_B12_SQL)

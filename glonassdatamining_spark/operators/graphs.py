@@ -735,3 +735,69 @@ def n14_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_components"),
         (F.col("size") * F.count(F.lit(1))).cast("bigint").alias("n_nodes"),
     )
+
+
+# --------------------------------------------------------------------------
+# N15 — average neighbor degree per degree class (knn(k))
+# --------------------------------------------------------------------------
+@register(
+    "n15_avg_neighbor_degree",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "  FROM sym GROUP BY src), "
+        "ends AS (SELECT ds.d AS k, dd.d AS nd FROM sym "
+        "  JOIN deg ds ON ds.node = sym.src "
+        "  JOIN deg dd ON dd.node = sym.dst), "
+        "cls AS (SELECT k, CAST(SUM(nd) AS BIGINT) AS s, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_ends FROM ends GROUP BY k), "
+        "nk AS (SELECT d AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        "  FROM deg GROUP BY d) "
+        "SELECT cls.k AS degree, nk.n_nodes, "
+        "ROUND(CAST(cls.s AS DOUBLE) / cls.n_ends, 6) AS avg_neighbor_degree "
+        "FROM cls JOIN nk ON nk.k = cls.k"
+    ),
+    section="N15",
+)
+def n15_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average neighbor degree per degree class — knn(k)
+    (Pastor-Satorras, Vázquez & Vespignani 2001), the FUNCTION whose
+    slope N10's assortativity r summarizes in one number: rising
+    knn(k) = assortative (hubs wire to hubs), falling = disassortative
+    (hub-and-spoke). INTEGER-exact throughout — Σ over the class's
+    edge ends of the far-end degree is a bigint, the class end count
+    is k·N_k by the handshake identity (emitted as a counted agg, not
+    recomputed, so the oracle cross-certifies the identity), ONE final
+    rounded double division. Scale shape: degree frame joined onto
+    both ends of the edge list (broadcast-able at scale — vertex-sized,
+    narrow), then a map-side-combinable class fold whose key space is
+    the distinct-degree set."""
+    from pyspark.sql.functions import broadcast
+
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("k"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("nd"))
+    cls = (
+        sym.join(broadcast(ds), "src")
+        .join(broadcast(dd), "dst")
+        .groupBy("k")
+        .agg(
+            F.sum("nd").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ends"),
+        )
+    )
+    nk = deg.groupBy(F.col("d").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return cls.join(nk, "k").select(
+        F.col("k").alias("degree"),
+        "n_nodes",
+        F.round(F.col("s").cast("double") / F.col("n_ends"), 6).alias(
+            "avg_neighbor_degree"
+        ),
+    )

@@ -2674,3 +2674,46 @@ def k47_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_removed"),
         F.sum("len_after").cast("bigint").alias("chars_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# K48 — type-token ratio (lexical diversity per source)
+# --------------------------------------------------------------------------
+@register(
+    "k48_type_token_ratio",
+    oracle=(
+        "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+        "  FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens, "
+        "CAST(COUNT(DISTINCT t) AS BIGINT) AS distinct_tokens, "
+        "ROUND(CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*), 6) AS ttr "
+        "FROM tok GROUP BY source"
+    ),
+    section="K48",
+)
+def k48_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source — distinct word types over total
+    tokens, the classic lexical-diversity signal (low TTR = templated
+    / boilerplate / repetitive generation; high = diverse prose): the
+    corpus-level sibling of K16's within-document repetition metrics
+    and the quality feature mixture audits (K27/K43) slice on.
+    Whitespace tokenization matches K9's ws_tokens exactly, so the
+    two queries cross-certify each other's token census. All-integer
+    until ONE final rounded ratio. Scale shape: explode → ONE
+    (source, token)-keyed distinct + count fold; Spark plans
+    count(DISTINCT) via the standard two-phase expand-aggregate —
+    partial aggregation happens map-side per (source, token), so the
+    shuffle carries the per-source vocabulary, not the token stream
+    (at 100 TB, the same inverted-index discipline as K19's vocab
+    coverage)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        F.countDistinct("t").cast("bigint").alias("distinct_tokens"),
+        F.round(
+            F.countDistinct("t").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ttr"),
+    )

@@ -381,3 +381,65 @@ def g9_merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+# --------------------------------------------------------------------------
+# G10 — SCD2 point-in-time (AS OF) lookup
+# --------------------------------------------------------------------------
+@register(
+    "g10_scd2_asof_lookup",
+    oracle=(
+        EVENTS_CTE + ", "
+        "bounds AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx "
+        "  FROM events), "
+        "probes AS (SELECT CAST(q AS INT) AS q, "
+        "  make_timestamp(mn + (mx - mn) * q // 4) AS probe_ts "
+        "  FROM bounds, generate_series(1, 3) g(q)), "
+        "hits AS (SELECT p.q, p.probe_ts, e.user_id, e.event_id, e.value, "
+        "  row_number() OVER (PARTITION BY p.q, e.user_id "
+        "    ORDER BY e.ts DESC, e.event_id DESC) AS rn "
+        "  FROM events e JOIN probes p ON e.ts <= p.probe_ts) "
+        "SELECT q, probe_ts, user_id, event_id, value FROM hits WHERE rn = 1"
+    ),
+    section="G10",
+)
+def g10_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against G6's SCD2 history — the
+    query the history exists FOR: reconstruct every user's state as
+    of three probe instants (the quartile timestamps of the event
+    range, derived integer-exactly from epoch-µs bounds so both
+    engines compute the identical probes). Uses the defining SCD2
+    identity ``t ∈ [valid_from, valid_to)`` ⇔ "latest change at or
+    before t": instead of materializing intervals and range-joining
+    (C8's shape), the lookup is ONE max_by per (probe, user) — the
+    formulation that scales, since it never builds or shuffles the
+    interval table. Value/event_id ride raw parquet values,
+    bit-exact; the probe grid is a 3-row broadcast dim (N12's
+    bounded-ladder pattern). Scale shape: one events shuffle on
+    user_id keyed with the ×3 probe replication, map-side combinable
+    max_by, plus a 1-row bounds aggregate."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    probes = (
+        b.crossJoin(spark.range(1, 4).select(F.col("id").cast("int").alias("q")))
+        .select(
+            "q",
+            F.timestamp_micros(
+                F.col("mn") + F.floor((F.col("mx") - F.col("mn")) * F.col("q") / 4)
+            ).alias("probe_ts"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(probes))
+        .filter(F.col("ts") <= F.col("probe_ts"))
+        .groupBy("q", "probe_ts", "user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "value"), F.struct("ts", "event_id")
+            ).alias("_s")
+        )
+        .select("q", "probe_ts", "user_id", "_s.event_id", "_s.value")
+    )

@@ -3325,3 +3325,101 @@ def i48_bounded_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d", 4).alias("dist"), "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# I49 — trajectory sinuosity (path/chord ratio)
+# --------------------------------------------------------------------------
+@register(
+    "i49_trajectory_sinuosity",
+    oracle=(
+        EVENTS_CTE + ", "
+        "pts AS (SELECT user_id AS obj_id, event_id, ts, "
+        "  event_id * 7919 % 100000 AS ix, event_id * 104729 % 100000 AS iy "
+        "  FROM events), "
+        "seg AS (SELECT obj_id, ix, iy, "
+        "  ix - lag(ix) OVER w AS dx, iy - lag(iy) OVER w AS dy, "
+        "  row_number() OVER w AS rn_a, "
+        "  row_number() OVER (PARTITION BY obj_id "
+        "    ORDER BY ts DESC, event_id DESC) AS rn_d "
+        "  FROM pts WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "agg AS (SELECT obj_id, CAST(COUNT(*) AS BIGINT) AS n_fixes, "
+        "  SUM(CAST(ROUND(SQRT(CAST(dx*dx + dy*dy AS DOUBLE)) / 1000.0, 9) "
+        "    AS DECIMAL(28,9))) AS path, "
+        "  MAX(CASE WHEN rn_a = 1 THEN ix END) AS x0, "
+        "  MAX(CASE WHEN rn_a = 1 THEN iy END) AS y0, "
+        "  MAX(CASE WHEN rn_d = 1 THEN ix END) AS x1, "
+        "  MAX(CASE WHEN rn_d = 1 THEN iy END) AS y1 "
+        "  FROM seg GROUP BY obj_id) "
+        "SELECT obj_id, n_fixes, CAST(path AS DOUBLE) AS path_len, "
+        "ROUND(SQRT(CAST((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) AS DOUBLE)) "
+        "  / 1000.0, 9) AS chord_len, "
+        "ROUND(CAST(path AS DOUBLE) / ROUND(SQRT(CAST((x1-x0)*(x1-x0) "
+        "  + (y1-y0)*(y1-y0) AS DOUBLE)) / 1000.0, 9), 6) AS sinuosity "
+        "FROM agg WHERE n_fixes >= 2 AND NOT (x1 = x0 AND y1 = y0)"
+    ),
+    section="I49",
+)
+def i49_trajectory_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory sinuosity per object — total path length over the
+    straight-line chord between first and last fix (≥1 by the
+    triangle inequality; 1 = beeline, ≫1 = wandering): the standard
+    movement-ecology tortuosity index and the I9-family diagnostic
+    separating commute-like from forage-like motion. FP discipline:
+    coordinates stay on the INTEGER lattice (ix = event_id·7919 mod
+    1e5), so every squared displacement is a bigint; each segment
+    length is ONE sqrt+divide IEEE chain rounded to 9 dp then
+    DECIMAL-summed (order-insensitive across engines), the chord the
+    same chain once, ONE final rounded ratio. Endpoints via
+    min_by/max_by on the (ts, event_id) total order — no
+    first_value frame subtleties. Degenerate trajectories (a single
+    fix, or a closed loop with zero chord) are filtered on the exact
+    integer test, never on a float ==. Scale shape: ONE shuffle on
+    obj_id serves both the lag window and the fold (same
+    partitioning, no second exchange); output is object-cardinality."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("obj_id"),
+        "event_id",
+        "ts",
+        (F.col("event_id") * 7919 % 100000).cast("bigint").alias("ix"),
+        (F.col("event_id") * 104729 % 100000).cast("bigint").alias("iy"),
+    )
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    dx = F.col("ix") - F.lag("ix").over(w)
+    dy = F.col("iy") - F.lag("iy").over(w)
+    seg = pts.select(
+        "obj_id", "ix", "iy", "ts", "event_id",
+        dx.alias("dx"), dy.alias("dy"),
+    )
+    seg_len = F.round(
+        F.sqrt((F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast("double"))
+        / 1000.0,
+        9,
+    ).cast("decimal(28,9)")
+    key = F.struct("ts", "event_id")
+    agg = seg.groupBy("obj_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.sum(seg_len).alias("path"),
+        F.min_by("ix", key).alias("x0"),
+        F.min_by("iy", key).alias("y0"),
+        F.max_by("ix", key).alias("x1"),
+        F.max_by("iy", key).alias("y1"),
+    )
+    cdx, cdy = F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0")
+    chord = F.round(
+        F.sqrt((cdx * cdx + cdy * cdy).cast("double")) / 1000.0, 9
+    )
+    return (
+        agg.filter(
+            (F.col("n_fixes") >= 2)
+            & ~((F.col("x1") == F.col("x0")) & (F.col("y1") == F.col("y0")))
+        )
+        .select(
+            "obj_id",
+            "n_fixes",
+            F.col("path").cast("double").alias("path_len"),
+            chord.alias("chord_len"),
+            F.round(F.col("path").cast("double") / chord, 6).alias("sinuosity"),
+        )
+    )

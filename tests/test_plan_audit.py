@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "d32_benford_digits",     # 1-row total, broadcast (d28's shape)
     "i43_ripley_k",           # 3-row radii dim + 1-row n total, broadcast
     "b11_quantified_comparison",  # 1-row "< ANY" scalar max, broadcast
+    "g10_scd2_asof_lookup",   # 3-row probe-instant dim, broadcast (n12's ladder shape)
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
