@@ -589,3 +589,56 @@ def h17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_safe_div"),
     )
+
+
+# --------------------------------------------------------------------------
+# H18 — temporal sequence generation (sequence / generate_series)
+# --------------------------------------------------------------------------
+@register(
+    "h18_temporal_sequence",
+    oracle=(
+        "WITH spine AS (SELECT gs AS m FROM generate_series("
+        "  DATE '1992-01-01', DATE '1998-12-01', INTERVAL 1 MONTH) g(gs)), "
+        "cnt AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, "
+        "  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) "
+        "SELECT CAST(spine.m AS TIMESTAMP) AS month, "
+        "CAST(year(spine.m) AS INT) AS yr, CAST(quarter(spine.m) AS INT) AS qtr, "
+        "COALESCE(cnt.n, 0) AS n_orders "
+        "FROM spine LEFT JOIN cnt ON cnt.m = spine.m"
+    ),
+    section="H18",
+)
+def h18_temporal_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal sequence generation — ``sequence()`` + explode builds
+    the 84-month TPC-H calendar spine as a FUNCTION (the declarative
+    twin of B9's recursive-CTE spine; same gap-fill contract: months
+    with zero orders surface as explicit 0 rows), plus the
+    year/quarter extraction family. Month-START boundaries only, so
+    Spark's add-months stepping and DuckDB's interval stepping land
+    on identical instants (end-of-month stepping is where engines
+    diverge — a real cross-engine hazard this operator deliberately
+    stays off). Scale shape: the spine is a constant-size
+    single-partition generator broadcast into the left join; the
+    fact-side rollup is one month-keyed map-side-combinable fold."""
+    o = load(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("d")
+    ).select(F.col("d").cast("timestamp").alias("month"))
+    cnt = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        spine.join(cnt, "month", "left")
+        .select(
+            "month",
+            F.year("month").cast("int").alias("yr"),
+            F.quarter("month").cast("int").alias("qtr"),
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n_orders"),
+        )
+    )

@@ -801,3 +801,48 @@ def n15_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neighbor_degree"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# N16 — two-hop neighborhood size (ball of radius 2)
+# --------------------------------------------------------------------------
+@register(
+    "n16_two_hop_ball",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges), "
+        "hop2 AS (SELECT a.src AS v, b.dst AS w FROM sym a "
+        "  JOIN sym b ON a.dst = b.src WHERE b.dst <> a.src), "
+        "ball AS (SELECT src AS v, dst AS w FROM sym "
+        "  UNION SELECT v, w FROM hop2) "
+        "SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS ball2_size "
+        "FROM ball GROUP BY v"
+    ),
+    section="N16",
+)
+def n16_two_hop_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size |B₂(v)\\{v}| per node — the local
+    reach feature behind friend-of-friend recommendation fan-out,
+    influence estimation, and GNN receptive-field sizing; growth of
+    |B₂| vs degree separates tree-like regions (≈ d²) from clustered
+    ones (≪ d², the N8 signal read as set size). Shape: ONE wedge
+    self-equi-join on the shared middle node (distance-2 candidates
+    exactly — never all-pairs), the self-loop filtered by an exact
+    integer test, unioned with the one-hop list and DISTINCT-folded —
+    the same inverted-index discipline as N7/N9; at 100 TB the wedge
+    join buckets on the middle node and a super-hub cap bounds the
+    ×deg² expansion (N9's documented lever). All-integer output."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hop2 = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("v"), F.col("b.dst").alias("w"))
+    )
+    ball = sym.select(F.col("src").alias("v"), F.col("dst").alias("w")).union(hop2)
+    return (
+        ball.distinct()
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ball2_size"))
+    )

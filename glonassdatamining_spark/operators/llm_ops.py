@@ -2717,3 +2717,50 @@ def k48_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("t").cast("double") / F.count(F.lit(1)), 6
         ).alias("ttr"),
     )
+
+
+# --------------------------------------------------------------------------
+# K49 — tokenizer fertility audit (per language)
+# --------------------------------------------------------------------------
+@register(
+    "k49_tokenizer_fertility",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS total_bytes, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens, "
+        "CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) "
+        "  AS BIGINT) AS bpe_ish_tokens, "
+        "ROUND(CAST(SUM(length(text)) AS DOUBLE) "
+        "  / SUM(len(string_split(text, ' '))), 6) AS bytes_per_word, "
+        "ROUND(CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) "
+        "  AS DOUBLE) / SUM(len(string_split(text, ' '))), 6) AS fertility "
+        "FROM documents GROUP BY lang"
+    ),
+    section="K49",
+)
+def k49_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — subword (BPE-ish)
+    tokens per whitespace word, plus bytes per word: THE metric for
+    how expensive each language is to tokenize (high fertility =
+    more subword splits = fewer effective documents per token
+    budget), read before setting K28-style per-language token
+    budgets and mixture weights. Reuses K9's two tokenizers verbatim
+    so the per-document counts and this per-language rollup
+    cross-certify. All-integer sums, two final rounded ratios. Scale
+    shape: per-row JVM regex/size arithmetic fused into the scan →
+    ONE map-side-combinable lang-keyed fold (constant output
+    cardinality); no explode — counts come from size(), the token
+    stream itself never materializes."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_bytes"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_ish_tokens"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum(ws), 6
+        ).alias("bytes_per_word"),
+        F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+    )

@@ -162,3 +162,46 @@ def f7_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.md5(F.col("c_custkey").cast("string")) < thr
     ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# F7 is in this file above; F8 — weighted sample without replacement
+# --------------------------------------------------------------------------
+@register(
+    "f8_weighted_sample",
+    oracle=(
+        "WITH pr AS (SELECT o_orderkey, o_totalprice, "
+        "ROUND(ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+        "::BIGINT + 0.5) / 4294967296.0) / o_totalprice, 12) AS priority "
+        "FROM orders) "
+        "SELECT o_orderkey, o_totalprice, priority FROM pr "
+        "ORDER BY priority DESC, o_orderkey LIMIT 20"
+    ),
+    section="F8",
+)
+def f8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, top-20 by order value —
+    Efraimidis–Spirakis (2006) A-Res: each row draws a deterministic
+    uniform u from md5(key) (first 8 hex digits + 0.5, over 2³², so
+    u is an EXACT double on both engines) and wins with priority
+    ln(u)/w — taking the k largest priorities is provably a w-weighted
+    sample without replacement. The F6 hash-sample's weighted sibling,
+    and like it reproducible under repartitioning, re-runs, engine
+    swaps, and incremental appends (a row's fate depends only on its
+    key and weight) — which is exactly why 100 TB importance-sampling
+    pipelines use hash-priority draws instead of RNG streams. FP
+    discipline: ln quashed to 12 dp (libm-ulp), orderkey tie-break
+    total-orders the cut. Scale shape: narrow per-row arithmetic
+    fused into the scan + ONE TakeOrderedAndProject — no shuffle, no
+    seed coordination; per-partition heaps carry k rows each."""
+    o = load(spark, sf_dir, "orders")
+    v = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    pr = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    return (
+        o.select("o_orderkey", "o_totalprice", pr.alias("priority"))
+        .orderBy(F.col("priority").desc(), "o_orderkey")
+        .limit(20)
+    )

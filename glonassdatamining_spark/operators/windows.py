@@ -1768,3 +1768,66 @@ def e34_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# E35 — year-over-year growth (calendar-aligned offset join)
+# --------------------------------------------------------------------------
+@register(
+    "e35_yoy_growth",
+    oracle=(
+        "WITH m AS (SELECT o_orderpriority AS prio, "
+        "  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev "
+        "  FROM orders GROUP BY 1, 2) "
+        "SELECT c.prio AS o_orderpriority, c.month, c.rev AS revenue, "
+        "p.rev AS prev_year_revenue, "
+        "ROUND((c.rev - p.rev) / p.rev, 6) AS yoy_growth "
+        "FROM m c JOIN m p ON p.prio = c.prio "
+        "AND c.month = p.month + INTERVAL 12 MONTH"
+    ),
+    section="E35",
+)
+def e35_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per priority-month — the
+    reporting staple E2's LAG cannot express safely: lag(12) silently
+    compares against "12 rows back", which is only "a year ago" if
+    every month exists; a CALENDAR-ALIGNED self-equi-join on
+    (priority, month − 12 months) stays correct under gaps, the bug
+    class that pollutes real dashboards. Inner join = only months
+    with a comparable prior year surface (no NULL-growth rows to
+    diverge on). Revenue rides dsum's decimal discipline; growth is
+    one IEEE chain over two deterministic doubles, rounded.
+    Month buckets emitted as TIMESTAMP on both engines (e17's dtype
+    lesson). Scale shape: ONE month-rollup shuffle (tiny output),
+    then an equi-join of the rollup against its shifted self —
+    broadcast-able at any scale since its cardinality is
+    priorities × months."""
+    from glonassdatamining_spark.stable import dsum
+
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(dsum("o_totalprice", "rev"))
+        .localCheckpoint()
+    )
+    prev = m.select(
+        "prio",
+        F.add_months("month", 12).cast("timestamp").alias("month"),
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        m.join(prev, ["prio", "month"])
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "month",
+            F.col("rev").alias("revenue"),
+            F.col("prev_rev").alias("prev_year_revenue"),
+            F.round((F.col("rev") - F.col("prev_rev")) / F.col("prev_rev"), 6).alias(
+                "yoy_growth"
+            ),
+        )
+    )

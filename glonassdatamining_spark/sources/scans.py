@@ -810,3 +810,44 @@ def a20_footer_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name STRING, row_group_id INT, column_name STRING, "
         "n_values BIGINT, null_count BIGINT, has_min_max BOOLEAN",
     )
+
+
+# --------------------------------------------------------------------------
+# A21 — file-lineage metadata column (_metadata)
+# --------------------------------------------------------------------------
+@register(
+    "a21_file_lineage",
+    oracle=(
+        "SELECT 'orders.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM orders "
+        "UNION ALL SELECT 'documents.parquet', CAST(COUNT(*) AS BIGINT) FROM documents "
+        "UNION ALL SELECT 'events.parquet', CAST(COUNT(*) AS BIGINT) FROM events"
+    ),
+    section="A21",
+)
+def a21_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-lineage audit via the hidden ``_metadata`` column (Spark
+    3.2+): per source file, its basename and row contribution — the
+    provenance primitive under every "which load produced these rows"
+    incident query, quarantine-by-file (A16's sibling at file grain),
+    and incremental-load dedup. ``_metadata.file_name`` is resolved
+    by the FileScan itself (constant per split — no row-level cost,
+    no shuffle widening), the column Spark exposes precisely so
+    lineage never has to be baked into the data. The oracle pins the
+    EXPECTED lineage relationally (deterministic fixture basenames ×
+    exact per-table counts), so the hash check certifies that the
+    metadata column reports the true file ↔ row-count mapping.
+    Scale shape: three scans, each folding map-side to one row per
+    file — output cardinality = file count."""
+    frames = []
+    for t in ("orders", "documents", "events"):
+        frames.append(
+            load(spark, sf_dir, t)
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.union(fr)
+    return out
