@@ -802,3 +802,69 @@ def c9e_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         left, right, "user_id", "ts", "err_ts", direction="forward"
     ).select("event_id", "user_id", "ts", "err_event_id", "err_ts")
+
+
+# --------------------------------------------------------------------------
+# C19 — disjunctive (OR-predicate) join via union-of-equi-joins
+# --------------------------------------------------------------------------
+@register(
+    "c19_disjunctive_join",
+    oracle=(
+        "WITH p1 AS (SELECT a.o_orderkey AS u, b.o_orderkey AS v "
+        "  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+        "  AND a.o_orderkey < b.o_orderkey), "
+        "p2 AS (SELECT a.o_orderkey AS u, b.o_orderkey AS v "
+        "  FROM orders a JOIN orders b ON a.o_orderdate = b.o_orderdate "
+        "  AND a.o_orderpriority = b.o_orderpriority "
+        "  AND a.o_orderkey < b.o_orderkey) "
+        "SELECT CASE WHEN p2.u IS NULL THEN 'custkey_only' "
+        "WHEN p1.u IS NULL THEN 'date_priority_only' ELSE 'both' END "
+        "  AS match_reason, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM p1 FULL OUTER JOIN p2 ON p1.u = p2.u AND p1.v = p2.v "
+        "GROUP BY 1"
+    ),
+    section="C19",
+)
+def c19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive join — order pairs matching on EITHER the same
+    customer OR the same (date, priority), the duplicate-submission
+    screen every order-intake pipeline runs, and the entity-
+    resolution shape (match on email OR phone) generally. A naive
+    ``ON a.k1 = b.k1 OR (a.k2, a.k3) = (b.k2, b.k3)`` join cannot
+    hash-partition (no single equi-key), so Spark plans it as a
+    nested-loop — O(n²) and dead at scale. The standard rewrite is
+    the operator: one equi-join PER DISJUNCT, reconciled by a
+    full-outer join on the pair key, which both dedups and
+    classifies each pair (custkey_only / date_priority_only / both)
+    — strictly more information than the OR join, at equi-join cost.
+    tests/test_api.py proves rewrite ≡ naive OR-join row-for-row at
+    the smoke fixture. All-integer output. Scale shape: three
+    equi-shuffles, each on a real key; per-key pair fan-out is
+    bounded by customer order counts / date-priority bucket sizes
+    (both ~dozen in TPC-H at any SF — pair volume grows linearly)."""
+    o = load(spark, sf_dir, "orders")
+    a1 = o.select(F.col("o_custkey").alias("k"), F.col("o_orderkey").alias("u"))
+    p1 = (
+        a1.join(a1.select(F.col("k"), F.col("u").alias("v")), "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    a2 = o.select("o_orderdate", "o_orderpriority", F.col("o_orderkey").alias("u"))
+    p2 = (
+        a2.join(
+            a2.select("o_orderdate", "o_orderpriority", F.col("u").alias("v")),
+            ["o_orderdate", "o_orderpriority"],
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    both = p1.withColumn("_in1", F.lit(1)).join(
+        p2.withColumn("_in2", F.lit(1)), ["u", "v"], "full_outer"
+    )
+    return both.groupBy(
+        F.when(F.col("_in2").isNull(), "custkey_only")
+        .when(F.col("_in1").isNull(), "date_priority_only")
+        .otherwise("both")
+        .alias("match_reason")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

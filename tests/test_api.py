@@ -555,3 +555,38 @@ def test_skew_profile_matches_python_census(spark):
     factor = max(c.values()) * len(c) / len(keys)
     for _, _, sf_ in got.values():
         assert abs(sf_ - round(factor, 9)) < 1e-12
+
+
+def test_c19_rewrite_equals_naive_or_join(spark):
+    """C19's union-of-equi-joins rewrite must reproduce the naive
+    disjunctive join row-for-row: the same (u, v) pair set out of a
+    direct OR-predicate join (run in DuckDB, where the fixture is
+    small enough to nested-loop), with reasons consistent with the
+    per-disjunct membership."""
+    import duckdb
+
+    from glonassdatamining_spark import registry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    naive = con.execute(
+        "SELECT CASE WHEN NOT (a.o_orderdate = b.o_orderdate "
+        "  AND a.o_orderpriority = b.o_orderpriority) THEN 'custkey_only' "
+        "WHEN a.o_custkey <> b.o_custkey THEN 'date_priority_only' "
+        "ELSE 'both' END AS match_reason, COUNT(*) AS n_pairs "
+        "FROM orders a JOIN orders b ON a.o_orderkey < b.o_orderkey "
+        "AND (a.o_custkey = b.o_custkey OR (a.o_orderdate = b.o_orderdate "
+        "  AND a.o_orderpriority = b.o_orderpriority)) "
+        "GROUP BY 1"
+    ).fetchdf()
+    got = (
+        registry.get("c19_disjunctive_join")
+        .builder(spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    n = dict(zip(naive["match_reason"], naive["n_pairs"]))
+    g = dict(zip(got["match_reason"], got["n_pairs"]))
+    assert g == {k: int(v) for k, v in n.items()}
