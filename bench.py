@@ -71,6 +71,12 @@ HEADLINE = [
     "k43_source_drift_tv",          # integer-exact per-source TV drift
     "i44_mobility_markov",          # grid-cell transition model
     "e27_cusum_alarm",              # HOF-folded sequential detector
+    # round-5 additions (BASELINE.md: no earlier baseline):
+    "i48_bounded_knn_join",         # grid-bucketed exact kNN self-join
+    "g10_scd2_asof_lookup",         # 3-probe point-in-time max_by
+    "i49_trajectory_sinuosity",     # one-shuffle window + endpoint fold
+    "n16_two_hop_ball",             # wedge join ∪ one-hop, distinct fold
+    "c19_disjunctive_join",         # OR-join as union-of-equi-joins
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)
