@@ -443,3 +443,79 @@ def g10_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q", "probe_ts", "user_id", "_s.event_id", "_s.value")
     )
+
+
+# --------------------------------------------------------------------------
+# G11 — lakehouse snapshot table: time travel across commits
+# --------------------------------------------------------------------------
+@register(
+    "g11_lakehouse_time_travel",
+    oracle=(
+        "WITH v1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0), "
+        "v2 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1)), "
+        "v3 AS (SELECT CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice + 1000.0 "
+        "  ELSE o_totalprice END AS o_totalprice FROM orders) "
+        "SELECT CAST(1 AS INT) AS version, 'create' AS op, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price "
+        "  FROM v1 "
+        "UNION ALL SELECT CAST(2 AS INT), 'append', CAST(COUNT(*) AS BIGINT), "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM v2 "
+        "UNION ALL SELECT CAST(3 AS INT), 'merge', CAST(COUNT(*) AS BIGINT), "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM v3"
+    ),
+    section="G11",
+)
+def g11_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table time travel over the manifest-based lakehouse
+    layer (glonassdatamining_spark/lakehouse.py): CREATE a third of
+    orders (v1), APPEND another third (v2), then a copy-on-write
+    MERGE that bumps every %15 key's price by 1000 and inserts the
+    final third (v3) — and read every version back AFTER all three
+    commits, proving snapshot isolation (a v1 read after v3 still
+    sees exactly v1's files). The oracle reconstructs each version's
+    expected (row count, decimal-exact revenue) relationally, so the
+    hash check certifies the whole commit → manifest → time-travel
+    read path end-to-end, not just the final state. Commit
+    atomicity, optimistic-concurrency conflicts, and file-stats
+    MERGE pruning are asserted separately in tests/test_lakehouse.py.
+    Scale shape: each version read plans a plain parquet scan over
+    that manifest's file list; MERGE reads ONLY key-range-overlapping
+    files (manifest min/max pruning) — the mechanism that keeps a
+    100 TB upsert proportional to the touched data."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.sources.scans import _derived_base
+    from glonassdatamining_spark.stable import dsum
+
+    root = _derived_base(sf_dir, "lakehouse_orders", "orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ManifestTable(spark, root, "o_orderkey")
+    if t.current_version() < 3:
+        shutil.rmtree(root, ignore_errors=True)
+        t = ManifestTable.create(
+            spark, root, o.filter(F.col("o_orderkey") % 3 == 0), "o_orderkey", 4
+        )
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1), 2)
+        updates = o.filter(F.col("o_orderkey") % 15 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        inserts = o.filter(F.col("o_orderkey") % 3 == 2)
+        t.merge(updates.unionByName(inserts), 2)
+    rows = []
+    for v, op in ((1, "create"), (2, "append"), (3, "merge")):
+        r = (
+            t.read(version=v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum("o_totalprice", "tp"),
+            )
+            .collect()[0]  # 1-row per-version rollup (3 versions, bounded)
+        )
+        rows.append((v, op, r["n"], float(r["tp"])))
+    return spark.createDataFrame(
+        rows, "version INT, op STRING, n_rows BIGINT, total_price DOUBLE"
+    )

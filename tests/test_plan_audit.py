@@ -90,6 +90,8 @@ COLLECT_ALLOWED = {
     ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
     ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
     ("operators/ml_ops.py", 'li.select("l_returnflag").distinct()'),  # 3-row flag dim (j13)
+    ("lakehouse.py", "1-row bounded scalar"),       # merge key-range probe
+    ("operators/sets.py", "1-row per-version rollup"),  # g11: 3 bounded reads
 }
 
 
