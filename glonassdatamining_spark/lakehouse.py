@@ -215,3 +215,46 @@ class ManifestTable:
                 }
             )
         return out
+
+
+# ---------------------------------------------------------------------------
+# Maintenance operations (the OPTIMIZE / VACUUM pair)
+# ---------------------------------------------------------------------------
+def compact(table: ManifestTable, n_files: int = 2) -> int:
+    """Rewrite the current snapshot into ``n_files`` files (bin-pack
+    OPTIMIZE): content-identical by construction — the new manifest
+    lists only the rewritten files, while older snapshots keep
+    referencing the originals (time travel unaffected until expiry).
+    At 100 TB this runs per partition/key-range slice; here the
+    table-wide form keeps the protocol identical."""
+    v = table.current_version()
+    files = table._write_files(table.read(version=v), n_files)
+    return table._commit(files, "compact", v + 1)
+
+
+def expire_snapshots(table: ManifestTable, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` manifests, then
+    garbage-collect data files no surviving manifest references —
+    the VACUUM step that actually frees storage after compaction.
+    Deletion order is safety-ordered: manifests first (so a reader
+    can never load a manifest whose files are gone), then orphans."""
+    cur = table.current_version()
+    cutoff = cur - keep_last + 1
+    removed_manifests = 0
+    for v in range(1, cutoff):
+        p = os.path.join(table._mdir, f"v{v}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+            removed_manifests += 1
+    live = set()
+    for v in range(cutoff, cur + 1):
+        live.update(e["file"] for e in table._manifest(v)["files"])
+    removed_files = 0
+    for name in os.listdir(table._ddir):
+        if name.endswith(".parquet") and name not in live:
+            os.unlink(os.path.join(table._ddir, name))
+            removed_files += 1
+    return {
+        "removed_manifests": removed_manifests,
+        "removed_data_files": removed_files,
+    }

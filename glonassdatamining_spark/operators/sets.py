@@ -519,3 +519,76 @@ def g11_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version INT, op STRING, n_rows BIGINT, total_price DOUBLE"
     )
+
+
+# --------------------------------------------------------------------------
+# G12 — lakehouse maintenance: compaction + snapshot expiry
+# --------------------------------------------------------------------------
+@register(
+    "g12_lakehouse_compaction",
+    oracle=(
+        "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS tp "
+        "  FROM orders) "
+        "SELECT 'v2_full' AS step, n AS n_rows, tp AS total_price, "
+        "  CAST(8 AS INT) AS n_files FROM s "
+        "UNION ALL SELECT 'v3_compacted', n, tp, CAST(2 AS INT) FROM s "
+        "UNION ALL SELECT 'after_expire', n, tp, CAST(2 AS INT) FROM s"
+    ),
+    section="G12",
+)
+def g12_lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse maintenance pair — bin-pack compaction (OPTIMIZE)
+    then snapshot expiry (VACUUM) on the manifest table: orders lands
+    as 8 small files over two commits (the small-file problem A10
+    demonstrates at the raw-parquet layer, here at the TABLE layer),
+    compaction rewrites the live snapshot into 2 files WITHOUT
+    changing a single row (the hash certifies content invariance:
+    row count AND decimal-exact revenue identical across all three
+    protocol steps), and expiry drops dead manifests then
+    garbage-collects data files no surviving snapshot references —
+    safety-ordered (manifests first) so a reader can never load a
+    manifest whose files are gone. File counts are part of the
+    hash-checked output (8 → 2 → 2), pinning that compaction and GC
+    actually happened. Scale shape: compaction is one
+    repartitionByRange rewrite of the live set (per key-range slice
+    at 100 TB); expiry is manifest-set arithmetic, O(files), no data
+    read at all."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import (
+        ManifestTable,
+        compact,
+        expire_snapshots,
+    )
+    from glonassdatamining_spark.sources.scans import _derived_base
+    from glonassdatamining_spark.stable import dsum
+
+    root = _derived_base(sf_dir, "lakehouse_maint", "orders")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0), "o_orderkey", 4
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1), 4)
+
+    def stats(step: str) -> tuple:
+        m = t._manifest(t.current_version())
+        r = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum("o_totalprice", "tp"),
+            )
+            .collect()[0]  # 1-row per-step rollup (3 steps, bounded)
+        )
+        return (step, r["n"], float(r["tp"]), len(m["files"]))
+
+    rows = [stats("v2_full")]
+    compact(t, n_files=2)
+    rows.append(stats("v3_compacted"))
+    expire_snapshots(t, keep_last=1)
+    rows.append(stats("after_expire"))
+    return spark.createDataFrame(
+        rows, "step STRING, n_rows BIGINT, total_price DOUBLE, n_files INT"
+    )

@@ -119,3 +119,41 @@ def test_history_reports_every_version(spark, tmp_path):
     assert [x["op"] for x in h] == ["create", "append"]
     assert [x["n_rows"] for x in h] == [100, 150]
     assert all(x["n_files"] >= 1 for x in h)
+
+
+def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
+    from glonassdatamining_spark.lakehouse import compact
+
+    t = _mk(spark, tmp_path, n=300, n_files=4)
+    t.append(
+        spark.range(300, 600).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        ),
+        n_files=4,
+    )
+    assert len(t._manifest(2)["files"]) == 8
+    before = sorted(r["k"] for r in t.read().collect())
+    v = compact(t, n_files=2)
+    assert v == 3
+    assert len(t._manifest(3)["files"]) == 2
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    # pre-compaction snapshots still readable (time travel intact)
+    assert t.read(version=2).count() == 600
+
+
+def test_expire_snapshots_gc_orphans(spark, tmp_path):
+    import os as _os
+
+    from glonassdatamining_spark.lakehouse import compact, expire_snapshots
+
+    t = _mk(spark, tmp_path, n=200, n_files=4)
+    compact(t, n_files=1)
+    n_data_before = len(
+        [f for f in _os.listdir(t._ddir) if f.endswith(".parquet")]
+    )
+    assert n_data_before == 5  # 4 original + 1 compacted
+    out = expire_snapshots(t, keep_last=1)
+    assert out["removed_manifests"] == 1
+    assert out["removed_data_files"] == 4
+    assert t.current_version() == 2
+    assert t.read().count() == 200  # live snapshot untouched
