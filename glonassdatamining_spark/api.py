@@ -1292,9 +1292,20 @@ def dbscan_local_plan(
         bucketed = padded.withColumn(
             "_bkt", F.pmod(F.hash("_tcx", "_tcy"), F.lit(par))
         ).repartition(par, "_bkt")
-    return bucketed.groupBy("_bkt").applyInPandas(
-        lambda pdf: local_dbscan_bucket(pdf),
-        "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, _x DOUBLE, _y DOUBLE",
+    # (eps, min_pts) ride as column metadata — dbscan() refuses a plan
+    # prepared for different parameters (same stale-projection guard as
+    # dbscan_padded's eps/cell tag: a mismatched plan yields silently
+    # wrong labels, not an error, without this).
+    return (
+        bucketed.groupBy("_bkt")
+        .applyInPandas(
+            lambda pdf: local_dbscan_bucket(pdf),
+            "_id BIGINT, _is_core BOOLEAN, _local_cid STRING, "
+            "_x DOUBLE, _y DOUBLE",
+        )
+        .withMetadata(
+            "_id", {"eps": float(eps), "min_pts": int(min_pts)}
+        )
     )
 
 
@@ -1349,6 +1360,18 @@ def dbscan(
     # below is taken fresh per call, so the kernel always executes.
     if local_plan is None:
         local_plan = dbscan_local_plan(padded, eps, min_pts)
+    else:
+        lp_meta = local_plan.schema["_id"].metadata or {}
+        if (lp_meta.get("eps"), lp_meta.get("min_pts")) != (
+            float(eps),
+            int(min_pts),
+        ):
+            raise ValueError(
+                f"local_plan was prepared for eps/min_pts "
+                f"{lp_meta.get('eps')}/{lp_meta.get('min_pts')}, not "
+                f"{eps}/{min_pts} — its core flags would be wrong for "
+                "these parameters"
+            )
     local = local_plan.localCheckpoint(eager=False)
     # eager=False: the checkpoint materializes inside the FIRST action
     # that reads it — the CC gate's probe collect — so the Arrow kernel

@@ -138,6 +138,18 @@ class ManifestTable:
             if rows == 0:
                 os.unlink(os.path.join(self._ddir, dst))
                 continue
+            # Manifest stats are json.dump'd and compared with < / > in
+            # the prune — only orderable JSON scalars are supported as
+            # key types (date/timestamp/decimal keys would serialize
+            # wrong or not at all; cast them to epoch ints / strings
+            # upstream).
+            for bound in (lo, hi):
+                if not isinstance(bound, (int, float, str, type(None))):
+                    raise TypeError(
+                        f"key column {self.key_col!r} must be an "
+                        f"int/float/string for manifest stats; got "
+                        f"{type(bound).__name__}"
+                    )
             entries.append(
                 {"file": dst, "rows": rows, "min_key": lo, "max_key": hi}
             )
@@ -164,37 +176,70 @@ class ManifestTable:
         files = self._manifest(v)["files"] + self._write_files(df, n_files)
         return self._commit(files, "append", v + 1)
 
-    def merge(self, source: DataFrame, n_files: int = 2) -> dict:
+    def merge(
+        self, source: DataFrame, n_files: int = 2, max_retries: int = 0
+    ) -> dict:
         """Copy-on-write upsert: source rows replace same-key rows and
         insert new keys. Files whose [min_key, max_key] cannot overlap
-        the source's key range are carried forward without a rewrite."""
-        v = self.current_version()
-        snap = self._manifest(v)["files"]
+        the source's key range are carried forward without a rewrite.
+
+        Optimistic concurrency: each attempt prunes and rewrites
+        against the HEAD it read, then tries to publish HEAD+1. If a
+        concurrent writer won the ``os.link`` race, the attempt's
+        freshly-written files (referenced by no manifest) are unlinked
+        and the prune + rewrite REPLAYS against the new HEAD — so a
+        retry sees the other writer's rows, re-decides which files
+        overlap, and still carries forward everything outside the
+        source's key range. Up to ``max_retries`` replays
+        (0 = raise :class:`CommitConflict` on first loss). An empty
+        source is a no-op (no snapshot committed)."""
         lohi = source.agg(
             F.min(self.key_col).alias("lo"), F.max(self.key_col).alias("hi")
         ).collect()[0]  # 1-row bounded scalar
-        touched = [
-            e
-            for e in snap
-            if not (e["max_key"] < lohi["lo"] or e["min_key"] > lohi["hi"])
-        ]
-        carried = [e for e in snap if e not in touched]
-        if touched:
-            old = self.spark.read.parquet(
-                *[os.path.join(self._ddir, e["file"]) for e in touched]
-            )
-            merged = old.join(
-                source.select(self.key_col), self.key_col, "left_anti"
-            ).unionByName(source)
-        else:
-            merged = source
-        new_files = self._write_files(merged, n_files)
-        self._commit(carried + new_files, "merge", v + 1)
-        return {
-            "version": v + 1,
-            "files_rewritten": len(touched),
-            "files_carried": len(carried),
-        }
+        if lohi["lo"] is None:
+            v = self.current_version()
+            return {
+                "version": v,
+                "files_rewritten": 0,
+                "files_carried": len(self._manifest(v)["files"]) if v else 0,
+                "retries": 0,
+            }
+        for attempt in range(max_retries + 1):
+            v = self.current_version()
+            snap = self._manifest(v)["files"]
+            touched = [
+                e
+                for e in snap
+                if not (e["max_key"] < lohi["lo"] or e["min_key"] > lohi["hi"])
+            ]
+            carried = [e for e in snap if e not in touched]
+            if touched:
+                old = self.spark.read.parquet(
+                    *[os.path.join(self._ddir, e["file"]) for e in touched]
+                )
+                merged = old.join(
+                    source.select(self.key_col), self.key_col, "left_anti"
+                ).unionByName(source)
+            else:
+                merged = source
+            new_files = self._write_files(merged, n_files)
+            try:
+                self._commit(carried + new_files, "merge", v + 1)
+            except CommitConflict:
+                for e in new_files:  # orphans of the lost attempt
+                    try:
+                        os.unlink(os.path.join(self._ddir, e["file"]))
+                    except FileNotFoundError:
+                        pass
+                if attempt == max_retries:
+                    raise
+                continue
+            return {
+                "version": v + 1,
+                "files_rewritten": len(touched),
+                "files_carried": len(carried),
+                "retries": attempt,
+            }
 
     # -- reads -------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
@@ -239,7 +284,9 @@ def expire_snapshots(table: ManifestTable, keep_last: int = 1) -> dict:
     Deletion order is safety-ordered: manifests first (so a reader
     can never load a manifest whose files are gone), then orphans."""
     cur = table.current_version()
-    cutoff = cur - keep_last + 1
+    # keep_last >= cur keeps everything: clamp so the live-file walk
+    # below never asks for a manifest version < 1.
+    cutoff = max(1, cur - keep_last + 1)
     removed_manifests = 0
     for v in range(1, cutoff):
         p = os.path.join(table._mdir, f"v{v}.json")

@@ -315,7 +315,11 @@ def b11_quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity, not assuming it. Comparisons stay on the parquet
     doubles themselves (no arithmetic), so cross-engine equality is
     bit-exact. Ties: every co-champion row surfaces (ALL-semantics
-    keeps ties; no row_number tie-break to diverge on)."""
+    keeps ties; no row_number tie-break to diverge on). Empty-set
+    edge: SQL's ``x < ANY (empty)`` is FALSE while ``x < max(empty)``
+    is NULL — the flag is coalesced to 0 so the identity holds even
+    when no 'PROMO' rows exist (the fixture happens to have them,
+    but the rewrite must not depend on that)."""
     p = load(spark, sf_dir, "part")
     brand_max = Window.partitionBy("p_brand")
     promo_max = p.filter(F.col("p_type") == "PROMO").agg(
@@ -327,8 +331,10 @@ def b11_quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(promo_max))
         .select(
             "p_brand", "p_partkey", "p_name", "p_retailprice",
-            (F.col("p_retailprice") < F.col("promo_max")).cast("int")
-            .alias("below_some_promo"),
+            F.coalesce(
+                (F.col("p_retailprice") < F.col("promo_max")).cast("int"),
+                F.lit(0),
+            ).alias("below_some_promo"),
         )
     )
 

@@ -167,6 +167,30 @@ def test_dbscan_generic(spark):
     assert rows[999].cluster is None and not rows[999].is_core
 
 
+def test_dbscan_rejects_mismatched_local_plan(spark):
+    """A prepared local_plan carries (eps, min_pts) metadata; dbscan
+    must refuse one built for different parameters — a silent accept
+    would produce wrong core flags, not an error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(10)],
+        "pt LONG, px DOUBLE, py DOUBLE",
+    )
+    padded = api.dbscan_padded(df, "pt", "px", "py", eps=0.8, cell=2.0)
+    plan = api.dbscan_local_plan(padded, eps=0.8, min_pts=4)
+    with pytest.raises(ValueError, match="local_plan was prepared"):
+        api.dbscan(
+            df, "pt", "px", "py", eps=0.8, min_pts=3, cell=2.0,
+            padded=padded, local_plan=plan,
+        )
+    # matching parameters are accepted
+    api.dbscan(
+        df, "pt", "px", "py", eps=0.8, min_pts=4, cell=2.0,
+        padded=padded, local_plan=plan,
+    ).collect()
+
+
 def test_salted_agg_matches_plain(spark):
     """Skewed key (90% of rows) through the salted two-stage path must
     equal the plain groupBy (decimal-exact values so FP order is moot)."""

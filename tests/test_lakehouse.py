@@ -141,6 +141,117 @@ def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     assert t.read(version=2).count() == 600
 
 
+def test_merge_retry_interleaved_writers(spark, tmp_path):
+    """Optimistic-concurrency completion: two writers race the SAME
+    HEAD (a barrier holds both at the v2 publish point, so the
+    os.link race is exercised deterministically, not by luck). The
+    loser must replay — re-read HEAD, re-prune against the WINNER'S
+    manifest, re-commit — and the end state must show a linear
+    version chain, zero lost upserts, stats-pruning still biting on
+    the retry, and no orphan files left from the lost attempt."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=1000, n_files=4)
+    barrier = threading.Barrier(2, timeout=120)
+    real_commit = t._commit
+
+    def synced_commit(files, op, expected_version):
+        if expected_version == 2:  # both first attempts target v2
+            barrier.wait()
+        return real_commit(files, op, expected_version)
+
+    t._commit = synced_commit
+    results: dict[str, dict] = {}
+    errors: list[BaseException] = []
+
+    def writer(name, lo, hi, val):
+        try:
+            src = spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                F.lit(val).cast("bigint").alias("val"),
+            )
+            results[name] = t.merge(src, max_retries=3)
+        except BaseException as exc:  # surfaced below, not swallowed
+            errors.append(exc)
+
+    # Disjoint key bands hitting DIFFERENT files of the 4-file layout
+    # ([0,249] and [500,749]) — a correct retry rewrites 1 file each.
+    th_a = threading.Thread(target=writer, args=("a", 10, 21, -1))
+    th_b = threading.Thread(target=writer, args=("b", 510, 521, -2))
+    th_a.start(), th_b.start()
+    th_a.join(300), th_b.join(300)
+    assert not errors, errors
+    assert len(results) == 2
+
+    # Linear version chain: exactly v2 and v3, one writer retried once.
+    assert sorted(r["version"] for r in results.values()) == [2, 3]
+    assert sorted(r["retries"] for r in results.values()) == [0, 1]
+    # Stats pruning held on BOTH attempts: the winner carried 3 of 4
+    # files; the retrier carried 4 (3 untouched originals + the
+    # winner's rewrites, which its key band cannot overlap).
+    by_version = {r["version"]: r for r in results.values()}
+    assert by_version[2]["files_rewritten"] == 1
+    assert by_version[2]["files_carried"] == 3
+    assert by_version[3]["files_rewritten"] == 1
+    assert by_version[3]["files_carried"] == 4
+
+    # Zero lost upserts: both writers' rows visible at HEAD.
+    got = t.read()
+    assert got.count() == 1000  # pure updates — no row-count drift
+    assert got.filter(F.col("val") == -1).count() == 11
+    assert got.filter(F.col("val") == -2).count() == 11
+
+    # The lost attempt's files were unlinked: every data file on disk
+    # is referenced by SOME manifest (no unreachable orphans).
+    live = set()
+    for v in range(1, t.current_version() + 1):
+        live.update(e["file"] for e in t._manifest(v)["files"])
+    on_disk = {f for f in os.listdir(t._ddir) if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_merge_empty_source_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    src = (
+        spark.range(1)
+        .select(F.col("id").alias("k"), F.col("id").alias("val"))
+        .filter(F.lit(False))
+    )
+    out = t.merge(src)
+    assert out == {
+        "version": 1,
+        "files_rewritten": 0,
+        "files_carried": 2,
+        "retries": 0,
+    }
+    assert t.current_version() == 1  # no snapshot committed
+    assert t.read().count() == 100
+
+
+def test_create_rejects_non_json_key_type(spark, tmp_path):
+    """Date/timestamp/decimal keys would break json.dump (or compare
+    wrong after round-trip) — creation must fail loudly, not commit a
+    corrupt manifest."""
+    df = spark.range(10).select(
+        F.to_date(F.lit("2024-01-01")).alias("k"), F.col("id").alias("val")
+    )
+    with pytest.raises(TypeError, match="int/float/string"):
+        ManifestTable.create(spark, str(tmp_path / "t"), df, "k")
+    # nothing was published
+    assert ManifestTable(spark, str(tmp_path / "t"), "k").current_version() == 0
+
+
+def test_expire_snapshots_keep_more_than_history(spark, tmp_path):
+    """keep_last larger than the version count is a no-op, not a
+    FileNotFoundError from walking manifest v0 and below."""
+    from glonassdatamining_spark.lakehouse import expire_snapshots
+
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    out = expire_snapshots(t, keep_last=5)
+    assert out == {"removed_manifests": 0, "removed_data_files": 0}
+    assert t.read().count() == 100
+
+
 def test_expire_snapshots_gc_orphans(spark, tmp_path):
     import os as _os
 
