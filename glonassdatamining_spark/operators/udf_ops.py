@@ -23,6 +23,7 @@ from pyspark.sql.functions import pandas_udf
 
 from glonassdatamining_spark.registry import register
 from glonassdatamining_spark.sources import load
+from glonassdatamining_spark.stable import EVENTS_CTE
 
 
 @register(
@@ -308,4 +309,117 @@ def m7_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge,
             "k BIGINT, n_orders BIGINT, spend_cents BIGINT, n_events BIGINT",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# M8 — applyInPandasWithState batch twin (arbitrary keyed state)
+# --------------------------------------------------------------------------
+_M8_GAP_MS = 300_000  # the same 5-minute gap as the L3 session window
+
+
+def _m8_fold(state, ts_ms_seq, value_strs):
+    """The per-key session state machine BOTH m8 forms execute —
+    batch (applyInPandas over the whole history) and live
+    (applyInPandasWithState per micro-batch, state carried between
+    calls). ``state`` is ``(start_ms, last_ms, n, total_str)`` or
+    ``None``; events must arrive in event-time order. Totals ride
+    decimal STRINGS so the arithmetic is exact at any batch split —
+    a float accumulator would make the live/batch results diverge in
+    ulps depending on where the micro-batch boundary falls. Returns
+    ``(closed_sessions, new_state)`` with sessions as
+    ``(start_ms, end_ms, n, total_str)`` and end = last + gap
+    (Spark session_window's gap-close convention)."""
+    from decimal import Decimal
+
+    closed = []
+    for t, v in zip(ts_ms_seq, value_strs):
+        if state is None:
+            state = (t, t, 1, v)
+        elif t - state[1] >= _M8_GAP_MS:
+            closed.append((state[0], state[1] + _M8_GAP_MS, state[2], state[3]))
+            state = (t, t, 1, v)
+        else:
+            state = (
+                state[0],
+                t,
+                state[2] + 1,
+                str(Decimal(state[3]) + Decimal(v)),
+            )
+    return closed, state
+
+
+@register(
+    "m8_stateful_sessions",
+    oracle=(
+        EVENTS_CTE + ", flagged AS ("
+        "  SELECT user_id, ts, event_id, value, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        f"       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {_M8_GAP_MS} "
+        "       THEN 1 ELSE 0 END AS new_session "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, value, SUM(new_session) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) "
+        "SELECT user_id, MIN(ts) AS w_start, MAX(ts) + INTERVAL 5 MINUTE AS w_end, "
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value "
+        "FROM sess GROUP BY user_id, sid"
+    ),
+    section="M8",
+)
+def m8_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState live form
+    (streaming/live.py::m8_streaming): per-user gap sessionization run
+    through an EXPLICIT arbitrary-state machine (:func:`_m8_fold`) —
+    not session_window — so what is hash-checked against the oracle is
+    the state machine itself, and the live form runs the IDENTICAL
+    fold with the state tuple carried across micro-batches. Extends
+    l3's session semantics with a per-session decimal-exact value sum
+    (the arbitrary-state payload l3's built-in window can't carry).
+    Scale shape: one shuffle on user_id, Arrow-batched python per key
+    group, state O(1) per key — the same shape the streaming state
+    store keeps."""
+    from decimal import Decimal
+
+    # Plain-string capture so the by-value-pickled closure can import
+    # the shared fold on executors whose PYTHONPATH lacks the package
+    # (the driver contract runs from an arbitrary cwd — k13's pattern).
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import sys
+
+        if pkg_root not in sys.path:  # executor-side, see note above
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.operators.udf_ops import _m8_fold
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_ms = pdf["ts"].astype("datetime64[ms]").astype("int64").tolist()
+        vals = [repr(float(v)) for v in pdf["value"]]
+        closed, state = _m8_fold(None, ts_ms, vals)
+        if state is not None:  # batch = complete history: flush the tail
+            closed.append(
+                (state[0], state[1] + _M8_GAP_MS, state[2], state[3])
+            )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "w_start": pd.to_datetime([c[0] for c in closed], unit="ms"),
+                "w_end": pd.to_datetime([c[1] for c in closed], unit="ms"),
+                "n": [c[2] for c in closed],
+                "sum_value": [float(Decimal(c[3])) for c in closed],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        fold_group,
+        "user_id BIGINT, w_start TIMESTAMP_NTZ, w_end TIMESTAMP_NTZ, "
+        "n BIGINT, sum_value DOUBLE",
     )

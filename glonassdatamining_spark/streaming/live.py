@@ -247,6 +247,114 @@ def l6_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, f"l6_mem_{uuid.uuid4().hex[:8]}", "append")
 
 
+def m8_streaming(
+    spark: SparkSession, sf_dir: str, split_files: int = 1
+) -> DataFrame:
+    """Live arbitrary-keyed-state sessionization (M8): the IDENTICAL
+    :func:`~glonassdatamining_spark.operators.udf_ops._m8_fold` state
+    machine the batch twin hash-checks, run under
+    ``applyInPandasWithState`` with event-time timeout. A session row
+    is emitted exactly once — either when a later event closes it
+    (gap exceeded) or when the watermark passes its gap-extended end
+    (timeout flush). The state tuple (start_ms, last_ms, n,
+    total_str) crosses micro-batch boundaries through the state
+    store; the decimal-string total keeps the sum bit-identical to
+    the batch fold no matter where the batch boundary falls.
+
+    ``split_files > 1`` stages the events SORTED BY ts into that many
+    files with maxFilesPerTrigger=1 — a genuine multi-micro-batch run
+    where open sessions must be stitched across batches by the
+    carried state (the single-file form exercises only the
+    within-batch fold + final timeout flush)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from glonassdatamining_spark.operators.udf_ops import _M8_GAP_MS, _m8_fold
+
+    if split_files > 1:
+        import pyarrow.parquet as pq
+
+        sfname = os.path.basename(sf_dir.rstrip("/"))
+        _sweep_staging(f"m8_src_{sfname}_")
+        src = f"/root/repo/.tmpdata/m8_src_{sfname}_{uuid.uuid4().hex[:8]}"
+        os.makedirs(src)
+        tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+        n = tbl.num_rows
+        bounds = [round(i * n / split_files) for i in range(split_files + 1)]
+        for i in range(split_files):
+            pq.write_table(
+                tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                f"{src}/{i:03d}.parquet",
+            )
+        raw = (
+            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ev = raw.withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
+    else:
+        ev, _ = _staged_events_stream(spark, sf_dir)
+
+    def _rows(user_id, sessions):
+        from decimal import Decimal
+
+        return pd.DataFrame(
+            {
+                "user_id": user_id,
+                "w_start": pd.to_datetime([s[0] for s in sessions], unit="ms"),
+                "w_end": pd.to_datetime([s[1] for s in sessions], unit="ms"),
+                "n": [s[2] for s in sessions],
+                "sum_value": [float(Decimal(s[3])) for s in sessions],
+            }
+        )
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )  # k13's worker-side import pattern — see operators/llm_ops.py
+
+    def sessions(key, pdfs, state: GroupState):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.operators.udf_ops import _m8_fold
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, tot = state.get
+            state.remove()
+            yield _rows(user_id, [(start, last + _M8_GAP_MS, n, tot)])
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_ms = pdf["ts"].astype("datetime64[ms]").astype("int64").tolist()
+        vals = [repr(float(v)) for v in pdf["value"]]
+        st = tuple(state.get) if state.exists else None
+        closed, st = _m8_fold(st, ts_ms, vals)
+        if st is not None:
+            state.update(st)
+            state.setTimeoutTimestamp(st[1] + _M8_GAP_MS)
+        if closed:
+            yield _rows(user_id, closed)
+
+    out = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions,
+            outputStructType=(
+                "user_id BIGINT, w_start TIMESTAMP_NTZ, w_end TIMESTAMP_NTZ, "
+                "n BIGINT, sum_value DOUBLE"
+            ),
+            stateStructType=(
+                "start_ms BIGINT, last_ms BIGINT, n BIGINT, total STRING"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _drain_to_memory(out, f"m8_mem_{uuid.uuid4().hex[:8]}", "append")
+
+
 def l7_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live arbitrary stateful op (L7): per-user running totals via
     applyInPandasWithState — custom state machine per key."""

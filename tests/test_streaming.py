@@ -453,3 +453,54 @@ def test_l17_stream_asof_matches_twin_within_horizon(spark):
     must_emit = set(w[w.ts < horizon].index)
     missing = must_emit - set(g.index)
     assert not missing, f"closed-horizon purchases never emitted: {missing}"
+
+
+def test_m8_stream_equals_batch_up_to_watermark(spark):
+    """applyInPandasWithState sessionization: the live form runs the
+    IDENTICAL _m8_fold state machine as the m8 batch twin, so its
+    output must equal the twin restricted to sessions the final
+    watermark can prove closed — w_end <= max event ts (watermark
+    delay 0). Sessions still open at stream end (only the corpus's
+    very last ones) correctly stay in state, unemitted: append-mode
+    output may never emit a row that a later event could still
+    extend."""
+    from glonassdatamining_spark.sources import load
+
+    got = live.m8_streaming(spark, SF_DIR).toPandas()
+    twin = _twin(spark, "m8_stateful_sessions")
+    wm = load(spark, SF_DIR, "events").agg({"ts": "max"}).collect()[0][0]
+    expected = twin[twin["w_end"] <= wm]
+    assert len(expected) < len(twin), "fixture must leave >=1 open session"
+
+    def keyset(df):
+        return set(
+            zip(df.user_id, df.w_start, df.w_end, df.n, df.sum_value)
+        )
+
+    assert keyset(got) == keyset(expected)
+    # exactly-once emission: no session surfaces twice across batches
+    assert len(got) == len(keyset(got))
+
+
+def test_m8_state_crosses_microbatch_boundaries(spark):
+    """Three time-ordered micro-batches (maxFilesPerTrigger=1): open
+    sessions at each file boundary must be stitched by the state
+    carried in the store — n, bounds, AND the decimal-string total
+    must come out bit-identical to the single-shot batch fold. Also
+    exercises the between-batch timeout path (sessions whose user has
+    no rows in a later batch flush when the advancing watermark
+    passes their end)."""
+    from glonassdatamining_spark.sources import load
+
+    got = live.m8_streaming(spark, SF_DIR, split_files=3).toPandas()
+    twin = _twin(spark, "m8_stateful_sessions")
+    wm = load(spark, SF_DIR, "events").agg({"ts": "max"}).collect()[0][0]
+    expected = twin[twin["w_end"] <= wm]
+
+    def keyset(df):
+        return set(
+            zip(df.user_id, df.w_start, df.w_end, df.n, df.sum_value)
+        )
+
+    assert keyset(got) == keyset(expected)
+    assert len(got) == len(keyset(got))
