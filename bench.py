@@ -77,6 +77,9 @@ HEADLINE = [
     "i49_trajectory_sinuosity",     # one-shuffle window + endpoint fold
     "n16_two_hop_ball",             # wedge join ∪ one-hop, distinct fold
     "c19_disjunctive_join",         # OR-join as union-of-equi-joins
+    # round-6 additions (BASELINE.md: no earlier baseline):
+    "n16b_two_hop_ball_capped",     # n16 with the super-hub cap applied
+    "m8_stateful_sessions",         # explicit-state session fold (Arrow)
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

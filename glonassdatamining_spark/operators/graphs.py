@@ -849,3 +849,67 @@ def n16_two_hop_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("ball2_size"))
     )
+
+
+# --------------------------------------------------------------------------
+# N16b — two-hop ball with the super-hub cap applied (round-6 ask #4)
+# --------------------------------------------------------------------------
+_N16B_CAP = 32  # max neighbors a node contributes as a wedge MIDDLE
+
+
+@register(
+    "n16b_two_hop_ball_capped",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges), "
+        "capped AS (SELECT src, dst FROM ("
+        "  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn "
+        f"  FROM sym) WHERE rn <= {_N16B_CAP}), "
+        "hop2 AS (SELECT a.dst AS v, b.dst AS w FROM capped a "
+        "  JOIN capped b ON a.src = b.src WHERE b.dst <> a.dst), "
+        "ball AS (SELECT src AS v, dst AS w FROM sym "
+        "  UNION SELECT v, w FROM hop2) "
+        "SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS ball2_size "
+        "FROM ball GROUP BY v"
+    ),
+    section="N16",
+)
+def n16b_two_hop_ball_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N16 with the super-hub cap APPLIED (the lever n16's docstring
+    only declared): each node contributes at most ``_N16B_CAP``
+    neighbors — the first by neighbor id, a DETERMINISTIC rank the
+    oracle replays exactly — to the wedge join where it is the
+    MIDDLE, bounding candidate growth at Σ min(deg, cap)² instead of
+    Σ deg² (the n1-style densification that made n16's sf1 ratio
+    11.3×). One-hop edges stay uncapped, so ball sizes are EXACT for
+    every node whose two-hop paths avoid capped-away hub adjacency
+    and a documented underestimate through super-hubs — the standard
+    sampled-adjacency relaxation (N9's documented cut). With the cap
+    raised above the graph's max degree the output is IDENTICAL to
+    n16 (asserted in tests/test_graphs.py via the parameterized
+    impl); the registered cap of 32 BINDS on the fixture graph
+    (sf0.001 max degree 52), so the hash-checked result exercises
+    the capped path itself, not a no-op. Same wedge shape,
+    localCheckpoint discipline, and all-integer output as n16."""
+    return _n16b_impl(spark, sf_dir, _N16B_CAP)
+
+
+def _n16b_impl(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    capped = (
+        sym.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
+    )
+    hop2 = (
+        capped.alias("a")
+        .join(capped.alias("b"), "src")
+        .filter(F.col("b.dst") != F.col("a.dst"))
+        .select(F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
+    )
+    ball = sym.select(F.col("src").alias("v"), F.col("dst").alias("w")).union(hop2)
+    return (
+        ball.distinct()
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ball2_size"))
+    )

@@ -216,3 +216,40 @@ def test_cc_distributed_round_count_is_logarithmic(spark):
     ).count()
     assert bad_path == 0 and bad_star == 0
     assert out.count() == n + 10_001
+
+
+def test_n16b_equals_n16_below_cap(spark):
+    """The super-hub cap must be EXACTLY inert below the cap: with
+    cap > max degree, the capped pipeline's ball sizes equal n16's
+    row-for-row — the cap only changes behavior where Σ deg² growth
+    would actually hurt. (The registered n16b uses cap=32, which
+    BINDS on this fixture — asserted too.)"""
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _N16B_CAP,
+        _copurchase_edges,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    e = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    max_deg = (
+        sym.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    # The REGISTERED cap must bind on the fixture (so the hash-checked
+    # result exercises the capped path); the inertness claim is proven
+    # with a cap raised just above the max degree.
+    assert max_deg >= _N16B_CAP, (
+        f"fixture max degree {max_deg} < registered cap {_N16B_CAP} — "
+        "the registered variant no longer exercises the capped path"
+    )
+    from glonassdatamining_spark.operators.graphs import _n16b_impl
+
+    a = registry.get("n16_two_hop_ball").builder(spark, SF_DIR).toPandas()
+    b = _n16b_impl(spark, SF_DIR, cap=max_deg + 1).toPandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["ball2_size"].tolist() == b["ball2_size"].tolist()
