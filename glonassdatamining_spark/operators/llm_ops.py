@@ -757,6 +757,156 @@ def k14_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# K14b — IVF-ANN with a PERSISTED index (build/query split, round-6 ask #5)
+# --------------------------------------------------------------------------
+def _ivf_unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, u): the L2-normalized embedding frame both IVF forms
+    quantize and probe."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return emb.withColumn("n", norm).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("n")).alias("u")
+    )
+
+
+def _ivf_rank_lists(vecs: DataFrame, centroids: DataFrame, upto: int) -> DataFrame:
+    """Rank each vector's nearest centroid lists (broadcast centroid
+    table, deterministic cdot-desc/list_id tie-break); keep rank <=
+    ``upto``. Input (vec_id, u) -> (vec_id, u, list_id, pr)."""
+    cdot = F.aggregate(
+        F.zip_with("u", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        vecs.crossJoin(broadcast(centroids.select("list_id", "cv")))
+        .select("vec_id", "u", "list_id", cdot.alias("cdot"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), "list_id")
+            ),
+        )
+        .filter(F.col("pr") <= upto)
+    )
+
+
+def ivf_build_index(spark: SparkSession, vectors: DataFrame, root: str) -> dict:
+    """BUILD step of the IVF split: fit the KMeans coarse quantizer
+    once, then persist BOTH index halves as ManifestTables (the
+    round-5 lakehouse substrate) keyed on ``list_id``:
+
+    * ``{root}/centroids`` — nlist rows (list_id, cv), the broadcast
+      probe table;
+    * ``{root}/postings`` — the spilled inverted lists (list_id, nid,
+      cu), written range-distributed on list_id by the manifest
+      writer, i.e. genuinely BUCKETED by list: a probe of ``nprobe``
+      lists plans a scan of only the files whose manifest [min,max]
+      list ranges overlap — file-stats pruning doing IVF's "read only
+      the probed lists" at the storage layer.
+
+    Queries then :func:`ivf_query` without refitting (k14 refit per
+    call — the round-5 verdict's ask); inserts extend the postings
+    via :func:`ivf_insert` without touching the quantizer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+
+    feats = vectors.withColumn("features", array_to_vector("u"))
+    model = KMeans(k=_IVF_NLIST, seed=42, featuresCol="features").fit(feats)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id INT, cv ARRAY<DOUBLE>",
+    )
+    ManifestTable.create(spark, f"{root}/centroids", centroids, "list_id", 1)
+    postings = _ivf_rank_lists(vectors, centroids, _IVF_SPILL).select(
+        "list_id", F.col("vec_id").alias("nid"), F.col("u").alias("cu")
+    )
+    t = ManifestTable.create(spark, f"{root}/postings", postings, "list_id", 4)
+    return {"root": root, "postings_rows": t.read().count()}
+
+
+def ivf_insert(spark: SparkSession, vectors: DataFrame, root: str) -> dict:
+    """INCREMENTAL insert (k32's committed-vs-new discipline): new
+    vectors are anti-joined against the committed postings' nid set —
+    an id can never be double-posted — assigned to the FROZEN
+    centroids (no refit; the standard IVF insert path), and APPENDED
+    as new manifest files. Readers on the old snapshot are untouched
+    (snapshot isolation); the next :func:`ivf_query` sees the grown
+    lists."""
+    from glonassdatamining_spark.lakehouse import ManifestTable
+
+    cent = ManifestTable(spark, f"{root}/centroids", "list_id").read()
+    post = ManifestTable(spark, f"{root}/postings", "list_id")
+    committed = post.read().select(F.col("nid").alias("vec_id")).distinct()
+    fresh = vectors.join(committed, "vec_id", "left_anti")
+    new_postings = _ivf_rank_lists(fresh, cent, _IVF_SPILL).select(
+        "list_id", F.col("vec_id").alias("nid"), F.col("u").alias("cu")
+    )
+    version = post.append(new_postings, n_files=2)
+    return {"version": version, "inserted_ids": fresh.count()}
+
+
+def ivf_query(
+    spark: SparkSession, queries: DataFrame, root: str, k: int = 5
+) -> DataFrame:
+    """QUERY step: probe ``nprobe`` lists against the PREBUILT index
+    (no KMeans fit, no posting shuffle — both read from the manifest
+    tables), exact-cosine re-rank within probed candidates. Output
+    (qid, nid, cos) — k14's shape."""
+    from glonassdatamining_spark.lakehouse import ManifestTable
+
+    cent = ManifestTable(spark, f"{root}/centroids", "list_id").read()
+    cands = ManifestTable(spark, f"{root}/postings", "list_id").read()
+    probes = _ivf_rank_lists(queries, cent, _IVF_NPROBE).select(
+        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "list_id"
+    )
+    dot = F.aggregate(
+        F.zip_with("qu", "cu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = (
+        probes.join(cands, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(dot, 6).alias("cos"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@register("k14b_ivf_ann_prebuilt", oracle=None, section="K-extra")
+def k14b_ivf_ann_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k14's IVF search served from the PERSISTED index: the first
+    call per (session, sf) builds the index into a ManifestTable pair
+    (create-if-absent on the manifest version — the lakehouse's
+    atomic protocol arbitrates); every later call, e.g. bench
+    repetitions or concurrent readers, goes straight to probing.
+    Output is IDENTICAL to k14 (same quantizer seed, same operating
+    point — asserted in tests/test_ml.py), so the declared recall
+    floor transfers; rows-only here because KMeans centroids are not
+    SQL-expressible."""
+    import os
+    import uuid as _uuid
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    root = f"/root/repo/.tmpdata/ivf_{sf}_{app}"
+    unit = _ivf_unit_vectors(spark, sf_dir)
+    if ManifestTable(spark, f"{root}/postings", "list_id").current_version() == 0:
+        ivf_build_index(spark, unit, root)
+    return ivf_query(spark, unit, root, k=5)
+
+
+# --------------------------------------------------------------------------
 # K15 — multimodal frame sampling (1 → N rows over binary payloads)
 # --------------------------------------------------------------------------
 _FRAME_N = 4

@@ -310,3 +310,65 @@ def test_gmm_valid_and_deterministic(spark):
     a = got.sort_values("vec_id")[["cluster", "max_post"]].values.tolist()
     b = again.sort_values("vec_id")[["cluster", "max_post"]].values.tolist()
     assert a == b, "same seed must reproduce the same mixture"
+
+
+def test_ivf_prebuilt_index_matches_refit_and_recall(spark):
+    """k14b (persisted-index path) must produce EXACTLY k14's result —
+    same quantizer seed, same operating point, index read back from
+    the ManifestTable pair instead of refit — and independently clear
+    the 0.9 recall floor against the exact brute-force top-5."""
+    exact = registry.get("k3_cosine_topk").builder(spark, SF_DIR).toPandas()
+    refit = registry.get("k14_ivf_ann").builder(spark, SF_DIR).toPandas()
+    pre = (
+        registry.get("k14b_ivf_ann_prebuilt").builder(spark, SF_DIR).toPandas()
+    )
+    key = lambda df: set(zip(df.qid, df.nid, df.cos))  # noqa: E731
+    assert key(pre) == key(refit)
+    truth = exact.groupby("qid")["nid"].apply(set)
+    got = pre.groupby("qid")["nid"].apply(set)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ivf_incremental_insert_recall(spark, tmp_path):
+    """Build the index on 80% of the vectors, ivf_insert the rest
+    (frozen centroids, postings APPENDED under snapshot isolation),
+    and query the full set against the grown index: recall must still
+    clear 0.9, re-inserting already-committed ids must post nothing
+    (k32's committed-vs-new discipline), and the postings row count
+    must equal spill × n_vectors exactly."""
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.operators.llm_ops import (
+        _IVF_SPILL,
+        _ivf_unit_vectors,
+        ivf_build_index,
+        ivf_insert,
+        ivf_query,
+    )
+
+    root = str(tmp_path / "ivf")
+    unit = _ivf_unit_vectors(spark, SF_DIR).localCheckpoint()
+    n = unit.count()
+    cut = unit.approxQuantile("vec_id", [0.8], 0.0)[0]
+    ivf_build_index(spark, unit.filter(F.col("vec_id") <= cut), root)
+    out = ivf_insert(spark, unit, root)  # only the >cut tail is fresh
+    assert out["inserted_ids"] == unit.filter(F.col("vec_id") > cut).count()
+    again = ivf_insert(spark, unit, root)
+    assert again["inserted_ids"] == 0, "double-posting committed ids"
+    post = ManifestTable(spark, f"{root}/postings", "list_id")
+    assert post.read().count() == _IVF_SPILL * n
+    assert post.read().select("nid").distinct().count() == n
+
+    got = ivf_query(spark, unit, root, k=5).toPandas()
+    exact = registry.get("k3_cosine_topk").builder(spark, SF_DIR).toPandas()
+    truth = exact.groupby("qid")["nid"].apply(set)
+    gots = got.groupby("qid")["nid"].apply(set)
+    recalls = [
+        len(truth[q] & gots.get(q, set())) / len(truth[q]) for q in truth.index
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"incremental-index recall: {mean_recall:.3f}"

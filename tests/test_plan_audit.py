@@ -36,6 +36,8 @@ BNLJ_ALLOWED = {
     "d22_heavy_hitters",      # 1-row corpus token total, broadcast
     "d23_hll_set_ops",        # 5-row per-type sketch table × itself
     "k14_ivf_ann",            # 16-row centroid table, broadcast probe
+    "k14b_ivf_ann_prebuilt",  # same 16-row centroid probe, read from
+                              # the persisted index's manifest table
     "h12_string_distance",    # 25-row dictionary, broadcast (band by
                               # length/prefix for dict×dict at scale)
     "q22_global_sales_opportunity",  # 1-row scalar avg, broadcast
