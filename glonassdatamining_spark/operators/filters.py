@@ -367,3 +367,57 @@ def b12_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_B12_SQL)
+
+
+# --------------------------------------------------------------------------
+# B13 — VALUES inline table + UNPIVOT INCLUDE NULLS
+# --------------------------------------------------------------------------
+_B13_BODY = (
+    "WITH quota (r_name, quota) AS (VALUES "
+    "  ('AFRICA', CAST(100000 AS DOUBLE)), "
+    "  ('ASIA', CAST(250000 AS DOUBLE)), "
+    "  ('EUROPE', CAST(400000 AS DOUBLE))), "
+    "rev AS (SELECT r.r_name, "
+    "  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+    "  FROM region r "
+    "  JOIN nation n ON n.n_regionkey = r.r_regionkey "
+    "  JOIN customer c ON c.c_nationkey = n.n_nationkey "
+    "  JOIN orders o ON o.o_custkey = c.c_custkey "
+    "  GROUP BY r.r_name), "
+    "j AS (SELECT rev.r_name, q.quota, rev.revenue "
+    "  FROM rev LEFT JOIN quota q ON rev.r_name = q.r_name) "
+)
+
+
+@register(
+    "b13_values_unpivot_nulls",
+    oracle=(
+        _B13_BODY
+        + "SELECT r_name, 'quota' AS metric, quota AS amount FROM j "
+        "UNION ALL "
+        "SELECT r_name, 'revenue' AS metric, revenue AS amount FROM j"
+    ),
+    section="B13",
+)
+def b13_values_unpivot_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table (an aliased-column CTE, no createDataFrame
+    round trip) joined under a regional revenue rollup, then SQL
+    ``UNPIVOT INCLUDE NULLS`` — the variant whose whole point is the
+    rows the DEFAULT unpivot would silently drop: regions with no
+    quota row surface as (r_name, 'quota', NULL), so target-coverage
+    reports can't lose the uncovered regions. The DuckDB oracle
+    states unpivot's defining identity instead of its syntax — a
+    UNION ALL of one SELECT per measure column — so what is
+    hash-checked is Spark's unpivot semantics (including the NULL
+    retention), not a shared parser. Revenue rides the stable.dsum
+    decimal discipline; the VALUES literals are typed explicitly so
+    both engines agree on DOUBLE. Scale shape: the inline table is a
+    3-row broadcast; unpivot is a row-local expand (no shuffle)."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _B13_BODY
+        + "SELECT r_name, metric, amount FROM j "
+        "UNPIVOT INCLUDE NULLS (amount FOR metric IN (quota, revenue))"
+    )

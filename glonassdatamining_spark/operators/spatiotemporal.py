@@ -2154,36 +2154,34 @@ def _encode_mpoly_udf():
     return _ENCODE_UDFS["mpoly"]
 
 
-def _hole_polygon_wkb(bb: DataFrame) -> DataFrame:
-    """bb(obj_id, x0..hy1) → (obj_id, rings) via a WKB round trip:
-    an Arrow-batched pandas encoder packs each shell+hole polygon to
-    little-endian WKB bytes, and the PURE-Catalyst
-    ``st_polygon_from_wkb`` parser (exact IEEE bit reconstruction)
-    decodes them back — any byte-level loss changes the downstream
-    area/containment hash."""
-    from glonassdatamining_spark.functions.geometry import st_polygon_from_wkb
-
+def _hole_wkb_bytes(bb: DataFrame) -> DataFrame:
+    """bb(obj_id, x0..hy1) → (obj_id, wkb): Arrow-batched pandas
+    encoder packing each shell+hole polygon to little-endian WKB
+    bytes. Materialized (localCheckpoint) BEFORE any parser: Catalyst
+    rejects a Python UDF expression nested inside higher-order-
+    function lambdas, so the parse must reference a plain attribute;
+    the checkpoint also pins the bytes so CollapseProject can't
+    re-inline the UDF into the lambdas."""
     _encode = _encode_poly_udf()
-
-    # Materialize the WKB bytes BEFORE the parser: Catalyst rejects a
-    # Python UDF expression nested inside higher-order-function
-    # lambdas, so the parse must reference a plain attribute. The
-    # localCheckpoint also pins the bytes so CollapseProject can't
-    # re-inline the UDF into the lambdas.
-    wkb_df = bb.select(
+    return bb.select(
         "obj_id",
         _encode("x0", "y0", "x1", "y1", "hx0", "hy0", "hx1", "hy1").alias(
             "wkb"
         ),
     ).localCheckpoint()
-    # Parse ONCE into native ring arrays and pin them: HOF expressions
-    # evaluate interpreted (no codegen, no CSE), so letting downstream
-    # measures/joins re-evaluate the parse per consumer row would turn
-    # an O(#polygons) decode into O(#probe rows) — the
-    # parse-then-query split every production geo pipeline uses.
-    return wkb_df.select(
-        "obj_id", st_polygon_from_wkb("wkb").alias("rings")
-    ).localCheckpoint()
+
+
+def _hole_rings_plan(wkb_df: DataFrame) -> DataFrame:
+    """The UN-MATERIALIZED parse plan (obj_id, rings) over checkpointed
+    WKB bytes. Callers take a FRESH ``localCheckpoint(eager=False)``
+    per use (see _hole_rings_frame): HOF expressions evaluate
+    interpreted (no codegen, no CSE), so letting downstream
+    measures/joins re-evaluate the parse per consumer row would turn
+    an O(#polygons) decode into O(#probe rows) — the parse-then-query
+    split every production geo pipeline uses."""
+    from glonassdatamining_spark.functions.geometry import st_polygon_from_wkb
+
+    return wkb_df.select("obj_id", st_polygon_from_wkb("wkb").alias("rings"))
 
 
 _WKB_FRAME_CACHE: dict = {}
@@ -2192,12 +2190,16 @@ _WKB_FRAME_CACHE: dict = {}
 def _bench_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
     """Bench-mode (SPARK_GRAFT_CACHE_TABLES) prepared-frame cache:
     returns the SAME analyzed DataFrame object per (applicationId,
-    key), so repeat bench runs skip (a) re-encoding the WKB fixture
-    bytes (the synthetic input, like the fixes()/padded caches) and
-    (b) re-ANALYZING the ~thousand-node pure-Catalyst parser tree
-    (~1.5 s of driver time per fresh build — a prepared-statement
-    reuse, not a result cache: every bench repetition still EXECUTES
-    the parse + measure over the checkpointed bytes)."""
+    key), so repeat bench runs skip re-building/re-ANALYZING the
+    frame (for the WKB tier, the ~thousand-node pure-Catalyst parser
+    tree costs ~1.5 s of driver analysis per fresh build). What each
+    cache may contain is a contract the callers keep (and
+    BASELINE.md's bench-mode paragraph documents): a fixture
+    PROJECTION (i12's cells, the staged WKB bytes — synthetic-input
+    prep) or an un-executed PLAN — never the result of the operator
+    work being timed. WKB callers re-checkpoint the cached parse plan
+    per call (round-6 fix), so every bench repetition EXECUTES parse
+    + measure; only encode + analysis are reused."""
     import os
 
     if not os.environ.get("SPARK_GRAFT_CACHE_TABLES"):
@@ -2206,6 +2208,21 @@ def _bench_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
     if full_key not in _WKB_FRAME_CACHE:
         _WKB_FRAME_CACHE[full_key] = build()
     return _WKB_FRAME_CACHE[full_key]
+
+
+def _hole_rings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(obj_id, rings) for i33/i34: the encode (bytes) + parse PLAN
+    ride the bench cache; the parse itself EXECUTES on every call via
+    a fresh non-eager localCheckpoint — the dbscan_local_plan
+    prepared-statement discipline, applied here after round 5's
+    verdict flagged the old parsed-rings cache as timing only the
+    shoelace."""
+    plan = _bench_frame(
+        spark,
+        ("hole_rings_plan", sf_dir),
+        lambda: _hole_rings_plan(_hole_wkb_bytes(_hole_geo(spark, sf_dir))),
+    )
+    return plan.localCheckpoint(eager=False)
 
 
 def _hole_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2253,11 +2270,7 @@ def i33_wkb_polygon_hole_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bbox agg); encode/parse/measure are narrow per-row work."""
     from glonassdatamining_spark.functions.geometry import st_area_multiring
 
-    geo = _bench_frame(
-        spark,
-        ("hole_rings", sf_dir),
-        lambda: _hole_polygon_wkb(_hole_geo(spark, sf_dir)),
-    )
+    geo = _hole_rings_frame(spark, sf_dir)
     return geo.select("obj_id", st_area_multiring(F.col("rings")).alias("area"))
 
 
@@ -2291,11 +2304,7 @@ def i34_wkb_polygon_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     f = fixes(spark, sf_dir)
-    geo = _bench_frame(
-        spark,
-        ("hole_rings", sf_dir),
-        lambda: _hole_polygon_wkb(_hole_geo(spark, sf_dir)),
-    )
+    geo = _hole_rings_frame(spark, sf_dir)
     inside = st_contains_point_multiring(
         F.col("rings"), F.col("x"), F.col("y")
     )
@@ -2426,12 +2435,16 @@ def i36_wkb_multipolygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "x0", "y0", "x1", "y1", "hx0", "hy0", "hx1", "hy1", "dx"
             ).alias("wkb"),
         ).localCheckpoint()
-        # parse once into native arrays, pinned (see _hole_polygon_wkb)
+        # the un-executed parse PLAN (see _hole_rings_plan) — the
+        # fresh per-call checkpoint below makes every repetition
+        # EXECUTE the nested multipolygon walk
         return wkb_df.select(
             "obj_id", st_multipolygon_from_wkb("wkb").alias("polys")
-        ).localCheckpoint()
+        )
 
-    parsed = _bench_frame(spark, ("mpoly", sf_dir), build)
+    parsed = _bench_frame(spark, ("mpoly_plan", sf_dir), build).localCheckpoint(
+        eager=False
+    )
     return parsed.select(
         "obj_id",
         F.size("polys").alias("n_polys"),
