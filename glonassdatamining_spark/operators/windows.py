@@ -1831,3 +1831,69 @@ def e35_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E36 — Holt linear-trend smoothing (double exponential, EWMA's sibling)
+# --------------------------------------------------------------------------
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+@register("e36_holt_trend", oracle=None, section="E36")
+def e36_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of each event type's daily
+    value series (α=0.5, β=0.3): level lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁=y₁, b₁=y₂−y₁ —
+    e11's EWMA extended with the trend state a forecast needs. Output:
+    final (level, trend) and the 3-step-ahead linear forecast per key.
+
+    The recursion is sequential per key but the state is O(1), so it
+    runs as ONE day-level aggregate (decimal-exact daily sums) and
+    then a per-key JVM ``aggregate`` HOF fold over the day-sorted
+    array — no Python boundary at all (unlike e11's grouped-map,
+    this form stays in Catalyst; both are valid shapes, this one
+    shows the fold is expressible JVM-side). Rows-only (recursive
+    fixpoint — no closed SQL form); the recursion itself is
+    unit-tested against a Python replay in tests/test_api.py. At
+    scale: state per key is (level, trend), the array is
+    days-per-key long (bounded by the calendar), and the day rollup
+    is an ordinary partial/final agg."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec("value")).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    a, b = F.lit(_HOLT_ALPHA), F.lit(_HOLT_BETA)
+    init = F.struct(
+        F.col("s")[0]["y"].alias("l"),
+        (F.col("s")[1]["y"] - F.col("s")[0]["y"]).alias("b"),
+    )
+    new_l = lambda acc, x: a * x["y"] + (F.lit(1.0) - a) * (acc["l"] + acc["b"])  # noqa: E731
+    # textbook init-then-loop: l₁=y₁, b₁=y₂−y₁, recursion over t=2..n
+    # (y₂ participates in both the init slope and the first step)
+    folded = F.aggregate(
+        F.slice(F.col("s"), 2, F.size("s") - 1),
+        init,
+        lambda acc, x: F.struct(
+            new_l(acc, x).alias("l"),
+            (
+                b * (new_l(acc, x) - acc["l"]) + (F.lit(1.0) - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return (
+        series.filter(F.size("s") >= 2)
+        .select("event_type", F.size("s").alias("n_days"), folded.alias("f"))
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("f")["l"], 6).alias("level"),
+            F.round(F.col("f")["b"], 6).alias("trend"),
+            F.round(F.col("f")["l"] + 3 * F.col("f")["b"], 6).alias(
+                "forecast_3"
+            ),
+        )
+    )

@@ -614,3 +614,46 @@ def test_c19_rewrite_equals_naive_or_join(spark):
     n = dict(zip(naive["match_reason"], naive["n_pairs"]))
     g = dict(zip(got["match_reason"], got["n_pairs"]))
     assert g == {k: int(v) for k, v in n.items()}
+
+
+def test_holt_trend_matches_python_recursion(spark):
+    """e36's JVM aggregate-HOF fold must replay the textbook Holt
+    recursion exactly: per key, daily sums sorted by day, l₁=y₁,
+    b₁=y₂−y₁, then l/b updates over t=2..n — verified by recomputing
+    the recursion in Python from the same daily frame."""
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.windows import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+    )
+    from glonassdatamining_spark.sources import load
+    from glonassdatamining_spark.stable import dec
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.event_type: r
+        for r in registry.get("e36_holt_trend").builder(spark, SF_DIR).collect()
+    }
+    daily = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("double").alias("y"))
+        .toPandas()
+    )
+    for etype, grp in daily.groupby("event_type"):
+        ys = grp.sort_values("day")["y"].tolist()
+        if len(ys) < 2:
+            assert etype not in got
+            continue
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            l_new = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (l + b)
+            b = _HOLT_BETA * (l_new - l) + (1 - _HOLT_BETA) * b
+            l = l_new
+        r = got[etype]
+        assert r.n_days == len(ys)
+        assert abs(r.level - round(l, 6)) < 1e-9, etype
+        assert abs(r.trend - round(b, 6)) < 1e-9, etype
+        assert abs(r.forecast_3 - round(l + 3 * b, 6)) < 1e-9, etype
