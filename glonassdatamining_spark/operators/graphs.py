@@ -913,3 +913,88 @@ def _n16b_impl(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
         .groupBy(F.col("v").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("ball2_size"))
     )
+
+
+# --------------------------------------------------------------------------
+# N17 — modularity of the degree-threshold partition (round-6 queue)
+# --------------------------------------------------------------------------
+_N17_THETA = 8  # hub community: degree >= theta
+
+
+@register(
+    "n17_modularity",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY 1), "
+        f"lab AS (SELECT node, CAST(d >= {_N17_THETA} AS INT) AS community, d FROM deg), "
+        "mm AS (SELECT COUNT(*) AS m FROM edges), "
+        "internal AS (SELECT la.community, COUNT(*) AS e_c FROM edges e "
+        "  JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node "
+        "  WHERE la.community = lb.community GROUP BY 1), "
+        "ds AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "  SUM(d) AS big_d FROM lab GROUP BY 1) "
+        "SELECT ds.community, ds.n_nodes, "
+        "CAST(COALESCE(i.e_c, 0) AS BIGINT) AS internal_edges, "
+        "CAST(ds.big_d AS BIGINT) AS degree_sum, "
+        "CAST(4 * mm.m * COALESCE(i.e_c, 0) - ds.big_d * ds.big_d AS DOUBLE) "
+        "  / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_contribution "
+        "FROM ds LEFT JOIN internal i ON ds.community = i.community, mm"
+    ),
+    section="N17",
+)
+def n17_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the simplest meaningful partition — hubs
+    (degree ≥ θ) vs periphery — answering "do the hubs form their own
+    module or just wire the leaves?" (the partition-level complement
+    of N12's rich-club φ). Per community c: Q_c = e_c/m − (D_c/2m)²,
+    emitted INTEGER-EXACT via cross-multiplication as
+    (4m·e_c − D_c²) / (4m²) — every term a bigint (4m·e_c ≤ 4m² <
+    2⁶³ at any realistic edge count), ONE double division at the end,
+    so the hash needs no tolerance; Q = Σ q_contribution. Shape: the
+    checkpointed edge list (twin-branch discipline — degree rollup
+    AND two label joins read it), a vertex-sized label frame
+    broadcast onto both endpoints, a 1-row m scalar broadcast.
+    Community count is 2 — every aggregate is O(1) rows out."""
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    lab = deg.select(
+        "node", (F.col("d") >= _N17_THETA).cast("int").alias("community"), "d"
+    )
+    mm = e.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(F.col("node").alias("src"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("community").alias("cb"))
+    internal = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    ds = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").alias("big_d"),
+    )
+    num = (
+        4 * F.col("m") * F.coalesce(F.col("e_c"), F.lit(0))
+        - F.col("big_d") * F.col("big_d")
+    )
+    return (
+        ds.join(internal, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            F.col("big_d").cast("bigint").alias("degree_sum"),
+            (
+                num.cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double")
+            ).alias("q_contribution"),
+        )
+    )

@@ -2914,3 +2914,85 @@ def k49_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bytes_per_word"),
         F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# K50 — eval-canary contamination with positional attribution
+# --------------------------------------------------------------------------
+@register(
+    "k50_contamination_positions",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        "sh AS (SELECT doc_id, len(l) AS n_tok, "
+        "  unnest(list_transform(range(1, len(l) - 3), "
+        "    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS s, "
+        "  unnest(range(1, len(l) - 3)) AS pos "
+        "  FROM tk WHERE len(l) >= 5), "
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+        "hits AS (SELECT sh.doc_id, sh.n_tok, sh.pos FROM sh "
+        "  JOIN ev ON sh.s = ev.s WHERE sh.doc_id % 97 <> 0) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles, "
+        "CAST(MIN(pos) AS BIGINT) AS first_pos, "
+        "CAST(MAX(pos) AS BIGINT) AS last_pos, "
+        "ROUND(CAST(MAX(pos) - MIN(pos) + 5 AS DOUBLE) / n_tok, 6) AS span_frac "
+        "FROM hits GROUP BY doc_id, n_tok"
+    ),
+    section="K50",
+)
+def k50_contamination_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k17's decontamination upgraded with POSITIONAL attribution —
+    the triage signal a curation pipeline needs after the flag: for
+    each contaminated training doc, WHERE the eval-overlapping
+    5-grams sit (1-based first/last shingle start, hit count, and the
+    contiguous-span token fraction), separating a quoted benchmark
+    canary (tight span) from boilerplate scattered overlap (wide
+    span, low density). The positional shingle array is deliberately
+    NON-distinct (``api.shingles`` dedups, which would shift
+    positions) — one row per shingle START; the eval side stays a
+    DISTINCT broadcast set, so the corpus still never shuffles (k17's
+    shape). All-integer aggregation + ONE final rounded division."""
+    n = 5
+    d = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    tk = d.select("doc_id", F.split("text", " ").alias("_tk"))
+    from glonassdatamining_spark.api import shingles
+
+    ev = (
+        tk.filter(is_eval)
+        .select(F.explode(shingles(F.col("_tk"), n, pre_tokenized=True)).alias("_s"))
+        .distinct()
+    )
+    pos_sh = (
+        tk.filter(~is_eval)
+        .filter(F.size("_tk") >= n)
+        .select(
+            "doc_id",
+            F.size("_tk").alias("n_tok"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("_tk"), i + j) for j in range(n)]
+                    ),
+                )
+            ).alias("_p0", "_s"),
+        )
+        .select("doc_id", "n_tok", (F.col("_p0") + 1).alias("pos"), "_s")
+    )
+    return (
+        pos_sh.join(broadcast(ev), "_s")
+        .groupBy("doc_id", "n_tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.max("pos").cast("bigint").alias("last_pos"),
+        )
+        .select(
+            "doc_id", "n_hit_shingles", "first_pos", "last_pos",
+            F.round(
+                (F.col("last_pos") - F.col("first_pos") + n).cast("double")
+                / F.col("n_tok"),
+                6,
+            ).alias("span_frac"),
+        )
+    )

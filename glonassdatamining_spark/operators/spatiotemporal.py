@@ -3436,3 +3436,72 @@ def i49_trajectory_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("path").cast("double") / chord, 6).alias("sinuosity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I50 — per-cell speed percentiles (round-6 queue)
+# ---------------------------------------------------------------------------
+_I50_CELL = 10.0
+
+
+@register(
+    "i50_cell_speed_percentiles",
+    oracle=(
+        FIXES_CTE + ", hops AS ("
+        "  SELECT obj_id, ts, event_id, x, y, "
+        "  lag(x) OVER w AS px, lag(y) OVER w AS py, lag(ts) OVER w AS pts "
+        "  FROM fixes WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "sp AS (SELECT CAST(FLOOR(px / 10.0) AS BIGINT) AS cx, "
+        "  CAST(FLOOR(py / 10.0) AS BIGINT) AS cy, "
+        "  ROUND(sqrt((x-px)*(x-px) + (y-py)*(y-py)) / "
+        "        (CAST(epoch_ms(ts) - epoch_ms(pts) AS DOUBLE) / 1000.0), 6) AS speed "
+        "  FROM hops WHERE pts IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts)) "
+        "SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_hops, "
+        "ROUND(quantile_cont(speed, 0.5), 4) AS p50_speed, "
+        "ROUND(quantile_cont(speed, 0.9), 4) AS p90_speed "
+        "FROM sp GROUP BY cx, cy"
+    ),
+    section="I50",
+)
+def i50_cell_speed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed distribution per grid cell — the congestion/flow map a
+    GNSS mining system derives before routing or anomaly work: each
+    hop's speed (i9's exact chain, 6dp) lands in the CELL OF ITS
+    STARTING FIX (i5's binning), and each cell reports exact
+    interpolated p50/p90 (d8's percentile discipline — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, one holistic buffer
+    for both quantiles, final 4dp round). Scale shape: one window
+    shuffle on obj_id (shared with every hop-derived query) then one
+    cell-keyed agg whose state is the per-cell speed buffer; for
+    sketch-sized state at 100 TB swap approx_percentile — declared,
+    not benched, because sketches don't hash-match."""
+    f = fixes(spark, sf_dir)
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    hops = f.select(
+        "obj_id", "event_id", "ts", "x", "y",
+        F.lag("x").over(w).alias("px"), F.lag("y").over(w).alias("py"),
+        F.lag("ts").over(w).alias("pts"),
+    )
+    dt_ms = (F.unix_millis("ts") - F.unix_millis("pts")).cast("double")
+    speed = F.round(
+        _dist(F.col("x"), F.col("y"), F.col("px"), F.col("py"))
+        / (dt_ms / 1000.0),
+        6,
+    )
+    sp = hops.filter(F.col("pts").isNotNull() & (dt_ms > 0)).select(
+        F.floor(F.col("px") / _I50_CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("py") / _I50_CELL).cast("bigint").alias("cy"),
+        speed.alias("speed"),
+    )
+    return (
+        sp.groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hops"),
+            F.percentile("speed", F.array(F.lit(0.5), F.lit(0.9))).alias("_p"),
+        )
+        .select(
+            "cx", "cy", "n_hops",
+            F.round(F.col("_p")[0], 4).alias("p50_speed"),
+            F.round(F.col("_p")[1], 4).alias("p90_speed"),
+        )
+    )

@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "i43_ripley_k",           # 3-row radii dim + 1-row n total, broadcast
     "b11_quantified_comparison",  # 1-row "< ANY" scalar max, broadcast
     "g10_scd2_asof_lookup",   # 3-row probe-instant dim, broadcast (n12's ladder shape)
+    "n17_modularity",         # 1-row edge-count m scalar, broadcast
 }
 
 # Python-boundary nodes allowed only where Python IS the point:
