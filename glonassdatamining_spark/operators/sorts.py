@@ -205,3 +205,29 @@ def f8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# F9 — SQL TABLESAMPLE surface (round-6 queue)
+# --------------------------------------------------------------------------
+@register("f9_tablesample", oracle=None, section="F9")
+def f9_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TABLESAMPLE (10 PERCENT) REPEATABLE (42)`` — the SQL sampling
+    surface beside the DataFrame forms already declared (F4 random,
+    F6 deterministic hash, F7 stratified, F8 weighted): a Bernoulli
+    row filter pushed INTO the scan (SampleExec directly over the
+    FileScan — no shuffle, no materialization of the unsampled rows),
+    seeded for repeatability. Rows-only by nature: membership depends
+    on the seeded per-partition RNG stream, which no cross-engine
+    oracle can replay; the properties that matter — same-seed
+    determinism within a session, sample ⊆ source, fraction within
+    Chernoff bounds — are asserted in tests/test_contract.py. For
+    content-addressed (layout-independent) sampling the declared tool
+    is F6's hash filter; TABLESAMPLE is the cheap-scan form."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )

@@ -851,3 +851,63 @@ def a21_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.union(fr)
     return out
+
+
+# --------------------------------------------------------------------------
+# A22 — df.observe() in-flight metrics (round-6 queue)
+# --------------------------------------------------------------------------
+@register(
+    "a22_observe_metrics",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) "
+        "  AS n_discounted, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, "
+        "CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey "
+        "FROM lineitem WHERE l_returnflag = 'R'"
+    ),
+    section="A22",
+)
+def a22_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` — Spark's in-flight metric channel: named
+    aggregates accumulated DURING a pass (here a noop-sink write of
+    the filtered scan) and read off the Observation handle afterward,
+    with NO second job and NO extra shuffle — the mechanism a 100 TB
+    pipeline uses for row-count reconciliation, quality gates, and
+    freshness probes without paying a separate audit query. The
+    observed values are re-emitted as a 1-row DataFrame and
+    hash-checked against a plain SQL aggregate over the same
+    predicate — certifying that the metric channel reports EXACTLY
+    what a dedicated aggregation job would (count, filtered count,
+    decimal-exact sum, max). Observation.get is a bounded 4-metric
+    map, not a data collect."""
+    from pyspark.sql import Observation
+
+    obs = Observation("a22_metrics")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias(
+                "n_discounted"
+            ),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_sq"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+    li.write.format("noop").mode("overwrite").save()  # the observed pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_discounted"],
+                float(m["_sq"]),
+                m["max_orderkey"],
+            )
+        ],
+        "n_rows BIGINT, n_discounted BIGINT, sum_qty DOUBLE, "
+        "max_orderkey BIGINT",
+    )

@@ -40,3 +40,21 @@ def test_all_queries_have_section_ids():
     for name in registry.all_queries():
         d = registry.get(name)
         assert d.section, f"{name}: empty section id"
+
+
+def test_f9_tablesample_properties(spark):
+    """TABLESAMPLE REPEATABLE: (a) same seed → identical sample within
+    a session (same scan layout), (b) sample ⊆ source keys, (c) the
+    10% fraction holds within loose Chernoff bounds."""
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.sources import load
+    from tests.conftest import SF_DIR
+
+    q = registry.get("f9_tablesample").builder
+    a = sorted(r.o_orderkey for r in q(spark, SF_DIR).collect())
+    b = sorted(r.o_orderkey for r in q(spark, SF_DIR).collect())
+    assert a == b, "REPEATABLE seed must be deterministic in-session"
+    src = {r.o_orderkey for r in load(spark, SF_DIR, "orders").select("o_orderkey").collect()}
+    assert set(a) <= src
+    frac = len(a) / len(src)
+    assert 0.05 < frac < 0.16, f"10% sample came out at {frac:.3f}"
