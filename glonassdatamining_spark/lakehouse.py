@@ -151,7 +151,16 @@ class ManifestTable:
                         f"{type(bound).__name__}"
                     )
             entries.append(
-                {"file": dst, "rows": rows, "min_key": lo, "max_key": hi}
+                {
+                    "file": dst,
+                    "rows": rows,
+                    "min_key": lo,
+                    "max_key": hi,
+                    # Per-file column list = the manifest's schema-
+                    # evolution record: readers detect heterogeneous
+                    # snapshots and plan a mergeSchema scan (read()).
+                    "columns": list(df.columns),
+                }
             )
         shutil.rmtree(stage, ignore_errors=True)
         return entries
@@ -243,9 +252,21 @@ class ManifestTable:
 
     # -- reads -------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
+        """Plan a scan over exactly this version's file list. When the
+        manifest records heterogeneous per-file column lists (schema
+        evolution: an append added columns), the scan runs with
+        mergeSchema so pre-evolution files surface the new columns as
+        NULL — the footers stay authoritative, the manifest only
+        decides WHETHER the (footer-sampling) merge pass is needed."""
         m = self._manifest(version or self.current_version())
         paths = [os.path.join(self._ddir, e["file"]) for e in m["files"]]
-        return self.spark.read.parquet(*paths)
+        col_sets = {
+            tuple(e["columns"]) for e in m["files"] if "columns" in e
+        }
+        reader = self.spark.read
+        if len(col_sets) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def history(self) -> list[dict]:
         out = []

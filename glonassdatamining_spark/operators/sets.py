@@ -592,3 +592,78 @@ def g12_lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step STRING, n_rows BIGINT, total_price DOUBLE, n_files INT"
     )
+
+
+# --------------------------------------------------------------------------
+# G13 — lakehouse schema evolution (additive append, round-6)
+# --------------------------------------------------------------------------
+@register(
+    "g13_lakehouse_schema_evolution",
+    oracle=(
+        "WITH old AS (SELECT o_orderkey, o_totalprice FROM orders "
+        "  WHERE o_orderkey % 2 = 0), "
+        "new AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+        "  WHERE o_orderkey % 2 = 1), "
+        "unified AS ("
+        "  SELECT o_totalprice, '(pre-evolution)' AS prio FROM old "
+        "  UNION ALL SELECT o_totalprice, o_orderpriority FROM new) "
+        "SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price "
+        "FROM unified GROUP BY prio"
+    ),
+    section="G13",
+)
+def g13_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the manifest table (the round-5
+    verdict's 'manifest carries no schema-evolution info' gap): v1
+    lands (o_orderkey, o_totalprice), v2 APPENDS files that also
+    carry o_orderpriority. The manifest records each file's column
+    list, so the v2 read detects the heterogeneous snapshot and plans
+    a mergeSchema scan — pre-evolution rows surface the new column as
+    NULL, with NO rewrite of the old files (the additive-evolution
+    contract Iceberg/Delta give; dropping/renaming needs a rewrite or
+    field-id mapping, declared out of scope). The oracle reconstructs
+    the unified view relationally (UNION ALL with a NULL-bucket
+    label), so the hash certifies manifest → mergeSchema → NULL-fill
+    end to end. Time travel still works: a v1 read plans a plain
+    single-schema scan (asserted in tests/test_lakehouse.py).
+    Scale shape: same plain per-version parquet scans as g11 —
+    mergeSchema samples footers, never data."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.sources.scans import _derived_base
+    from glonassdatamining_spark.stable import dsum
+
+    root = _derived_base(sf_dir, "lakehouse_evo", "orders")
+    o = load(spark, sf_dir, "orders")
+    t = ManifestTable(spark, root, "o_orderkey")
+    if t.current_version() < 2:
+        shutil.rmtree(root, ignore_errors=True)
+        t = ManifestTable.create(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            ),
+            "o_orderkey",
+            2,
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            2,
+        )
+    return (
+        t.read(version=2)
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)")).alias(
+                "prio"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )

@@ -268,3 +268,28 @@ def test_expire_snapshots_gc_orphans(spark, tmp_path):
     assert out["removed_data_files"] == 4
     assert t.current_version() == 2
     assert t.read().count() == 200  # live snapshot untouched
+
+
+def test_schema_evolution_append_and_time_travel(spark, tmp_path):
+    """Additive evolution: v2 mixes old (2-col) and new (3-col) files;
+    the manifest's per-file column lists trigger a mergeSchema read
+    (old rows NULL-fill the new column), while a v1 read still plans
+    a plain single-schema scan with exactly the original columns."""
+    t = _mk(spark, tmp_path, n=100, n_files=2)  # (k, val)
+    t.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("val"),
+            F.lit("tagged").alias("tag"),
+        )
+    )
+    v2 = t.read(version=2)
+    assert set(v2.columns) == {"k", "val", "tag"}
+    assert v2.count() == 150
+    assert v2.filter(F.col("tag").isNull()).count() == 100  # old files
+    assert v2.filter(F.col("tag") == "tagged").count() == 50
+    v1 = t.read(version=1)
+    assert set(v1.columns) == {"k", "val"}  # time travel: no merge pass
+    # manifest records the evolution
+    cols = {tuple(e["columns"]) for e in t._manifest(2)["files"]}
+    assert len(cols) == 2
