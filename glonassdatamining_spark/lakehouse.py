@@ -52,21 +52,44 @@ class CommitConflict(Exception):
     """Another writer committed this version first — re-read and retry."""
 
 
-def _file_stats(path: str, key_col: str) -> tuple[int, object, object]:
-    """(rows, min_key, max_key) from the parquet footer — no data read."""
+def _file_stats(
+    path: str, key_col: str
+) -> tuple[int, object, object, dict]:
+    """(rows, min_key, max_key, per-column {col: [lo, hi]}) from the
+    parquet footer — no data read. Column stats are recorded for
+    EVERY column whose footer min/max is a JSON scalar (int/float/
+    str/bool), so reads can prune on non-key predicates too; columns
+    with unserializable or absent stats are simply omitted
+    (conservative: an omitted column never prunes)."""
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(path)
     rows = f.metadata.num_rows
-    idx = f.schema_arrow.get_field_index(key_col)
-    lo = hi = None
-    for rg in range(f.metadata.num_row_groups):
-        st = f.metadata.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
+    stats: dict = {}
+    key_lo = key_hi = None
+    for idx in range(f.metadata.num_columns):
+        col = f.metadata.schema.column(idx).path
+        lo = hi = None
+        ok = True
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not ok:
             continue
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    return rows, lo, hi
+        if col == key_col:
+            # RAW key bounds, even when non-JSON — _write_files
+            # validates the type and fails loudly for date/decimal
+            # keys instead of silently committing prune-less files.
+            key_lo, key_hi = lo, hi
+        if isinstance(lo, (int, float, str)) and isinstance(
+            hi, (int, float, str)
+        ) and not isinstance(lo, bool):
+            stats[col] = [lo, hi]
+    return rows, key_lo, key_hi, stats
 
 
 class ManifestTable:
@@ -132,7 +155,7 @@ class ManifestTable:
                 continue
             dst = f"{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(stage, name), os.path.join(self._ddir, dst))
-            rows, lo, hi = _file_stats(
+            rows, lo, hi, stats = _file_stats(
                 os.path.join(self._ddir, dst), self.key_col
             )
             if rows == 0:
@@ -160,6 +183,9 @@ class ManifestTable:
                     # evolution record: readers detect heterogeneous
                     # snapshots and plan a mergeSchema scan (read()).
                     "columns": list(df.columns),
+                    # Full per-column [min, max] — read_pruned() skips
+                    # files on ANY recorded column, not just the key.
+                    "stats": stats,
                 }
             )
         shutil.rmtree(stage, ignore_errors=True)
@@ -267,6 +293,30 @@ class ManifestTable:
         if len(col_sets) > 1:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
+
+    def read_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Scan only the files whose recorded [min, max] for ``col``
+        can overlap [lo, hi] — manifest-level predicate pruning on ANY
+        stats-recorded column, not just the key (a file without stats
+        for ``col`` is conservatively kept). The caller still applies
+        the row-level filter: pruning is a file-skip optimization and
+        MUST NOT change results — certified by g14's oracle hash.
+        Whether it bites depends on layout: key-range distribution
+        makes the key column prune perfectly; secondary columns prune
+        where the layout correlates (Z-order/partitioning, A8, is the
+        lever)."""
+        m = self._manifest(version or self.current_version())
+        keep = []
+        for e in m["files"]:
+            st = e.get("stats", {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                keep.append(e)
+        if not keep:
+            return self.read(version).filter(F.lit(False))
+        paths = [os.path.join(self._ddir, e["file"]) for e in keep]
+        return self.spark.read.parquet(*paths)
 
     def history(self) -> list[dict]:
         out = []

@@ -667,3 +667,63 @@ def g13_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G14 — manifest stats-pruned scan (key + secondary column, round-6)
+# --------------------------------------------------------------------------
+@register(
+    "g14_lakehouse_pruned_scan",
+    oracle=(
+        "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders) "
+        "SELECT 'key_range' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price "
+        "FROM base WHERE o_orderkey BETWEEN 1000 AND 2000 "
+        "UNION ALL "
+        "SELECT 'price_band', CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+        "FROM base WHERE o_totalprice BETWEEN 100000.0 AND 150000.0"
+    ),
+    section="G14",
+)
+def g14_lakehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level predicate pruning beyond the MERGE path: the
+    manifest records [min, max] for EVERY stats-eligible column (not
+    just the key), and ``read_pruned`` plans a scan over only the
+    files a predicate range can touch. Two probes, same oracle
+    discipline: the KEY range (files are key-range-distributed, so
+    pruning skips most of them — asserted in tests/test_lakehouse.py)
+    and a SECONDARY price band (layout-uncorrelated here, so pruning
+    keeps everything — the honest case; Z-order/A8 is the layout
+    lever that makes secondary stats bite). Both still apply the
+    row-level filter, so the hash certifies pruning NEVER changes
+    results — the only property that matters before you trust a file
+    skip at 100 TB."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.sources.scans import _derived_base
+    from glonassdatamining_spark.stable import dsum
+
+    root = _derived_base(sf_dir, "lakehouse_prune", "orders")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = ManifestTable(spark, root, "o_orderkey")
+    if t.current_version() < 1:
+        shutil.rmtree(root, ignore_errors=True)
+        t = ManifestTable.create(spark, root, o, "o_orderkey", 8)
+    probes = (
+        ("key_range", "o_orderkey", 1000, 2000),
+        ("price_band", "o_totalprice", 100000.0, 150000.0),
+    )
+    frames = []
+    for label, col, lo, hi in probes:
+        frames.append(
+            t.read_pruned(col, lo, hi)
+            .filter(F.col(col).between(lo, hi))
+            .agg(
+                F.lit(label).alias("probe"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("o_totalprice", "total_price"),
+            )
+        )
+    return frames[0].unionByName(frames[1])

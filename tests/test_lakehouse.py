@@ -293,3 +293,27 @@ def test_schema_evolution_append_and_time_travel(spark, tmp_path):
     # manifest records the evolution
     cols = {tuple(e["columns"]) for e in t._manifest(2)["files"]}
     assert len(cols) == 2
+
+
+def test_read_pruned_skips_files_and_keeps_results(spark, tmp_path):
+    """Key-range pruning must skip most of an 8-file key-distributed
+    layout while returning exactly the full-scan filter result; a
+    stats-less / unrecorded column must conservatively keep all
+    files."""
+    t = _mk(spark, tmp_path, n=1000, n_files=8)
+    m = t._manifest(1)
+    assert all("stats" in e and "k" in e["stats"] for e in m["files"])
+    # how many files CAN contain keys 100..220?
+    overlapping = [
+        e for e in m["files"]
+        if not (e["stats"]["k"][1] < 100 or e["stats"]["k"][0] > 220)
+    ]
+    assert len(overlapping) < 8, "key-range layout must let pruning bite"
+    pruned = t.read_pruned("k", 100, 220).filter(F.col("k").between(100, 220))
+    full = t.read().filter(F.col("k").between(100, 220))
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    # val = k*10 correlates with k here, but an UNRECORDED column name
+    # falls back to keep-everything (never wrong, just unpruned)
+    assert t.read_pruned("nonexistent", 0, 1).count() == 1000
