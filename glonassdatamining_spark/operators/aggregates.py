@@ -2042,3 +2042,82 @@ def d42_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s").cast("double") / F.col("n"), 9).alias("theil"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D43 — Jarque–Bera normality screen (rides D40's exact moment sums)
+# --------------------------------------------------------------------------
+_JB_CRIT_4DP = 5.9915  # chi²(2) 95% critical value, compared post-round
+
+
+@register(
+    "d43_jarque_bera",
+    oracle=(
+        "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1, "
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2, "
+        "CAST(SUM(CAST(l_quantity * l_quantity * l_quantity "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS s3, "
+        "CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS s4 "
+        "FROM lineitem GROUP BY 1), "
+        "e AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4 FROM m), "
+        "sk AS (SELECT l_returnflag, n, nd, "
+        "(s3 / nd - 3 * (s1 / nd) * (s2 / nd) "
+        "  + 2 * (s1 / nd) * (s1 / nd) * (s1 / nd)) "
+        " / ((s2 / nd - (s1 / nd) * (s1 / nd)) "
+        "    * sqrt(s2 / nd - (s1 / nd) * (s1 / nd))) AS s, "
+        "(s4 / nd - 4 * (s1 / nd) * (s3 / nd) "
+        "  + 6 * (s1 / nd) * (s1 / nd) * (s2 / nd) "
+        "  - 3 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd)) "
+        " / ((s2 / nd - (s1 / nd) * (s1 / nd)) "
+        "    * (s2 / nd - (s1 / nd) * (s1 / nd))) - 3 AS k FROM e) "
+        "SELECT l_returnflag, n, "
+        "ROUND(nd / 6 * (s * s + k * k / 4), 4) AS jb_stat, "
+        "CAST(ROUND(nd / 6 * (s * s + k * k / 4), 4) > 5.9915 AS INT) "
+        "  AS reject_normal "
+        "FROM sk"
+    ),
+    section="D43",
+)
+def d43_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality screen per return flag: JB = n/6·(S² +
+    K²/4) over D40's population skewness S and excess kurtosis K —
+    the one-number "is this column even remotely Gaussian" gate run
+    before parametric tests (D29's t-test assumes what this checks).
+    Same discipline as D40: exact DECIMAL(38,6) raw power sums
+    (l_quantity ≤2dp), every statistic ONE identically-ordered IEEE
+    expression on both engines, round LAST; the 5% rejection flag
+    compares the ROUNDED statistic to the chi²(2) critical value so
+    the boolean can never split on an ulp. One map-side-combinable
+    aggregate — 4 doubles of state per group."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1") / nd
+    m2 = F.col("s2") / nd - mean * mean
+    s = (
+        F.col("s3") / nd
+        - F.lit(3) * mean * (F.col("s2") / nd)
+        + F.lit(2) * mean * mean * mean
+    ) / (m2 * F.sqrt(m2))
+    k = (
+        F.col("s4") / nd
+        - F.lit(4) * mean * (F.col("s3") / nd)
+        + F.lit(6) * mean * mean * (F.col("s2") / nd)
+        - F.lit(3) * mean * mean * mean * mean
+    ) / (m2 * m2) - F.lit(3)
+    jb = F.round(nd / F.lit(6) * (s * s + k * k / F.lit(4)), 4)
+    return m.select(
+        "l_returnflag",
+        "n",
+        jb.alias("jb_stat"),
+        (jb > _JB_CRIT_4DP).cast("int").alias("reject_normal"),
+    )

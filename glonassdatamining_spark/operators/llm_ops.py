@@ -2996,3 +2996,65 @@ def k50_contamination_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K51 — context-window chunking (size 64, stride 48)
+# --------------------------------------------------------------------------
+_K51_SIZE = 64
+_K51_STRIDE = 48
+
+
+@register(
+    "k51_doc_chunking",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        f"st AS (SELECT doc_id, l, len(l) AS n_tok, unnest(range(1, len(l) + 1, {_K51_STRIDE})) AS start_tok FROM tk) "
+        "SELECT doc_id, "
+        f"CAST((start_tok - 1) // {_K51_STRIDE} + 1 AS BIGINT) AS chunk_idx, "
+        "CAST(start_tok AS BIGINT) AS start_tok, "
+        f"CAST(LEAST({_K51_SIZE}, n_tok - start_tok + 1) AS BIGINT) AS n_chunk_tokens, "
+        "l[start_tok] AS first_token, "
+        f"l[start_tok + LEAST({_K51_SIZE}, n_tok - start_tok + 1) - 1] AS last_token "
+        "FROM st"
+    ),
+    section="K51",
+)
+def k51_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the pre-tokenization splitter every
+    training/RAG pipeline runs before K23's packing: each document
+    yields overlapping windows of 64 whitespace tokens at stride 48
+    (16-token overlap so no boundary context is lost), emitted as
+    (chunk_idx, start, length, first/last token) — the boundary
+    tokens pin the exact slice arithmetic cross-engine without
+    hashing 64-token strings. All-JVM: one sequence() per doc for the
+    stride starts, element_at for the boundary probes — no explode of
+    the token stream itself (the chunk table is ~n_tok/stride rows
+    per doc, not n_tok). Scale shape: row-local expand, no shuffle;
+    the real tokenizer swap-in point is documented at K9/K49 (BPE
+    fertility differs, the window algebra doesn't)."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.split("text", " ").alias("l"))
+    st = tk.select(
+        "doc_id",
+        "l",
+        F.size("l").alias("n_tok"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("l"), F.lit(_K51_STRIDE))
+        ).alias("start_tok"),
+    )
+    n_chunk = F.least(
+        F.lit(_K51_SIZE), F.col("n_tok") - F.col("start_tok") + 1
+    )
+    return st.select(
+        "doc_id",
+        (
+            (F.col("start_tok") - 1) / F.lit(_K51_STRIDE) + 1
+        ).cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        n_chunk.cast("bigint").alias("n_chunk_tokens"),
+        F.element_at("l", F.col("start_tok").cast("int")).alias("first_token"),
+        F.element_at(
+            "l", (F.col("start_tok") + n_chunk - 1).cast("int")
+        ).alias("last_token"),
+    )
