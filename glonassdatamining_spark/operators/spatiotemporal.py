@@ -3505,3 +3505,90 @@ def i50_cell_speed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_p")[1], 4).alias("p90_speed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I51 — mobility anisotropy ellipse (covariance eigen-decomposition)
+# ---------------------------------------------------------------------------
+@register(
+    "i51_anisotropy_ellipse",
+    oracle=(
+        EVENTS_CTE + ", m AS ("
+        "  SELECT user_id AS obj_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"  CAST(SUM({_IX}) AS BIGINT) AS sx, "
+        f"  CAST(SUM({_IY}) AS BIGINT) AS sy, "
+        f"  CAST(SUM({_IX} * {_IX}) AS BIGINT) AS sx2, "
+        f"  CAST(SUM({_IY} * {_IY}) AS BIGINT) AS sy2, "
+        f"  CAST(SUM({_IX} * {_IY}) AS BIGINT) AS sxy "
+        "  FROM events GROUP BY 1 HAVING COUNT(*) >= 3), "
+        "c AS (SELECT obj_id, n, CAST(n AS DOUBLE) AS nd, "
+        "  CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS mx, "
+        "  CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS my, "
+        "  sx2, sy2, sxy FROM m), "
+        "v AS (SELECT obj_id, n, "
+        "  CAST(sx2 AS DOUBLE) / (nd * 1000000.0) - mx * mx AS vx, "
+        "  CAST(sy2 AS DOUBLE) / (nd * 1000000.0) - my * my AS vy, "
+        "  CAST(sxy AS DOUBLE) / (nd * 1000000.0) - mx * my AS cxy FROM c), "
+        "e AS (SELECT obj_id, n, vx, vy, cxy, "
+        "  sqrt(((vx - vy) / 2) * ((vx - vy) / 2) + cxy * cxy) AS r FROM v) "
+        "SELECT obj_id, n AS n_fixes, "
+        "ROUND(sqrt(greatest((vx + vy) / 2 + r, 0.0)), 6) AS sigma_major, "
+        "ROUND(sqrt(greatest((vx + vy) / 2 - r, 0.0)), 6) AS sigma_minor, "
+        "ROUND(atan2(2 * cxy, vx - vy) / 2, 6) AS orientation, "
+        "ROUND(CASE WHEN (vx + vy) / 2 + r > 0 THEN "
+        "  sqrt(greatest((vx + vy) / 2 - r, 0.0) / ((vx + vy) / 2 + r)) "
+        "  ELSE 0.0 END, 6) AS anisotropy "
+        "FROM e"
+    ),
+    section="I51",
+)
+def i51_anisotropy_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object deviation ellipse — the 2×2 position-covariance
+    eigen-decomposition (closed form: λ = tr/2 ± √(((vx−vy)/2)² +
+    cov²)), the classic GIS "standard deviational ellipse": σ_major/
+    σ_minor axis lengths, orientation (atan2(2cov, vx−vy)/2), and the
+    minor/major anisotropy ratio separating corridor commuters
+    (≈0, movement on a line) from area roamers (≈1, isotropic cloud)
+    — the directional refinement of I37's scalar radius. Same
+    determinism contract as I37: all six moments are EXACT bigint
+    sums of the integer position proxies (one map-side-combinable
+    shuffle, 56 bytes of state per object), then one identical IEEE
+    chain per output with greatest(·,0) guarding the λ₂
+    cancellation; n ≥ 3 filters the degenerate ellipses."""
+    ev = load(spark, sf_dir, "events")
+    ix = F.col("event_id") * 7919 % 100000
+    iy = F.col("event_id") * 104729 % 100000
+    m = (
+        ev.groupBy(F.col("user_id").alias("obj_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ix).alias("sx"),
+            F.sum(iy).alias("sy"),
+            F.sum(ix * ix).alias("sx2"),
+            F.sum(iy * iy).alias("sy2"),
+            F.sum(ix * iy).alias("sxy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / (nd * 1000.0)
+    my = F.col("sy").cast("double") / (nd * 1000.0)
+    vx = F.col("sx2").cast("double") / (nd * 1000000.0) - mx * mx
+    vy = F.col("sy2").cast("double") / (nd * 1000000.0) - my * my
+    cxy = F.col("sxy").cast("double") / (nd * 1000000.0) - mx * my
+    r = F.sqrt(((vx - vy) / 2) * ((vx - vy) / 2) + cxy * cxy)
+    lam1 = (vx + vy) / 2 + r
+    lam2 = (vx + vy) / 2 - r
+    return m.select(
+        "obj_id",
+        F.col("n").cast("bigint").alias("n_fixes"),
+        F.round(F.sqrt(F.greatest(lam1, F.lit(0.0))), 6).alias("sigma_major"),
+        F.round(F.sqrt(F.greatest(lam2, F.lit(0.0))), 6).alias("sigma_minor"),
+        F.round(F.atan2(2 * cxy, vx - vy) / 2, 6).alias("orientation"),
+        F.round(
+            F.when(
+                lam1 > 0, F.sqrt(F.greatest(lam2, F.lit(0.0)) / lam1)
+            ).otherwise(0.0),
+            6,
+        ).alias("anisotropy"),
+    )
