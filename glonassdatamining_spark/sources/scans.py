@@ -880,12 +880,20 @@ def a22_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate — certifying that the metric channel reports EXACTLY
     what a dedicated aggregation job would (count, filtered count,
     decimal-exact sum, max). Observation.get is a bounded 4-metric
-    map, not a data collect."""
+    map, not a data collect.
+
+    Session hygiene: the observed pass runs on a CLONED session
+    (``spark.newSession()`` — same SparkContext, separate
+    listenerManager) because the Observation's listener measurably
+    poisons LATER multithreaded actions on the session it attaches to
+    (reproduced: j9's CrossValidator.fit dies with 'Task not
+    serializable' after a same-session a22 run; the isolated-session
+    run is clean — asserted in tests/test_contract.py)."""
     from pyspark.sql import Observation
 
     obs = Observation("a22_metrics")
     li = (
-        load(spark, sf_dir, "lineitem")
+        load(spark.newSession(), sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
         .observe(
             obs,

@@ -58,3 +58,22 @@ def test_f9_tablesample_properties(spark):
     assert set(a) <= src
     frac = len(a) / len(src)
     assert 0.05 < frac < 0.16, f"10% sample came out at {frac:.3f}"
+
+
+def test_a22_observation_does_not_poison_session(spark):
+    """Regression (round-6): a same-session Observation listener broke
+    LATER multithreaded ML actions (j9 CrossValidator.fit → 'Task not
+    serializable'). a22 must isolate its observed pass in a cloned
+    session, so running a22 then j9 on the shared session stays
+    green."""
+    from glonassdatamining_spark import registry
+    from tests.conftest import SF_DIR
+
+    assert (
+        len(registry.get("a22_observe_metrics").builder(spark, SF_DIR).collect())
+        == 1
+    )
+    assert (
+        len(registry.get("j9_cross_validation").builder(spark, SF_DIR).collect())
+        >= 1
+    )
