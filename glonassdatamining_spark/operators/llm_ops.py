@@ -3058,3 +3058,81 @@ def k51_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l", (F.col("start_tok") + n_chunk - 1).cast("int")
         ).alias("last_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# K52 — source-priority dedup (policy-aware representative selection)
+# --------------------------------------------------------------------------
+_K52_CORPUS_SQL = (
+    "corpus AS ("
+    "  SELECT doc_id, source, text, 2 AS priority FROM documents "
+    "  UNION ALL SELECT doc_id + 10000000, 'curated', text, 3 "
+    "    FROM documents WHERE doc_id % 7 = 0 "
+    "  UNION ALL SELECT doc_id + 20000000, 'mirror', text, 1 "
+    "    FROM documents WHERE doc_id % 21 = 0)"
+)
+
+
+@register(
+    "k52_priority_dedup",
+    oracle=(
+        "WITH " + _K52_CORPUS_SQL + ", "
+        "ranked AS (SELECT doc_id, source, priority, "
+        "  COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size, "
+        "  row_number() OVER (PARTITION BY md5(text) "
+        "    ORDER BY priority DESC, doc_id) AS rn FROM corpus) "
+        "SELECT doc_id AS kept_doc_id, source AS kept_source, "
+        "CAST(cluster_size AS BIGINT) AS cluster_size "
+        "FROM ranked WHERE rn = 1 AND cluster_size > 1"
+    ),
+    section="K52",
+)
+def k52_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a REPRESENTATIVE POLICY — the production refinement
+    of k1's keep-min-id: when exact duplicates span sources, keep the
+    copy from the highest-priority source (curated > original >
+    mirror), THEN lowest doc_id — the rule real mixtures need because
+    'which copy survives' decides licensing, provenance, and
+    formatting of the kept text. Corpus synthesized k41-style (every
+    7th doc has a higher-priority 'curated' twin, every 21st a
+    lower-priority 'mirror' twin), so every policy branch is
+    exercised and hash-checked: curated twins must WIN over their
+    originals, mirror twins must LOSE, and the (priority DESC,
+    doc_id) tie-break is total. Emits only real clusters (size > 1) —
+    the interesting rows. Same one-shuffle shape as k1: window over
+    the content hash."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "text", F.lit(2).alias("priority"))
+    curated = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.lit("curated").alias("source"),
+            "text",
+            F.lit(3).alias("priority"),
+        )
+    )
+    mirror = (
+        d.filter(F.col("doc_id") % 21 == 0)
+        .select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+            F.lit(1).alias("priority"),
+        )
+    )
+    corpus = base.unionByName(curated).unionByName(mirror).withColumn(
+        "h", F.md5("text")
+    )
+    wc = Window.partitionBy("h")
+    wr = wc.orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        corpus.withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("source").alias("kept_source"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

@@ -1897,3 +1897,79 @@ def e36_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E37 — interval-union coverage (gaps-and-islands over half-open spans)
+# --------------------------------------------------------------------------
+_E37_SPAN_MS = 300_000  # each event covers [ts, ts + 5 minutes)
+
+
+@register(
+    "e37_interval_coverage",
+    oracle=(
+        EVENTS_CTE + ", iv AS ("
+        "  SELECT user_id, event_id, epoch_ms(ts) AS s, "
+        f"  epoch_ms(ts) + {_E37_SPAN_MS} AS e FROM events), "
+        "fl AS (SELECT user_id, event_id, s, e, "
+        "  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+        "  OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "  THEN 1 ELSE 0 END AS new_island FROM iv), "
+        "isl AS (SELECT user_id, s, e, SUM(new_island) OVER ("
+        "  PARTITION BY user_id ORDER BY s, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid FROM fl), "
+        "agg AS (SELECT user_id, iid, MIN(s) AS st, MAX(e) AS en, "
+        "  COUNT(*) AS n FROM isl GROUP BY 1, 2) "
+        "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, "
+        "CAST(COUNT(*) AS BIGINT) AS n_islands, "
+        "CAST(SUM(en - st) AS BIGINT) AS covered_ms "
+        "FROM agg GROUP BY user_id"
+    ),
+    section="E37",
+)
+def e37_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping half-open activity spans per user
+    (each event covers [ts, ts+5 min)) — the 'total distinct busy
+    time' metric behind SLA coverage, sensor uptime, and exposure
+    windows, where naive n×span double-counts every overlap. E16's
+    gaps-and-islands machinery lifted from days to millisecond
+    intervals: an island opens when a span starts strictly after the
+    running max-end of everything before it (touching spans merge —
+    half-open semantics), islands fold to (min start, max end), and
+    coverage is Σ(end − start). ENTIRELY integer (epoch-ms + span),
+    so the hash needs no tolerance. Two window passes + two
+    aggregates, all on one user_id shuffle."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + _E37_SPAN_MS).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    isl = fl.withColumn(
+        "iid",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agg = isl.groupBy("user_id", "iid").agg(
+        F.min("s").alias("st"), F.max("e").alias("en"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).cast("bigint").alias("covered_ms"),
+    )
