@@ -2215,3 +2215,63 @@ def d44_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D45 — two-proportion z-test (pooled), integer counts + one chain
+# --------------------------------------------------------------------------
+@register(
+    "d45_two_proportion_z",
+    oracle=(
+        "WITH c AS (SELECT "
+        "  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n1, "
+        "  CAST(COUNT(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000.0 "
+        "    THEN 1 END) AS BIGINT) AS x1, "
+        "  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n2, "
+        "  CAST(COUNT(CASE WHEN o_orderstatus = 'O' AND o_totalprice > 150000.0 "
+        "    THEN 1 END) AS BIGINT) AS x2 "
+        "  FROM orders) "
+        "SELECT n1, x1, n2, x2, "
+        "ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p1, "
+        "ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p2, "
+        "ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) / "
+        "  sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) "
+        "    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) "
+        "    * (1.0 / n1 + 1.0 / n2)), 6) AS z "
+        "FROM c"
+    ),
+    section="D45",
+)
+def d45_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test — THE A/B-test primitive (does the
+    big-ticket rate differ between finished and open orders?), the
+    categorical sibling of D29's Welch t: all four inputs are exact
+    integer counts off ONE conditional-aggregation pass (no second
+    scan, no join), and the statistic is a single mirrored IEEE chain
+    over them, rounded last. D28's chi-square tests independence on
+    the full R×C table; this is the focused 2×2 directional form with
+    the pooled-variance denominator."""
+    o = load(spark, sf_dir, "orders")
+    hit = F.col("o_totalprice") > 150000.0
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    c = o.agg(
+        F.count(F.when(is_f, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(is_f & hit, 1)).cast("bigint").alias("x1"),
+        F.count(F.when(is_o, 1)).cast("bigint").alias("n2"),
+        F.count(F.when(is_o & hit, 1)).cast("bigint").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return c.select(
+        "n1", "x1", "n2", "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z"),
+    )

@@ -423,3 +423,50 @@ def m8_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, w_start TIMESTAMP_NTZ, w_end TIMESTAMP_NTZ, "
         "n BIGINT, sum_value DOUBLE",
     )
+
+
+# --------------------------------------------------------------------------
+# M9 — Python UDTF (table function, 1 row → N rows, round-6)
+# --------------------------------------------------------------------------
+@register(
+    "m9_python_udtf",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        "st AS (SELECT doc_id, l, len(l) AS n, "
+        "  unnest(range(1, len(l) + 1, 32)) AS s FROM tk) "
+        "SELECT doc_id, CAST((s - 1) // 32 + 1 AS INT) AS chunk_idx, "
+        "CAST(LEAST(32, n - s + 1) AS INT) AS n_tokens, "
+        "l[s] AS first_token FROM st"
+    ),
+    section="M9",
+)
+def m9_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF — the table-function surface beside M4's
+    mapInPandas (a UDTF is per-ROW 1→N with named output columns,
+    usable in FROM with LATERAL; mapInPandas is per-BATCH): each
+    document yields one row per non-overlapping 32-token chunk. The
+    oracle recomputes the chunk table relationally, so the UDTF's
+    row-expansion semantics (ordering-free set equality, boundary
+    chunk lengths, first-token probes) are hash-certified. Python
+    boundary is the POINT of the M tier; the production-scale twin
+    of this logic is k51's all-JVM sliding-window form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id BIGINT, chunk_idx INT, n_tokens INT, first_token STRING"
+    ))
+    class Chunker:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 32):
+                chunk = toks[i:i + 32]
+                yield doc_id, i // 32 + 1, len(chunk), chunk[0]
+
+    spark.udtf.register("m9_chunker", Chunker)
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.first_token "
+        "FROM documents d, LATERAL m9_chunker(d.doc_id, d.text) c"
+    )

@@ -919,3 +919,37 @@ def a22_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, n_discounted BIGINT, sum_qty DOUBLE, "
         "max_orderkey BIGINT",
     )
+
+
+# --------------------------------------------------------------------------
+# A23 — parameterized SQL (named parameter markers, round-6)
+# --------------------------------------------------------------------------
+@register(
+    "a23_parameterized_sql",
+    oracle=(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+        "FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O' "
+        "GROUP BY o_orderpriority"
+    ),
+    section="A23",
+)
+def a23_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`:cut` / `:status` markers bound via
+    ``spark.sql(..., args=...)``, Spark 3.4+/4) — the injection-safe
+    templating surface a query service puts in front of the engine:
+    parameters are BOUND AS LITERAL EXPRESSIONS by the analyzer (not
+    string-spliced), so constant folding and scan pushdown see the
+    values exactly as if inlined — the hash check certifies the bound
+    plan computes precisely what the literal oracle does. Decimal
+    revenue discipline as everywhere."""
+    from glonassdatamining_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+        "FROM orders WHERE o_totalprice > :cut AND o_orderstatus = :status "
+        "GROUP BY o_orderpriority",
+        args={"cut": 150000.0, "status": "O"},
+    )

@@ -62,6 +62,7 @@ PY_ALLOWED = {
     "m1_scalar_pandas_udf",
     "m3_grouped_agg_udf",
     "m4b_python_udtf",     # the point: a true @udtf table function
+    "m9_python_udtf",      # multi-arg LATERAL @udtf — same declared point
     "m5_struct_arg_udf",
 }
 
