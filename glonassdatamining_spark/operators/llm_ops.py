@@ -3136,3 +3136,69 @@ def k52_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K53 — leakage-free train/val/test split (cluster-atomic assignment)
+# --------------------------------------------------------------------------
+@register(
+    "k53_leakage_free_split",
+    oracle=(
+        "WITH " + _K52_CORPUS_SQL + ", "
+        "rep AS (SELECT doc_id, source, "
+        "  MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id FROM corpus), "
+        "asg AS (SELECT doc_id, source, rep_id, "
+        "  ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT % 10 "
+        "  AS bucket FROM rep) "
+        "SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' "
+        "  ELSE 'test' END AS split, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT rep_id) AS BIGINT) AS n_clusters, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources "
+        "FROM asg GROUP BY 1"
+    ),
+    section="K53",
+)
+def k53_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can NEVER leak a duplicate across
+    sides — the assignment unit is the exact-content CLUSTER, not the
+    document: every member inherits its cluster representative's
+    (min doc_id) hash bucket, so k52's multi-source duplicate corpus
+    splits cluster-atomically by construction (a doc-level random
+    split puts ~20% of each dup pair's mass across the boundary —
+    the classic eval-contamination bug this op exists to kill).
+    Content-addressed and layout-independent (F6's discipline): the
+    split is a pure function of the data, reproducible on any
+    cluster, any partitioning. One content-hash window + one rollup;
+    the hex-prefix parse is the playbook-verified cross-engine
+    bridge (Spark conv ≡ DuckDB '0x'::BIGINT)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "text")
+    curated = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.lit("curated").alias("source"),
+        "text",
+    )
+    mirror = d.filter(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    corpus = base.unionByName(curated).unionByName(mirror)
+    rep = corpus.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    asg = rep.withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+    )
+    return asg.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("rep_id").cast("bigint").alias("n_clusters"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )

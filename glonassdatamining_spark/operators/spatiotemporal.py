@@ -3592,3 +3592,77 @@ def i51_anisotropy_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("anisotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I52 — per-cell mean flow vectors (velocity field)
+# ---------------------------------------------------------------------------
+@register(
+    "i52_cell_flow_vectors",
+    oracle=(
+        FIXES_CTE + ", hops AS ("
+        "  SELECT obj_id, ts, event_id, x, y, "
+        "  lag(x) OVER w AS px, lag(y) OVER w AS py, lag(ts) OVER w AS pts "
+        "  FROM fixes WINDOW w AS (PARTITION BY obj_id ORDER BY ts, event_id)), "
+        "v AS (SELECT CAST(FLOOR(px / 10.0) AS BIGINT) AS cx, "
+        "  CAST(FLOOR(py / 10.0) AS BIGINT) AS cy, "
+        "  CAST(ROUND((x - px) / (CAST(epoch_ms(ts) - epoch_ms(pts) AS DOUBLE) / 1000.0), 6) "
+        "    AS DECIMAL(28,6)) AS vx, "
+        "  CAST(ROUND((y - py) / (CAST(epoch_ms(ts) - epoch_ms(pts) AS DOUBLE) / 1000.0), 6) "
+        "    AS DECIMAL(28,6)) AS vy "
+        "  FROM hops WHERE pts IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts)) "
+        "SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_hops, "
+        "CAST(SUM(vx) AS DOUBLE) AS sum_vx, "
+        "CAST(SUM(vy) AS DOUBLE) AS sum_vy, "
+        "ROUND(atan2(CAST(SUM(vy) AS DOUBLE), CAST(SUM(vx) AS DOUBLE)), 6) "
+        "  AS mean_heading "
+        "FROM v GROUP BY cx, cy"
+    ),
+    section="I52",
+)
+def i52_cell_flow_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean velocity VECTOR per grid cell — the flow field under
+    I50's scalar speed map (same binning, same hop chain): per-hop
+    (vx, vy) assigned to the starting cell, averaged, plus the
+    resultant heading — the input to flow visualization, counterflow
+    detection, and I44's transition model priors. FP discipline: the
+    per-row velocity components are IEEE-deterministic chains rounded
+    to 6dp, then ride DECIMAL(28,6) through the SUM (per-row floats
+    must cross an aggregation as decimals or the partial-agg order
+    diverges); the emitted components are the EXACT decimal sums
+    (double-exact: 6dp-scaled integers ≪ 2⁵³) rather than means —
+    a rounded mean sits on round-half boundaries that Spark
+    (decimal-string HALF_UP) and DuckDB (binary round) split on, the
+    one cross-engine trap this operator hit in development — and the
+    resultant heading needs only the sums (atan2 is scale-invariant). Same single obj_id window shuffle as every hop query,
+    then a cell-keyed map-side-combinable agg."""
+    f = fixes(spark, sf_dir)
+    w = Window.partitionBy("obj_id").orderBy("ts", "event_id")
+    hops = f.select(
+        "x", "y",
+        F.lag("x").over(w).alias("px"), F.lag("y").over(w).alias("py"),
+        F.lag("ts").over(w).alias("pts"), F.col("ts"),
+    )
+    dt_s = (F.unix_millis("ts") - F.unix_millis("pts")).cast("double") / 1000.0
+    v = hops.filter(
+        F.col("pts").isNotNull()
+        & (F.unix_millis("ts") > F.unix_millis("pts"))
+    ).select(
+        F.floor(F.col("px") / 10.0).cast("bigint").alias("cx"),
+        F.floor(F.col("py") / 10.0).cast("bigint").alias("cy"),
+        F.round((F.col("x") - F.col("px")) / dt_s, 6)
+        .cast("decimal(28,6)").alias("vx"),
+        F.round((F.col("y") - F.col("py")) / dt_s, 6)
+        .cast("decimal(28,6)").alias("vy"),
+    )
+    return v.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hops"),
+        F.sum("vx").cast("double").alias("sum_vx"),
+        F.sum("vy").cast("double").alias("sum_vy"),
+        F.round(
+            F.atan2(
+                F.sum("vy").cast("double"), F.sum("vx").cast("double")
+            ),
+            6,
+        ).alias("mean_heading"),
+    )
