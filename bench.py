@@ -75,7 +75,12 @@ HEADLINE = [
     "i48_bounded_knn_join",         # grid-bucketed exact kNN self-join
     "g10_scd2_asof_lookup",         # 3-probe point-in-time max_by
     "i49_trajectory_sinuosity",     # one-shuffle window + endpoint fold
-    "n16_two_hop_ball",             # wedge join ∪ one-hop, distinct fold
+    # n16_two_hop_ball RETIRED from the headline set in round 7
+    # (round-6 verdict ask #5): its uncapped Σ deg² growth (sf1 15.5×)
+    # made it the one headline plan with a known densification cliff.
+    # It stays REGISTERED (n16b's oracle needs it); n16b below is the
+    # operator's headline row (sf1 2.21×). BASELINE.md documents the
+    # retirement; its r01-era 2× bar retires with it.
     "c19_disjunctive_join",         # OR-join as union-of-equi-joins
     # round-6 additions (BASELINE.md: no earlier baseline):
     "n16b_two_hop_ball_capped",     # n16 with the super-hub cap applied
@@ -139,6 +144,47 @@ def main() -> None:
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(best[name], 3) for name in headline}
 
+    # Cold-rep pass (round-6 verdict ask #6): for the queries whose
+    # bench-mode derived caches exclude real cold work from the warm
+    # number (the BASELINE.md cache-inventory table), record ONE rep
+    # with those caches cleared — base tables stay hot (the documented
+    # bench substrate for every query), so "cold" here means exactly
+    # the inventory's "what the timed rep pays cold" column: fixture
+    # projection + derived shuffle for i6/i12, encode + plan
+    # re-analysis for the WKB tier, plan re-analysis for k8. Runs
+    # AFTER all warm sampling so clearing can't perturb the mins.
+    COLD_QUERIES = [
+        "i6_dbscan",
+        "i12_hotspot_zscore",
+        "i33_wkb_polygon_hole_area",
+        "k8_langid_heuristic",
+    ]
+
+    def clear_derived_caches():
+        from glonassdatamining_spark.operators import spatiotemporal as st
+
+        for cache in (
+            st._FIXES_CACHE,
+            st._PADDED_CACHE,
+            st._WKB_FRAME_CACHE,
+        ):
+            for v in list(cache.values()):
+                if hasattr(v, "unpersist"):
+                    try:
+                        v.unpersist()
+                    except Exception:
+                        pass
+            cache.clear()
+
+    cold: dict[str, float] = {}
+    for name in COLD_QUERIES:
+        if name not in headline:
+            continue
+        clear_derived_caches()
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -147,6 +193,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1090,6 +1090,7 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     round_to: int = 6,
+    max_candidates: int = 262_144,
 ) -> DataFrame:
     """Exact all-pairs cosine top-k per vector; returns (qid, nid, cos).
 
@@ -1098,11 +1099,28 @@ def cosine_topk(
     candidate sets use LSH/IVF), queries stream through ``mapInPandas``
     as one matmul per Arrow batch. Eager: collects the candidate matrix
     when called.
+
+    The collect is GATED (the connected_components probe-gate shape):
+    the candidate pull is a ``limit(max_candidates + 1)`` — bounded by
+    construction, never an unbounded driver fetch — and finding more
+    than ``max_candidates`` rows raises immediately with a pointer to
+    the scale paths (k14/ivf_query for IVF-bucketed ANN, j6 for LSH)
+    instead of OOMing the driver. 262k × a few-hundred-dim float64
+    vectors is well under a driver GiB; raise it deliberately if your
+    driver is larger.
     """
     emb = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     import numpy as np
 
-    cand = emb.toPandas()
+    cand = emb.limit(max_candidates + 1).toPandas()  # ≤ gate+1 rows, gated
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"cosine_topk is the bounded exact twin: candidate set "
+            f"exceeds max_candidates={max_candidates}. Use the scale "
+            f"paths instead — IVF ANN (operators/llm_ops.ivf_query / "
+            f"k14) or LSH (j6 minhash/random-projection) — or raise "
+            f"max_candidates explicitly for a larger driver."
+        )
     ids = cand["_id"].to_numpy(np.int64)
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in cand["_v"]])
     norms = np.sqrt((mat * mat).sum(axis=1))

@@ -217,6 +217,18 @@ class ManifestTable:
         """Copy-on-write upsert: source rows replace same-key rows and
         insert new keys. Files whose [min_key, max_key] cannot overlap
         the source's key range are carried forward without a rewrite.
+        A file committed WITHOUT key bounds (footer lacked min/max
+        statistics) is conservatively treated as always overlapping —
+        it is rewritten rather than risking a silently-missed update.
+
+        Additive schema evolution holds on the WRITE path too: touched
+        files are scanned with the same heterogeneity-aware mergeSchema
+        logic ``read()`` uses, and the rewrite unions via
+        ``unionByName(allowMissingColumns=True)`` — so a source
+        carrying a NEW column upserts cleanly (old rows surface NULL),
+        and a source MISSING an evolved column never drops it from the
+        rewritten files (the g13 additive contract; certified by g15's
+        oracle hash and tests/test_lakehouse.py).
 
         Optimistic concurrency: each attempt prunes and rewrites
         against the HEAD it read, then tries to publish HEAD+1. If a
@@ -245,16 +257,16 @@ class ManifestTable:
             touched = [
                 e
                 for e in snap
-                if not (e["max_key"] < lohi["lo"] or e["min_key"] > lohi["hi"])
+                if e["min_key"] is None
+                or e["max_key"] is None
+                or not (e["max_key"] < lohi["lo"] or e["min_key"] > lohi["hi"])
             ]
             carried = [e for e in snap if e not in touched]
             if touched:
-                old = self.spark.read.parquet(
-                    *[os.path.join(self._ddir, e["file"]) for e in touched]
-                )
+                old = self._scan(touched)
                 merged = old.join(
                     source.select(self.key_col), self.key_col, "left_anti"
-                ).unionByName(source)
+                ).unionByName(source, allowMissingColumns=True)
             else:
                 merged = source
             new_files = self._write_files(merged, n_files)
@@ -277,22 +289,32 @@ class ManifestTable:
             }
 
     # -- reads -------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        """Plan a scan over exactly this version's file list. When the
-        manifest records heterogeneous per-file column lists (schema
+    def _scan(self, entries: list[dict]) -> DataFrame:
+        """Plan a scan over exactly ``entries``' files. When the
+        entries record heterogeneous per-file column lists (schema
         evolution: an append added columns), the scan runs with
         mergeSchema so pre-evolution files surface the new columns as
         NULL — the footers stay authoritative, the manifest only
-        decides WHETHER the (footer-sampling) merge pass is needed."""
-        m = self._manifest(version or self.current_version())
-        paths = [os.path.join(self._ddir, e["file"]) for e in m["files"]]
-        col_sets = {
-            tuple(e["columns"]) for e in m["files"] if "columns" in e
-        }
+        decides WHETHER the (footer-sampling) merge pass is needed.
+        An entry without a recorded column list (pre-columns manifest)
+        is conservatively treated as its own schema group. Shared by
+        read(), read_pruned(), read_pruned_in() and merge()'s
+        touched-file rewrite so every path sees identical evolved
+        schemas."""
+        col_sets = {tuple(e["columns"]) if "columns" in e else None
+                    for e in entries}
         reader = self.spark.read
         if len(col_sets) > 1:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        return reader.parquet(
+            *[os.path.join(self._ddir, e["file"]) for e in entries]
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Plan a scan over exactly this version's file list (see
+        :meth:`_scan` for the schema-evolution mergeSchema contract)."""
+        m = self._manifest(version or self.current_version())
+        return self._scan(m["files"])
 
     def read_pruned(
         self, col: str, lo, hi, version: int | None = None
@@ -315,8 +337,30 @@ class ManifestTable:
                 keep.append(e)
         if not keep:
             return self.read(version).filter(F.lit(False))
-        paths = [os.path.join(self._ddir, e["file"]) for e in keep]
-        return self.spark.read.parquet(*paths)
+        return self._scan(keep)
+
+    def read_pruned_in(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """Scan only the files whose recorded [min, max] for ``col``
+        can contain AT LEAST ONE of ``values`` — the discrete-set
+        sibling of :meth:`read_pruned` (a file without stats for
+        ``col`` is conservatively kept). With a key-range-distributed
+        layout this is exact file-level point lookup: probing lists
+        {3, 17} reads only the files whose span covers 3 or 17, not
+        everything in [3, 17] — the IVF probe path (k14b/ivf_query)
+        rides this. Same non-negotiable contract as read_pruned: the
+        caller still applies the row-level filter; pruning must never
+        change results."""
+        m = self._manifest(version or self.current_version())
+        keep = []
+        for e in m["files"]:
+            st = e.get("stats", {}).get(col)
+            if st is None or any(st[0] <= v <= st[1] for v in values):
+                keep.append(e)
+        if not keep:
+            return self.read(version).filter(F.lit(False))
+        return self._scan(keep)
 
     def history(self) -> list[dict]:
         out = []

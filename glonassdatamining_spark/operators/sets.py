@@ -727,3 +727,115 @@ def g14_lakehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return frames[0].unionByName(frames[1])
+
+
+# --------------------------------------------------------------------------
+# G15 — lakehouse MERGE under schema evolution (round-7)
+# --------------------------------------------------------------------------
+@register(
+    "g15_lakehouse_merge_evolution",
+    oracle=(
+        "WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders) "
+        "SELECT CAST(1 AS INT) AS version, 'create' AS op, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "  CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS total_price, "
+        "  CAST(0 AS BIGINT) AS prio_rows, CAST(0 AS BIGINT) AS status_rows "
+        "  FROM o WHERE k % 3 = 0 "
+        "UNION ALL SELECT CAST(2 AS INT), 'append', "
+        "  CAST(COUNT(*) AS BIGINT), "
+        "  CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE), "
+        "  CAST(COUNT(*) FILTER (WHERE k % 3 = 1) AS BIGINT), "
+        "  CAST(0 AS BIGINT) FROM o WHERE k % 3 IN (0, 1) "
+        "UNION ALL SELECT CAST(3 AS INT), 'merge', "
+        "  CAST(COUNT(*) AS BIGINT), "
+        "  CAST(SUM(CAST(CASE WHEN k % 6 = 1 THEN p + 1000.0 ELSE p END "
+        "    AS DECIMAL(28,6))) AS DOUBLE), "
+        "  CAST(COUNT(*) FILTER (WHERE k % 6 = 4) AS BIGINT), "
+        "  CAST(COUNT(*) FILTER (WHERE k % 6 = 1 OR k % 3 = 2) AS BIGINT) "
+        "  FROM o"
+    ),
+    section="G15",
+)
+def g15_lakehouse_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through an EVOLVING schema — the write-path
+    completion of g13's additive contract (round-6 verdict ask #3 /
+    ADVICE medium): v1 CREATEs (o_orderkey, o_totalprice), v2 APPENDs
+    files that also carry o_orderpriority (heterogeneous snapshot),
+    and v3 MERGEs a source that is BOTH missing the evolved column
+    (no o_orderpriority) AND carrying a brand-new one (o_orderstatus)
+    — updating every %6==1 key's price by +1000 and inserting the
+    %3==2 keys. The dangerous path is the touched-file rewrite: the
+    touched set spans pre- and post-evolution files, so a plain
+    parquet scan would infer one file's schema and SILENTLY DROP
+    o_orderpriority from the rewritten files (permanent data loss).
+    The fix under test: merge() scans touched files with read()'s
+    heterogeneity-aware mergeSchema and unions via
+    unionByName(allowMissingColumns=True). The hash certifies every
+    version's (row count, decimal-exact revenue, NON-NULL COUNT OF
+    EACH EVOLVED COLUMN) — prio_rows at v3 is exactly the un-updated
+    post-evolution keys (%6==4), i.e. nonzero only if the COW rewrite
+    preserved the evolved column end-to-end. Two-writer conflicts
+    with divergent schemas are asserted in tests/test_lakehouse.py.
+    Scale shape: identical to g11's MERGE — file-stats pruning plus
+    one anti-join+union rewrite of the touched span; mergeSchema
+    samples footers, never data."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.sources.scans import _derived_base
+    from glonassdatamining_spark.stable import dsum
+
+    root = _derived_base(sf_dir, "lakehouse_evo_merge", "orders")
+    o = load(spark, sf_dir, "orders")
+    t = ManifestTable(spark, root, "o_orderkey")
+    if t.current_version() < 3:
+        shutil.rmtree(root, ignore_errors=True)
+        t = ManifestTable.create(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey", "o_totalprice"
+            ),
+            "o_orderkey",
+            2,
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 3 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            2,
+        )
+        updates = o.filter(F.col("o_orderkey") % 6 == 1).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        inserts = o.filter(F.col("o_orderkey") % 3 == 2).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        t.merge(updates.unionByName(inserts), 2)
+    rows = []
+    for v, op in ((1, "create"), (2, "append"), (3, "merge")):
+        df = t.read(version=v)
+        prio = (
+            F.count("o_orderpriority")
+            if "o_orderpriority" in df.columns
+            else F.lit(0)
+        )
+        stat = (
+            F.count("o_orderstatus")
+            if "o_orderstatus" in df.columns
+            else F.lit(0)
+        )
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("o_totalprice", "tp"),
+            prio.cast("bigint").alias("pr"),
+            stat.cast("bigint").alias("st"),
+        ).collect()[0]  # 1-row per-version rollup (3 versions, bounded)
+        rows.append((v, op, r["n"], float(r["tp"]), r["pr"], r["st"]))
+    return spark.createDataFrame(
+        rows,
+        "version INT, op STRING, n_rows BIGINT, total_price DOUBLE, "
+        "prio_rows BIGINT, status_rows BIGINT",
+    )

@@ -657,3 +657,21 @@ def test_holt_trend_matches_python_recursion(spark):
         assert abs(r.level - round(l, 6)) < 1e-9, etype
         assert abs(r.trend - round(b, 6)) < 1e-9, etype
         assert abs(r.forecast_3 - round(l + 3 * b, 6)) < 1e-9, etype
+
+def test_cosine_topk_gate_rejects_oversized_candidates(spark):
+    """The exact-twin collect is gated (round-7 verdict ask): above
+    max_candidates the call must fail fast with a pointer to the
+    IVF/LSH scale paths, never pull an unbounded frame to the
+    driver. The pull itself is limit(max_candidates + 1), so even the
+    failing probe is bounded."""
+    import pytest
+
+    df = spark.range(50).select(
+        F.col("id").alias("vid"),
+        F.array(F.col("id") * 1.0, F.lit(1.0)).alias("feat"),
+    )
+    with pytest.raises(ValueError, match="ivf_query|k14"):
+        api.cosine_topk(df, "vid", "feat", k=1, max_candidates=10)
+    # At/under the gate the twin still answers.
+    out = api.cosine_topk(df.limit(5), "vid", "feat", k=1, max_candidates=10)
+    assert out.count() == 5

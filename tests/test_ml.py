@@ -372,3 +372,66 @@ def test_ivf_incremental_insert_recall(spark, tmp_path):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"incremental-index recall: {mean_recall:.3f}"
+
+def test_ivf_query_prunes_posting_files(spark, tmp_path):
+    """The round-7 ADVICE fix: ivf_query must plan the postings scan
+    through read_pruned_in on the probed list ids. For a single query
+    vector (nprobe=5 of nlist=16, 4-file range-distributed postings)
+    the pruned plan must read strictly fewer rows than the full
+    postings table, and the pruned result must match the same
+    re-rank computed over the UNPRUNED postings scan exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.operators.llm_ops import (
+        _IVF_NPROBE,
+        _ivf_rank_lists,
+        _ivf_unit_vectors,
+        ivf_build_index,
+        ivf_query,
+    )
+
+    unit = _ivf_unit_vectors(spark, SF_DIR).localCheckpoint()
+    root = str(tmp_path / "ivf")
+    ivf_build_index(spark, unit, root)
+    post = ManifestTable(spark, f"{root}/postings", "list_id")
+    cent = ManifestTable(spark, f"{root}/centroids", "list_id").read()
+
+    one = unit.orderBy("vec_id").limit(1).localCheckpoint()
+    probed = sorted(
+        r["list_id"]
+        for r in _ivf_rank_lists(one, cent, _IVF_NPROBE)
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    assert len(probed) == _IVF_NPROBE
+    total = post.read().count()
+    kept = post.read_pruned_in("list_id", probed).count()
+    assert kept < total, "probe prune must skip at least one file"
+
+    got = ivf_query(spark, one, root, k=5).toPandas()
+    # unpruned twin: same probe + re-rank over the FULL postings scan
+    probes = _ivf_rank_lists(one, cent, _IVF_NPROBE).select(
+        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "list_id"
+    )
+    dot = F.aggregate(
+        F.zip_with("qu", "cu", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    want = (
+        probes.join(post.read(), "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(dot, 6).alias("cos"))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .toPandas()
+    )
+    assert set(zip(got.qid, got.nid, got.cos)) == set(
+        zip(want.qid, want.nid, want.cos)
+    )

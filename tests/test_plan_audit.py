@@ -97,6 +97,7 @@ COLLECT_ALLOWED = {
     ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
     ("operators/ml_ops.py", 'li.select("l_returnflag").distinct()'),  # 3-row flag dim (j13)
     ("lakehouse.py", "1-row bounded scalar"),       # merge key-range probe
+    ("operators/llm_ops.py", "bounded ≤ nlist (16) distinct probe ids"),  # ivf_query prune
     ("operators/sets.py", "1-row per-version rollup"),  # g11: 3 bounded reads
     ("operators/sets.py", "1-row per-step rollup"),     # g12: 3 bounded reads
 }
