@@ -385,6 +385,95 @@ def haversine_distance_join(
     )
 
 
+def haversine_knn_join(
+    points: DataFrame,
+    id_col: str,
+    lat: str,
+    lon: str,
+    k: int = 3,
+    max_km: float = 500.0,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Bounded k-nearest-neighbor self-join on REAL lat/lon geometry:
+    for each point, its ``k`` nearest neighbors BY GREAT-CIRCLE
+    DISTANCE among the points within ``max_km`` (the bounded contract
+    that keeps kNN grid-expressible — identical to the planar
+    ``i48`` shape). Returns (a_id, b_id, rank, dist_km). Rows with
+    |lat| > ``max_abs_lat`` are excluded (near-polar longitude cells
+    degenerate; partition polar caps separately).
+
+    Grid kernel = ``haversine_distance_join``'s latitude-adaptive,
+    antimeridian-safe cells, but with the FULL 3×3 neighborhood
+    probe: kNN is directional (a's neighbors ≠ b's), so unlike the
+    ε-pair join the half-neighborhood trick cannot apply. Cell height
+    eps/100 km-per-°lat and width ≤ eps/40 km-per-°lon conservatively
+    over-cover the ``max_km`` ball (true scales ≥ 110.57 / ≥ 55.66
+    inside ±60°), longitude cells are modular (divide 360° exactly,
+    neighbors mod n), so candidates straddling ±180° survive and the
+    equi-join provably loses no in-range neighbor. One row_number
+    window per a_id (orderBy dist, b_id — deterministic ties) takes
+    the top k.
+
+    Scale: candidates O(9 · local density · n) — never all-pairs;
+    the window partitions by a_id, so the final rank is one keyed
+    shuffle of the (already ε-pruned) candidate set. EPSG note: input
+    is WGS84 lat/lon degrees; distances are mean-earth-radius great
+    circles (no projection step — see README's Sedona seam for full
+    CRS transforms)."""
+    import math
+
+    dlat_deg = max_km / 100.0
+    n_lon_cells = max(4, math.ceil(360.0 / (max_km / 40.0)))
+    dlon_deg = 360.0 / n_lon_cells
+    p = points.filter(F.abs(F.col(lat)) <= max_abs_lat).select(
+        F.col(id_col).alias("_id"),
+        F.col(lat).alias("_lat"),
+        F.col(lon).alias("_lon"),
+    )
+    home = p.withColumn(
+        "_cx",
+        F.floor((F.col("_lon") + 180.0) / dlon_deg).cast("int") % n_lon_cells,
+    ).withColumn("_cy", F.floor(F.col("_lat") / dlat_deg))
+    ring = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = home.withColumn("_o", F.explode(ring)).select(
+        F.col("_id").alias("a_id"),
+        F.col("_lat").alias("_alat"),
+        F.col("_lon").alias("_alon"),
+        ((F.col("_cx") + F.col("_o.dx") + n_lon_cells) % n_lon_cells).alias(
+            "_cx"
+        ),
+        (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+    )
+    build = home.select(
+        F.col("_id").alias("b_id"),
+        F.col("_lat").alias("_blat"),
+        F.col("_lon").alias("_blon"),
+        "_cx",
+        "_cy",
+    )
+    d = haversine_km(
+        F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon")
+    )
+    w = Window.partitionBy("a_id").orderBy("dist_km", "b_id")
+    return (
+        probe.join(build, ["_cx", "_cy"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", d.alias("dist_km"))
+        .filter(F.col("dist_km") <= max_km)
+        # a (a_id, b_id) pair can meet in at most one cell: b lives in
+        # exactly one home cell and probe offsets target distinct
+        # cells — no dedup needed before ranking.
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def polygon_edges(polygon: list[tuple[float, float]]) -> Column:
     """Closed-ring edge array for a polygon given as [(x, y), ...]
     vertices (closing edge appended automatically): a Column literal

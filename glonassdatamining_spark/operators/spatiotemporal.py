@@ -3666,3 +3666,267 @@ def i52_cell_flow_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_heading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I53-I55 — the geodesy tier (round-7 verdict ask #1): haversine kNN
+# join, latitude-adaptive geodesic binning, and an antimeridian-safe
+# hotspot z-score — the lat/lon-correct completions of i48 / i5 / i12.
+# EPSG assumptions (documented per the verdict's CRS-seam ask): inputs
+# are WGS84 lat/lon DEGREES; distances are mean-earth-radius
+# (6371.0088 km) great circles; there is no projection step. For full
+# CRS transforms deploy with Sedona (README "Deployment seams").
+# ---------------------------------------------------------------------------
+_I53_K = 3
+_I53_KM = 800.0
+_I53_HAV = _o_hav("a.lat", "a.lon", "b.lat", "b.lon")
+
+
+@register(
+    "i53_haversine_knn_join",
+    oracle=(
+        GEO_CTE + ", sub AS (SELECT event_id, lat, lon FROM geo "
+        "WHERE event_id % 3 = 0 AND abs(lat) <= 60.0), "
+        "pairs AS (SELECT a.event_id AS a_id, b.event_id AS b_id, "
+        f"{_I53_HAV} AS d FROM sub a JOIN sub b "
+        "ON a.event_id <> b.event_id "
+        f"WHERE {_I53_HAV} <= {_I53_KM}) "
+        "SELECT a_id, b_id, CAST(rn AS INT) AS rank, "
+        "ROUND(d, 3) AS dist_km FROM ("
+        "  SELECT a_id, b_id, d, row_number() OVER ("
+        "    PARTITION BY a_id ORDER BY d, b_id) AS rn FROM pairs) "
+        f"WHERE rn <= {_I53_K}"
+    ),
+    section="I53",
+)
+def i53_haversine_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded kNN self-join on REAL geometry (i48's operator with
+    great-circle semantics): each fix's 3 nearest neighbors by
+    haversine distance within 800 km, |lat| ≤ 60, on the 1/3 subset.
+    Kernel: ``api.haversine_knn_join`` — i3b's latitude-adaptive,
+    modular-longitude grid generalized to the FULL 3×3 kNN candidate
+    ring (kNN is directional, so the ε-join's half-neighborhood
+    antisymmetry trick cannot apply), exact-haversine residual, one
+    row_number window per query point. The oracle is the brute-force
+    O(n²) QUALIFY join on the same subset; equivalence proves the
+    adaptive cells lose no in-range neighbor, INCLUDING pairs
+    straddling ±180° (also unit-asserted with planted antimeridian
+    points in tests/test_geometry.py).
+
+    Scale: candidates O(9 · local density · n), never all-pairs; the
+    rank is one keyed shuffle of the ε-pruned candidate set. The
+    bounded-radius contract is what keeps kNN grid-expressible — the
+    unbounded form needs an expanding-ring probe (declared scale
+    path, same cells)."""
+    from glonassdatamining_spark.api import haversine_knn_join
+
+    g = geo(spark, sf_dir).filter(F.col("event_id") % 3 == 0)
+    out = haversine_knn_join(
+        g, "event_id", "lat", "lon", k=_I53_K, max_km=_I53_KM
+    )
+    return out.select(
+        "a_id", "b_id", "rank", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+# Equator base resolution: 36 lon cells × 10° lat bands. n_lon(band) =
+# floor(cos(center)·36) shrinks toward the poles, keeping cell
+# east-west extent ≈ constant km (the equal-area-ish discipline).
+# Verified: no band's cos·36 sits near an integer (min distance 0.14),
+# so a last-ulp libm divergence can never flip the floor.
+_I54_BASE = 36.0
+_I54_DLAT = 10.0
+
+
+@register(
+    "i54_geodesic_grid_bins",
+    oracle=(
+        GEO_CTE + ", binned AS (SELECT obj_id, "
+        "CAST(floor(lat / 10.0) AS BIGINT) AS band, "
+        "GREATEST(CAST(1 AS BIGINT), CAST(floor(cos((CAST(floor(lat / 10.0) AS BIGINT) "
+        "  * 10.0 + 5.0) * (pi() / 180.0)) * 36.0) AS BIGINT)) AS n_lon, "
+        "lon FROM geo), "
+        "cells AS (SELECT band, n_lon, "
+        "CAST(floor((lon + 180.0) * n_lon / 360.0) AS BIGINT) AS cell, "
+        "COUNT(*) AS n_fixes, COUNT(DISTINCT obj_id) AS n_objs "
+        "FROM binned GROUP BY 1, 2, 3) "
+        "SELECT band, cell, n_lon, n_fixes, n_objs, "
+        "ROUND((2.0 * pi() * 6371.0088 * 6371.0088) "
+        "  * (sin((band * 10.0 + 10.0) * (pi() / 180.0)) "
+        "     - sin(band * 10.0 * (pi() / 180.0))) / n_lon, 2) AS area_km2, "
+        "ROUND(CAST(n_fixes AS DOUBLE) / ((2.0 * pi() * 6371.0088 * 6371.0088) "
+        "  * (sin((band * 10.0 + 10.0) * (pi() / 180.0)) "
+        "     - sin(band * 10.0 * (pi() / 180.0))) / n_lon), 6) AS fixes_per_km2 "
+        "FROM cells WHERE n_fixes >= 2"
+    ),
+    section="I54",
+)
+def i54_geodesic_grid_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latitude-adaptive geodesic binning (i5's grid on the GLOBE):
+    10° latitude bands, each band split into floor(cos(center)·36)
+    modular longitude cells — east-west extent stays ≈ constant km
+    instead of collapsing toward the poles, the equal-area-ish layout
+    every geodesic aggregation (H3/S2-style) wants. Output per
+    occupied cell (≥ 2 fixes): integer counts (fixes, distinct
+    objects) plus the EXACT spherical-cap cell area
+    2πR²(sin φ₂ − sin φ₁)/n_lon and the fix density — the only double
+    chains, written in the identical op order on both engines and
+    rounded once at the end (2 dp / 6 dp).
+
+    Scale: one hash aggregation keyed on (band, cell) — the same
+    single-shuffle shape as planar i5; n_lon is a per-row expression,
+    never a join. Cell ids are pure arithmetic, so the key is
+    available at scan time for partition pruning on pre-binned
+    layouts (A8's Z-order lever applies unchanged)."""
+    import math
+
+    g = geo(spark, sf_dir)
+    band = F.floor(F.col("lat") / 10.0).cast("bigint")
+    center_rad = (band * 10.0 + 5.0) * (math.pi / 180.0)
+    n_lon = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.cos(center_rad) * _I54_BASE).cast("bigint"),
+    )
+    cell = F.floor((F.col("lon") + 180.0) * n_lon / 360.0).cast("bigint")
+    lo_rad = F.col("band") * 10.0 * (math.pi / 180.0)
+    hi_rad = (F.col("band") * 10.0 + 10.0) * (math.pi / 180.0)
+    area = (
+        (2.0 * math.pi * 6371.0088 * 6371.0088)
+        * (F.sin(hi_rad) - F.sin(lo_rad))
+        / F.col("n_lon")
+    )
+    return (
+        g.select(
+            "obj_id",
+            band.alias("band"),
+            n_lon.alias("n_lon"),
+            cell.alias("cell"),
+        )
+        .groupBy("band", "n_lon", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.countDistinct("obj_id").alias("n_objs"),
+        )
+        .filter(F.col("n_fixes") >= 2)
+        .select(
+            "band",
+            "cell",
+            "n_lon",
+            "n_fixes",
+            "n_objs",
+            F.round(area, 2).alias("area_km2"),
+            F.round(F.col("n_fixes").cast("double") / area, 6).alias(
+                "fixes_per_km2"
+            ),
+        )
+    )
+
+
+# 5°×5° lat/lon grid: 72 modular longitude columns. The neighbor ring
+# wraps at ±180° ((cx±1) mod 72) — the seam the planar i12 grid
+# cannot see; latitude does not wrap (contributions past a pole land
+# on unoccupied targets and drop with the _occ filter).
+_I55_NLON = 72
+
+
+@register(
+    "i55_geodesic_hotspot_z",
+    oracle=(
+        GEO_CTE + ", cells AS (SELECT "
+        "CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS cx, "
+        "CAST(floor(lat / 5.0) AS BIGINT) AS cy, COUNT(*) AS n "
+        "FROM geo GROUP BY 1, 2), "
+        "gstats AS (SELECT COUNT(*) AS n_cells, SUM(n) AS tot, "
+        "SUM(n * n) AS tot2 FROM cells), "
+        "neigh AS (SELECT a.cx, a.cy, SUM(b.n) AS wsum, COUNT(*) AS w "
+        "FROM cells a JOIN cells b "
+        "ON ((a.cx - b.cx + 72) % 72) IN (0, 1, 71) "
+        "AND abs(a.cy - b.cy) <= 1 GROUP BY 1, 2) "
+        "SELECT n.cx AS cell_x, n.cy AS cell_y, ROUND("
+        "(CAST(n.wsum AS DOUBLE) - (CAST(g.tot AS DOUBLE) / g.n_cells) * n.w) / "
+        "(sqrt(CAST(g.tot2 AS DOUBLE) / g.n_cells - "
+        "      (CAST(g.tot AS DOUBLE) / g.n_cells) * (CAST(g.tot AS DOUBLE) / g.n_cells)) * "
+        " sqrt((CAST(g.n_cells AS DOUBLE) * n.w - CAST(n.w AS DOUBLE) * n.w) / (g.n_cells - 1))"
+        "), 4) AS gi_z FROM neigh n CROSS JOIN gstats g"
+    ),
+    section="I55",
+)
+def i55_geodesic_hotspot_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord G*-style hotspot z-score on the GLOBE (i12's operator
+    with geodesic cell topology): 5° lat/lon cells where the
+    3×3 neighbor ring wraps modularly at ±180° — a hotspot straddling
+    the antimeridian is ONE neighborhood here, where the planar grid
+    silently splits it in two. Same integer-exactness discipline as
+    i12: every count (cell n, neighborhood wsum/w, global moments)
+    stays integral through both shuffles; the z expression is the
+    single double chain, identical op order both engines, rounded
+    once at 4 dp.
+
+    Shape: cell counts (one shuffle) → 9-way modular neighbor explode
+    → target-cell groupBy (equi key — never a theta join) → 1-row
+    global-moments broadcast. At 100 TB the 72×36 cell table is
+    constant-size: everything after the first aggregation is free."""
+    g = geo(spark, sf_dir)
+    cells = (
+        g.groupBy(
+            F.floor((F.col("lon") + 180.0) / 5.0).cast("bigint").alias("cx"),
+            F.floor(F.col("lat") / 5.0).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # 3 consumers (explode/occ/moments)
+    )
+    contrib = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            (F.col("cx") + dx + _I55_NLON) % _I55_NLON
+                        ).alias("cx"),
+                        (F.col("cy") + dy).alias("cy"),
+                        F.lit(dx == 0 and dy == 0).alias("self"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("t"),
+        "n",
+    ).select(
+        F.col("t.cx").alias("cx"),
+        F.col("t.cy").alias("cy"),
+        F.col("t.self").alias("self"),
+        "n",
+    )
+    neigh = (
+        contrib.groupBy("cx", "cy")
+        .agg(
+            F.sum("n").alias("wsum"),
+            F.count(F.lit(1)).alias("w"),
+            F.max("self").alias("_occ"),
+        )
+        .filter(F.col("_occ"))
+    )
+    glob = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n_cells")
+    s = F.sqrt(F.col("tot2").cast("double") / F.col("n_cells") - mean * mean)
+    denom_w = F.sqrt(
+        (
+            F.col("n_cells").cast("double") * F.col("w")
+            - F.col("w").cast("double") * F.col("w")
+        )
+        / (F.col("n_cells") - 1)
+    )
+    return neigh.crossJoin(F.broadcast(glob)).select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        F.round(
+            (F.col("wsum").cast("double") - mean * F.col("w"))
+            / (s * denom_w),
+            4,
+        ).alias("gi_z"),
+    )

@@ -459,6 +459,52 @@ def test_haversine_join_antimeridian(spark):
     assert abs(pairs[(1, 2)] - 22.24) < 0.1
 
 
+def test_haversine_knn_join_antimeridian_and_ranks(spark):
+    """The kNN grid must find neighbors across the ±180° seam (modular
+    longitude cells) and rank by true great-circle distance with
+    deterministic (dist, id) ties — checked against a brute-force
+    haversine ranking computed in Python."""
+    import math
+
+    import pandas as pd
+
+    import glonassdatamining_spark.api as api
+
+    pts = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4, 5],
+            "lat": [0.0, 0.0, 0.0, 1.0, 45.0],
+            # 1↔2 straddle the seam (~22 km); 3/4 cluster near 0°; 5 far.
+            "lon": [179.9, -179.9, 0.0, 0.2, 10.0],
+        }
+    )
+
+    def hav(a, b):
+        la1, lo1 = math.radians(pts.lat[a - 1]), math.radians(pts.lon[a - 1])
+        la2, lo2 = math.radians(pts.lat[b - 1]), math.radians(pts.lon[b - 1])
+        s1 = math.sin((la2 - la1) / 2) ** 2
+        s2 = math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        return 2 * 6371.0088 * math.asin(math.sqrt(s1 + s2))
+
+    want = {}
+    for a in pts.pid:
+        nb = sorted(
+            ((hav(a, b), b) for b in pts.pid if b != a and hav(a, b) <= 500.0)
+        )
+        for rank, (d, b) in enumerate(nb[:2], 1):
+            want[(a, rank)] = (b, round(d, 1))
+
+    got = {
+        (r.a_id, r.rank): (r.b_id, round(r.dist_km, 1))
+        for r in api.haversine_knn_join(
+            spark.createDataFrame(pts), "pid", "lat", "lon", k=2, max_km=500.0
+        ).collect()
+    }
+    assert got == want
+    # the seam pair is each other's nearest neighbor
+    assert got[(1, 1)][0] == 2 and got[(2, 1)][0] == 1
+
+
 def test_minhash_clusters_contained_in_exact_jaccard_components(spark):
     """Property (VERDICT r1 item 8): every k2b LSH cluster must sit
     inside ONE connected component of the exact-Jaccard pair graph —
