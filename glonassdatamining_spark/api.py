@@ -708,16 +708,19 @@ def minhash_lsh_dedup(
         .select("_id", hashed.alias("_s"))
         .localCheckpoint()
     )
-    mh = d.select(
-        "_id",
-        "_s",
-        *[
-            F.array_min(
-                F.transform("_s", lambda x, j=j: F.xxhash64(F.lit(j), x))
-            ).alias(f"_mh{j}")
-            for j in range(n_perms)
-        ],
-    )
+    # NOTE the closure factory: a `lambda x, j=j:` default-arg capture
+    # here is a TWO-parameter lambda, and pyspark's transform() passes
+    # (element, ARRAY INDEX) to two-parameter lambdas — the index
+    # silently overrides the salt default and every "permutation"
+    # collapses to the same position-salted hash (found round 7 via
+    # k54's no-straddle property test; the k2b containment test never
+    # caught it because a recall bug cannot violate containment).
+    def _minhash(j: int):
+        return F.array_min(
+            F.transform("_s", lambda x: F.xxhash64(F.lit(j), x))
+        ).alias(f"_mh{j}")
+
+    mh = d.select("_id", "_s", *[_minhash(j) for j in range(n_perms)])
     rows_per_band = n_perms // n_bands
     bands = mh.select(
         "_id",

@@ -3217,3 +3217,96 @@ def k53_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("rep_id").cast("bigint").alias("n_clusters"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# K54 — near-dup-aware leakage-free split (round-7 verdict ask #2)
+# --------------------------------------------------------------------------
+def _k54_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k53's multi-source corpus with a planted NEAR-duplicate tier:
+    besides the exact 'curated' copies (doc_id % 7), every doc_id % 5
+    gains a 'nearvar' variant with ONE appended token — 3-gram-shingle
+    Jaccard (w−2)/(w−1) ≥ 0.889 at the fixture's 10-word minimum, i.e.
+    a strong near-dup that is NOT content-hash-equal, exactly the pair
+    class k53's exact-hash clustering cannot see."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "text")
+    curated = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.lit("curated").alias("source"),
+        "text",
+    )
+    nearvar = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.lit("nearvar").alias("source"),
+        F.concat("text", F.lit(" k54variant")).alias("text"),
+    )
+    return base.unionByName(curated).unionByName(nearvar)
+
+
+def _k54_assign(corpus: DataFrame) -> DataFrame:
+    """(doc_id, source, cluster, split): k53's cluster-atomic bucket
+    rule applied to k2b's MINHASH clusters instead of exact content
+    hash. ``api.minhash_lsh_dedup`` returns cluster = min member id —
+    the same representative convention as k53's min-doc_id rep — so
+    where a doc's near-dup cluster coincides with its exact-hash
+    cluster the two splits agree BY CONSTRUCTION (asserted in
+    tests/test_api.py). Banding runs at 16 bands × 1 row (vs k2b's
+    4×4) — recall-maximal: a pair is a candidate if ANY of the 16
+    minhashes agree, so at the corpus's weakest real pair (J ≈ 0.85)
+    the escape probability is (1−J)¹⁶ ≈ 1e-13; the extra false
+    candidates this admits are killed by the exact-Jaccard
+    verification step the kernel always runs. (8×2 banding was tried
+    first and deterministically missed ONE short-doc pair at sf0.01 —
+    small shingle sets have high sketch variance, which is exactly
+    why a split-assignment pass should run banding hotter than a
+    cost-optimized dedup pass.) The xxhash64 sketches are
+    deterministic, so the planted-corpus no-straddle property is a
+    fixed fact checked in tests, not a per-run gamble."""
+    from glonassdatamining_spark.api import minhash_lsh_dedup
+
+    clusters = minhash_lsh_dedup(
+        corpus, "doc_id", "text", tau=_JACCARD_TAU, n_perms=16, n_bands=16
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    return corpus.join(clusters, "doc_id").select(
+        "doc_id",
+        "source",
+        "cluster",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register("k54_neardup_leakage_split", oracle=None, section="K54")
+def k54_neardup_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that is atomic over NEAR-duplicate
+    clusters — the form real pipelines need (k53 splits exact-hash
+    clusters atomically, but a near-duplicate pair — one appended
+    token, an OCR artifact, a boilerplate diff — still straddles its
+    boundary and leaks eval content into training). The assignment
+    unit here is the MinHash-LSH connected component (k2b's scale
+    path: banded candidates only, never all-pairs; checkpointed
+    min-label CC), every member inherits the cluster representative's
+    hash bucket, 8/1/1. rows-only: MinHash sketches are
+    engine-specific; correctness is carried by the planted-corpus
+    property tests (no pair with exact Jaccard ≥ τ straddles a split;
+    agreement with k53 where clusters coincide) in tests/test_api.py.
+
+    Scale: identical to k2b + one window — the split adds NOTHING
+    non-linear to the dedup pass a 100 TB pipeline already runs; the
+    assignment is content-addressed (F6's discipline), reproducible
+    on any cluster and partitioning."""
+    asg = _k54_assign(_k54_corpus(spark, sf_dir))
+    return asg.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
