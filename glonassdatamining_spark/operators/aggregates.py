@@ -2275,3 +2275,139 @@ def d45_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("p2"),
         F.round(z, 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# D46 — Benjamini–Hochberg FDR over a family of per-group tests
+# --------------------------------------------------------------------------
+@register(
+    "d46_benjamini_hochberg",
+    oracle=(
+        "WITH j AS (SELECT c.c_nationkey AS nat, o.o_orderstatus AS st "
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), "
+        "per AS (SELECT nat, "
+        "  COUNT(CASE WHEN st = 'O' THEN 1 END) AS in_o, "
+        "  COUNT(CASE WHEN st = 'F' THEN 1 END) AS in_f, "
+        "  COUNT(CASE WHEN st = 'P' THEN 1 END) AS in_p "
+        "  FROM j GROUP BY 1), "
+        "g AS (SELECT SUM(in_o) AS g_o, SUM(in_f) AS g_f, SUM(in_p) AS g_p, "
+        "  SUM(in_o + in_f + in_p) AS gt FROM per), "
+        "stat AS (SELECT nat, "
+        "  ((in_o - (in_o + in_f + in_p) * (CAST(g_o AS DOUBLE) / gt)) "
+        "   * (in_o - (in_o + in_f + in_p) * (CAST(g_o AS DOUBLE) / gt)) "
+        "   / ((in_o + in_f + in_p) * (CAST(g_o AS DOUBLE) / gt)) "
+        " + ((g_o - in_o) - (gt - (in_o + in_f + in_p)) * (CAST(g_o AS DOUBLE) / gt)) "
+        "   * ((g_o - in_o) - (gt - (in_o + in_f + in_p)) * (CAST(g_o AS DOUBLE) / gt)) "
+        "   / ((gt - (in_o + in_f + in_p)) * (CAST(g_o AS DOUBLE) / gt)) "
+        " + (in_f - (in_o + in_f + in_p) * (CAST(g_f AS DOUBLE) / gt)) "
+        "   * (in_f - (in_o + in_f + in_p) * (CAST(g_f AS DOUBLE) / gt)) "
+        "   / ((in_o + in_f + in_p) * (CAST(g_f AS DOUBLE) / gt)) "
+        " + ((g_f - in_f) - (gt - (in_o + in_f + in_p)) * (CAST(g_f AS DOUBLE) / gt)) "
+        "   * ((g_f - in_f) - (gt - (in_o + in_f + in_p)) * (CAST(g_f AS DOUBLE) / gt)) "
+        "   / ((gt - (in_o + in_f + in_p)) * (CAST(g_f AS DOUBLE) / gt)) "
+        " + (in_p - (in_o + in_f + in_p) * (CAST(g_p AS DOUBLE) / gt)) "
+        "   * (in_p - (in_o + in_f + in_p) * (CAST(g_p AS DOUBLE) / gt)) "
+        "   / ((in_o + in_f + in_p) * (CAST(g_p AS DOUBLE) / gt)) "
+        " + ((g_p - in_p) - (gt - (in_o + in_f + in_p)) * (CAST(g_p AS DOUBLE) / gt)) "
+        "   * ((g_p - in_p) - (gt - (in_o + in_f + in_p)) * (CAST(g_p AS DOUBLE) / gt)) "
+        "   / ((gt - (in_o + in_f + in_p)) * (CAST(g_p AS DOUBLE) / gt))"
+        "  ) AS chi2 FROM per CROSS JOIN g), "
+        "ranked AS (SELECT nat, chi2, exp(-chi2 / 2.0) AS p, "
+        "  row_number() OVER (ORDER BY exp(-chi2 / 2.0), nat) AS rnk, "
+        "  COUNT(*) OVER () AS m FROM stat), "
+        "adj AS (SELECT nat, chi2, p, rnk, "
+        "  MIN(LEAST(1.0, p * m / rnk)) OVER (ORDER BY rnk DESC "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj "
+        "  FROM ranked) "
+        "SELECT nat AS nationkey, CAST(rnk AS INT) AS rank, "
+        "ROUND(chi2, 6) AS chi2, ROUND(p, 6) AS p_value, "
+        "ROUND(p_adj, 6) AS p_adj, "
+        "CAST(p_adj <= 0.10 AS INT) AS discovery FROM adj"
+    ),
+    section="D46",
+)
+def d46_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FAMILY of hypothesis
+    tests — the multiple-comparisons closure of the D-tier inference
+    ops (d28/d29/d45 each test ONE hypothesis; a fleet dashboard runs
+    25 at once and must not alpha-inflate). Family: per-nation 2×3
+    chi-square (this nation vs rest-of-world × order status O/F/P,
+    df = 2), whose survival function is EXACTLY exp(−χ²/2) — the one
+    chi-square family whose p-value needs no erfc/Γ, so both engines
+    compute it closed-form. BH: rank p ascending (nation tie-break),
+    p_adj(i) = min_{j ≥ i} min(1, p·m/j) via ONE descending-rank
+    running-min window, discoveries at q = 0.10.
+
+    Exactness: all 12 contingency counts ride integer aggregation;
+    χ² is a single double chain with the 6 cell terms written in
+    FIXED order on both engines (a SUM over term-rows would
+    re-associate); p, p·m/j and the running min are identical-op
+    doubles, rounded once at the end. Shape: one broadcast dim join →
+    25-row agg → 1-row totals broadcast → two O(m) windows; the
+    window input is 25 rows, so the unpartitioned ORDER BY is
+    constant-size — never a scale hazard."""
+    from pyspark.sql.functions import broadcast
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("in_o"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("in_f"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("in_p"),
+        )
+    )
+    g = per.agg(
+        F.sum("in_o").alias("g_o"),
+        F.sum("in_f").alias("g_f"),
+        F.sum("in_p").alias("g_p"),
+        F.sum(F.col("in_o") + F.col("in_f") + F.col("in_p")).alias("gt"),
+    )
+    n_in = F.col("in_o") + F.col("in_f") + F.col("in_p")
+
+    def cell_pair(in_c, g_c):
+        """(in-cell + out-cell) χ² contribution for one status column,
+        expanded in the same literal op order as the oracle SQL."""
+        share = g_c.cast("double") / F.col("gt")
+        e_in = n_in * share
+        e_out = (F.col("gt") - n_in) * share
+        out_c = g_c - in_c
+        return (in_c - e_in) * (in_c - e_in) / e_in + (
+            out_c - e_out
+        ) * (out_c - e_out) / e_out
+
+    chi2 = (
+        cell_pair(F.col("in_o"), F.col("g_o"))
+        + cell_pair(F.col("in_f"), F.col("g_f"))
+        + cell_pair(F.col("in_p"), F.col("g_p"))
+    )
+    stat = per.crossJoin(F.broadcast(g)).select("nat", chi2.alias("chi2"))
+    p = F.exp(-F.col("chi2") / 2.0)
+    w_rank = Window.orderBy(p, "nat")
+    w_all = Window.partitionBy()
+    ranked = stat.select(
+        "nat",
+        "chi2",
+        p.alias("p"),
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    w_back = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = ranked.withColumn(
+        "p_adj",
+        F.min(F.least(F.lit(1.0), F.col("p") * F.col("m") / F.col("rnk"))).over(
+            w_back
+        ),
+    )
+    return adj.select(
+        F.col("nat").alias("nationkey"),
+        F.col("rnk").cast("int").alias("rank"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p", 6).alias("p_value"),
+        F.round("p_adj", 6).alias("p_adj"),
+        (F.col("p_adj") <= 0.10).cast("int").alias("discovery"),
+    )

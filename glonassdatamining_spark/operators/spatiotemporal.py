@@ -3930,3 +3930,121 @@ def i55_geodesic_hotspot_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gi_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I56 — space-time hotspot cube (round-7: the temporal dimension of I55)
+# ---------------------------------------------------------------------------
+_I56_NLON = 36  # 10° cells
+_I56_NT = 6     # 4-hour time bins, ring mod 6 (23h and 0h are adjacent)
+
+
+@register(
+    "i56_spacetime_hotspot",
+    oracle=(
+        GEO_CTE + ", cells AS (SELECT "
+        "CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, "
+        "CAST(floor(lat / 10.0) AS BIGINT) AS cy, "
+        "CAST(floor(hour(ts) / 4.0) AS BIGINT) AS tb, COUNT(*) AS n "
+        "FROM geo GROUP BY 1, 2, 3), "
+        "gstats AS (SELECT COUNT(*) AS n_cells, SUM(n) AS tot, "
+        "SUM(n * n) AS tot2 FROM cells), "
+        "neigh AS (SELECT a.cx, a.cy, a.tb, SUM(b.n) AS wsum, COUNT(*) AS w "
+        "FROM cells a JOIN cells b "
+        "ON ((a.cx - b.cx + 36) % 36) IN (0, 1, 35) "
+        "AND abs(a.cy - b.cy) <= 1 "
+        "AND ((a.tb - b.tb + 6) % 6) IN (0, 1, 5) GROUP BY 1, 2, 3) "
+        "SELECT n.cx AS cell_x, n.cy AS cell_y, n.tb AS tbin, ROUND("
+        "(CAST(n.wsum AS DOUBLE) - (CAST(g.tot AS DOUBLE) / g.n_cells) * n.w) / "
+        "(sqrt(CAST(g.tot2 AS DOUBLE) / g.n_cells - "
+        "      (CAST(g.tot AS DOUBLE) / g.n_cells) * (CAST(g.tot AS DOUBLE) / g.n_cells)) * "
+        " sqrt((CAST(g.n_cells AS DOUBLE) * n.w - CAST(n.w AS DOUBLE) * n.w) / (g.n_cells - 1))"
+        "), 4) AS gi_z FROM neigh n CROSS JOIN gstats g"
+    ),
+    section="I56",
+)
+def i56_spacetime_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-TIME hotspot detection (the Getis-Ord space-time cube
+    mobility analysts actually run): occupied (10° lon × 10° lat ×
+    4-hour) cells z-scored against their 3×3×3 neighborhood, where
+    longitude wraps at ±180° (I55's seam fix) AND the time ring wraps
+    at midnight ((tb±1) mod 6 — 22:00-02:00 is one neighborhood, the
+    boundary a naive hour-bucketed cube splits). A rush-hour cluster
+    shows up here while dissolving in I55's all-day aggregate.
+    Integer-exactness discipline throughout (I12's): counts integral
+    through both shuffles, ONE end-rounded double z chain; hour(ts)
+    agrees cross-engine on the UTC fixture (no dayofweek-origin trap).
+
+    Shape: cube counts (one shuffle) → 27-way modular neighbor
+    explode → equi-key groupBy → 1-row moments broadcast. The cube
+    table is ≤ 36·18·6 cells regardless of input scale — everything
+    after the first aggregation is constant-cost at 100 TB."""
+    g = geo(spark, sf_dir)
+    cells = (
+        g.groupBy(
+            F.floor((F.col("lon") + 180.0) / 10.0).cast("bigint").alias("cx"),
+            F.floor(F.col("lat") / 10.0).cast("bigint").alias("cy"),
+            F.floor(F.hour("ts") / 4.0).cast("bigint").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # 3 consumers
+    )
+    contrib = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("cx") + dx + _I56_NLON) % _I56_NLON).alias(
+                            "cx"
+                        ),
+                        (F.col("cy") + dy).alias("cy"),
+                        ((F.col("tb") + dt + _I56_NT) % _I56_NT).alias("tb"),
+                        F.lit(dx == 0 and dy == 0 and dt == 0).alias("self"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    for dt in (-1, 0, 1)
+                ]
+            )
+        ).alias("t"),
+        "n",
+    ).select(
+        F.col("t.cx").alias("cx"),
+        F.col("t.cy").alias("cy"),
+        F.col("t.tb").alias("tb"),
+        F.col("t.self").alias("self"),
+        "n",
+    )
+    neigh = (
+        contrib.groupBy("cx", "cy", "tb")
+        .agg(
+            F.sum("n").alias("wsum"),
+            F.count(F.lit(1)).alias("w"),
+            F.max("self").alias("_occ"),
+        )
+        .filter(F.col("_occ"))
+    )
+    glob = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n_cells")
+    s = F.sqrt(F.col("tot2").cast("double") / F.col("n_cells") - mean * mean)
+    denom_w = F.sqrt(
+        (
+            F.col("n_cells").cast("double") * F.col("w")
+            - F.col("w").cast("double") * F.col("w")
+        )
+        / (F.col("n_cells") - 1)
+    )
+    return neigh.crossJoin(F.broadcast(glob)).select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        F.col("tb").alias("tbin"),
+        F.round(
+            (F.col("wsum").cast("double") - mean * F.col("w"))
+            / (s * denom_w),
+            4,
+        ).alias("gi_z"),
+    )

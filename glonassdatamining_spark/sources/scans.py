@@ -953,3 +953,46 @@ def a23_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderpriority",
         args={"cut": 150000.0, "status": "O"},
     )
+
+
+# --------------------------------------------------------------------------
+# A24 — Hive-partitioned dataset: discovery + partition pruning
+# --------------------------------------------------------------------------
+@register(
+    "a24_partitioned_scan",
+    oracle=(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+    ),
+    section="A24",
+)
+def a24_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned-directory layout end to end: orders is
+    written once per (session-independent) fixture fingerprint as
+    ``.../o_orderstatus=X/part-*.parquet`` via partitionBy, read back
+    with partition DISCOVERY (the o_orderstatus column is recovered
+    from directory names, not file contents), and filtered to ONE
+    partition — which Catalyst turns into PARTITION PRUNING: the two
+    non-matching directories are never listed into the scan
+    (PartitionFilters in the plan; asserted in tests/test_plans.py).
+    The hash certifies the recovered-partition-column path produces
+    exactly the relational result. At 100 TB this layout + pruning is
+    the first-line data-skipping mechanism (date/region partitions);
+    the A8 Z-order and G14 manifest-stats tiers layer beneath it."""
+    import os
+
+    root = _derived_base(sf_dir, "orders_partitioned", "orders")
+    if not os.path.isdir(os.path.join(root, "o_orderstatus=F")):
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
+    part = spark.read.parquet(root)
+    return (
+        part.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )

@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "k39_lm_quality_bands",   # 1-row corpus (mean, sd), broadcast (k22's shape)
     "i41_morans_i",           # constant 100-cell grid × itself (rook pairs) + 1-row moments
     "i55_geodesic_hotspot_z", # 1-row global moments, broadcast (i12's shape)
+    "i56_spacetime_hotspot",  # 1-row global moments, broadcast (i12's shape)
+    "d46_benjamini_hochberg", # 1-row status-totals scalar, broadcast (d28's shape)
     "d28_chi_square_independence",  # 1-row totals × the R×C cell table, broadcast
     "d38_cramers_v",          # same d28 shape: 1-row totals × R×C cells
     "d31_ks_two_sample",      # 1-row (n1, n2) totals, broadcast (d28's shape)

@@ -159,3 +159,17 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """a24: the o_orderstatus='F' filter must land in the scan's
+    PartitionFilters (directory-level pruning of the Hive layout) —
+    the other two status directories are never read."""
+    plan = plan_of(spark, "a24_partitioned_scan", mode="formatted")
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_orderstatus" in pf.group(1), (
+        f"status filter not pushed to partition pruning:\n{plan[:1500]}"
+    )
