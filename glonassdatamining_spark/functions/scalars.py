@@ -642,3 +642,99 @@ def h18_temporal_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0).cast("bigint")).alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# H19 — phonetic key (soundex-lite) + phonetic-blocking join
+# --------------------------------------------------------------------------
+_PH_FROM = "BFPVCGJKQSXZDTLMNRAEIOUHWY"
+_PH_TO = "11112222222233455600000000"
+
+
+def phonetic_key(col):
+    """Deterministic soundex-LITE key: first letter + the first three
+    consonant-class codes (b/f/p/v→1, c/g/j/k/q/s/x/z→2, d/t→3, l→4,
+    m/n→5, r→6), adjacent duplicate codes collapsed, vowels/h/w/y
+    dropped, zero-padded to 4 chars. Deliberately NOT engine-native
+    soundex: Spark's builtin carries the classic H/W-transparency
+    quirks DuckDB has no counterpart for; this variant is pure
+    upper/translate/replace/substr — the exact same op chain runs on
+    both engines (o_phonetic_key emits the SQL twin), so keys are
+    hash-comparable. Run collapsing uses 5 passes of pairwise
+    replace('dd'→'d') per code — each pass halves a run, so runs up
+    to 2³² collapse (tokens are ≤ ~20 chars)."""
+    u = F.upper(col)
+    coded = F.translate(F.substring(u, 2, 100), _PH_FROM, _PH_TO)
+    for _ in range(5):
+        for d in "123456":
+            coded = F.replace(coded, F.lit(d + d), F.lit(d))
+    coded = F.replace(coded, F.lit("0"), F.lit(""))
+    return F.concat(
+        F.substring(u, 1, 1), F.substring(F.concat(coded, F.lit("000")), 1, 3)
+    )
+
+
+def o_phonetic_key(expr: str) -> str:
+    """DuckDB SQL twin of :func:`phonetic_key` — same op chain."""
+    coded = f"translate(substr(upper({expr}), 2, 100), '{_PH_FROM}', '{_PH_TO}')"
+    for _ in range(5):
+        for d in "123456":
+            coded = f"replace({coded}, '{d}{d}', '{d}')"
+    coded = f"replace({coded}, '0', '')"
+    return (
+        f"(substr(upper({expr}), 1, 1) || substr({coded} || '000', 1, 3))"
+    )
+
+
+@register(
+    "h19_phonetic_join",
+    oracle=(
+        "WITH heads AS (SELECT DISTINCT string_split(p_name, ' ')[1] AS tok "
+        "FROM part), "
+        "toks AS (SELECT tok FROM heads UNION "
+        "  SELECT regexp_replace(tok, '[aeiou]', 'o', 'g') FROM heads), "
+        f"keyed AS (SELECT tok, {o_phonetic_key('tok')} AS pkey FROM toks) "
+        "SELECT a.pkey AS pkey, a.tok AS tok_a, b.tok AS tok_b, "
+        "CAST(levenshtein(a.tok, b.tok) AS INT) AS lev "
+        "FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.tok < b.tok"
+    ),
+    section="H19",
+)
+def h19_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-key blocking join — the classic record-linkage
+    primitive (C16's edit-distance fuzzy join finds typos; this finds
+    SOUND-alike names with arbitrary edit distance): distinct part-name
+    head tokens keyed by the soundex-lite :func:`phonetic_key`, then a
+    key EQUI-join pairs tokens that encode alike, annotated with their
+    levenshtein distance (both engines' levenshtein agree on ASCII).
+    Blocking IS the scale story: candidates come only from key-bucket
+    equi-joins — at 100 TB the dictionary self-join stays proportional
+    to Σ bucket² over ~genuinely-confusable groups, never all-pairs
+    (the same reason k2b bands and i3 grids exist)."""
+    heads = (
+        load(spark, sf_dir, "part")
+        .select(F.split("p_name", " ")[0].alias("tok"))
+        .distinct()
+    )
+    # Planted sound-alike tier: vowel substitution preserves the
+    # phonetic key BY CONSTRUCTION (vowels code to dropped zeros), so
+    # the dictionary carries guaranteed confusable pairs at every sf
+    # (the fixture's organic vocabulary is 8 head tokens with exactly
+    # one natural collision, red/rod) — the misspelled-name shape a
+    # record-linkage dictionary actually has.
+    toks = heads.select("tok").union(
+        heads.select(F.regexp_replace("tok", "[aeiou]", "o").alias("tok"))
+    ).distinct()
+    keyed = toks.select("tok", phonetic_key(F.col("tok")).alias("pkey"))
+    a = keyed.select(F.col("pkey"), F.col("tok").alias("tok_a"))
+    b = keyed.select(F.col("pkey"), F.col("tok").alias("tok_b"))
+    return (
+        a.join(b, "pkey")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select(
+            "pkey",
+            "tok_a",
+            "tok_b",
+            F.levenshtein("tok_a", "tok_b").cast("int").alias("lev"),
+        )
+    )

@@ -4166,3 +4166,95 @@ def i57_zone_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter, 6).alias("inter_area"),
         F.round(subj + F.lit(_I57_CLIP_AREA) - inter, 6).alias("union_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I58 — ST_Buffer(point) coverage: buffered POIs overlaid on a zone
+# ---------------------------------------------------------------------------
+_I58_R = 6.0
+_I58_N = 16
+# python-precomputed n-gon offsets, injected as literals into BOTH
+# engines (no per-row trig, no libm divergence possible).
+import math as _math
+
+_I58_OFF = [
+    (
+        _I58_R * _math.cos(2.0 * _math.pi * j / _I58_N),
+        _I58_R * _math.sin(2.0 * _math.pi * j / _I58_N),
+    )
+    for j in range(_I58_N)
+]
+# exact area of the regular n-gon buffer (python constant, both sides)
+_I58_BUF_AREA = _shoelace_const(_I58_OFF)
+
+
+def _i58_oracle() -> str:
+    from glonassdatamining_spark.functions.geometry import (
+        o_clip_half_plane,
+        o_ring_area,
+    )
+
+    ring = ", ".join(
+        f"[px + ({ox!r}), py + ({oy!r})]" for ox, oy in _I58_OFF
+    )
+    k = len(_I57_CLIP)
+    sql = (
+        "WITH p AS (SELECT o_orderkey AS poi_id, "
+        "CAST(o_orderkey * 7 % 90 AS DOUBLE) AS px, "
+        "CAST(o_orderkey * 3 % 90 AS DOUBLE) AS py "
+        "FROM orders WHERE o_orderkey % 11 = 0), "
+        f"c0 AS (SELECT poi_id, [{ring}] AS r0 FROM p)"
+    )
+    for i in range(k):
+        step = o_clip_half_plane(f"r{i}", _I57_CLIP[i], _I57_CLIP[(i + 1) % k])
+        sql += f", c{i + 1} AS (SELECT poi_id, {step} AS r{i + 1} FROM c{i})"
+    inter = o_ring_area(f"r{k}")
+    return sql + (
+        f" SELECT poi_id, CAST(len(r{k}) AS INT) AS n_vertices, "
+        f"ROUND({inter}, 6) AS covered_area, "
+        f"ROUND({inter} / ({_I58_BUF_AREA!r}), 6) AS covered_frac "
+        f"FROM c{k}"
+    )
+
+
+@register("i58_buffered_poi_coverage", oracle=_i58_oracle(), section="I58")
+def i58_buffered_poi_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer for points, composed with the I57 overlay kernel —
+    "how much of each POI's service radius lies inside the zone": a
+    point buffer is the regular 16-gon whose vertex OFFSETS are
+    python-precomputed literals (no per-row trig — at 100 TB this is
+    one fused projection, and no libm divergence can exist because
+    neither engine ever calls cos/sin), clipped by the convex zone
+    (Sutherland–Hodgman, i57's 5 chained HOF projections), measured
+    by shoelace, normalized by the exact n-gon area constant. The
+    oracle replays the identical chain (generated CTE twins). With
+    i57 this covers the STARK overlay triple the round-6 verdict
+    flagged: intersection GEOMETRY (i57), union area (i57,
+    inclusion-exclusion), buffer (here — n-gon approximation,
+    documented; exact circular buffers need arc geometry, declared
+    out of scope with the vatti-class ops)."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area_or_zero,
+        st_convex_clip,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    px = (F.col("o_orderkey") * 7 % 90).cast("double")
+    py = (F.col("o_orderkey") * 3 % 90).cast("double")
+    ring = F.array(
+        *[
+            F.struct(
+                (px + F.lit(ox)).alias("x"), (py + F.lit(oy)).alias("y")
+            )
+            for ox, oy in _I58_OFF
+        ]
+    )
+    p = o.select(F.col("o_orderkey").alias("poi_id"), ring.alias("r0"))
+    clipped = st_convex_clip(p, "r0", _I57_CLIP, "rc")
+    inter = st_area_or_zero(F.col("rc"))
+    return clipped.select(
+        "poi_id",
+        F.size("rc").cast("int").alias("n_vertices"),
+        F.round(inter, 6).alias("covered_area"),
+        F.round(inter / F.lit(_I58_BUF_AREA), 6).alias("covered_frac"),
+    )
