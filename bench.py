@@ -85,6 +85,9 @@ HEADLINE = [
     # round-6 additions (BASELINE.md: no earlier baseline):
     "n16b_two_hop_ball_capped",     # n16 with the super-hub cap applied
     "m8_stateful_sessions",         # explicit-state session fold (Arrow)
+    # round-7 additions (BASELINE.md: no earlier baseline):
+    "i53_haversine_knn_join",       # geodesy tier: lat-adaptive kNN grid
+    "i57_zone_overlay_area",        # constructive geometry: SH overlay
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

@@ -29,12 +29,49 @@ SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = "/root/repo/.scale/sf1"
 REPS = 2
 
+# Non-headline operators carried in the STANDARD curve (round-6 ask:
+# their sf1 rows were measured ad-hoc post-freeze in round 6; from
+# round 7 they ride the same artifact/procedure as the headline set),
+# plus every round-7 addition.
+EXTRAS = [
+    # round-6 additions
+    "i50_cell_speed_percentiles",
+    "i51_anisotropy_ellipse",
+    "i52_cell_flow_vectors",
+    "e37_interval_coverage",
+    "k50_contamination_positions",
+    "k51_doc_chunking",
+    "k52_priority_dedup",
+    "k53_leakage_free_split",
+    "d43_jarque_bera",
+    "d44_kendall_tau_b",
+    "d45_two_proportion_z",
+    "n17_modularity",
+    # round-7 additions
+    "g15_lakehouse_merge_evolution",
+    "i53_haversine_knn_join",
+    "i54_geodesic_grid_bins",
+    "i55_geodesic_hotspot_z",
+    "i56_spacetime_hotspot",
+    "i57_zone_overlay_area",
+    "i58_buffered_poi_coverage",
+    "k54_neardup_leakage_split",
+    "d46_benjamini_hochberg",
+    "a24_partitioned_scan",
+    "h19_phonetic_join",
+    # uncapped n16 left the bench headline in round 7 but its curve
+    # row stays recorded (it pins n16b's densification comparison)
+    "n16_two_hop_ball",
+]
+
 
 def main() -> None:
     spark = get_spark("gdm-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
-    names = [n for n in HEADLINE if n in queries]
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in EXTRAS if n in queries
+    ]
 
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
