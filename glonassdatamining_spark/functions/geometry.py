@@ -606,41 +606,35 @@ def st_bbox(ring: Column) -> Column:
 _EMPTY_RING = "array<struct<x:double,y:double>>"
 
 
-def st_clip_half_plane(
-    ring: Column, e1: tuple[float, float], e2: tuple[float, float]
+def st_clip_half_plane_cols(
+    ring: Column, e1x: Column, e1y: Column, e2x: Column, e2y: Column
 ) -> Column:
-    """One Sutherland–Hodgman step: keep the part of ``ring`` on the
-    LEFT of directed clip edge e1→e2 (so a CCW clip polygon keeps its
-    interior). Every numeric constant (edge deltas included) is
-    precomputed in Python and injected as a literal, so an oracle
-    engine receiving the same repr'd literals replays the identical
-    IEEE chain. The boundary is inclusive (cross ≥ 0); a crossing
-    segment cannot be parallel to the clip line, so the intersection
-    denominator is provably nonzero under ANSI mode.
+    """One Sutherland–Hodgman step with PER-ROW clip-edge endpoints
+    (Columns): keep the part of ``ring`` on the LEFT of directed clip
+    edge (e1x,e1y)→(e2x,e2y) — a CCW clip polygon keeps its interior.
+    The boundary is inclusive (cross ≥ 0); a crossing segment cannot
+    be parallel to the clip line, so the intersection denominator is
+    provably nonzero under ANSI mode. Edge deltas are computed
+    in-engine — IEEE subtraction of identical doubles is
+    deterministic, so an oracle running the same formula text agrees
+    bit-for-bit (the literal form below rides this exact core).
 
-    IMPORTANT: pass a plain column REFERENCE (a withColumn-bound
-    attribute), not a big expression — the ring is referenced ~6×
-    per step and HOFs evaluate interpreted (see st_area_multiring's
-    let-binding note). st_convex_clip below handles this."""
-    ex1, ey1 = float(e1[0]), float(e1[1])
-    ex2, ey2 = float(e2[0]), float(e2[1])
-    dxe, dye = ex2 - ex1, ey2 - ey1  # inside-test normal
-    nex, ney = ex1 - ex2, ey1 - ey2  # intersection-parameter form
+    IMPORTANT: pass plain column REFERENCES (withColumn-bound
+    attributes) for ``ring`` — it is referenced ~6× per step and HOFs
+    evaluate interpreted (see st_area_multiring's let-binding note).
+    st_convex_clip / the i59 overlay join handle this."""
+    dxe, dye = e2x - e1x, e2y - e1y  # inside-test normal
+    nex, ney = e1x - e2x, e1y - e2y  # intersection-parameter form
     n = F.size(ring)
 
     def inside(v):
-        return (
-            F.lit(dxe) * (v.y - F.lit(ey1)) - F.lit(dye) * (v.x - F.lit(ex1))
-        ) >= 0
+        return (dxe * (v.y - e1y) - dye * (v.x - e1x)) >= 0
 
     def emit(i):
         v1 = F.element_at(ring, i)
         v2 = F.element_at(ring, (i % n) + 1)
-        t = (
-            (F.lit(ex1) - v1.x) * F.lit(ney)
-            - (F.lit(ey1) - v1.y) * F.lit(nex)
-        ) / (
-            (v2.x - v1.x) * F.lit(ney) - (v2.y - v1.y) * F.lit(nex)
+        t = ((e1x - v1.x) * ney - (e1y - v1.y) * nex) / (
+            (v2.x - v1.x) * ney - (v2.y - v1.y) * nex
         )
         ip = F.struct(
             (v1.x + t * (v2.x - v1.x)).alias("x"),
@@ -657,6 +651,23 @@ def st_clip_half_plane(
     return F.when(
         n > 0, F.flatten(F.transform(F.sequence(F.lit(1), n), emit))
     ).otherwise(F.array().cast(_EMPTY_RING))
+
+
+def st_clip_half_plane(
+    ring: Column, e1: tuple[float, float], e2: tuple[float, float]
+) -> Column:
+    """Literal-edge form of :func:`st_clip_half_plane_cols` (the i57
+    static-clip path): endpoints are python floats injected as
+    literals; the delta subtractions constant-fold to the identical
+    doubles python would precompute (IEEE subtraction is exact and
+    deterministic), so both forms share one formula body."""
+    return st_clip_half_plane_cols(
+        ring,
+        F.lit(float(e1[0])),
+        F.lit(float(e1[1])),
+        F.lit(float(e2[0])),
+        F.lit(float(e2[1])),
+    )
 
 
 def st_convex_clip(
@@ -690,27 +701,24 @@ def st_area_or_zero(ring: Column) -> Column:
     return F.when(F.size(ring) >= 3, st_area(ring)).otherwise(F.lit(0.0))
 
 
-def o_clip_half_plane(
-    r: str, e1: tuple[float, float], e2: tuple[float, float]
+def o_clip_half_plane_cols(
+    r: str, e1x: str, e1y: str, e2x: str, e2y: str
 ) -> str:
-    """DuckDB SQL twin of :func:`st_clip_half_plane` over a
+    """DuckDB SQL twin of :func:`st_clip_half_plane_cols` over a
     ``DOUBLE[][]`` ring expression ``r`` (vertices as [x, y] pairs,
-    1-indexed): same branch structure, same literal constants (python
-    repr — shortest-roundtrip, parsed to the identical double by both
-    engines), same op order in the inside test and the intersection
-    parameter, so every emitted coordinate is bit-identical."""
-    ex1, ey1 = float(e1[0]), float(e1[1])
-    ex2, ey2 = float(e2[0]), float(e2[1])
-    dxe, dye = ex2 - ex1, ey2 - ey1
-    nex, ney = ex1 - ex2, ey1 - ey2
+    1-indexed) with clip-edge endpoints given as SQL EXPRESSIONS:
+    same branch structure and op order as the Spark core, so every
+    emitted coordinate is bit-identical."""
+    dxe, dye = f"({e2x} - {e1x})", f"({e2y} - {e1y})"
+    nex, ney = f"({e1x} - {e2x})", f"({e1y} - {e2y})"
     v1x, v1y = f"{r}[i][1]", f"{r}[i][2]"
     v2 = f"{r}[(i % len({r})) + 1]"
     v2x, v2y = f"{v2}[1]", f"{v2}[2]"
-    in1 = f"(({dxe!r}) * ({v1y} - ({ey1!r})) - ({dye!r}) * ({v1x} - ({ex1!r})) >= 0)"
-    in2 = f"(({dxe!r}) * ({v2y} - ({ey1!r})) - ({dye!r}) * ({v2x} - ({ex1!r})) >= 0)"
+    in1 = f"({dxe} * ({v1y} - {e1y}) - {dye} * ({v1x} - {e1x}) >= 0)"
+    in2 = f"({dxe} * ({v2y} - {e1y}) - {dye} * ({v2x} - {e1x}) >= 0)"
     t = (
-        f"((({ex1!r}) - {v1x}) * ({ney!r}) - (({ey1!r}) - {v1y}) * ({nex!r})) / "
-        f"(({v2x} - {v1x}) * ({ney!r}) - ({v2y} - {v1y}) * ({nex!r}))"
+        f"((({e1x}) - {v1x}) * {ney} - (({e1y}) - {v1y}) * {nex}) / "
+        f"(({v2x} - {v1x}) * {ney} - ({v2y} - {v1y}) * {nex})"
     )
     ip = (
         f"[{v1x} + ({t}) * ({v2x} - {v1x}), "
@@ -723,6 +731,22 @@ def o_clip_half_plane(
         f"WHEN {in1} THEN [{ip}] "
         f"WHEN {in2} THEN [{ip}, {v2}] "
         f"ELSE CAST([] AS DOUBLE[][]) END)) END"
+    )
+
+
+def o_clip_half_plane(
+    r: str, e1: tuple[float, float], e2: tuple[float, float]
+) -> str:
+    """Literal-edge form of :func:`o_clip_half_plane_cols` — python
+    repr'd endpoint literals (shortest-roundtrip, parsed to the
+    identical double by both engines); DuckDB's constant folding of
+    the delta subtractions reproduces the same IEEE doubles."""
+    return o_clip_half_plane_cols(
+        r,
+        repr(float(e1[0])),
+        repr(float(e1[1])),
+        repr(float(e2[0])),
+        repr(float(e2[1])),
     )
 
 

@@ -4086,7 +4086,7 @@ def _i57_oracle() -> str:
 
     k = len(_I57_CLIP)
     sql = (
-        "WITH z AS (SELECT o_orderkey AS zone_id, "
+        "WITH z AS MATERIALIZED (SELECT o_orderkey AS zone_id, "
         "CAST(o_orderkey * 13 % 80 AS DOUBLE) AS cx, "
         "CAST(o_orderkey * 29 % 80 AS DOUBLE) AS cy, "
         "CAST(4 + o_orderkey % 7 AS DOUBLE) AS w, "
@@ -4257,4 +4257,204 @@ def i58_buffered_poi_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("rc").cast("int").alias("n_vertices"),
         F.round(inter, 6).alias("covered_area"),
         F.round(inter / F.lit(_I58_BUF_AREA), 6).alias("covered_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I59 — polygon–polygon overlay JOIN at scale (dynamic clip geometry)
+# ---------------------------------------------------------------------------
+# Unit pentagon offsets (CCW, first vertex at 90°) — python constants
+# injected into BOTH engines; district rings scale them per-row.
+_I59_PENT = [
+    (
+        _math.cos(_math.pi / 2.0 + 2.0 * _math.pi * j / 5.0),
+        _math.sin(_math.pi / 2.0 + 2.0 * _math.pi * j / 5.0),
+    )
+    for j in range(5)
+]
+_I59_CELL = 32.0
+
+
+def _i59_oracle() -> str:
+    # Every CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs, and
+    # each clip step references its input ring ~8 times — inlining
+    # the chain substitutes 8^5-fold and the bind phase never returns
+    # (hit in development; 0.5 s materialized vs >120 s inlined).
+    # Spark needs the same discipline via localCheckpoint barriers in
+    # the query body below — the identical blowup, one engine each.
+    from glonassdatamining_spark.functions.geometry import (
+        o_clip_half_plane_cols,
+        o_ring_area,
+    )
+
+    sql = (
+        "WITH z AS MATERIALIZED (SELECT o_orderkey AS zone_id, "
+        "CAST(o_orderkey * 19 % 80 AS DOUBLE) AS zx, "
+        "CAST(o_orderkey * 23 % 80 AS DOUBLE) AS zy, "
+        "CAST(4 + o_orderkey % 7 AS DOUBLE) AS w, "
+        "CAST(3 + o_orderkey % 5 AS DOUBLE) AS h "
+        "FROM orders WHERE o_orderkey % 11 = 0), "
+        "d AS MATERIALIZED (SELECT s_suppkey AS district_id, "
+        "CAST(s_suppkey * 37 % 80 AS DOUBLE) AS dx, "
+        "CAST(s_suppkey * 53 % 80 AS DOUBLE) AS dy, "
+        "CAST(8 + s_suppkey % 5 AS DOUBLE) AS rd FROM supplier), "
+        # bbox prefilter — exact-safe: disjoint bboxes => area 0 =>
+        # excluded by the area > 0 output filter either way (the
+        # Spark side's grid cells over-cover the same bbox test)
+        "pairs AS MATERIALIZED (SELECT zone_id, district_id, zx, zy, w, h, dx, dy, rd "
+        "FROM z JOIN d ON zx - w <= dx + rd AND dx - rd <= zx + w "
+        "AND zy - h <= dy + rd AND dy - rd <= zy + h), "
+        "c0 AS MATERIALIZED (SELECT zone_id, district_id, dx, dy, rd, "
+        "[[zx, zy - h], [zx + w, zy], [zx, zy + h], [zx - w, zy]] AS r0 "
+        "FROM pairs)"
+    )
+    for j in range(5):
+        ox1, oy1 = _I59_PENT[j]
+        ox2, oy2 = _I59_PENT[(j + 1) % 5]
+        step = o_clip_half_plane_cols(
+            f"r{j}",
+            f"(dx + rd * ({ox1!r}))",
+            f"(dy + rd * ({oy1!r}))",
+            f"(dx + rd * ({ox2!r}))",
+            f"(dy + rd * ({oy2!r}))",
+        )
+        sql += (
+            f", c{j + 1} AS MATERIALIZED (SELECT zone_id, district_id, dx, dy, rd, "
+            f"{step} AS r{j + 1} FROM c{j})"
+        )
+    area = o_ring_area("r5")
+    return sql + (
+        f" SELECT zone_id, district_id, ROUND({area}, 6) AS overlap_area "
+        f"FROM c5 WHERE {area} > 0.0"
+    )
+
+
+@register("i59_polygon_overlay_join", oracle=_i59_oracle(), section="I59")
+def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon–polygon OVERLAY JOIN — the scale form i57's docstring
+    promises (and the STARK zone-overlap workload proper): every
+    (service zone, district) pair that overlaps, WITH the overlap
+    area, where BOTH polygons are per-row data (zones = order-keyed
+    diamonds, districts = supplier-keyed pentagons scaled per row
+    from literal unit offsets). Candidates come from a bbox grid-cell
+    equi-join (each bbox spans ≤ 2 cells per axis at cell = 32 —
+    never a cross join; grid over-covers the bbox-overlap test, and
+    disjoint-bbox pairs measure 0 and drop, so candidate generation
+    cannot change results). The measure step is the i57 kernel with
+    PER-ROW clip edges (st_clip_half_plane_cols — clip-edge endpoints
+    are Column arithmetic, 5 unrolled projections because the
+    district family has a fixed vertex count). The oracle replays the
+    identical chain over a bbox-prefiltered join. Output: overlapping
+    pairs + ROUND(area, 6), area > 0 filtered on the identical
+    unrounded double both sides.
+
+    Scale: |candidates| = Σ_cell |zones_cell|·|districts_cell| —
+    local-density bound, the i3/i30 discipline; the per-pair measure
+    is O(k·n) arithmetic inside one codegen'd projection chain. At
+    100 TB, districts are usually the broadcast side (admin geographies
+    are small); here both sides ride the cell shuffle to prove the
+    general shape."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area_or_zero,
+        st_clip_half_plane_cols,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    zx = (F.col("o_orderkey") * 19 % 80).cast("double")
+    zy = (F.col("o_orderkey") * 23 % 80).cast("double")
+    w = (F.col("o_orderkey") % 7 + 4).cast("double")
+    h = (F.col("o_orderkey") % 5 + 3).cast("double")
+    zones = o.select(
+        F.col("o_orderkey").alias("zone_id"),
+        zx.alias("zx"), zy.alias("zy"), w.alias("w"), h.alias("h"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    districts = s.select(
+        F.col("s_suppkey").alias("district_id"),
+        (F.col("s_suppkey") * 37 % 80).cast("double").alias("dx"),
+        (F.col("s_suppkey") * 53 % 80).cast("double").alias("dy"),
+        (F.col("s_suppkey") % 5 + 8).cast("double").alias("rd"),
+    )
+
+    def with_cells(df, minx, maxx, miny, maxy):
+        return df.withColumn(
+            "cellx",
+            F.explode(
+                F.sequence(
+                    F.floor(minx / _I59_CELL), F.floor(maxx / _I59_CELL)
+                )
+            ),
+        ).withColumn(
+            "celly",
+            F.explode(
+                F.sequence(
+                    F.floor(miny / _I59_CELL), F.floor(maxy / _I59_CELL)
+                )
+            ),
+        )
+
+    zc = with_cells(
+        zones,
+        F.col("zx") - F.col("w"), F.col("zx") + F.col("w"),
+        F.col("zy") - F.col("h"), F.col("zy") + F.col("h"),
+    )
+    dc = with_cells(
+        districts,
+        F.col("dx") - F.col("rd"), F.col("dx") + F.col("rd"),
+        F.col("dy") - F.col("rd"), F.col("dy") + F.col("rd"),
+    )
+    cand = (
+        zc.join(dc, ["cellx", "celly"])
+        .dropDuplicates(["zone_id", "district_id"])
+        .withColumn(
+            "r0",
+            F.array(
+                F.struct(F.col("zx").alias("x"), (F.col("zy") - F.col("h")).alias("y")),
+                F.struct((F.col("zx") + F.col("w")).alias("x"), F.col("zy").alias("y")),
+                F.struct(F.col("zx").alias("x"), (F.col("zy") + F.col("h")).alias("y")),
+                F.struct((F.col("zx") - F.col("w")).alias("x"), F.col("zy").alias("y")),
+            ),
+        )
+        # Barrier between candidate generation and the clip chain:
+        # with the join/dedup below the five ring-aliasing projections
+        # in ONE lazy plan, constraint propagation walks the alias
+        # chain and the driver OOMs during optimization (hit in
+        # development at sf0.001 — the chain alone, or the join alone,
+        # are both fine). eager=False: materializes inside the first
+        # consuming action, no extra job.
+        .localCheckpoint(eager=False)
+    )
+    cur = "r0"
+    for j in range(5):
+        ox1, oy1 = _I59_PENT[j]
+        ox2, oy2 = _I59_PENT[(j + 1) % 5]
+        nxt = f"r{j + 1}"
+        cand = cand.withColumn(
+            nxt,
+            st_clip_half_plane_cols(
+                F.col(cur),
+                F.col("dx") + F.col("rd") * F.lit(ox1),
+                F.col("dy") + F.col("rd") * F.lit(oy1),
+                F.col("dx") + F.col("rd") * F.lit(ox2),
+                F.col("dy") + F.col("rd") * F.lit(oy2),
+            ),
+        )
+        cur = nxt
+    # Lineage barrier before the area filter: without it, predicate
+    # pushdown SUBSTITUTES r5's definition into the predicate and then
+    # walks it down through every clip projection — each step
+    # references its input ring ~6×, so the substituted tree grows
+    # 6^5-fold and the driver OOMs at ANALYSIS time (hit in
+    # development at sf0.001). The checkpoint pins the filter above
+    # the chain; the five projections below it stay separate,
+    # single-evaluation stages (the dbscan_local_plan discipline).
+    cand = cand.localCheckpoint(eager=False)
+    area = st_area_or_zero(F.col("r5"))
+    return (
+        cand.filter(area > 0.0)
+        .select(
+            "zone_id",
+            "district_id",
+            F.round(area, 6).alias("overlap_area"),
+        )
     )
