@@ -59,6 +59,7 @@ EXTRAS = [
     "d46_benjamini_hochberg",
     "a24_partitioned_scan",
     "h19_phonetic_join",
+    "i59_polygon_overlay_join",
     # uncapped n16 left the bench headline in round 7 but its curve
     # row stays recorded (it pins n16b's densification comparison)
     "n16_two_hop_ball",
