@@ -424,6 +424,22 @@ def haversine_knn_join(
 
     dlat_deg = max_km / 100.0
     n_lon_cells = max(4, math.ceil(360.0 / (max_km / 40.0)))
+    # 3×3-ring coverage demands cell width ≥ the TRUE max longitude
+    # spread between in-range points, which at |lat| ≤ max_abs_lat is
+    # Δλ = 2·asin(sin(max_km / 2R) / cos(max_abs_lat)) (exact
+    # haversine inversion for two points on the max_abs_lat parallel
+    # — the spread-maximizing configuration). The eps/40 width only
+    # proves this for max_km ≲ 4500 at 60°; beyond that, cap
+    # n_lon_cells so dlon ≥ Δλ exactly (with ≤ 3 cells the ±1 ring
+    # spans the whole circle and coverage is trivial). Round-8 ADVICE
+    # fix — removes the silent neighbor drop at max_km ≈ 5000.
+    _sin_arg = math.sin(min(max_km, math.pi * 6371.0088) / (2.0 * 6371.0088))
+    _s = _sin_arg / math.cos(math.radians(max_abs_lat))
+    if _s < 1.0:
+        _dlon_needed = math.degrees(2.0 * math.asin(_s))
+        n_lon_cells = min(n_lon_cells, max(1, int(360.0 // _dlon_needed)))
+    else:
+        n_lon_cells = 1  # ball spans all longitudes at this latitude
     dlon_deg = 360.0 / n_lon_cells
     p = points.filter(F.abs(F.col(lat)) <= max_abs_lat).select(
         F.col(id_col).alias("_id"),

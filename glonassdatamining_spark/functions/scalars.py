@@ -661,8 +661,9 @@ def phonetic_key(col):
     upper/translate/replace/substr — the exact same op chain runs on
     both engines (o_phonetic_key emits the SQL twin), so keys are
     hash-comparable. Run collapsing uses 5 passes of pairwise
-    replace('dd'→'d') per code — each pass halves a run, so runs up
-    to 2³² collapse (tokens are ≤ ~20 chars)."""
+    replace('dd'→'d') per code — each pass halves a run's length
+    (ceil), so runs up to 2⁵ = 32 characters collapse to one — ample,
+    tokens are ≤ ~20 chars."""
     u = F.upper(col)
     coded = F.translate(F.substring(u, 2, 100), _PH_FROM, _PH_TO)
     for _ in range(5):

@@ -301,8 +301,14 @@ class ManifestTable:
         read(), read_pruned(), read_pruned_in() and merge()'s
         touched-file rewrite so every path sees identical evolved
         schemas."""
-        col_sets = {tuple(e["columns"]) if "columns" in e else None
-                    for e in entries}
+        # An entry without a recorded column list (pre-columns
+        # manifest) keys on its file name so each legacy file forms
+        # its OWN schema group — two legacy files with genuinely
+        # different footers must still trigger mergeSchema (a shared
+        # None sentinel would collapse them into one group and scan
+        # without it, silently dropping columns).
+        col_sets = {tuple(e["columns"]) if "columns" in e
+                    else ("__nocols__", e["file"]) for e in entries}
         reader = self.spark.read
         if len(col_sets) > 1:
             reader = reader.option("mergeSchema", "true")

@@ -3747,7 +3747,7 @@ _I54_DLAT = 10.0
         "  * 10.0 + 5.0) * (pi() / 180.0)) * 36.0) AS BIGINT)) AS n_lon, "
         "lon FROM geo), "
         "cells AS (SELECT band, n_lon, "
-        "CAST(floor((lon + 180.0) * n_lon / 360.0) AS BIGINT) AS cell, "
+        "CAST(floor((lon + 180.0) * n_lon / 360.0) AS BIGINT) % n_lon AS cell, "
         "COUNT(*) AS n_fixes, COUNT(DISTINCT obj_id) AS n_objs "
         "FROM binned GROUP BY 1, 2, 3) "
         "SELECT band, cell, n_lon, n_fixes, n_objs, "
@@ -3787,7 +3787,12 @@ def i54_geodesic_grid_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint"),
         F.floor(F.cos(center_rad) * _I54_BASE).cast("bigint"),
     )
-    cell = F.floor((F.col("lon") + 180.0) * n_lon / 360.0).cast("bigint")
+    # % n_lon wraps the lon = +180.0 edge case onto cell 0 (exactly
+    # +180 would otherwise mint the out-of-range cell id n_lon) —
+    # mirrored in the oracle SQL above (round-8 ADVICE fix).
+    cell = (
+        F.floor((F.col("lon") + 180.0) * n_lon / 360.0).cast("bigint") % n_lon
+    )
     lo_rad = F.col("band") * 10.0 * (math.pi / 180.0)
     hi_rad = (F.col("band") * 10.0 + 10.0) * (math.pi / 180.0)
     area = (
@@ -3833,7 +3838,7 @@ _I55_NLON = 72
     "i55_geodesic_hotspot_z",
     oracle=(
         GEO_CTE + ", cells AS (SELECT "
-        "CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS cx, "
+        "CAST(floor((lon + 180.0) / 5.0) AS BIGINT) % 72 AS cx, "
         "CAST(floor(lat / 5.0) AS BIGINT) AS cy, COUNT(*) AS n "
         "FROM geo GROUP BY 1, 2), "
         "gstats AS (SELECT COUNT(*) AS n_cells, SUM(n) AS tot, "
@@ -3869,7 +3874,12 @@ def i55_geodesic_hotspot_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = geo(spark, sf_dir)
     cells = (
         g.groupBy(
-            F.floor((F.col("lon") + 180.0) / 5.0).cast("bigint").alias("cx"),
+            # % wraps lon = +180.0 exactly onto cx 0 so the cell can
+            # receive its own contribution (mirrored in the oracle).
+            (
+                F.floor((F.col("lon") + 180.0) / 5.0).cast("bigint")
+                % _I55_NLON
+            ).alias("cx"),
             F.floor(F.col("lat") / 5.0).cast("bigint").alias("cy"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
@@ -3943,7 +3953,7 @@ _I56_NT = 6     # 4-hour time bins, ring mod 6 (23h and 0h are adjacent)
     "i56_spacetime_hotspot",
     oracle=(
         GEO_CTE + ", cells AS (SELECT "
-        "CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, "
+        "CAST(floor((lon + 180.0) / 10.0) AS BIGINT) % 36 AS cx, "
         "CAST(floor(lat / 10.0) AS BIGINT) AS cy, "
         "CAST(floor(hour(ts) / 4.0) AS BIGINT) AS tb, COUNT(*) AS n "
         "FROM geo GROUP BY 1, 2, 3), "
@@ -3982,7 +3992,10 @@ def i56_spacetime_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = geo(spark, sf_dir)
     cells = (
         g.groupBy(
-            F.floor((F.col("lon") + 180.0) / 10.0).cast("bigint").alias("cx"),
+            (
+                F.floor((F.col("lon") + 180.0) / 10.0).cast("bigint")
+                % _I56_NLON
+            ).alias("cx"),
             F.floor(F.col("lat") / 10.0).cast("bigint").alias("cy"),
             F.floor(F.hour("ts") / 4.0).cast("bigint").alias("tb"),
         )

@@ -370,8 +370,10 @@ def test_merge_source_with_new_column(spark, tmp_path):
     assert head.count() == 120
     assert head.filter(F.col("origin") == "fresh").count() == 30
     assert head.filter(F.col("origin").isNull()).count() == 90
-    # Pruning still worked: only key-overlapping files rewritten.
-    assert out["files_rewritten"] < 2 + 1 or out["files_carried"] >= 0
+    # Pruning still worked: keys 90-119 overlap only the second file
+    # (rows 50-99), so exactly one file is rewritten and one carried.
+    assert out["files_rewritten"] == 1
+    assert out["files_carried"] == 1
 
 
 def test_concurrent_merge_divergent_schemas(spark, tmp_path):
