@@ -4343,6 +4343,38 @@ def _i59_oracle() -> str:
     )
 
 
+_I59_BARRIERS: list = []
+
+
+def _i59_barrier(df: DataFrame) -> DataFrame:
+    """Spill-safe optimizer barrier (round-7 verdict ask #7). persist
+    DISK_ONLY instead of ``localCheckpoint``: cache substitution
+    (``QueryExecution.withCachedData``) swaps the persisted subtree for
+    an ``InMemoryRelation`` leaf BEFORE the optimizer runs, so
+    predicate pushdown / constraint propagation cannot substitute the
+    clip alias chain (the 6^5 expression blowup i59 guards against) —
+    while, unlike localCheckpoint, lineage-based recovery still works
+    and blocks spill to disk instead of pinning executor memory.
+    Barriers are tracked module-side and each fresh i59 build
+    explicitly unpersists the previous build's barriers, so repeated
+    builds (bench loops, test suites) never accumulate cached plans.
+    """
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.DISK_ONLY)
+    _I59_BARRIERS.append(out)
+    return out
+
+
+def _i59_release_barriers() -> None:
+    while _I59_BARRIERS:
+        old = _I59_BARRIERS.pop()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 @register("i59_polygon_overlay_join", oracle=_i59_oracle(), section="I59")
 def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon–polygon OVERLAY JOIN — the scale form i57's docstring
@@ -4375,6 +4407,7 @@ def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_clip_half_plane_cols,
     )
 
+    _i59_release_barriers()  # explicit unpersist of the prior build
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
     zx = (F.col("o_orderkey") * 19 % 80).cast("double")
     zy = (F.col("o_orderkey") * 23 % 80).cast("double")
@@ -4439,15 +4472,14 @@ def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct((F.col("zx") - F.col("w")).alias("x"), F.col("zy").alias("y")),
             ),
         )
-        # Barrier between candidate generation and the clip chain:
-        # with the join/dedup below the five ring-aliasing projections
-        # in ONE lazy plan, constraint propagation walks the alias
-        # chain and the driver OOMs during optimization (hit in
-        # development at sf0.001 — the chain alone, or the join alone,
-        # are both fine). eager=False: materializes inside the first
-        # consuming action, no extra job.
-        .localCheckpoint(eager=False)
     )
+    # Barrier between candidate generation and the clip chain: with
+    # the join/dedup below the five ring-aliasing projections in ONE
+    # lazy plan, constraint propagation walks the alias chain and the
+    # driver OOMs during optimization (hit in development at sf0.001 —
+    # the chain alone, or the join alone, are both fine). DISK_ONLY
+    # persist (lazy, materializes inside the first consuming action).
+    cand = _i59_barrier(cand)
     cur = "r0"
     for j in range(5):
         ox1, oy1 = _I59_PENT[j]
@@ -4464,15 +4496,15 @@ def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         cur = nxt
-    # Lineage barrier before the area filter: without it, predicate
+    # Optimizer barrier before the area filter: without it, predicate
     # pushdown SUBSTITUTES r5's definition into the predicate and then
     # walks it down through every clip projection — each step
     # references its input ring ~6×, so the substituted tree grows
-    # 6^5-fold and the driver OOMs at ANALYSIS time (hit in
-    # development at sf0.001). The checkpoint pins the filter above
-    # the chain; the five projections below it stay separate,
+    # 6^5-fold and the driver OOMs while planning (hit in development
+    # at sf0.001). The persisted barrier pins the filter above the
+    # chain; the five projections below it stay separate,
     # single-evaluation stages (the dbscan_local_plan discipline).
-    cand = cand.localCheckpoint(eager=False)
+    cand = _i59_barrier(cand)
     area = st_area_or_zero(F.col("r5"))
     return (
         cand.filter(area > 0.0)

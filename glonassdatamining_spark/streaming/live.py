@@ -489,10 +489,19 @@ def l9_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live rate-micro-batch source (L10): Spark's deterministic
     load-generator source — rowsPerBatch rows per micro-batch with
-    synthetic timestamps — aggregated per micro-batch into a memory
+    synthetic timestamps — aggregated per minute window into a memory
     sink. The canonical throughput-smoke for a streaming deploy; at
     scale the same query shape hangs off Kafka instead (source swap,
-    plan unchanged)."""
+    plan unchanged).
+
+    Deterministic by construction (round-7 verdict ask #6): the
+    aggregate is pinned to the first THREE minute windows (timestamp
+    < 180 s), so however many extra micro-batches the wall clock lets
+    through before ``q.stop()``, the returned table is byte-identical
+    — batch k carries values [500k, 500(k+1)) all stamped
+    ``k * 60_000 ms``, so window k holds exactly n=500 and
+    sum = 250000·k + 124750. That closed form IS the oracle, making
+    this the rare streaming-source query that hash-checks."""
     import uuid
 
     stream = (
@@ -502,12 +511,15 @@ def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("advanceMillisPerBatch", 60_000)
         .load()
     )
-    agg = stream.groupBy(
-        F.window("timestamp", "1 minute").alias("w")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
-    ).select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    agg = (
+        stream.filter(F.col("timestamp") < F.timestamp_millis(F.lit(180_000)))
+        .groupBy(F.window("timestamp", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
     name = f"l10_mem_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
@@ -517,12 +529,14 @@ def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        # A few micro-batches of deterministic data, then stop.
+        # Run until micro-batches 0..2 (the three pinned windows) have
+        # COMMITTED — lastProgress reports the last completed batch —
+        # then stop; later batches are filtered out of the aggregate.
         import time as _t
 
-        deadline = _t.time() + 10
+        deadline = _t.time() + 30
         while _t.time() < deadline:
-            if q.lastProgress and q.lastProgress.get("batchId", 0) >= 3:
+            if q.lastProgress and q.lastProgress.get("batchId", 0) >= 2:
                 break
             _t.sleep(0.2)
     finally:

@@ -173,3 +173,19 @@ def test_partitioned_scan_prunes_partitions(spark):
     assert pf and "o_orderstatus" in pf.group(1), (
         f"status filter not pushed to partition pruning:\n{plan[:1500]}"
     )
+
+
+def test_i59_barrier_bounds_plan_size(spark):
+    """i59's clip chain guards a 6^5 expression blowup behind two
+    DISK_ONLY persist barriers (round-7 verdict ask #7 swapped them in
+    for localCheckpoint). Cache substitution must replace the persisted
+    subtrees with InMemoryRelation leaves BEFORE the optimizer runs, so
+    the optimized plan stays small and planning completes at all — an
+    unbarriered build OOMs the driver while planning. Assert both: the
+    barrier is visible in the plan and the plan text stays bounded."""
+    from glonassdatamining_spark.operators import spatiotemporal as st
+
+    plan = plan_of(spark, "i59_polygon_overlay_join", mode="extended")
+    assert "InMemoryRelation" in plan, "persist barrier not substituted into the plan"
+    assert len(plan) < 400_000, f"i59 plan blew up: {len(plan)} chars"
+    st._i59_release_barriers()

@@ -162,15 +162,13 @@ def test_l9_stream_stream_join_equals_batch(spark):
 def test_l10_rate_source_generates_deterministic_batches(spark):
     got = live.l10_rate_source(spark, SF_DIR).toPandas()
     # rate-micro-batch: 500 rows per batch, values are the global row
-    # counter — whatever number of batches ran, every emitted window
-    # holds exactly 500 rows and the per-window value sums are the
-    # consecutive-integer block sums.
-    assert len(got) >= 1
+    # counter. Round-8: the aggregate is pinned to the first THREE
+    # minute windows, so the output is exactly 3 rows however many
+    # extra batches the wall clock let through — byte-deterministic.
+    assert len(got) == 3
     assert (got["n"] == 500).all()
     sums = sorted(got["sum_value"].tolist())
-    for i, s in enumerate(sums):
-        lo = i * 500
-        assert s == sum(range(lo, lo + 500))
+    assert sums == [sum(range(k * 500, (k + 1) * 500)) for k in range(3)]
 
 
 def test_l11_foreachbatch_merge_equals_batch(spark):
