@@ -680,6 +680,7 @@ def minhash_lsh_dedup(
     tau: float = 0.2,
     n_perms: int = 16,
     n_bands: int = 4,
+    band_df_cap: int | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup cluster assignment (MinHash + banded LSH + exact
     Jaccard verification + connected components); returns
@@ -689,7 +690,25 @@ def minhash_lsh_dedup(
     all-pairs); each connected-components iteration is materialized via
     localCheckpoint so lineage stays O(1) (use reliable checkpoint()
     on a cluster). Eager: runs Spark jobs when called.
-    """
+
+    ``band_df_cap`` (round 8, the k54b scale lever): drop band BUCKETS
+    larger than the cap from candidate generation. Without it the
+    self-join's cost is Σ bucket² and the biggest buckets are the band
+    keys whose minhash is a corpus-COMMON shingle's hash — they grow
+    linearly with corpus size, making the pass superlinear, while
+    contributing almost no verified pairs (two docs sharing one common
+    shingle min rarely pass the exact-Jaccard gate). With the cap the
+    candidate count is bounded by cap·n_bands·n/2 — LINEAR in corpus
+    size. Recall: a qualifying pair escapes only if EVERY band where
+    its sketches collide (≥ n_bands·J expected for single-row bands)
+    is oversized; because n_bands independent permutations each give
+    the pair a fresh chance to hit one of its RARE shared shingles as
+    the min, at least one collision lands in a small bucket in
+    practice — measured on the planted k54 corpus: the worst pair's
+    smallest colliding bucket is 9 (sf0.1) / 20 (sf1) vs buckets up to
+    30 / 81, so cap=64 is lossless there with >3x margin (asserted in
+    tests/test_api.py; the k54b doc-for-doc equality test re-proves it
+    end-to-end every run)."""
     # Small tables scan into one split; spread the shingle+minhash HOF
     # work (the dominant CPU cost) over every core before computing it.
     # Shingles are hashed to int64 at construction (xxhash64 straight
@@ -756,6 +775,16 @@ def minhash_lsh_dedup(
             )
         ).alias("_band", "_band_key"),
     ).localCheckpoint()
+    if band_df_cap is not None:
+        # one linear agg + semi-join: keep only buckets <= cap before
+        # the quadratic self-join (see docstring recall argument).
+        small = (
+            bands.groupBy("_band", "_band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= band_df_cap)
+            .select("_band", "_band_key")
+        )
+        bands = bands.join(small, ["_band", "_band_key"], "left_semi")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["_band", "_band_key"])

@@ -820,3 +820,83 @@ def test_k54_agrees_with_k53_where_clusters_coincide(spark):
         checked += 1
     # most docs are singletons on both sides -> clusters coincide
     assert coincide > checked // 2
+
+
+def test_k54b_equals_k54_doc_for_doc(spark):
+    """The production-form split (k54b: exact-dedup first, band only
+    the representatives, propagate) must equal the registered k54
+    (band everything) DOCUMENT FOR DOCUMENT — same cluster label AND
+    same split for every doc_id. This is the round-8 'loses no
+    qualifying pair' certificate: any pair k54b's representative
+    banding missed would surface here as a cluster-label mismatch,
+    because k54 merges that pair's components and the min-member
+    label changes."""
+    from glonassdatamining_spark.operators.llm_ops import (
+        _k54_assign,
+        _k54b_assign,
+        _k54_corpus,
+    )
+
+    corpus = _k54_corpus(spark, SF_DIR).localCheckpoint()
+    full = {
+        r.doc_id: (r.cluster, r.split) for r in _k54_assign(corpus).collect()
+    }
+    prod = {
+        r.doc_id: (r.cluster, r.split) for r in _k54b_assign(corpus).collect()
+    }
+    assert set(full) == set(prod)
+    diff = {d: (full[d], prod[d]) for d in full if full[d] != prod[d]}
+    assert not diff, f"k54b diverges from k54 on {len(diff)} docs: " + str(
+        dict(list(diff.items())[:5])
+    )
+    # the strategy actually compressed: banding input (reps) must be
+    # strictly smaller than the corpus (the planted exact-dup tiers)
+    n_docs = corpus.count()
+    n_reps = len({r.rep_id for r in _k54b_assign(corpus).collect()})
+    assert n_reps < n_docs
+
+
+def test_k54b_no_neardup_pair_straddles_split(spark):
+    """No-straddle asserted DIRECTLY on k54b's own assignment (not
+    only via equality with k54): every brute-force exact-Jaccard >=
+    tau pair lands on one side of the split boundary."""
+    from glonassdatamining_spark.operators.llm_ops import (
+        _JACCARD_TAU,
+        _k54b_assign,
+        _k54_corpus,
+    )
+
+    corpus = _k54_corpus(spark, SF_DIR).localCheckpoint()
+    asg = {r.doc_id: r.split for r in _k54b_assign(corpus).collect()}
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.slice(
+                    F.split("text", " "),
+                    1,
+                    F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)),
+                ),
+                lambda _, i: F.concat_ws(
+                    " ",
+                    F.split("text", " ")[i],
+                    F.split("text", " ")[i + 1],
+                    F.split("text", " ")[i + 2],
+                ),
+            )
+        ).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("da", "db")
+        .collect()
+    )
+    assert len(pairs) > 100
+    straddlers = [(p.da, p.db) for p in pairs if asg[p.da] != asg[p.db]]
+    assert not straddlers, f"k54b straddlers: {straddlers[:5]}"

@@ -133,6 +133,24 @@ def main() -> None:
         for txt in texts:
             words = txt.split(" ")
             k = (i * 7) % max(len(words), 1)
+            # Round-8 fix: the original word-level CYCLIC rotation
+            # preserved every 3-gram shingle except the <=2 windows
+            # crossing the wrap boundary (a cyclic shift permutes the
+            # window set, it does not replace it), so replicas formed
+            # 10-member cross-replica near-dup cliques — exactly the
+            # quadratic artifact the module docstring promises to
+            # avoid (measured: 505k qualifying Jaccard pairs at sf1
+            # vs 2.3k at sf0.1, 218x for 10x docs, which inflated
+            # every dedup-tier scaling row). Char-rotating each WORD
+            # by the replica index keeps length and charset
+            # statistics bit-for-bit but changes almost every token,
+            # which destroys the shingle set wholesale; replica 0
+            # stays the original rows (r = k = 0).
+            if i > 0:
+                words = [
+                    w[(i % len(w)):] + w[:(i % len(w))] if w else w
+                    for w in words
+                ]
             rotated.append(" ".join(words[k:] + words[:k]))
         t2 = t2.set_column(
             t2.schema.get_field_index("text"), "text",
