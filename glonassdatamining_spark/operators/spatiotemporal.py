@@ -4514,3 +4514,225 @@ def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(area, 6).alias("overlap_area"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I60 — CONCAVE polygon booleans via signed triangle-fan decomposition
+# (round-8 verdict ask #2: "concave union/difference, even via convex
+# decomposition — triangle fans off the ring arrays")
+# ---------------------------------------------------------------------------
+# Concave literal clip polygon: an L-shape (one reflex corner), CCW.
+_I60_L = [
+    (20.0, 20.0),
+    (60.0, 20.0),
+    (60.0, 40.0),
+    (40.0, 40.0),
+    (40.0, 70.0),
+    (20.0, 70.0),
+]
+_I60_L_AREA = _shoelace_const(_I60_L)  # 1400.0 exactly
+
+
+def _fan_tris_signed(poly):
+    """Python-side signed fan decomposition of a simple polygon:
+    triangles (v0, v_i, v_{i+1}) with sign = orientation of each
+    triangle, vertex order flipped to CCW so the Sutherland-Hodgman
+    kernel always sees its interior on the left. Σ sign·|T| equals
+    the polygon's signed area — the same identity the Spark/oracle
+    row kernels apply to the data-driven subject rings."""
+    v0 = poly[0]
+    out = []
+    for i in range(1, len(poly) - 1):
+        a, b = poly[i], poly[i + 1]
+        cr = (a[0] - v0[0]) * (b[1] - v0[1]) - (b[0] - v0[0]) * (
+            a[1] - v0[1]
+        )
+        sign = 1.0 if cr > 0 else (-1.0 if cr < 0 else 0.0)
+        tri = [v0, a, b] if cr >= 0 else [v0, b, a]
+        out.append((sign, tri))
+    return out
+
+
+_I60_L_TRIS = _fan_tris_signed(_I60_L)
+
+
+def _i60_oracle() -> str:
+    from glonassdatamining_spark.functions.geometry import (
+        o_clip_half_plane,
+        o_ring_area,
+    )
+
+    dart = "[[cx + w, cy + h], [cx, cy], [cx - w, cy + h], [cx, cy - h]]"
+    kite = (
+        "[[cx + w, cy + h], [cx, cy + 2 * h], [cx - w, cy + h], "
+        "[cx, cy - h]]"
+    )
+    cross = (
+        "((r0[i][1] - r0[1][1]) * (r0[i + 1][2] - r0[1][2]) "
+        "- (r0[i + 1][1] - r0[1][1]) * (r0[i][2] - r0[1][2]))"
+    )
+    sql = (
+        "WITH z AS MATERIALIZED (SELECT o_orderkey AS zone_id, "
+        "CAST(o_orderkey * 17 % 70 + 10 AS DOUBLE) AS cx, "
+        "CAST(o_orderkey * 23 % 70 + 10 AS DOUBLE) AS cy, "
+        "CAST(o_orderkey % 6 + 3 AS DOUBLE) AS w, "
+        "CAST(o_orderkey % 4 + 2 AS DOUBLE) AS h "
+        "FROM orders WHERE o_orderkey % 5 = 0), "
+        "c0 AS (SELECT zone_id, CASE WHEN zone_id % 2 = 0 "
+        f"THEN {dart} ELSE {kite} END AS r0 FROM z), "
+        f"sa0 AS (SELECT zone_id, r0, {o_ring_area('r0')} AS sa FROM c0), "
+        "e0 AS MATERIALIZED (SELECT zone_id, sa, r0, "
+        "unnest(range(2, len(r0))) AS i FROM sa0), "
+        "t0 AS MATERIALIZED (SELECT zone_id, sa, "
+        "[r0[1], r0[i], r0[i + 1]] AS g0, "
+        "[r0[1], r0[i], r0[i + 1]] AS g1, "
+        "[r0[1], r0[i], r0[i + 1]] AS g2, "
+        "[r0[1], r0[i], r0[i + 1]] AS g3, "
+        f"CASE WHEN {cross} > 0 THEN 1.0 WHEN {cross} < 0 THEN -1.0 "
+        "ELSE 0.0 END AS s FROM e0)"
+    )
+    for step in range(3):
+        cols = []
+        for j, (_, tri) in enumerate(_I60_L_TRIS):
+            e1, e2 = tri[step], tri[(step + 1) % 3]
+            cols.append(
+                o_clip_half_plane(f"g{j}", e1, e2) + f" AS g{j}"
+            )
+        sql += (
+            f", t{step + 1} AS MATERIALIZED (SELECT zone_id, sa, s, "
+            + ", ".join(cols)
+            + f" FROM t{step})"
+        )
+    areas = " + ".join(o_ring_area(f"g{j}") for j in range(len(_I60_L_TRIS)))
+    isum = f"CAST(SUM(CAST(s * ({areas}) AS DECIMAL(28,6))) AS DOUBLE)"
+    return sql + (
+        " SELECT zone_id, ROUND(MAX(sa), 6) AS subj_area, "
+        f"{isum} AS inter_area, "
+        f"ROUND((MAX(sa) + {_I60_L_AREA!r}) - {isum}, 6) AS union_area, "
+        f"ROUND(MAX(sa) - {isum}, 6) AS diff_area, "
+        "CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_neg_tris FROM t3 GROUP BY zone_id"
+    )
+
+
+@register("i60_concave_overlay_booleans", oracle=_i60_oracle(), section="I60")
+def i60_concave_overlay_booleans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AREA measures (intersection / union / difference) for a
+    CONCAVE-CONCAVE polygon pair — the vatti-class gap the round-7
+    verdict named (i57/i58/i59 are convex-clip only). Method: the
+    signed triangle-fan identity. For a simple polygon with vertices
+    v1..vn, the indicator function decomposes as 1_P = Σ_i s_i·1_{T_i}
+    (a.e.), T_i = (v1, v_i, v_{i+1}), s_i = the triangle's orientation
+    sign — so for two simple polygons area(S ∩ C) =
+    Σ_{i,j} s_i·t_j·area(T_i ∩ U_j), where every term is a CONVEX
+    triangle-triangle clip: i57's Sutherland-Hodgman kernel, unrolled.
+    Union and difference follow exactly by inclusion-exclusion
+    (|S|+|C|−|S∩C|, |S|−|S∩C|) — valid for arbitrary simple polygons.
+
+    Subject (data-driven, per order key): even keys build a concave
+    DART (reflex apex at the ring's second vertex — its fan from v1
+    contains one NEGATIVE triangle, so the signed path is exercised on
+    every even row, counted in n_neg_tris); odd keys build a convex
+    kite (all-positive fan) — both paths share one CASE'd ring
+    expression. Clip (literal): a concave L-shape, fan-decomposed in
+    PYTHON into CCW triangles with precomputed signs (_I60_L_TRIS; all
+    +1 for this star-shaped-from-v1 literal, so the t_j factor folds
+    away — a negative literal sign would multiply into the
+    contribution exactly like s does).
+
+    Execution shape: explode the fan index (2 rows per zone, n-3+1
+    per general n-gon), then 4 independent 3-step clip chains per row
+    — pure Catalyst projections, zero UDF, zero join; ONE groupBy
+    (zone) whose float sum rides the DECIMAL(28,6) discipline
+    (stable.dsum), so partial-agg order can never flip a bit. The
+    oracle replays the identical IEEE chain through generated
+    MATERIALIZED CTEs (o_clip_half_plane / o_ring_area twins — every
+    constructed vertex is hash-certified, i57's discipline).
+
+    Scale: per-row O(n_subject_tris · n_clip_tris · 3) arithmetic,
+    embarrassingly parallel; at 100 TB the literal clip generalizes to
+    a broadcast zone table exactly like i59's bbox-candidate join with
+    THIS kernel as the measure step. Triangulation of general
+    concave CLIP polygons (ear clipping) happens at plan-build time in
+    Python for literals — for per-row concave clips both rings fan
+    off their arrays the same way (the subject side here IS the
+    data-driven form)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    cx = (F.col("o_orderkey") * 17 % 70 + 10).cast("double")
+    cy = (F.col("o_orderkey") * 23 % 70 + 10).cast("double")
+    w = (F.col("o_orderkey") % 6 + 3).cast("double")
+    h = (F.col("o_orderkey") % 4 + 2).cast("double")
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    apex = F.when(F.col("o_orderkey") % 2 == 0, cy).otherwise(cy + 2 * h)
+    z = o.select(
+        F.col("o_orderkey").alias("zone_id"),
+        F.array(
+            pt(cx + w, cy + h), pt(cx, apex), pt(cx - w, cy + h),
+            pt(cx, cy - h),
+        ).alias("r0"),
+    )
+    return concave_overlay_areas(z)
+
+
+def concave_overlay_areas(
+    z: DataFrame,
+    clip_tris=None,
+    clip_area: float | None = None,
+) -> DataFrame:
+    """The i60 measure kernel over (zone_id, r0) rows: signed fan
+    explode → per-triangle convex clips against the (python-fanned)
+    clip triangles → decimal-stable signed sum. Factored out so unit
+    tests can feed hand-constructed concave rings (tests/
+    test_geometry.py's reference cases)."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area,
+        st_area_or_zero,
+        st_convex_clip,
+    )
+
+    if clip_tris is None:
+        clip_tris, clip_area = _I60_L_TRIS, _I60_L_AREA
+    z = z.withColumn("sa", st_area(F.col("r0")))
+    e = z.select(
+        "zone_id",
+        "sa",
+        "r0",
+        F.explode(F.sequence(F.lit(2), F.size("r0") - 1)).alias("i"),
+    )
+    r = F.col("r0")
+    v1 = F.element_at(r, 1)
+    vi = F.element_at(r, F.col("i"))
+    vj = F.element_at(r, F.col("i") + 1)
+    cross = (vi.x - v1.x) * (vj.y - v1.y) - (vj.x - v1.x) * (vi.y - v1.y)
+    t = e.select(
+        "zone_id",
+        "sa",
+        F.array(v1, vi, vj).alias("tri"),
+        F.when(cross > 0, 1.0).when(cross < 0, -1.0).otherwise(0.0).alias("s"),
+    )
+    areas = None
+    for j, (tsign, clip_tri) in enumerate(clip_tris):
+        t = st_convex_clip(t, "tri", clip_tri, f"g{j}_c")
+        term = st_area_or_zero(F.col(f"g{j}_c"))
+        if tsign < 0:
+            term = -term
+        areas = term if areas is None else areas + term
+    contrib = F.col("s") * areas
+    agg = t.groupBy("zone_id").agg(
+        F.max("sa").alias("_sa"),
+        F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("_inter"),
+        F.sum((F.col("s") < 0).cast("bigint")).alias("n_neg_tris"),
+    )
+    return agg.select(
+        "zone_id",
+        F.round("_sa", 6).alias("subj_area"),
+        F.col("_inter").alias("inter_area"),
+        F.round((F.col("_sa") + F.lit(clip_area)) - F.col("_inter"), 6).alias(
+            "union_area"
+        ),
+        F.round(F.col("_sa") - F.col("_inter"), 6).alias("diff_area"),
+        "n_neg_tris",
+    )

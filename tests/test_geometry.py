@@ -646,3 +646,110 @@ def test_convex_clip_reference_cases(spark):
     assert got["straddle"][1] == len(ref)
     # clip polygon area constant sanity (also pins the union literal)
     assert abs(_I57_CLIP_AREA - _shoelace_const(_I57_CLIP)) == 0.0
+
+
+# ---------------------------------------------------------- i60 kernel
+def _i60_zone(spark, zone_id, pts):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("zone_id", LongType()),
+        StructField("r0", ArrayType(StructType([
+            StructField("x", DoubleType()), StructField("y", DoubleType()),
+        ]))),
+    ])
+    return spark.createDataFrame(
+        [(zone_id, [tuple(map(float, p)) for p in pts])], schema
+    )
+
+
+def _i60_run(spark, cases):
+    """cases: list of (zone_id, ring). Returns {zone_id: Row}."""
+    from functools import reduce
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        concave_overlay_areas,
+    )
+
+    z = reduce(
+        lambda a, b: a.unionByName(b),
+        [_i60_zone(spark, zid, pts) for zid, pts in cases],
+    )
+    return {r.zone_id: r for r in concave_overlay_areas(z).collect()}
+
+
+def test_i60_reference_cases(spark):
+    """Hand-computed concave boolean areas against the L-shape clip
+    (bottom bar [20,60]x[20,40] + left column [20,40]x[40,70], area
+    1400). Darts are rings [p1, p2, p3, p0] around (cx, cy) with
+    half-extents (w, h) and reflex apex at p2=(cx, cy); each has
+    subject area w*h and ONE negative fan triangle."""
+
+    def dart(cx, cy, w, h):
+        return [
+            (cx + w, cy + h), (cx, cy), (cx - w, cy + h), (cx, cy - h),
+        ]
+
+    got = _i60_run(spark, [
+        # 1: fully inside the bottom bar -> inter == dart area (6)
+        (1, dart(30, 25, 3, 2)),
+        # 2: fully outside (right of the bar) -> inter == 0
+        (2, dart(75, 75, 3, 2)),
+        # 3: straddles the bar's right edge x=60; left half is the
+        #    triangle (60,30),(56,33),(60,27) -> inter == 6 of 12
+        (3, dart(60, 30, 4, 3)),
+        # 4: straddles the bar's top edge y=40 AT the notch corner:
+        #    only the sub-y=40 part intersects -> quad area 6 of 12
+        (4, dart(50, 40, 4, 3)),
+    ])
+    for zid, (subj, inter) in {
+        1: (6.0, 6.0), 2: (6.0, 0.0), 3: (12.0, 6.0), 4: (12.0, 6.0),
+    }.items():
+        r = got[zid]
+        assert r.subj_area == pytest.approx(subj, abs=1e-9), zid
+        assert r.inter_area == pytest.approx(inter, abs=1e-6), zid
+        assert r.union_area == pytest.approx(subj + 1400.0 - inter, abs=1e-6)
+        assert r.diff_area == pytest.approx(subj - inter, abs=1e-6)
+        assert r.n_neg_tris == 1, zid
+
+
+def test_i60_fan_identity_general_ngon(spark):
+    """The signed-fan identity on a 6-vertex concave comb against the
+    concave L: compare to a dense-grid Monte-Carlo-free rasterization
+    (exact point-in-polygon counting on cell centers, 0.25-unit grid,
+    error bound ~ perimeter*cell) — an INDEPENDENT algorithm, no
+    shared code with the kernel."""
+    comb = [
+        (25.0, 22.0), (55.0, 22.0), (55.0, 38.0), (45.0, 38.0),
+        (45.0, 30.0), (25.0, 30.0),
+    ]  # concave hexagon inside the bottom bar region
+
+    def inside(poly, x, y):
+        n, c = len(poly), False
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (
+                y2 - y1
+            ):
+                c = not c
+        return c
+
+    L = [(20, 20), (60, 20), (60, 40), (40, 40), (40, 70), (20, 70)]
+    step = 0.25
+    n_in = 0
+    xs = [20 + step / 2 + i * step for i in range(int(50 / step))]
+    ys = [18 + step / 2 + i * step for i in range(int(60 / step))]
+    for x in xs:
+        for y in ys:
+            if inside(comb, x, y) and inside(L, x, y):
+                n_in += 1
+    raster = n_in * step * step
+    got = _i60_run(spark, [(1, comb)])[1]
+    # comb is entirely within the bar here, so inter == subj exactly
+    # (area = 30x8 bottom slab + 10x8 right tooth = 320)
+    assert got.subj_area == pytest.approx(320.0, abs=1e-9)
+    assert got.inter_area == pytest.approx(raster, abs=25.0)
+    assert got.inter_area == pytest.approx(320.0, abs=1e-6)
