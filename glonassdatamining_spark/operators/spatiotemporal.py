@@ -4736,3 +4736,119 @@ def concave_overlay_areas(
         F.round(F.col("_sa") - F.col("_inter"), 6).alias("diff_area"),
         "n_neg_tris",
     )
+
+
+# ---------------------------------------------------------------------------
+# I61 — projected-CRS tier: equirectangular local-plane transform + the
+# i5 grid-binning kernel on PROJECTED kilometres (round-8 verdict ask #3)
+# ---------------------------------------------------------------------------
+# Mean-earth radius (the _o_hav constant) and the exact per-degree
+# N-S scale; per-zone E-W scale = KY * cos(lat0), python-precomputed
+# and injected as repr literals into BOTH engines — the transform is
+# pure IEEE multiply/subtract per row, no per-row trig, no libm
+# divergence possible (i58's discipline applied to a CRS transform).
+_I61_KY = 111.1950802335329  # 6371.0088 * pi / 180
+# (zone, lat0, lon0, half_lat_band, half_lon_band, kx = KY*cos(lat0))
+_I61_ZONES = [
+    ("equatorial", 0.0, 0.0, 10.0, 20.0, 111.1950802335329),
+    ("midlat", 55.75, 37.62, 1.5, 30.0, 62.58113909088084),
+]
+# Documented max E-W scale distortion of the equirectangular local
+# plane across each zone's latitude band: |cos(lat)/cos(lat0) - 1|.
+# Python-computed here, asserted as a round-trip property vs haversine
+# in tests/test_api.py::test_i61_projection_distortion_bound.
+_I61_DISTORTION = {"equatorial": 0.0152, "midlat": 0.0388}
+_I61_CELL_KM = 50.0
+
+
+def _i61_oracle() -> str:
+    arms = []
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        arms.append(
+            f"SELECT '{zone}' AS zone, "
+            f"(lon - ({lon0!r})) * ({kx!r}) AS xk, "
+            f"(lat - ({lat0!r})) * ({_I61_KY!r}) AS yk FROM geo "
+            f"WHERE lat >= ({lat0 - dlat!r}) AND lat <= ({lat0 + dlat!r}) "
+            f"AND lon >= ({lon0 - dlon!r}) AND lon <= ({lon0 + dlon!r})"
+        )
+    return (
+        GEO_CTE
+        + ", proj AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT zone, CAST(floor(xk / 50.0) AS INT) AS cell_x, "
+        "CAST(floor(yk / 50.0) AS INT) AS cell_y, "
+        "CAST(COUNT(*) AS BIGINT) AS n_fixes, "
+        "ROUND(CAST(SUM(CAST(xk AS DECIMAL(28,6))) AS DOUBLE) "
+        "/ COUNT(*), 3) AS cx_km, "
+        "ROUND(CAST(SUM(CAST(yk AS DECIMAL(28,6))) AS DOUBLE) "
+        "/ COUNT(*), 3) AS cy_km "
+        "FROM proj GROUP BY 1, 2, 3"
+    )
+
+
+@register("i61_projected_local_grid", oracle=_i61_oracle(), section="I61")
+def i61_projected_local_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-CRS tier (round-8 verdict "What's missing #1"): an
+    EQUIRECTANGULAR LOCAL-PLANE transform — lat/lon (WGS84-style
+    geographic, mean-earth-radius sphere) to kilometre offsets around
+    a zone anchor:
+
+        x_km = (lon - lon0) * KY*cos(lat0),   y_km = (lat - lat0) * KY
+
+    — then the i5 planar grid-binning kernel runs UNCHANGED on the
+    projected coordinates (50 km cells, per-cell count + decimal-
+    stable centroid). Two anchor zones exercise the honest range of
+    the projection: 'equatorial' (lat0=0, ±10° band) and 'midlat'
+    (lat0=55.75 — the i2b anchor — ±1.5° ≈ ±167 km, the scale real
+    local-plane fleet analytics runs at).
+
+    DISTORTION BOUND (documented, python-derived, test-asserted): the
+    E-W scale error of the local plane at latitude lat is
+    |cos(lat)/cos(lat0) - 1|; across the declared bands that is
+    ≤ 1.52% (equatorial, ±10°) and ≤ 3.88% (midlat, ±1.5°); N-S scale
+    is exact on the sphere. Planar distances measured in this CRS are
+    therefore within those bounds of the haversine truth — asserted
+    as a random-pair round-trip property in tests/test_api.py. Beyond
+    ~±5° of the anchor at midlat the bound passes 13% — use the
+    geodesic tier (i53-i56) instead; the README "Deployment seams"
+    section now states this cutover rule (this op IS the in-engine
+    ST_Transform for the local-plane case; full projected CRS catalogs
+    remain the Sedona seam).
+
+    Hash-exact by construction: the anchor offsets and scale factors
+    are python-precomputed repr literals, so each projected coordinate
+    is one IEEE subtract + multiply on both engines — no trig, no
+    libm; centroids ride the DECIMAL(28,6) sum discipline.
+
+    Scale: the transform is a fused projection (zero shuffle); the
+    binning is one partial-agg groupBy — i5's 100 TB shape. Zone
+    windows are static predicates → parquet row-group pruning when the
+    lakehouse layout Z-orders on (lat, lon) (a8/g14's layout)."""
+    g = geo(spark, sf_dir)
+    parts = []
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        z = g.filter(
+            (F.col("lat") >= lat0 - dlat)
+            & (F.col("lat") <= lat0 + dlat)
+            & (F.col("lon") >= lon0 - dlon)
+            & (F.col("lon") <= lon0 + dlon)
+        )
+        parts.append(
+            z.select(
+                F.lit(zone).alias("zone"),
+                ((F.col("lon") - F.lit(lon0)) * F.lit(kx)).alias("xk"),
+                ((F.col("lat") - F.lit(lat0)) * F.lit(_I61_KY)).alias("yk"),
+            )
+        )
+    u = parts[0].unionByName(parts[1])
+    return (
+        u.groupBy(
+            "zone",
+            F.floor(F.col("xk") / _I61_CELL_KM).cast("int").alias("cell_x"),
+            F.floor(F.col("yk") / _I61_CELL_KM).cast("int").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+            F.round(davg("xk", "_cx"), 3).alias("cx_km"),
+            F.round(davg("yk", "_cy"), 3).alias("cy_km"),
+        )
+    )

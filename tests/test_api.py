@@ -900,3 +900,57 @@ def test_k54b_no_neardup_pair_straddles_split(spark):
     assert len(pairs) > 100
     straddlers = [(p.da, p.db) for p in pairs if asg[p.da] != asg[p.db]]
     assert not straddlers, f"k54b straddlers: {straddlers[:5]}"
+
+
+def test_i61_projection_distortion_bound():
+    """The documented equirectangular distortion bound: for random
+    point pairs inside each i61 zone band, the planar distance in the
+    projected local CRS differs from the haversine truth by at most
+    the zone's declared max E-W scale error (plus second-order
+    slack). Pure-python replay (same constants), no Spark needed."""
+    import math
+    import random
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I61_DISTORTION,
+        _I61_KY,
+        _I61_ZONES,
+    )
+
+    R = 6371.0088
+
+    def hav_km(lat1, lon1, lat2, lon2):
+        sdlat = math.sin(math.radians(lat2 - lat1) / 2)
+        sdlon = math.sin(math.radians(lon2 - lon1) / 2)
+        a = sdlat * sdlat + math.cos(math.radians(lat1)) * math.cos(
+            math.radians(lat2)
+        ) * sdlon * sdlon
+        return 2 * R * math.asin(math.sqrt(a))
+
+    rng = random.Random(61)
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        bound = _I61_DISTORTION[zone]
+        # the declared scale factor is the python-precomputed literal
+        assert abs(kx - _I61_KY * math.cos(math.radians(lat0))) < 1e-9
+        # band-edge distortion really is <= the declared bound
+        for lat in (lat0 - dlat, lat0 + dlat):
+            err = abs(
+                math.cos(math.radians(lat)) / math.cos(math.radians(lat0))
+                - 1.0
+            )
+            assert err <= bound + 1e-4, (zone, lat, err)
+        worst = 0.0
+        for _ in range(500):
+            la1 = rng.uniform(lat0 - dlat, lat0 + dlat)
+            la2 = rng.uniform(lat0 - dlat, lat0 + dlat)
+            # keep pairs local in lon too (the projection's use case)
+            mid = rng.uniform(lon0 - dlon, lon0 + dlon)
+            lo1 = mid + rng.uniform(-0.5, 0.5)
+            lo2 = mid + rng.uniform(-0.5, 0.5)
+            x1, y1 = (lo1 - lon0) * kx, (la1 - lat0) * _I61_KY
+            x2, y2 = (lo2 - lon0) * kx, (la2 - lat0) * _I61_KY
+            planar = math.hypot(x2 - x1, y2 - y1)
+            true = hav_km(la1, lo1, la2, lo2)
+            if true > 1.0:  # below 1 km both are sub-metre identical
+                worst = max(worst, abs(planar / true - 1.0))
+        assert worst <= bound + 0.005, (zone, worst, bound)
