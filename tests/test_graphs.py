@@ -253,3 +253,53 @@ def test_n16b_equals_n16_below_cap(spark):
     b = b.sort_values("node").reset_index(drop=True)
     assert a["node"].tolist() == b["node"].tolist()
     assert a["ball2_size"].tolist() == b["ball2_size"].tolist()
+
+
+def test_n18_labels_python_replay(spark):
+    """Per-node LPA labels at sf0.001 replayed in pure python: same
+    init, same synchronous rounds, same (max count, min label)
+    tie-break, same self-vote. The distributed kernel must agree
+    node-for-node — pins the update rule against silent drift (n5's
+    replay discipline)."""
+    from collections import Counter
+
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _N18_ITERS,
+        _copurchase_edges,
+        _n18_labels,
+    )
+    from tests.conftest import SF_DIR
+
+    e = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR).localCheckpoint()
+    edges = [(r.src, r.dst) for r in e.collect()]
+    assert len(edges) > 20, "fixture graph too small to exercise LPA"
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    lbl = {v: v for v in adj}
+    for _ in range(_N18_ITERS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            votes = Counter(lbl[n] for n in nbrs)
+            votes[lbl[v]] += 1  # self-vote
+            nxt[v] = min(votes, key=lambda c: (-votes[c], c))
+        lbl = nxt
+    got = {r.node: r.community for r in _n18_labels(e).collect()}
+    assert got == lbl
+
+
+def test_n18_hand_graph_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA must detect the
+    two cliques as separate communities (the bridge is outvoted)."""
+    from glonassdatamining_spark.operators.graphs import _n18_labels
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.community for r in _n18_labels(e).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
