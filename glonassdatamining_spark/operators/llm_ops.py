@@ -3438,3 +3438,136 @@ def k54b_neardup_split_production(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("rep_id").cast("bigint").alias("n_exact_groups"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# K8b — MULTILINGUAL language-ID over a planted multi-language corpus
+# (round-8 verdict ask #5: k8's corpus is effectively monolingual, so
+# its token-vote profiles never face a real decision)
+# --------------------------------------------------------------------------
+_K8B_ROT13_FROM = "abcdefghijklmnopqrstuvwxyz"
+_K8B_ROT13_TO = "nopqrstuvwxyzabcdefghijklm"
+
+
+def _k8b_corpus_sql() -> str:
+    return (
+        "corpus AS (SELECT doc_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'synth-a' WHEN 1 THEN 'synth-b' "
+        "ELSE 'synth-c' END AS lang, "
+        "CASE doc_id % 3 WHEN 0 THEN text "
+        "WHEN 1 THEN array_to_string(list_transform(string_split(text, ' '), "
+        "w -> reverse(w)), ' ') "
+        f"ELSE translate(text, '{_K8B_ROT13_FROM}', '{_K8B_ROT13_TO}') END "
+        "AS txt FROM documents)"
+    )
+
+
+@register(
+    "k8b_multilingual_langid",
+    oracle=(
+        "WITH " + _k8b_corpus_sql() + ", "
+        "bg AS (SELECT doc_id, lang, "
+        "unnest(list_transform(range(1, length(txt)), "
+        "i -> substring(txt, CAST(i AS INT), 2))) AS g FROM corpus), "
+        "prof AS (SELECT g, lang AS plang FROM ("
+        "  SELECT g, lang, COUNT(*) AS n FROM bg "
+        "  WHERE doc_id % 10 != 0 GROUP BY g, lang) "
+        "QUALIFY row_number() OVER (PARTITION BY g "
+        "ORDER BY n DESC, lang) = 1), "
+        "votes AS (SELECT b.doc_id, b.lang, p.plang, COUNT(*) AS v "
+        "FROM bg b JOIN prof p ON b.g = p.g "
+        "WHERE b.doc_id % 10 = 0 GROUP BY 1, 2, 3) "
+        "SELECT doc_id, lang AS true_lang, plang AS predicted, "
+        "CAST(lang = plang AS INT) AS correct FROM votes "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY v DESC, plang) = 1"
+    ),
+    section="K8",
+)
+def k8b_multilingual_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with an actual decision to make (round-8 verdict
+    ask #5): the corpus is planted with THREE deterministic languages
+    — 'synth-a' (original text), 'synth-b' (every word reversed: the
+    mirror-image character-bigram distribution), 'synth-c' (rot13:
+    the alphabet-shifted distribution) — assigned by doc_id % 3, so
+    every language has train AND held-out mass. A char-BIGRAM profile
+    (bigram → argmax language by train count, k8's min_by tie-break
+    discipline) is trained on the 90% train slice (doc_id % 10 != 0)
+    and classifies each HELD-OUT doc by majority vote of its bigrams'
+    profile languages. Planted-label recovery — 100% held-out
+    accuracy — is asserted in tests/test_api.py; hash-green: every
+    step is integer counting with total-order tie-breaks, and the
+    language transforms are engine-agnostic string ops (word reverse,
+    translate()) certified by the hash itself.
+
+    Scale: bigram explode is 2 bytes/char of the corpus — linear; the
+    profile is bounded by charset² (broadcast); votes are partial-agg
+    groupBys. The 100 TB form is identical — this is fastText-style
+    n-gram langid's data layout with the model table small enough to
+    broadcast (real models: hash n-grams to a fixed bucket count,
+    same join shape)."""
+    d = load(spark, sf_dir, "documents")
+    mod3 = F.col("doc_id") % 3
+    rev_words = F.array_join(
+        F.transform(F.split("text", " "), lambda w: F.reverse(w)), " "
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(mod3 == 0, "synth-a")
+        .when(mod3 == 1, "synth-b")
+        .otherwise("synth-c")
+        .alias("lang"),
+        F.when(mod3 == 0, F.col("text"))
+        .when(mod3 == 1, rev_words)
+        .otherwise(F.translate("text", _K8B_ROT13_FROM, _K8B_ROT13_TO))
+        .alias("txt"),
+    )
+    # <2-char guard: sequence(1, 0) would DESCEND under ANSI (the
+    # shingles() hazard); short docs contribute no bigrams.
+    grams = F.when(
+        F.length("txt") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("txt") - 1),
+            lambda i: F.col("txt").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # documents parquet scans into a handful of splits; spread the
+    # bigram explode (the dominant CPU cost) over every core first —
+    # the minhash kernel's discipline (api.minhash_lsh_dedup).
+    par = spark.sparkContext.defaultParallelism
+    bg = corpus.repartition(par).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    train = bg.filter(F.col("doc_id") % 10 != 0)
+    prof = (
+        train.groupBy("g", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("g")
+        .agg(
+            F.min_by(
+                "lang", F.struct((-F.col("n")).alias("nn"), F.col("lang"))
+            ).alias("plang")
+        )
+    )
+    votes = (
+        bg.filter(F.col("doc_id") % 10 == 0)
+        .join(broadcast(prof), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return (
+        votes.groupBy("doc_id", F.col("lang").alias("true_lang"))
+        .agg(
+            F.min_by(
+                "plang", F.struct((-F.col("v")).alias("nv"), F.col("plang"))
+            ).alias("predicted")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "predicted",
+            (F.col("true_lang") == F.col("predicted")).cast("int").alias(
+                "correct"
+            ),
+        )
+    )
