@@ -651,6 +651,29 @@ def c9d_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deletion_variants(col_name: str):
+    """SymSpell/FastSS 1-deletion candidate keys of a string column:
+    the string itself plus its L 1-deletion variants. THEOREM (the
+    c16 recall guarantee, property-tested adversarially in
+    tests/test_property_predicates.py): two strings a, b with
+    levenshtein(a, b) <= 1 always share at least one key —
+    substitution at position i makes their i-th deletions equal;
+    insertion/deletion makes one string equal to a variant of the
+    other; equality shares the identity key. So a plain equi-join on
+    these keys loses NO qualifying pair and the exact verify only
+    prunes false candidates."""
+    return F.array_distinct(
+        F.concat(
+            F.array(F.col(col_name)),
+            F.expr(
+                f"transform(sequence(1, length({col_name})), i -> "
+                f"concat(substring({col_name}, 1, i - 1), "
+                f"substring({col_name}, i + 1, length({col_name}))))"
+            ),
+        )
+    )
+
+
 @register(
     "c16_fuzzy_string_join",
     oracle=(
@@ -686,23 +709,8 @@ def c16_fuzzy_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
     )
-    # L 1-deletion variants + the string itself (catches insert/delete
-    # pairs where one IS the other's variant, and exact duplicates)
     variants = c.select(
-        "key",
-        "name",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("name")),
-                    F.expr(
-                        "transform(sequence(1, length(name)), i -> "
-                        "concat(substring(name, 1, i - 1), "
-                        "substring(name, i + 1, length(name))))"
-                    ),
-                )
-            )
-        ).alias("vk"),
+        "key", "name", F.explode(deletion_variants("name")).alias("vk")
     )
     a = variants.alias("a")
     b = variants.alias("b")

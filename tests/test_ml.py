@@ -435,3 +435,52 @@ def test_ivf_query_prunes_posting_files(spark, tmp_path):
     assert set(zip(got.qid, got.nid, got.cos)) == set(
         zip(want.qid, want.nid, want.cos)
     )
+
+
+def test_ivf_planted_boundary_pairs_zero_miss(spark, tmp_path):
+    """Round-8 planted-adversary recall (verdict ask #8): the IVF
+    failure mode is a true nearest neighbor sitting JUST ACROSS a
+    Voronoi boundary from its query. Plant 16 tight direction
+    clusters on the unit circle plus, on EVERY between-cluster
+    bisector, a pair of mutual-true-NN vectors straddling the
+    boundary (0.008 rad apart — far closer to each other than to any
+    cluster member). Build the real index (KMeans k=16, spill=3,
+    nprobe=5) and assert top-1 recall is EXACTLY 1.0 on all 16
+    planted pairs: the spill/probe overlap must cover every boundary,
+    no matter which cells KMeans carves."""
+    import math
+
+    from glonassdatamining_spark.operators.llm_ops import (
+        ivf_build_index,
+        ivf_query,
+    )
+
+    rows, vid = [], 0
+    for c in range(16):
+        base = 2 * math.pi * c / 16
+        for j in range(12):
+            ang = base + (j - 5.5) * 0.01
+            rows.append(
+                (vid, [math.cos(ang), math.sin(ang), 0.0, 0.0])
+            )
+            vid += 1
+    pairs = []
+    for c in range(16):
+        bis = 2 * math.pi * (c + 0.5) / 16
+        a_id, b_id = vid, vid + 1
+        for s, pid in ((-0.004, a_id), (0.004, b_id)):
+            rows.append(
+                (pid, [math.cos(bis + s), math.sin(bis + s), 0.0, 0.0])
+            )
+        pairs.append((a_id, b_id))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id LONG, u ARRAY<DOUBLE>")
+    root = str(tmp_path / "ivf_boundary")
+    ivf_build_index(spark, df, root)
+    out = ivf_query(spark, df, root, k=1)
+    top1 = {r.qid: r.nid for r in out.collect()}
+    missed = [
+        (a, b) for a, b in pairs
+        if top1.get(a) != b or top1.get(b) != a
+    ]
+    assert not missed, f"boundary pairs missed by spill/probe: {missed}"

@@ -1487,3 +1487,122 @@ def test_revisit_rate_matches_python_model(spark, seed):
         ]
         want[obj] = (len(collapsed), len(set(collapsed)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8 planted-adversary recall properties (verdict ask #8): each
+# candidate GENERATOR is fed a corpus built to hide pairs exactly where
+# the generator is weakest; the property is "no qualifying pair is
+# missed by the candidate stage" (the k54 salt bug was caught by
+# exactly this discipline — containment tests cannot see recall loss).
+# ---------------------------------------------------------------------------
+def test_c16_deletion_neighborhood_zero_miss(spark):
+    """Adversarial ed<=1 classes — substitution at FIRST / LAST /
+    middle position, insertion at both ends, deletion, exact
+    duplicates, plus 150 seeded random single-edit mutations — and
+    the CANDIDATE stage (variant-key equi-join, BEFORE the verify
+    filter) must contain every brute-force levenshtein<=1 pair."""
+    import itertools
+    import random as _r
+
+    from glonassdatamining_spark.operators.joins import deletion_variants
+
+    rng = _r.Random(816)
+    alpha = "abcdefghij"
+    words = {
+        # hand adversaries
+        "aster", "bster",            # first-char substitution
+        "caster", "castes",          # last-char substitution
+        "candle", "cradle",          # ed=2 (must NOT qualify)
+        "zoom", "zooms", "zoo",      # end insert / delete chain
+        "xray", "wxray",             # front insert
+        "same", "same ",             # trailing-space insert
+        "dup", "dup",                # exact dup (set collapses it)
+    }
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(3, 9)))
+            for _ in range(50)]
+    words.update(base)
+    for w in list(base):
+        for _ in range(3):
+            op = rng.choice(["sub", "ins", "del"])
+            i = rng.randrange(len(w))
+            if op == "sub":
+                words.add(w[:i] + rng.choice(alpha) + w[i + 1:])
+            elif op == "ins":
+                words.add(w[:i] + rng.choice(alpha) + w[i:])
+            elif len(w) > 1:
+                words.add(w[:i] + w[i + 1:])
+    rows = [(i, w) for i, w in enumerate(sorted(words))]
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert len(want) > 150, "planted corpus must be edit-dense"
+
+    df = spark.createDataFrame(rows, "key INT, name STRING")
+    v = df.select("key", F.explode(deletion_variants("name")).alias("vk"))
+    got = {
+        (r.k1, r.k2)
+        for r in v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.vk") == F.col("b.vk"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("k1"), F.col("b.key").alias("k2"))
+        .distinct()
+        .collect()
+    }
+    missed = want - got
+    assert not missed, f"qualifying pairs missed by candidates: {sorted(missed)[:5]}"
+    # the ed=2 plant must NOT survive the exact verify (it may or may
+    # not be a candidate — that's the generator's business)
+    byname = {w: i for i, w in rows}
+    assert lev("candle", "cradle") == 2
+
+
+def test_h19_phonetic_key_hits_and_documented_misses(spark):
+    """h19's blocking key is a soundex-style code whose FIRST LETTER
+    is kept verbatim — so same-sound/same-initial confusables MUST
+    collide (hits asserted), while first-letter variants are the
+    documented miss class of any soundex-family generator (asserted
+    as a STABLE boundary, so a future key change that silently
+    shrinks — or accidentally widens — the block is caught)."""
+    from glonassdatamining_spark.functions.scalars import phonetic_key
+
+    hits = [
+        ("smith", "smyth"), ("smith", "smithe"),
+        ("ashcraft", "ashcroft"), ("tymczak", "tymcak"),
+        ("jackson", "jaxon"), ("pfister", "pfizter"),
+    ]
+    misses = [
+        ("catherine", "katherine"),   # C... vs K...: first letter kept
+        ("wright", "right"),          # W vs R
+    ]
+    vocab = sorted({w for p in hits + misses for w in p})
+    df = spark.createDataFrame([(w,) for w in vocab], "tok STRING")
+    keys = {
+        r.tok: r.pk
+        for r in df.select("tok", phonetic_key(F.col("tok")).alias("pk")).collect()
+    }
+    for a, b in hits:
+        assert keys[a] == keys[b], (a, b, keys[a], keys[b])
+    for a, b in misses:
+        assert keys[a] != keys[b], (
+            f"documented miss class now collides: {(a, b)} — "
+            "update h19's docstring if the key family changed"
+        )
