@@ -490,6 +490,84 @@ def haversine_knn_join(
     )
 
 
+def haversine_knn_radius(
+    points: DataFrame,
+    lat: str,
+    lon: str,
+    k: int = 3,
+    max_abs_lat: float = 60.0,
+    coverage_factor: float = 4.0,
+    density_quantile: float = 0.10,
+    floor_km: float = 10.0,
+    cap_km: float = 2000.0,
+) -> float:
+    """DENSITY-DERIVED kNN radius (round-8 verdict ask #9: i53's
+    radius lever was manual — the 800 km fixture tune is fine at
+    sf0.1 but over-densifies 17.9× at sf1, where 10× the points need
+    only ~1/√10 the reach). Derivation: bin the points into i54's
+    latitude-adaptive geodesic census cells (10° bands ×
+    floor(cos·36) modular lon cells — exact spherical-cap areas), take
+    a LOW per-point density quantile ρ_q (points/km², frequency-
+    weighted by cell population so empty wilderness doesn't vote),
+    and size the radius so a point even in that sparse regime expects
+    ``coverage_factor · k`` in-range neighbors:
+
+        r = sqrt(coverage_factor · k / (π · ρ_q))    [clamped]
+
+    Poisson sanity: with λ = coverage_factor·k expected neighbors,
+    P[fewer than k=3 | λ=12] < 0.2%, so the k-coverage property holds
+    for ~all points at the derivation quantile and above. The census
+    is one partial-agg groupBy + a 1-row percentile collect (a scalar
+    — the audited-collect class); at 10× density the radius shrinks
+    √10×, so candidate volume per point (~ π r² ρ) stays CONSTANT —
+    the self-tuning contract that turns i53's fixed-extent
+    densification into a flat per-point cost."""
+    import math
+
+    R = 6371.0088
+    p = points.filter(F.abs(F.col(lat)) <= max_abs_lat)
+    band = F.floor(F.col(lat) / 10.0)
+    n_lon = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.cos((band * 10.0 + 5.0) * (math.pi / 180.0)) * 36.0).cast(
+            "bigint"
+        ),
+    )
+    cells = (
+        p.select(
+            band.alias("_band"),
+            n_lon.alias("_nlon"),
+            (
+                F.floor((F.col(lon) + 180.0) * n_lon / 360.0).cast("bigint")
+                % n_lon
+            ).alias("_cell"),
+        )
+        .groupBy("_band", "_nlon", "_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    area = (
+        (2.0 * math.pi * R * R)
+        * (
+            F.sin((F.col("_band") * 10.0 + 10.0) * (math.pi / 180.0))
+            - F.sin(F.col("_band") * 10.0 * (math.pi / 180.0))
+        )
+        / F.col("_nlon")
+    )
+    row = (
+        cells.select((F.col("_n") / area).alias("_dens"), "_n")
+        .agg(
+            F.expr(
+                f"percentile(_dens, {density_quantile!r}, _n)"
+            ).alias("q")
+        )
+        .collect()[0]
+    )
+    if row.q is None or row.q <= 0:
+        return cap_km
+    r = math.sqrt(coverage_factor * k / (math.pi * float(row.q)))
+    return min(cap_km, max(floor_km, r))
+
+
 def polygon_edges(polygon: list[tuple[float, float]]) -> Column:
     """Closed-ring edge array for a polygon given as [(x, y), ...]
     vertices (closing edge appended automatically): a Column literal

@@ -3729,6 +3729,46 @@ def i53_haversine_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("i53b_haversine_knn_auto", oracle=None, section="I53")
+def i53b_haversine_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i53 with the SELF-TUNING radius (round-8 verdict ask #9):
+    ``api.haversine_knn_radius`` derives max_km from the i54-style
+    geodesic density census at plan time — a low per-point density
+    quantile sized so even sparse-regime points expect 4·k in-range
+    neighbors (Poisson miss < 0.2%) — then runs the identical bounded
+    kNN kernel. At 10× density the radius shrinks √10×, so the
+    candidate volume per point stays CONSTANT instead of i53's
+    fixed-extent densification (the round-7 "What's wrong #2" watch
+    item; 800 km stays i53's registered form because the brute-force
+    oracle needs a literal radius).
+
+    rows-only: the derived radius makes the result data-dependent in
+    a way ANSI SQL cannot replay without re-deriving the same scalar;
+    correctness rides (a) the kernel's own i53 hash-green equivalence
+    at the fixed radius, (b) the k-coverage property test (≥97% of
+    eligible points get all k=3 neighbors at BOTH sf0.001 and sf0.01
+    — the radius really was big enough), and (c) the shrink property
+    (radius at sf0.01 < radius at sf0.001, ratio ≈ √10). Output
+    carries radius_km so the tuning is visible in the artifact."""
+    from glonassdatamining_spark.api import (
+        haversine_knn_join,
+        haversine_knn_radius,
+    )
+
+    g = geo(spark, sf_dir).filter(F.col("event_id") % 3 == 0)
+    r_km = haversine_knn_radius(g, "lat", "lon", k=_I53_K)
+    out = haversine_knn_join(
+        g, "event_id", "lat", "lon", k=_I53_K, max_km=r_km
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        "rank",
+        F.round("dist_km", 3).alias("dist_km"),
+        F.round(F.lit(r_km), 2).alias("radius_km"),
+    )
+
+
 # Equator base resolution: 36 lon cells × 10° lat bands. n_lon(band) =
 # floor(cos(center)·36) shrinks toward the poles, keeping cell
 # east-west extent ≈ constant km (the equal-area-ish discipline).
