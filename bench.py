@@ -88,6 +88,11 @@ HEADLINE = [
     # round-7 additions (BASELINE.md: no earlier baseline):
     "i53_haversine_knn_join",       # geodesy tier: lat-adaptive kNN grid
     "i57_zone_overlay_area",        # constructive geometry: SH overlay
+    # round-8 additions (BASELINE.md: no earlier baseline):
+    "i60_concave_overlay_booleans",  # signed-fan concave boolean areas
+    "i61_projected_local_grid",      # projected-CRS local plane + grid
+    "n18_label_propagation",         # LPA community detection (4 rounds)
+    "k8b_multilingual_langid",       # char-bigram profile classifier
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

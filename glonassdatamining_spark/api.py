@@ -560,6 +560,7 @@ def haversine_knn_radius(
                 f"percentile(_dens, {density_quantile!r}, _n)"
             ).alias("q")
         )
+        # 1-row density-quantile scalar (bounded census rollup)
         .collect()[0]
     )
     if row.q is None or row.q <= 0:

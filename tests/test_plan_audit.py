@@ -96,6 +96,7 @@ COLLECT_ALLOWED = {
     ("sources/scans.py", 'load(spark, sf_dir, "nation")'),  # 25-row dim
     ("api.py", "oriented.limit(probe_cap).collect()"),  # ≤ gate+1 rows, gated
     ("api.py", 'sym.agg(F.min("_src"))'),        # 1-row scalar seed
+    ("api.py", "1-row density-quantile scalar"),  # i53b radius derivation
     ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
     ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
     ("operators/ml_ops.py", 'li.select("l_returnflag").distinct()'),  # 3-row flag dim (j13)

@@ -63,6 +63,10 @@ EXTRAS = [
     # uncapped n16 left the bench headline in round 7 but its curve
     # row stays recorded (it pins n16b's densification comparison)
     "n16_two_hop_ball",
+    # round-8 additions: the production/self-tuning scale variants
+    # (their parent forms k54/i53 stay recorded for the comparison)
+    "k54b_neardup_split_production",
+    "i53b_haversine_knn_auto",
 ]
 
 
