@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "b11_quantified_comparison",  # 1-row "< ANY" scalar max, broadcast
     "g10_scd2_asof_lookup",   # 3-row probe-instant dim, broadcast (n12's ladder shape)
     "n17_modularity",         # 1-row edge-count m scalar, broadcast
+    "n18_label_propagation",  # same fold: 1-row m scalar, broadcast
     "d44_kendall_tau_b",      # <=35-cell contingency table x itself
                               # (i41's constant-grid shape) + 1-row scalars
 }
