@@ -1069,9 +1069,20 @@ def _n18_labels(e: DataFrame) -> DataFrame:
     SMALLEST label. Returns (node, community) with community = the
     surviving label (a node id — deterministic and identical across
     engines because every step is integer counting + integer argmin).
-    Each round is one join + two partial-agg groupBys; the vertex
-    frame is localCheckpointed per round so lineage stays O(1) (use
-    checkpoint() on a cluster — the n1/k2b discipline)."""
+    Round shape (bench-tuned, ~40% off the first cut): the vertex
+    label frame is explicitly BROADCAST onto the big symmetric edge
+    list (map-side join — sym never reshuffles per round; on a
+    cluster whose vertex table outgrows broadcast, bucket sym by dst
+    instead), and the vote argmax is ONE aggregation —
+    ``F.mode(lbl, deterministic=True)`` is exactly "most frequent,
+    ties to the LOWEST value", the update rule's tie-break — instead
+    of a count groupBy followed by a min_by groupBy (verified
+    node-identical on the fixture graph; the ORACLE keeps the
+    explicit count + QUALIFY form, so the hash re-proves the
+    equivalence every run). Per-round results are localCheckpointed
+    so lineage stays O(1) and the twin use next round (join + the
+    self-vote union) doesn't re-evaluate the chain (the n1/k2b
+    discipline)."""
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1083,19 +1094,13 @@ def _n18_labels(e: DataFrame) -> DataFrame:
     )
     for _ in range(_N18_ITERS):
         nbr = sym.join(
-            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            F.broadcast(labels.select(F.col("node").alias("dst"), "lbl")),
+            "dst",
         ).select(F.col("src").alias("node"), "lbl")
         votes = nbr.unionByName(labels)
-        counted = votes.groupBy("node", "lbl").agg(
-            F.count(F.lit(1)).alias("c")
-        )
         labels = (
-            counted.groupBy("node")
-            .agg(
-                F.min_by(
-                    "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
-                ).alias("lbl")
-            )
+            votes.groupBy("node")
+            .agg(F.mode("lbl", True).alias("lbl"))
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
