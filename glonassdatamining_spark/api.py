@@ -430,16 +430,24 @@ def haversine_knn_join(
     # haversine inversion for two points on the max_abs_lat parallel
     # — the spread-maximizing configuration). The eps/40 width only
     # proves this for max_km ≲ 4500 at 60°; beyond that, cap
-    # n_lon_cells so dlon ≥ Δλ exactly (with ≤ 3 cells the ±1 ring
-    # spans the whole circle and coverage is trivial). Round-8 ADVICE
-    # fix — removes the silent neighbor drop at max_km ≈ 5000.
+    # n_lon_cells so dlon ≥ Δλ exactly. Round-8 ADVICE fix — removes
+    # the silent neighbor drop at max_km ≈ 5000.
+    #
+    # FLOOR OF 3 (round-8 review fix): the modular probe offsets
+    # (cx−1, cx, cx+1) mod n are pairwise-distinct only for n ≥ 3 —
+    # at n ∈ {1, 2} two offsets alias to the SAME cell, every
+    # opposite-cell neighbor joins twice, and row_number hands ranks
+    # 1..k to duplicate b_ids (duplicate neighbors returned, true
+    # k-th neighbors pushed out). n = 3 keeps the offsets distinct
+    # AND makes coverage trivial: the ±1 ring spans the whole circle,
+    # so any Δλ is covered regardless of cell width.
     _sin_arg = math.sin(min(max_km, math.pi * 6371.0088) / (2.0 * 6371.0088))
     _s = _sin_arg / math.cos(math.radians(max_abs_lat))
     if _s < 1.0:
         _dlon_needed = math.degrees(2.0 * math.asin(_s))
-        n_lon_cells = min(n_lon_cells, max(1, int(360.0 // _dlon_needed)))
+        n_lon_cells = min(n_lon_cells, max(3, int(360.0 // _dlon_needed)))
     else:
-        n_lon_cells = 1  # ball spans all longitudes at this latitude
+        n_lon_cells = 3  # ball spans all longitudes at this latitude
     dlon_deg = 360.0 / n_lon_cells
     p = points.filter(F.abs(F.col(lat)) <= max_abs_lat).select(
         F.col(id_col).alias("_id"),

@@ -962,7 +962,7 @@ def n17_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("d")
     )
     lab = deg.select(
-        "node", (F.col("d") >= _N17_THETA).cast("int").alias("community")
+        "node", (F.col("d") >= _N17_THETA).cast("int").alias("community"), "d"
     )
     return _modularity_by_community(e, lab)
 
@@ -973,12 +973,20 @@ def _modularity_by_community(e: DataFrame, lab: DataFrame) -> DataFrame:
     (node, community) — factored out in round 8 so n18 measures its
     DETECTED partition through the exact same algebra. Q_c = e_c/m −
     (D_c/2m)² emitted as (4m·e_c − D_c²)/(4m²): all-bigint numerator,
-    one double division, hash-tolerance-free."""
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    lab = lab.join(deg, "node")
+    one double division, hash-tolerance-free.
+
+    ``lab`` may carry a precomputed degree column ``d`` (n17 derives
+    its labels FROM the degree rollup, so re-deriving it here would
+    pay the symmetrize+groupBy shuffle twice — round-8 review fix);
+    without one it is computed from ``e``."""
+    if "d" not in lab.columns:
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        lab = lab.join(deg, "node")
     mm = e.agg(F.count(F.lit(1)).alias("m"))
     la = lab.select(F.col("node").alias("src"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("dst"), F.col("community").alias("cb"))

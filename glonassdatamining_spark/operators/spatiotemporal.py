@@ -4383,7 +4383,7 @@ def _i59_oracle() -> str:
     )
 
 
-_I59_BARRIERS: list = []
+_I59_BARRIERS: list = [[]]  # list of per-build barrier generations
 
 
 def _i59_barrier(df: DataFrame) -> DataFrame:
@@ -4395,24 +4395,33 @@ def _i59_barrier(df: DataFrame) -> DataFrame:
     clip alias chain (the 6^5 expression blowup i59 guards against) —
     while, unlike localCheckpoint, lineage-based recovery still works
     and blocks spill to disk instead of pinning executor memory.
-    Barriers are tracked module-side and each fresh i59 build
-    explicitly unpersists the previous build's barriers, so repeated
-    builds (bench loops, test suites) never accumulate cached plans.
-    """
+    Barriers are tracked module-side per BUILD GENERATION and a fresh
+    i59 build unpersists only barriers at least two generations old
+    (round-8 review fix: releasing the immediately-previous build's
+    barriers would strip the cache out from under a DataFrame handle
+    the caller still holds — bench warm-up loops and two-scale tests
+    do exactly this — and its next action would re-optimize the
+    UN-barriered plan, i.e. the 6^5 blowup the barrier exists to
+    stop). Contract: handles from ≥ 2 builds ago must be considered
+    expired; repeated builds still cannot accumulate more than two
+    generations of disk-backed cache."""
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.DISK_ONLY)
-    _I59_BARRIERS.append(out)
+    _I59_BARRIERS[-1].append(out)
     return out
 
 
 def _i59_release_barriers() -> None:
-    while _I59_BARRIERS:
-        old = _I59_BARRIERS.pop()
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass
+    """Start a new barrier generation; unpersist generations older
+    than the previous one (keep-2 FIFO, see _i59_barrier)."""
+    while len(_I59_BARRIERS) > 1:
+        for old in _I59_BARRIERS.pop(0):
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+    _I59_BARRIERS.append([])
 
 
 @register("i59_polygon_overlay_join", oracle=_i59_oracle(), section="I59")
@@ -4447,7 +4456,7 @@ def i59_polygon_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_clip_half_plane_cols,
     )
 
-    _i59_release_barriers()  # explicit unpersist of the prior build
+    _i59_release_barriers()  # rotate barrier generations (keep 2)
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
     zx = (F.col("o_orderkey") * 19 % 80).cast("double")
     zy = (F.col("o_orderkey") * 23 % 80).cast("double")
@@ -4735,6 +4744,26 @@ def concave_overlay_areas(
 
     if clip_tris is None:
         clip_tris, clip_area = _I60_L_TRIS, _I60_L_AREA
+    # Orientation guard (round-8 review fix): the signed-fan identity
+    # needs a CCW subject — a CW ring flips every fan sign, so the
+    # contributions sum to MINUS the intersection area while the
+    # |shoelace| subject area stays positive (silent corruption, no
+    # error). Normalize: reverse the ring when its signed shoelace is
+    # negative. No-op (and no hash impact) for CCW input — the i60
+    # fixture and oracle are CCW by construction.
+    r = F.col("r0")
+    nv = F.size(r)
+    signed2 = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), nv),
+            lambda i: F.element_at(r, i).x
+            * F.element_at(r, (i % nv) + 1).y
+            - F.element_at(r, (i % nv) + 1).x * F.element_at(r, i).y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    z = z.withColumn("r0", F.when(signed2 < 0, F.reverse(r)).otherwise(r))
     z = z.withColumn("sa", st_area(F.col("r0")))
     e = z.select(
         "zone_id",

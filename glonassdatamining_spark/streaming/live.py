@@ -534,13 +534,27 @@ def l10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # then stop; later batches are filtered out of the aggregate.
         import time as _t
 
+        committed = False
         deadline = _t.time() + 30
         while _t.time() < deadline:
             if q.lastProgress and q.lastProgress.get("batchId", 0) >= 2:
+                committed = True
                 break
             _t.sleep(0.2)
     finally:
         q.stop()
+    if not committed:
+        # Round-8 review fix: a deadline exit used to return the
+        # PARTIAL memory table (1-2 windows), which the exact 3-row
+        # oracle then reports as a hash mismatch — an environment
+        # stall masquerading as a correctness bug. Fail loudly
+        # instead; 30 s for three 200 ms-trigger micro-batches only
+        # elapses on a badly oversubscribed host.
+        raise RuntimeError(
+            "l10_rate_source: micro-batches 0..2 did not commit within "
+            "30 s (host overload?) — refusing to return a partial "
+            "window table"
+        )
     return spark.table(name)
 
 

@@ -996,3 +996,59 @@ def test_i53b_auto_radius_coverage_and_shrink(spark):
         n_full = sum(1 for ranks in by_pt.values() if ranks == {1, 2, 3})
         assert n_full / len(by_pt) >= 0.97, (sf, n_full, len(by_pt))
     assert radii["/root/testdata/sf0.01"] < radii[SF_DIR]
+
+
+def test_haversine_knn_join_small_cell_counts_no_duplicates(spark):
+    """Round-8 review fix: with max_km large enough that the coverage
+    cap drives n_lon_cells below 3, the modular probe offsets used to
+    alias (two offsets -> the same cell), duplicating every
+    opposite-cell candidate and corrupting row_number ranks. The
+    floor of 3 keeps offsets distinct; this pins it with a
+    brute-force cross-check at max_km = 6000 (pre-fix n = 2) and at a
+    high-latitude cap that previously forced n = 1."""
+    import itertools
+    import math
+
+    R = 6371.0088
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        sdlat = math.sin(math.radians(la2 - la1) / 2)
+        sdlon = math.sin(math.radians(lo2 - lo1) / 2)
+        x = sdlat**2 + math.cos(math.radians(la1)) * math.cos(
+            math.radians(la2)
+        ) * sdlon**2
+        return 2 * R * math.asin(math.sqrt(x))
+
+    pts = {
+        1: (10.0, -170.0), 2: (12.0, 175.0), 3: (-5.0, -100.0),
+        4: (40.0, 20.0), 5: (42.0, 24.0), 6: (38.0, 30.0),
+        7: (55.0, -60.0), 8: (50.0, 120.0),
+    }
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in pts.items()],
+        "pid LONG, plat DOUBLE, plon DOUBLE",
+    )
+    for max_km, max_abs_lat in ((6000.0, 60.0), (2000.0, 80.0)):
+        rows = api.haversine_knn_join(
+            df, "pid", "plat", "plon", k=3,
+            max_km=max_km, max_abs_lat=max_abs_lat,
+        ).collect()
+        seen = [(r.a_id, r.b_id) for r in rows]
+        assert len(seen) == len(set(seen)), f"duplicate pairs at {max_km}"
+        got = {}
+        for r in rows:
+            got.setdefault(r.a_id, []).append((r.rank, r.b_id))
+        want_pts = {
+            i: p for i, p in pts.items() if abs(p[0]) <= max_abs_lat
+        }
+        for a, pa in want_pts.items():
+            nn = sorted(
+                ((hav(pa, pb), b) for b, pb in want_pts.items() if b != a),
+            )
+            expect = [
+                b for d, b in nn if d <= max_km
+            ][:3]
+            assert [b for _, b in sorted(got.get(a, []))] == expect, (
+                max_km, a,
+            )

@@ -753,3 +753,16 @@ def test_i60_fan_identity_general_ngon(spark):
     assert got.subj_area == pytest.approx(320.0, abs=1e-9)
     assert got.inter_area == pytest.approx(raster, abs=25.0)
     assert got.inter_area == pytest.approx(320.0, abs=1e-6)
+
+
+def test_i60_cw_ring_orientation_guard(spark):
+    """A CLOCKWISE subject ring must produce the same boolean areas
+    as its CCW twin (the kernel normalizes orientation; pre-fix a CW
+    dart summed to MINUS the intersection area)."""
+    dart_ccw = [(63.0, 33.0), (60.0, 30.0), (57.0, 33.0), (60.0, 28.0)]
+    dart_cw = list(reversed(dart_ccw))
+    got = _i60_run(spark, [(1, dart_ccw), (2, dart_cw)])
+    a, b = got[1], got[2]
+    assert a.inter_area > 0
+    for f in ("subj_area", "inter_area", "union_area", "diff_area"):
+        assert getattr(a, f) == getattr(b, f), f
