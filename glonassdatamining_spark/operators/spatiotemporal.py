@@ -4921,3 +4921,238 @@ def i61_projected_local_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(davg("yk", "_cy"), 3).alias("cy_km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I62 — CONCAVE polygon overlay JOIN: i59's bbox-candidate join with
+# i60's signed-fan measure as the per-pair kernel (round-8 addition —
+# the composition both parents' docstrings promise)
+# ---------------------------------------------------------------------------
+# District chevron ring (relative to center (dx,dy), radius rd):
+#   d1=(+rd,+rd) d2=(0,0) d3=(-rd,+rd) d4=(0,-rd)   — CCW, reflex at
+# d2, area rd². Python-derived fan from d1 (same algebra as the i60
+# dart): 1_D = −1_{(d1,d2,d3)} + 1_{(d1,d3,d4)}; the negative triangle
+# is stored CCW-reordered for the clip kernel with its sign carried
+# separately:
+#   U1_ccw = (d1, d3, d2), t1 = −1 ;  U2_ccw = (d1, d3, d4), t2 = +1
+_I62_CLIP_FANS = [
+    (-1.0, [(1.0, 1.0), (-1.0, 1.0), (0.0, 0.0)]),
+    (1.0, [(1.0, 1.0), (-1.0, 1.0), (0.0, -1.0)]),
+]
+
+
+def _i62_oracle() -> str:
+    from glonassdatamining_spark.functions.geometry import (
+        o_clip_half_plane_cols,
+        o_ring_area,
+    )
+
+    cross = (
+        "((r0[i][1] - r0[1][1]) * (r0[i + 1][2] - r0[1][2]) "
+        "- (r0[i + 1][1] - r0[1][1]) * (r0[i][2] - r0[1][2]))"
+    )
+    sql = (
+        "WITH z AS MATERIALIZED (SELECT o_orderkey AS zone_id, "
+        "CAST(o_orderkey * 29 % 80 AS DOUBLE) AS zx, "
+        "CAST(o_orderkey * 31 % 80 AS DOUBLE) AS zy, "
+        "CAST(4 + o_orderkey % 7 AS DOUBLE) AS w, "
+        "CAST(3 + o_orderkey % 5 AS DOUBLE) AS h "
+        "FROM orders WHERE o_orderkey % 13 = 0), "
+        "d AS MATERIALIZED (SELECT s_suppkey AS district_id, "
+        "CAST(s_suppkey * 41 % 80 AS DOUBLE) AS dx, "
+        "CAST(s_suppkey * 59 % 80 AS DOUBLE) AS dy, "
+        "CAST(6 + s_suppkey % 5 AS DOUBLE) AS rd FROM supplier "
+        "WHERE s_suppkey <= 100), "
+        "pairs AS MATERIALIZED (SELECT zone_id, district_id, zx, zy, "
+        "w, h, dx, dy, rd FROM z JOIN d "
+        "ON zx - w <= dx + rd AND dx - rd <= zx + w "
+        "AND zy - h <= dy + rd AND dy - rd <= zy + h), "
+        "e0 AS MATERIALIZED (SELECT zone_id, district_id, w, h, dx, "
+        "dy, rd, [[zx + w, zy + h], [zx, zy], [zx - w, zy + h], "
+        "[zx, zy - h]] AS r0, unnest([2, 3]) AS i FROM pairs), "
+        "t0 AS MATERIALIZED (SELECT zone_id, district_id, w, h, dx, "
+        "dy, rd, [r0[1], r0[i], r0[i + 1]] AS g0, "
+        "[r0[1], r0[i], r0[i + 1]] AS g1, "
+        f"CASE WHEN {cross} > 0 THEN 1.0 WHEN {cross} < 0 THEN -1.0 "
+        "ELSE 0.0 END AS s FROM e0)"
+    )
+    for step in range(3):
+        cols = []
+        for j, (_, fan) in enumerate(_I62_CLIP_FANS):
+            (ox1, oy1), (ox2, oy2) = fan[step], fan[(step + 1) % 3]
+            clip = o_clip_half_plane_cols(
+                f"g{j}",
+                f"(dx + rd * ({ox1!r}))",
+                f"(dy + rd * ({oy1!r}))",
+                f"(dx + rd * ({ox2!r}))",
+                f"(dy + rd * ({oy2!r}))",
+            )
+            cols.append(f"{clip} AS g{j}")
+        sql += (
+            f", t{step + 1} AS MATERIALIZED (SELECT zone_id, "
+            "district_id, w, h, dx, dy, rd, s, "
+            + ", ".join(cols)
+            + f" FROM t{step})"
+        )
+    contrib = (
+        f"s * ((-1.0) * ({o_ring_area('g0')}) + ({o_ring_area('g1')}))"
+    )
+    isum = f"CAST(SUM(CAST({contrib} AS DECIMAL(28,6))) AS DOUBLE)"
+    return sql + (
+        f" SELECT zone_id, district_id, {isum} AS inter_area, "
+        f"ROUND((MAX(w * h) + MAX(rd * rd)) - {isum}, 6) AS union_area "
+        f"FROM t3 GROUP BY zone_id, district_id HAVING {isum} > 0.0"
+    )
+
+
+@register("i62_concave_overlay_join", oracle=_i62_oracle(), section="I62")
+def i62_concave_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAVE polygon–polygon overlay JOIN — the composition i59 and
+    i60 each promise: every (concave zone, concave district) pair
+    that overlaps, WITH intersection and union areas, both polygons
+    per-row data. Zones are order-keyed concave DARTS (i60's subject
+    family — one reflex vertex each); districts are supplier-keyed
+    concave CHEVRONS (the same dart shape, python-fan-decomposed into
+    two signed triangles whose vertices are per-row Column
+    arithmetic, _I62_CLIP_FANS). Candidates come from i59's bbox
+    grid-cell equi-join (broadcast bounded-district side, candidate
+    growth linear in zones); the per-pair measure is the signed-fan
+    identity — for each of the subject's 2 signed fan triangles and
+    the district's 2, a 3-step Sutherland-Hodgman chain with PER-ROW
+    clip-edge endpoints (st_clip_half_plane_cols), contributions
+    s_i·t_j·area summed through the DECIMAL(28,6) discipline, so
+    area(Z ∩ D) is exact for the concave-concave pair. Union by
+    inclusion-exclusion from the families' closed-form areas
+    (dart w·h, chevron rd²). HAVING inter > 0 on the identical
+    decimal-sum double both engines.
+
+    The oracle replays the same chain (generated MATERIALIZED CTEs,
+    per-row clip-edge expressions). The i59 expression-blowup guard
+    applies: ONE persisted barrier between candidate generation and
+    the (explode + 2×3-step) clip chains; the group-by aggregate
+    already pins the HAVING above the chain on the Spark side.
+
+    Scale: i59's exact join shape (bounded broadcast district side,
+    zones never shuffle) with a 4·(3-step) per-pair kernel instead of
+    one 5-step chain; per-pair cost is constant arithmetic, so the
+    operator inherits i59's linear candidate growth. For general-n
+    concave families, both fans explode off their ring arrays (i60's
+    data-driven subject side IS that form)."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area_or_zero,
+        st_clip_half_plane_cols,
+    )
+
+    _i59_release_barriers()  # rotate the shared barrier generations
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    zones = o.select(
+        F.col("o_orderkey").alias("zone_id"),
+        (F.col("o_orderkey") * 29 % 80).cast("double").alias("zx"),
+        (F.col("o_orderkey") * 31 % 80).cast("double").alias("zy"),
+        (F.col("o_orderkey") % 7 + 4).cast("double").alias("w"),
+        (F.col("o_orderkey") % 5 + 3).cast("double").alias("h"),
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
+    districts = s.select(
+        F.col("s_suppkey").alias("district_id"),
+        (F.col("s_suppkey") * 41 % 80).cast("double").alias("dx"),
+        (F.col("s_suppkey") * 59 % 80).cast("double").alias("dy"),
+        (F.col("s_suppkey") % 5 + 6).cast("double").alias("rd"),
+    )
+
+    def with_cells(df, minx, maxx, miny, maxy):
+        return df.withColumn(
+            "cellx",
+            F.explode(
+                F.sequence(
+                    F.floor(minx / _I59_CELL), F.floor(maxx / _I59_CELL)
+                )
+            ),
+        ).withColumn(
+            "celly",
+            F.explode(
+                F.sequence(
+                    F.floor(miny / _I59_CELL), F.floor(maxy / _I59_CELL)
+                )
+            ),
+        )
+
+    zc = with_cells(
+        zones,
+        F.col("zx") - F.col("w"), F.col("zx") + F.col("w"),
+        F.col("zy") - F.col("h"), F.col("zy") + F.col("h"),
+    )
+    dc = with_cells(
+        districts,
+        F.col("dx") - F.col("rd"), F.col("dx") + F.col("rd"),
+        F.col("dy") - F.col("rd"), F.col("dy") + F.col("rd"),
+    )
+    cand = (
+        zc.join(F.broadcast(dc), ["cellx", "celly"])
+        .dropDuplicates(["zone_id", "district_id"])
+        .withColumn(
+            "r0",
+            F.array(
+                F.struct(
+                    (F.col("zx") + F.col("w")).alias("x"),
+                    (F.col("zy") + F.col("h")).alias("y"),
+                ),
+                F.struct(F.col("zx").alias("x"), F.col("zy").alias("y")),
+                F.struct(
+                    (F.col("zx") - F.col("w")).alias("x"),
+                    (F.col("zy") + F.col("h")).alias("y"),
+                ),
+                F.struct(
+                    F.col("zx").alias("x"),
+                    (F.col("zy") - F.col("h")).alias("y"),
+                ),
+            ),
+        )
+    )
+    e = cand.withColumn("i", F.explode(F.array(F.lit(2), F.lit(3))))
+    r = F.col("r0")
+    v1 = F.element_at(r, 1)
+    vi = F.element_at(r, F.col("i"))
+    vj = F.element_at(r, F.col("i") + 1)
+    cross = (vi.x - v1.x) * (vj.y - v1.y) - (vj.x - v1.x) * (vi.y - v1.y)
+    t = e.select(
+        "zone_id", "district_id", "w", "h", "dx", "dy", "rd",
+        F.array(v1, vi, vj).alias("tri"),
+        F.when(cross > 0, 1.0).when(cross < 0, -1.0).otherwise(0.0).alias("s"),
+    )
+    # one barrier between the join/dedup/explode and the clip chains
+    # (the i59 constraint-propagation blowup discipline)
+    t = _i59_barrier(t)
+    terms = []
+    for j, (tsign, fan) in enumerate(_I62_CLIP_FANS):
+        cur = "tri"
+        for step in range(3):
+            (ox1, oy1), (ox2, oy2) = fan[step], fan[(step + 1) % 3]
+            nxt = f"g{j}_{step + 1}"
+            t = t.withColumn(
+                nxt,
+                st_clip_half_plane_cols(
+                    F.col(cur),
+                    F.col("dx") + F.col("rd") * F.lit(ox1),
+                    F.col("dy") + F.col("rd") * F.lit(oy1),
+                    F.col("dx") + F.col("rd") * F.lit(ox2),
+                    F.col("dy") + F.col("rd") * F.lit(oy2),
+                ),
+            )
+            cur = nxt
+        area = st_area_or_zero(F.col(cur))
+        terms.append(-area if tsign < 0 else area)
+    contrib = F.col("s") * (terms[0] + terms[1])
+    agg = t.groupBy("zone_id", "district_id").agg(
+        F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("_inter"),
+        F.max(F.col("w") * F.col("h")).alias("_za"),
+        F.max(F.col("rd") * F.col("rd")).alias("_da"),
+    )
+    return agg.filter(F.col("_inter") > 0.0).select(
+        "zone_id",
+        "district_id",
+        F.col("_inter").alias("inter_area"),
+        F.round((F.col("_za") + F.col("_da")) - F.col("_inter"), 6).alias(
+            "union_area"
+        ),
+    )

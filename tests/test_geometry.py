@@ -766,3 +766,59 @@ def test_i60_cw_ring_orientation_guard(spark):
     assert a.inter_area > 0
     for f in ("subj_area", "inter_area", "union_area", "diff_area"):
         assert getattr(a, f) == getattr(b, f), f
+
+
+def test_i62_concave_pair_areas_vs_rasterization(spark):
+    """Independent-algorithm check of the concave-concave overlay
+    JOIN: for sampled output pairs, re-derive both polygons from
+    their keys and rasterize the intersection with an even-odd
+    point-in-polygon count (0.02-unit grid) — no shared code with
+    the signed-fan kernel. Error bound ~ perimeter * cell."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        i62_concave_overlay_join,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = i62_concave_overlay_join(spark, SF_DIR).collect()
+    assert rows, "no overlapping concave pairs at sf0.001"
+
+    def dart(cx, cy, w, h):
+        return [(cx + w, cy + h), (cx, cy), (cx - w, cy + h),
+                (cx, cy - h)]
+
+    def inside(poly, x, y):
+        n, c = len(poly), False
+        for k in range(n):
+            x1, y1 = poly[k]
+            x2, y2 = poly[(k + 1) % n]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (
+                y2 - y1
+            ):
+                c = not c
+        return c
+
+    for r in sorted(rows, key=lambda r: (r.zone_id, r.district_id))[:5]:
+        zk, dk = r.zone_id, r.district_id
+        Z = dart(zk * 29 % 80, zk * 31 % 80, zk % 7 + 4, zk % 5 + 3)
+        rd = dk % 5 + 6
+        D = dart(dk * 41 % 80, dk * 59 % 80, rd, rd)
+        xs = [min(p[0] for p in Z), max(p[0] for p in Z)]
+        ys = [min(p[1] for p in Z), max(p[1] for p in Z)]
+        step = 0.02
+        n_in = 0
+        x = xs[0] + step / 2
+        while x < xs[1]:
+            y = ys[0] + step / 2
+            while y < ys[1]:
+                if inside(Z, x, y) and inside(D, x, y):
+                    n_in += 1
+                y += step
+            x += step
+        raster = n_in * step * step
+        assert r.inter_area == pytest.approx(raster, abs=1.2), (
+            zk, dk, r.inter_area, raster,
+        )
+        za = (zk % 7 + 4) * (zk % 5 + 3)
+        assert r.union_area == pytest.approx(
+            za + rd * rd - r.inter_area, abs=1e-6
+        )

@@ -67,6 +67,7 @@ EXTRAS = [
     # (their parent forms k54/i53 stay recorded for the comparison)
     "k54b_neardup_split_production",
     "i53b_haversine_knn_auto",
+    "i62_concave_overlay_join",
 ]
 
 
