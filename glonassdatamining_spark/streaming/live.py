@@ -332,7 +332,21 @@ def m8_streaming(
         closed, st = _m8_fold(st, ts_ms, vals)
         if st is not None:
             state.update(st)
-            state.setTimeoutTimestamp(st[1] + _M8_GAP_MS)
+            # Clamp to the watermark (round-8 fix for a file-order
+            # race): the global watermark advances on OTHER users'
+            # rows, so a user whose newest row in this micro-batch
+            # trails it would request a timeout in the past and Spark
+            # throws INVALID_TIMEOUT_TIMESTAMP (surfaced flakily —
+            # maxFilesPerTrigger batch order depends on file-listing
+            # ties). Clamped, the already-expired session flushes via
+            # the timeout branch in the NEXT micro-batch — exactly
+            # when the unclamped timeout would have fired it.
+            state.setTimeoutTimestamp(
+                max(
+                    st[1] + _M8_GAP_MS,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         if closed:
             yield _rows(user_id, closed)
 
