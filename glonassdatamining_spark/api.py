@@ -768,6 +768,7 @@ def minhash_lsh_dedup(
     n_perms: int = 16,
     n_bands: int = 4,
     band_df_cap: int | None = None,
+    cap_stats_out: dict | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup cluster assignment (MinHash + banded LSH + exact
     Jaccard verification + connected components); returns
@@ -795,7 +796,21 @@ def minhash_lsh_dedup(
     smallest colliding bucket is 9 (sf0.1) / 20 (sf1) vs buckets up to
     30 / 81, so cap=64 is lossless there with >3x margin (asserted in
     tests/test_api.py; the k54b doc-for-doc equality test re-proves it
-    end-to-end every run)."""
+    end-to-end every run).
+
+    ``cap_stats_out`` (round-9 ADVICE fix — "no silent caps"): the
+    losslessness argument above is CERTIFIED only on the planted k54
+    corpus; a generic caller enabling the cap on a different corpus
+    could lose qualifying pairs with no visibility. Pass a dict and
+    the cap pass fills it with ``dropped_buckets`` / ``dropped_rows``
+    (band-bucket postings discarded before candidate generation) and
+    ``max_bucket`` (largest bucket seen), and the same numbers are
+    logged at INFO on the ``glonassdatamining_spark.lsh`` logger — so
+    callers can see exactly how much candidate mass the cap discarded
+    on THEIR corpus and re-certify (or raise the cap). Costs one extra
+    aggregate over the (already checkpointed) band-postings frame;
+    the default (None) path is plan-identical to before and computes
+    nothing extra."""
     # Small tables scan into one split; spread the shingle+minhash HOF
     # work (the dominant CPU cost) over every core before computing it.
     # Shingles are hashed to int64 at construction (xxhash64 straight
@@ -865,12 +880,45 @@ def minhash_lsh_dedup(
     if band_df_cap is not None:
         # one linear agg + semi-join: keep only buckets <= cap before
         # the quadratic self-join (see docstring recall argument).
-        small = (
-            bands.groupBy("_band", "_band_key")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= band_df_cap)
-            .select("_band", "_band_key")
+        bucket_counts = bands.groupBy("_band", "_band_key").agg(
+            F.count(F.lit(1)).alias("_bn")
         )
+        if cap_stats_out is not None:
+            # Surface what the cap discards (never silent): one 1-row
+            # aggregate over the bucket-count frame.
+            row = bucket_counts.agg(
+                F.coalesce(
+                    F.sum((F.col("_bn") > band_df_cap).cast("bigint")),
+                    F.lit(0),
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_bn") > band_df_cap, F.col("_bn")
+                        ).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                ).alias("dropped_rows"),
+                F.coalesce(F.max("_bn"), F.lit(0)).alias("max_bucket"),
+            ).collect()[0]  # 1-row bounded cap-audit scalar
+            cap_stats_out.update(
+                dropped_buckets=int(row["dropped_buckets"]),
+                dropped_rows=int(row["dropped_rows"]),
+                max_bucket=int(row["max_bucket"]),
+            )
+            import logging
+
+            logging.getLogger("glonassdatamining_spark.lsh").info(
+                "band_df_cap=%d dropped %d oversized buckets "
+                "(%d band postings; max bucket %d)",
+                band_df_cap,
+                cap_stats_out["dropped_buckets"],
+                cap_stats_out["dropped_rows"],
+                cap_stats_out["max_bucket"],
+            )
+        small = bucket_counts.filter(
+            F.col("_bn") <= band_df_cap
+        ).select("_band", "_band_key")
         bands = bands.join(small, ["_band", "_band_key"], "left_semi")
     cand = (
         bands.alias("x")

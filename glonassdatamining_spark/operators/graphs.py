@@ -1069,7 +1069,17 @@ def _n18_oracle() -> str:
     )
 
 
-def _n18_labels(e: DataFrame) -> DataFrame:
+# Broadcast gate for the per-round LPA label join: ~2M (node, lbl)
+# bigint pairs ≈ 32 MB serialized — comfortably under Spark's
+# spark.sql.autoBroadcastJoinThreshold ceiling class while leaving
+# 100× headroom over the fixture graph. Above it, the hint is dropped
+# (shuffle join; bucket sym by dst on a cluster).
+_N18_BCAST_MAX_V = 2_000_000
+
+
+def _n18_labels(
+    e: DataFrame, broadcast_max_vertices: int = _N18_BCAST_MAX_V
+) -> DataFrame:
     """Synchronous min-label LPA, ``_N18_ITERS`` fixed rounds,
     fully deterministic: label⁰(v) = v; each round every node takes
     the most frequent label among {its neighbors' labels} ∪ {its own}
@@ -1079,9 +1089,17 @@ def _n18_labels(e: DataFrame) -> DataFrame:
     engines because every step is integer counting + integer argmin).
     Round shape (bench-tuned, ~40% off the first cut): the vertex
     label frame is explicitly BROADCAST onto the big symmetric edge
-    list (map-side join — sym never reshuffles per round; on a
-    cluster whose vertex table outgrows broadcast, bucket sym by dst
-    instead), and the vote argmax is ONE aggregation —
+    list (map-side join — sym never reshuffles per round), GATED on
+    vertex count like n1's hybrid CC gate (round-8 ADVICE fix: an
+    unconditional broadcast hint dies on any graph whose vertex
+    table outgrows executor broadcast limits before the docstring's
+    alternative can apply): above ``broadcast_max_vertices`` the hint
+    is dropped and the per-round join runs as a plain shuffle join
+    (AQE still broadcasts when runtime stats allow; on a cluster,
+    bucket sym by dst so the shuffle rounds are co-located). The
+    gate probe is ONE bounded limit-count on the checkpointed vertex
+    frame (labels never change cardinality across rounds, so one
+    probe covers all rounds). The vote argmax is ONE aggregation —
     ``F.mode(lbl, deterministic=True)`` is exactly "most frequent,
     ties to the LOWEST value", the update rule's tie-break — instead
     of a count groupBy followed by a min_by groupBy (verified
@@ -1100,18 +1118,36 @@ def _n18_labels(e: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
+    # Hybrid broadcast gate (n1's probe shape): one bounded
+    # limit-count decides the per-round join strategy for ALL rounds.
+    small_vertex_set = (
+        labels.limit(broadcast_max_vertices + 1).count()
+        <= broadcast_max_vertices
+    )
     for _ in range(_N18_ITERS):
-        nbr = sym.join(
-            F.broadcast(labels.select(F.col("node").alias("dst"), "lbl")),
-            "dst",
-        ).select(F.col("src").alias("node"), "lbl")
-        votes = nbr.unionByName(labels)
         labels = (
-            votes.groupBy("node")
+            _n18_round(sym, labels, small_vertex_set)
+            .groupBy("node")
             .agg(F.mode("lbl", True).alias("lbl"))
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _n18_round(
+    sym: DataFrame, labels: DataFrame, small_vertex_set: bool
+) -> DataFrame:
+    """One LPA vote frame (neighbor labels ∪ self-vote), pre-argmax.
+    Factored out so the broadcast gate is plan-assertable: with
+    ``small_vertex_set`` the label side carries an explicit broadcast
+    hint; without it the join is left to AQE (tests/test_graphs.py
+    asserts the hint's presence/absence in the analyzed plan)."""
+    lab_dst = labels.select(F.col("node").alias("dst"), "lbl")
+    nbr = sym.join(
+        F.broadcast(lab_dst) if small_vertex_set else lab_dst,
+        "dst",
+    ).select(F.col("src").alias("node"), "lbl")
+    return nbr.unionByName(labels)
 
 
 @register("n18_label_propagation", oracle=_n18_oracle(), section="N18")

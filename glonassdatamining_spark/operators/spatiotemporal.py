@@ -4383,10 +4383,17 @@ def _i59_oracle() -> str:
     )
 
 
-_I59_BARRIERS: list = [[]]  # list of per-build barrier generations
+# Per-OPERATOR barrier generations (round-9 ADVICE fix: i59 and i62
+# previously rotated ONE shared global list, so interleaved
+# i59/i62 builds aged each other's generations — a third party
+# holding a 2-builds-old handle from the OTHER operator silently
+# lost its cache and re-triggered the expression blowup the barrier
+# guards against). Each operator key now owns an independent
+# generation list; the keep-2 contract is per operator.
+_BARRIER_GENS: dict[str, list] = {}
 
 
-def _i59_barrier(df: DataFrame) -> DataFrame:
+def _i59_barrier(df: DataFrame, op: str = "i59") -> DataFrame:
     """Spill-safe optimizer barrier (round-7 verdict ask #7). persist
     DISK_ONLY instead of ``localCheckpoint``: cache substitution
     (``QueryExecution.withCachedData``) swaps the persisted subtree for
@@ -4402,26 +4409,30 @@ def _i59_barrier(df: DataFrame) -> DataFrame:
     the caller still holds — bench warm-up loops and two-scale tests
     do exactly this — and its next action would re-optimize the
     UN-barriered plan, i.e. the 6^5 blowup the barrier exists to
-    stop). Contract: handles from ≥ 2 builds ago must be considered
-    expired; repeated builds still cannot accumulate more than two
-    generations of disk-backed cache."""
+    stop). Contract: handles from ≥ 2 builds ago OF THE SAME operator
+    must be considered expired (generations are keyed per ``op`` —
+    another operator's builds never age this operator's handles);
+    repeated builds still cannot accumulate more than two generations
+    of disk-backed cache per operator."""
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.DISK_ONLY)
-    _I59_BARRIERS[-1].append(out)
+    _BARRIER_GENS.setdefault(op, [[]])[-1].append(out)
     return out
 
 
-def _i59_release_barriers() -> None:
-    """Start a new barrier generation; unpersist generations older
-    than the previous one (keep-2 FIFO, see _i59_barrier)."""
-    while len(_I59_BARRIERS) > 1:
-        for old in _I59_BARRIERS.pop(0):
+def _i59_release_barriers(op: str = "i59") -> None:
+    """Start a new barrier generation for ``op``; unpersist this
+    operator's generations older than the previous one (keep-2 FIFO
+    per operator, see _i59_barrier)."""
+    gens = _BARRIER_GENS.setdefault(op, [[]])
+    while len(gens) > 1:
+        for old in gens.pop(0):
             try:
                 old.unpersist(blocking=False)
             except Exception:
                 pass
-    _I59_BARRIERS.append([])
+    gens.append([])
 
 
 @register("i59_polygon_overlay_join", oracle=_i59_oracle(), section="I59")
@@ -5043,7 +5054,7 @@ def i62_concave_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_clip_half_plane_cols,
     )
 
-    _i59_release_barriers()  # rotate the shared barrier generations
+    _i59_release_barriers("i62")  # rotate i62's OWN barrier generations
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
     zones = o.select(
         F.col("o_orderkey").alias("zone_id"),
@@ -5122,7 +5133,7 @@ def i62_concave_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one barrier between the join/dedup/explode and the clip chains
     # (the i59 constraint-propagation blowup discipline)
-    t = _i59_barrier(t)
+    t = _i59_barrier(t, "i62")
     terms = []
     for j, (tsign, fan) in enumerate(_I62_CLIP_FANS):
         cur = "tri"

@@ -151,6 +151,38 @@ def test_minhash_lsh_dedup_generic(spark):
     assert got[30] == 30
 
 
+def test_minhash_lsh_cap_stats_surface_drops(spark):
+    """Round-9 ADVICE fix ("no silent caps"): with band_df_cap set,
+    cap_stats_out must report exactly how many oversized band buckets
+    / postings were discarded — and report zero when nothing is
+    dropped. 6 identical docs collide in every band, so cap=4 drops
+    all their buckets (each doc still clusters with itself only —
+    visible recall loss, now measurable)."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc INT, content STRING")
+
+    stats: dict = {}
+    out = api.minhash_lsh_dedup(
+        df, "doc", "content", tau=0.5, band_df_cap=4, cap_stats_out=stats
+    )
+    got = {r.doc: r.cluster for r in out.collect()}
+    # every bucket the 6 identical docs share is over the cap of 4
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_rows"] >= 6
+    assert stats["max_bucket"] == 6
+    assert all(got[d] == d for d in range(6))  # the measured recall loss
+
+    loose: dict = {}
+    out2 = api.minhash_lsh_dedup(
+        df, "doc", "content", tau=0.5, band_df_cap=64, cap_stats_out=loose
+    )
+    got2 = {r.doc: r.cluster for r in out2.collect()}
+    assert loose["dropped_buckets"] == 0
+    assert loose["dropped_rows"] == 0
+    assert all(got2[d] == 0 for d in range(6))  # lossless at this cap
+
+
 def test_dbscan_generic(spark):
     import random
 

@@ -303,3 +303,33 @@ def test_n18_hand_graph_two_cliques(spark):
     assert got[1] == got[2] == got[3]
     assert got[4] == got[5] == got[6]
     assert got[1] != got[4]
+
+
+def test_n18_broadcast_gate(spark):
+    """Round-9 ADVICE fix: the per-round label join must broadcast
+    only below the vertex-count gate. Assert (a) the gated shuffle
+    path computes IDENTICAL labels (gate=0 forces it), and (b) the
+    broadcast hint is present in the analyzed per-round plan below
+    the gate and absent above it (n1's hybrid-gate discipline)."""
+    from glonassdatamining_spark.operators.graphs import (
+        _n18_labels,
+        _n18_round,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    bcast = {r.node: r.community for r in _n18_labels(e).collect()}
+    shuffled = {
+        r.node: r.community
+        for r in _n18_labels(e, broadcast_max_vertices=0).collect()
+    }
+    assert bcast == shuffled
+
+    sym = e.union(e.selectExpr("dst as src", "src as dst"))
+    labels = sym.selectExpr("src as node", "src as lbl").distinct()
+    plan_small = _n18_round(sym, labels, True)._jdf.queryExecution().analyzed().toString()
+    plan_big = _n18_round(sym, labels, False)._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan_small.lower()
+    assert "broadcast" not in plan_big.lower()

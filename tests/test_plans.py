@@ -189,3 +189,34 @@ def test_i59_barrier_bounds_plan_size(spark):
     assert "InMemoryRelation" in plan, "persist barrier not substituted into the plan"
     assert len(plan) < 400_000, f"i59 plan blew up: {len(plan)} chars"
     st._i59_release_barriers()
+
+
+def test_barrier_generations_keyed_per_operator(spark):
+    """Round-9 ADVICE fix: interleaved i59/i62 builds must NOT age
+    each other's barrier generations — a caller holding a 1-build-old
+    i59 handle keeps its cache no matter how many i62 builds happen
+    in between (previously one shared global list expired it)."""
+    from pyspark import StorageLevel
+
+    from glonassdatamining_spark.operators import spatiotemporal as st
+
+    st._i59_release_barriers("i59")
+    st._i59_release_barriers("i62")
+    df = spark.range(3)
+    held = st._i59_barrier(df, "i59")
+    held.count()  # materialize the DISK_ONLY cache
+    assert held.storageLevel == StorageLevel.DISK_ONLY
+    # three i62 rotations — would have expired the i59 handle under
+    # the shared-list scheme (keep-2 FIFO)
+    for _ in range(3):
+        st._i59_release_barriers("i62")
+        st._i59_barrier(spark.range(2), "i62").count()
+    assert held.storageLevel == StorageLevel.DISK_ONLY, (
+        "i62 builds expired an i59 barrier handle"
+    )
+    # but two more i59 generations DO expire it (the per-op contract)
+    st._i59_release_barriers("i59")
+    st._i59_release_barriers("i59")
+    assert held.storageLevel != StorageLevel.DISK_ONLY
+    st._i59_release_barriers("i59")
+    st._i59_release_barriers("i62")

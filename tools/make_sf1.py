@@ -146,9 +146,18 @@ def main() -> None:
             # statistics bit-for-bit but changes almost every token,
             # which destroys the shingle set wholesale; replica 0
             # stays the original rows (r = k = 0).
+            # Round-9 ADVICE fix: rotating by (i % len(w)) is the
+            # IDENTITY whenever len(w) divides i (all 1/2/4-char words
+            # at replica 4, 5-char words at replica 5, ...), so common
+            # short words survived unchanged and some cross-replica
+            # 3-gram shingles persisted. Rotate by 1 + (i % (len-1))
+            # instead: the offset is always in [1, len-1], so EVERY
+            # word of length >= 2 is perturbed at EVERY replica index
+            # (length-1 words have no non-identity rotation).
             if i > 0:
                 words = [
-                    w[(i % len(w)):] + w[:(i % len(w))] if w else w
+                    w[1 + (i % (len(w) - 1)):] + w[:1 + (i % (len(w) - 1))]
+                    if len(w) >= 2 else w
                     for w in words
                 ]
             rotated.append(" ".join(words[k:] + words[:k]))
