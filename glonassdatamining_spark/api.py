@@ -577,6 +577,63 @@ def haversine_knn_radius(
     return min(cap_km, max(floor_km, r))
 
 
+class LocalPlane:
+    """Parameterized equirectangular local-plane CRS around an anchor
+    (round-9 verdict ask #8: i61's two anchor zones were query
+    literals — this is the reusable ``ST_Transform``-for-the-local-
+    plane-case helper, so a third zone is one constructor call, not
+    an operator edit).
+
+    Scale factors are PYTHON-precomputed floats captured at
+    construction (kx = KY·cos(lat0), ky = KY = R·π/180 km/deg), so
+    the per-row transform is one IEEE subtract + multiply per axis —
+    no per-row trig, no libm divergence between engines; an oracle
+    replays the same doubles by injecting ``repr(plane.kx)`` /
+    ``repr(plane.ky)`` literals (i61's hash-exactness discipline,
+    now carried by the object).
+
+    ``distortion_bound(dlat)`` returns the documented max E-W scale
+    error |cos(lat)/cos(lat0) − 1| across lat0 ± dlat — the honesty
+    contract: beyond ~4% use the geodesic tier (i53–i56) instead.
+    """
+
+    #: exact N-S km per degree on the mean-earth sphere
+    KY = 6371.0088 * 3.141592653589793 / 180.0
+
+    def __init__(self, lat0: float, lon0: float) -> None:
+        import math
+
+        self.lat0 = float(lat0)
+        self.lon0 = float(lon0)
+        self.ky = self.KY
+        self.kx = self.KY * math.cos(math.radians(self.lat0))
+
+    def xk(self, lon) -> Column:
+        """East-west km offset Column from a lon Column/name."""
+        lon = F.col(lon) if isinstance(lon, str) else lon
+        return (lon - F.lit(self.lon0)) * F.lit(self.kx)
+
+    def yk(self, lat) -> Column:
+        """North-south km offset Column from a lat Column/name."""
+        lat = F.col(lat) if isinstance(lat, str) else lat
+        return (lat - F.lit(self.lat0)) * F.lit(self.ky)
+
+    def distortion_bound(self, dlat: float) -> float:
+        """Max |cos(lat)/cos(lat0) − 1| over lat ∈ [lat0−dlat, lat0+dlat]."""
+        import math
+
+        c0 = math.cos(math.radians(self.lat0))
+        return max(
+            abs(math.cos(math.radians(self.lat0 + s * dlat)) / c0 - 1.0)
+            for s in (-1.0, 1.0)
+        )
+
+
+def local_plane(lat0: float, lon0: float) -> LocalPlane:
+    """Construct a :class:`LocalPlane` anchored at (lat0, lon0)."""
+    return LocalPlane(lat0, lon0)
+
+
 def polygon_edges(polygon: list[tuple[float, float]]) -> Column:
     """Closed-ring edge array for a polygon given as [(x, y), ...]
     vertices (closing edge appended automatically): a Column literal

@@ -4903,9 +4903,18 @@ def i61_projected_local_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning is one partial-agg groupBy — i5's 100 TB shape. Zone
     windows are static predicates → parquet row-group pruning when the
     lakehouse layout Z-orders on (lat, lon) (a8/g14's layout)."""
+    from glonassdatamining_spark.api import local_plane
+
     g = geo(spark, sf_dir)
     parts = []
     for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        # Round-9 verdict ask #8: the transform now goes through the
+        # parameterized api.local_plane helper (a third zone is one
+        # constructor call). The helper's python-precomputed kx/ky
+        # reproduce the _I61_ZONES literals bit-for-bit (asserted in
+        # tests/test_api.py), so the oracle and this hash are
+        # unchanged.
+        plane = local_plane(lat0, lon0)
         z = g.filter(
             (F.col("lat") >= lat0 - dlat)
             & (F.col("lat") <= lat0 + dlat)
@@ -4915,8 +4924,8 @@ def i61_projected_local_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             z.select(
                 F.lit(zone).alias("zone"),
-                ((F.col("lon") - F.lit(lon0)) * F.lit(kx)).alias("xk"),
-                ((F.col("lat") - F.lit(lat0)) * F.lit(_I61_KY)).alias("yk"),
+                plane.xk("lon").alias("xk"),
+                plane.yk("lat").alias("yk"),
             )
         )
     u = parts[0].unionByName(parts[1])
@@ -5166,4 +5175,132 @@ def i62_concave_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("_za") + F.col("_da")) - F.col("_inter"), 6).alias(
             "union_area"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I63 — geodesic geofence: i61's local-plane transform composed with
+# i19's even-odd ray cast (round-9 verdict ask #7 — the registered
+# geodesic point-in-polygon query the geodesy tier was missing)
+# ---------------------------------------------------------------------------
+# Per-zone geofence polygons in LOCAL-PLANE KILOMETRES around the
+# _I61_ZONES anchors — concave chevrons (both reflex notches exercise
+# the even-odd rule, i19's discipline), vertices carrying a 7e-4 km
+# offset so no projected fix coordinate sits on a vertex level.
+# Each fence lies well inside its zone's declared band, so the
+# documented i61 distortion bound applies; the FENCE's own (tighter)
+# bound is |cos(lat)/cos(lat0) - 1| over the fence's latitude extent:
+#   equatorial: |y| <= 500 km -> lat0 ± 4.50° -> <= 0.31 %
+#   midlat:     |y| <=  90 km -> lat0 ± 0.81° -> <= 2.09 %
+# (python-derived via LocalPlane.distortion_bound, asserted in
+# tests/test_api.py::test_i63_fence_distortion_bounds). Beyond ~4 %
+# use the geodesic tier (i53–i56) — the README cutover rule.
+_I63_FENCES = {
+    "equatorial": [
+        (-800.0007, -300.0007),
+        (0.0007, -100.0007),
+        (800.0007, -300.0007),
+        (800.0007, 500.0007),
+        (0.0007, 300.0007),
+        (-800.0007, 500.0007),
+    ],
+    "midlat": [
+        (-130.0007, -60.0007),
+        (0.0007, -20.0007),
+        (130.0007, -60.0007),
+        (130.0007, 90.0007),
+        (0.0007, 50.0007),
+        (-130.0007, 90.0007),
+    ],
+}
+
+
+def _i63_oracle() -> str:
+    arms = []
+    edge_rows = []
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        arms.append(
+            f"SELECT '{zone}' AS zone, obj_id, "
+            f"(lon - ({lon0!r})) * ({kx!r}) AS xk, "
+            f"(lat - ({lat0!r})) * ({_I61_KY!r}) AS yk FROM geo "
+            f"WHERE lat >= ({lat0 - dlat!r}) AND lat <= ({lat0 + dlat!r}) "
+            f"AND lon >= ({lon0 - dlon!r}) AND lon <= ({lon0 + dlon!r})"
+        )
+        edge_rows.append(_poly_sql_values(_I63_FENCES[zone], zone=zone))
+    pip = (
+        "((SELECT COUNT(*) FROM fence p WHERE p.zone = f.zone "
+        "AND (p.y1 > f.yk) <> (p.y2 > f.yk) "
+        "AND f.xk < p.x1 + (f.yk - p.y1) * (p.x2 - p.x1) / (p.y2 - p.y1)"
+        ") % 2) = 1"
+    )
+    return (
+        GEO_CTE
+        + ", proj AS (" + " UNION ALL ".join(arms) + "), "
+        "fence(zone, x1, y1, x2, y2) AS (VALUES "
+        + ", ".join(edge_rows)
+        + "), inside AS (SELECT f.zone, f.obj_id FROM proj f WHERE "
+        + pip
+        + ") SELECT zone, obj_id, CAST(COUNT(*) AS BIGINT) AS n_inside "
+        "FROM inside GROUP BY 1, 2"
+    )
+
+
+@register("i63_geodesic_geofence", oracle=_i63_oracle(), section="I63")
+def i63_geodesic_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEODESIC geofence containment (round-9 verdict ask #7): lat/lon
+    fixes tested against per-zone CONCAVE geofence polygons defined in
+    kilometres, by composing the two registered primitives — the
+    parameterized ``api.local_plane`` equirectangular transform (i61's
+    kernel) projects each zone's fixes to km offsets around its
+    anchor, then i19's even-odd ray cast (``api.point_in_polygon``)
+    runs UNCHANGED on the projected coordinates. Output: per (zone,
+    object) count of fixes inside the zone's fence.
+
+    Exactness contract: the projection is one IEEE subtract + multiply
+    per axis from python-precomputed repr literals, and the crossing
+    arithmetic is the identical expression on both engines — so the
+    composition is hash-exact end to end, while the GEOMETRY is honest
+    within the documented distortion bound of each fence's latitude
+    extent (≤ 0.31 % equatorial, ≤ 2.09 % midlat — see _I63_FENCES;
+    the exact-geodesic cutover rule: a fence whose bound exceeds ~4 %
+    must use the geodesic tier instead).
+
+    Scale: zone band predicates are static filters (parquet row-group
+    pruning on a lat/lon Z-ordered layout — a8/g14); the transform and
+    ray cast fuse into the scan projection (zero shuffle, O(edges) per
+    point); the only exchange is the final (zone, obj_id) partial-agg
+    groupBy. Fences are plan literals — for large fence catalogs,
+    bbox-bucket fences by cell and equi-join on cell before the exact
+    test (i3/i59's candidate shape)."""
+    from glonassdatamining_spark.api import (
+        local_plane,
+        point_in_polygon,
+        polygon_edges,
+    )
+
+    g = geo(spark, sf_dir)
+    parts = []
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        plane = local_plane(lat0, lon0)
+        fence = polygon_edges(_I63_FENCES[zone])
+        z = g.filter(
+            (F.col("lat") >= lat0 - dlat)
+            & (F.col("lat") <= lat0 + dlat)
+            & (F.col("lon") >= lon0 - dlon)
+            & (F.col("lon") <= lon0 + dlon)
+        )
+        pts = z.select(
+            F.lit(zone).alias("zone"),
+            "obj_id",
+            plane.xk("lon").alias("xk"),
+            plane.yk("lat").alias("yk"),
+        )
+        parts.append(
+            pts.filter(
+                point_in_polygon(F.col("xk"), F.col("yk"), fence)
+            ).select("zone", "obj_id")
+        )
+    u = parts[0].unionByName(parts[1])
+    return u.groupBy("zone", "obj_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inside")
     )

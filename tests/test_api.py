@@ -1084,3 +1084,42 @@ def test_haversine_knn_join_small_cell_counts_no_duplicates(spark):
             assert [b for _, b in sorted(got.get(a, []))] == expect, (
                 max_km, a,
             )
+
+
+def test_local_plane_reproduces_i61_literals():
+    """api.local_plane (round-9 verdict ask #8) must reproduce the
+    _I61_ZONES python-precomputed scale literals BIT-FOR-BIT — that
+    identity is what lets i61 route through the helper with its
+    oracle hash unchanged."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I61_KY,
+        _I61_ZONES,
+    )
+
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        plane = api.local_plane(lat0, lon0)
+        assert plane.kx == kx, zone        # exact, not approx
+        assert plane.ky == _I61_KY, zone
+
+
+def test_i63_fence_distortion_bounds():
+    """Each i63 geofence's documented distortion bound: the fence's
+    latitude extent (|y|max/KY degrees around the anchor) must yield
+    an E-W scale error within the documented per-fence numbers, and
+    both must sit under the ~4% geodesic-cutover rule."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I63_FENCES,
+        _I61_ZONES,
+    )
+
+    documented = {"equatorial": 0.0031, "midlat": 0.0209}
+    for zone, lat0, lon0, dlat, dlon, kx in _I61_ZONES:
+        plane = api.local_plane(lat0, lon0)
+        y_max = max(abs(y) for _, y in _I63_FENCES[zone])
+        bound = plane.distortion_bound(y_max / plane.ky)
+        assert bound <= documented[zone] + 1e-4, (zone, bound)
+        assert bound < 0.04, (zone, bound)
+        # fence fits inside the zone's declared band
+        x_max = max(abs(x) for x, _ in _I63_FENCES[zone])
+        assert y_max / plane.ky <= dlat, zone
+        assert x_max / plane.kx <= dlon, zone
