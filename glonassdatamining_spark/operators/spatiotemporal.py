@@ -227,6 +227,50 @@ def i6_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(spark, sf_dir, _DB_EPS, _DB_MINPTS, _DB_CELL)
 
 
+# i6b calibration: the sf0.1 operating point (100k fixes) is where
+# (eps 0.8, cell 4.0) was bench-tuned; the auto variant scales BOTH
+# by √(N_REF/n) — the standard DBSCAN parameter scaling under
+# fixed-extent densification (min_pts stays fixed), keeping per-cell
+# occupancy and the O(n_cell²) Arrow-kernel cost constant. SCALE.md
+# measured exactly this retune at sf1 (eps 0.253, cell 1.265):
+# 3.2× for 10× rows vs 23.1× untuned.
+_I6B_N_REF = 100_000.0
+
+
+def dbscan_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    n_ref: float = _I6B_N_REF,
+) -> DataFrame:
+    """i6's distributed DBSCAN with the DENSITY-DERIVED (eps, cell):
+    one bounded count derives n, s = √(n_ref/n) scales eps and cell
+    together (their 5× ratio — the halo-replication/kernel-cost
+    trade — is preserved). With n == n_ref this is EXACTLY i6
+    (asserted in tests/test_ml.py)."""
+    import math
+
+    f = fixes(spark, sf_dir)
+    n = f.count()  # one bounded aggregate job (i53b's plan-time scalar)
+    s = math.sqrt(n_ref / max(n, 1))
+    out = dbscan(spark, sf_dir, _DB_EPS * s, _DB_MINPTS, _DB_CELL * s)
+    return out.withColumn("eps", F.round(F.lit(_DB_EPS * s), 6))
+
+
+@register("i6b_dbscan_auto", oracle=None, section="I6")
+def i6b_dbscan_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i6 with SELF-TUNING (eps, cell) (round-9 verdict ask #1 — the
+    other half of the last >20× curve-row pair): density clustering
+    re-scaled to constant per-cell occupancy as the corpus grows,
+    the SCALE.md-measured retune (sf1 3.2× for 10× rows vs i6's
+    23.1×) promoted to a registered, mirrored query. rows-only like
+    i6 itself (cluster ids aren't ANSI-SQL-expressible); correctness
+    rides (a) exact equality to i6 at n_ref = n, (b) the √10
+    eps-shrink property across fixture scales, and (c) a brute-force
+    python DBSCAN equivalence at sf0.001 WITH the derived eps
+    (tests/test_ml.py)."""
+    return dbscan_auto(spark, sf_dir)
+
+
 def dbscan(
     spark: SparkSession,
     sf_dir: str,
@@ -494,6 +538,69 @@ def i11_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (F.floor(F.col("x") / 2.0).cast("bigint") * 100 + F.floor(F.col("y") / 2.0).cast("bigint"))
     visits = f.select("obj_id", cell.alias("cell"))
     return set_similarity_topk(visits, "obj_id", "cell", k=3, round_to=6)
+
+
+# i11b calibration: at the sf0.1 operating point (100k fixes on the
+# fixed 100×100 plane) the parent's cell width 2.0 gives the tuned
+# postings-per-cell density; the auto variant holds that density
+# CONSTANT as the corpus grows — cell = 2.0·√(N_REF/n), the re-bin
+# every real deployment applies under fixed-extent densification
+# (SCALE.md measured it at sf1: 4.4× for 10× rows vs 26.6× untuned).
+_I11B_N_REF = 100_000.0
+_I11B_CELL_REF = 2.0
+
+
+def trajectory_similarity_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    n_ref: float = _I11B_N_REF,
+    cell_ref: float = _I11B_CELL_REF,
+    k: int = 3,
+) -> DataFrame:
+    """i11's inverted-index set-similarity join with the DENSITY-
+    DERIVED grid cell: one bounded count derives n, then
+    cell = cell_ref·√(n_ref/n) keeps expected postings per cell
+    constant, so the join's per-cell candidate pairs (postings²) stay
+    flat where the fixed 2.0 cell densifies quadratically. With
+    n == n_ref this is EXACTLY i11 (cell = cell_ref; asserted in
+    tests/test_api.py). Cell ids pack as cx·2²⁰ + cy so fine cells at
+    high density can never collide (i11's ×100 packing assumes
+    cell ≥ 1)."""
+    import math
+
+    from glonassdatamining_spark.api import set_similarity_topk
+
+    f = fixes(spark, sf_dir)
+    n = f.count()  # one bounded aggregate job (i53b's plan-time scalar)
+    cell = cell_ref * math.sqrt(n_ref / max(n, 1))
+    cid = (
+        F.floor(F.col("x") / cell).cast("bigint") * 1048576
+        + F.floor(F.col("y") / cell).cast("bigint")
+    )
+    visits = f.select("obj_id", cid.alias("cell"))
+    out = set_similarity_topk(visits, "obj_id", "cell", k=k, round_to=6)
+    # carry the derived parameter so the tuning is visible in the
+    # artifact (i53b's radius_km discipline)
+    return out.withColumn("cell_size", F.round(F.lit(cell), 4))
+
+
+@register("i11b_trajectory_similarity_auto", oracle=None, section="I11")
+def i11b_trajectory_similarity_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """i11 with the SELF-TUNING cell width (round-9 verdict ask #1 —
+    the registered 100-TB form of the last >20× scale-curve row pair):
+    the visited-cell grid re-bins to constant postings per cell as
+    density grows, exactly the SCALE.md-measured retune (sf1 4.4× for
+    10× rows vs i11's 26.6×), now an executable, mirrored artifact
+    instead of prose. rows-only: the derived cell width makes the
+    feature space data-dependent (ANSI SQL cannot replay the scalar
+    without re-deriving it); correctness rides (a) exact equality to
+    i11 when the derived cell equals the parent's 2.0 (n_ref = n —
+    asserted in tests/test_api.py), (b) the exact √10 cell-shrink
+    property across fixture scales, and (c) the parent kernel's own
+    brute-force oracle (i11 stays registered and hash-green)."""
+    return trajectory_similarity_auto(spark, sf_dir)
 
 
 _GI_CELL = 5.0

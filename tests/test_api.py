@@ -1123,3 +1123,46 @@ def test_i63_fence_distortion_bounds():
         x_max = max(abs(x) for x, _ in _I63_FENCES[zone])
         assert y_max / plane.ky <= dlat, zone
         assert x_max / plane.kx <= dlon, zone
+
+
+def test_i11b_equals_i11_at_reference_density(spark):
+    """With n_ref pinned to the ACTUAL fixture count, the derived cell
+    equals the parent's 2.0 exactly and i11b must reproduce i11
+    row-for-row (the i53b parent-equivalence discipline) — proving the
+    auto variant is the parent plus ONLY the re-bin."""
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        fixes,
+        trajectory_similarity_auto,
+    )
+
+    n = fixes(spark, SF_DIR).count()
+    auto = trajectory_similarity_auto(spark, SF_DIR, n_ref=float(n))
+    cell_sizes = {r.cell_size for r in auto.select("cell_size").distinct().collect()}
+    assert cell_sizes == {2.0}
+    parent = registry.get("i11_trajectory_similarity").builder(spark, SF_DIR)
+    got = {(r.obj_a, r.obj_b): r.jaccard for r in auto.collect()}
+    want = {(r.obj_a, r.obj_b): r.jaccard for r in parent.collect()}
+    assert got == want
+
+
+def test_i11b_cell_shrinks_with_density(spark):
+    """The self-tuning contract: 10× the rows (sf0.001 → sf0.01 fixture
+    pair) must shrink the derived cell by exactly √10 — constant
+    expected postings per cell (the fixture counts are exactly 10×,
+    so the ratio is exact, not approximate)."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I11B_CELL_REF,
+        _I11B_N_REF,
+        fixes,
+    )
+
+    cells = {}
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = fixes(spark, sf_dir).count()
+        cells[sf_dir] = _I11B_CELL_REF * math.sqrt(_I11B_N_REF / n)
+    ratio = cells["/root/testdata/sf0.001"] / cells["/root/testdata/sf0.01"]
+    assert abs(ratio - math.sqrt(10.0)) < 1e-12
+    assert cells["/root/testdata/sf0.01"] < cells["/root/testdata/sf0.001"]

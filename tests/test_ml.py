@@ -484,3 +484,57 @@ def test_ivf_planted_boundary_pairs_zero_miss(spark, tmp_path):
         if top1.get(a) != b or top1.get(b) != a
     ]
     assert not missed, f"boundary pairs missed by spill/probe: {missed}"
+
+
+def test_i6b_equals_i6_at_reference_density(spark):
+    """dbscan_auto with n_ref pinned to the actual fixture count must
+    reproduce i6 exactly (derived scale s = 1) — the parent-
+    equivalence half of the i6b contract."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        dbscan_auto,
+        fixes,
+    )
+
+    n = fixes(spark, SF_DIR).count()
+    auto = dbscan_auto(spark, SF_DIR, n_ref=float(n)).toPandas()
+    assert set(auto["eps"]) == {0.8}
+    parent = registry.get("i6_dbscan").builder(spark, SF_DIR).toPandas()
+    a = auto.drop(columns=["eps"]).sort_values("event_id").reset_index(drop=True)
+    b = parent.sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_i6b_matches_brute_force_at_derived_eps(spark):
+    """The registered i6b runs with the DERIVED (eps, cell) at
+    sf0.001 — its core-point partition must match single-node DBSCAN
+    at that same derived eps (the brute-force discipline applied to
+    the auto variant, not just the parent)."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _DB_EPS,
+        _DB_MINPTS,
+        _I6B_N_REF,
+        fixes,
+    )
+
+    pts = fixes(spark, SF_DIR).select("event_id", "x", "y").toPandas()
+    s = math.sqrt(_I6B_N_REF / len(pts))
+    eps = _DB_EPS * s
+    got = registry.get("i6b_dbscan_auto").builder(spark, SF_DIR).toPandas()
+    assert abs(got["eps"].iloc[0] - round(eps, 6)) < 1e-9
+    pts = pts.sort_values("event_id").reset_index(drop=True)
+    ref_labels = _brute_force_dbscan(
+        pts[["x", "y"]].to_numpy(), eps, _DB_MINPTS
+    )
+    ref = dict(zip(pts["event_id"], ref_labels))
+    core = got[got["is_core"]]
+    assert len(core) > 0, "derived eps found no cores at sf0.001"
+    pairing: dict = {}
+    reverse: dict = {}
+    for _, row in core.iterrows():
+        r = ref[row["event_id"]]
+        assert r != -1
+        ours = row["cluster"]
+        assert pairing.setdefault(ours, r) == r
+        assert reverse.setdefault(r, ours) == ours
