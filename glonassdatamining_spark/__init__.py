@@ -39,6 +39,7 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     haversine_km,
     heavy_hitters,
     kcore,
+    local_plane,
     minhash_lsh_dedup,
     pagerank,
     pii_scrub,
@@ -49,6 +50,7 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     set_similarity_topk,
     shingles,
     stratified_hash_sample,
+    weighted_sssp,
 )
 
 __all__ = [
@@ -67,6 +69,7 @@ __all__ = [
     "grid_distance_join",
     "heavy_hitters",
     "kcore",
+    "local_plane",
     "minhash_lsh_dedup",
     "pagerank",
     "pii_scrub",
@@ -77,4 +80,5 @@ __all__ = [
     "set_similarity_topk",
     "shingles",
     "stratified_hash_sample",
+    "weighted_sssp",
 ]

@@ -1340,12 +1340,122 @@ def bfs_hops(
     return visited
 
 
+def weighted_sssp(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    source_node=None,
+    max_iter: int = 100,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Single-source shortest WEIGHTED distances over an undirected
+    edge list with positive integer edge lengths; returns
+    (node, dist) for every reachable node (source at 0). Round-9
+    verdict ask #3 — bfs_hops' frontier join with an integer RELAX
+    step instead of hop counting.
+
+    Frontier Bellman-Ford (delta-less): each round relaxes only from
+    the frontier (nodes whose distance improved last round) — one
+    equi-join onto the edge list, a per-node min, and an improvement
+    anti-filter against the settled table. Positive integer weights
+    make every improvement ≥ 1, so the fixpoint terminates in at most
+    (max finite distance) rounds and — unlike Dijkstra — needs no
+    priority queue, making it the standard distributed SSSP shape
+    (Pregel's). All arithmetic is integer, hence hash-exact across
+    engines. ``max_dist`` (optional) truncates the result to the
+    bounded-cost ball dist ≤ max_dist — the form a recursive-CTE
+    oracle can replay with a path-cost guard. Iterations are
+    localCheckpoint-materialized (lineage O(1); reliable checkpoint()
+    on a cluster, where bucketing edges by src makes every round
+    co-located). Eager: runs Spark jobs when called.
+    """
+    sym = (
+        edges_df.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).alias("_w"),
+        )
+        .union(
+            edges_df.select(
+                F.col(dst).alias("_src"),
+                F.col(src).alias("_dst"),
+                F.col(weight).alias("_w"),
+            )
+        )
+        # parallel edges: keep only the lightest (shortest-path-
+        # equivalent, smaller state)
+        .groupBy("_src", "_dst")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint()
+    )
+    if source_node is None:
+        row = sym.agg(F.min("_src")).collect()[0]  # 1-row scalar seed
+        source_node = row[0]
+    node_type = sym.schema["_src"].dataType
+    if source_node is None:
+        return edges_df.sparkSession.createDataFrame(
+            [], f"node {node_type.simpleString()}, dist bigint"
+        )
+    import pandas as pd
+
+    seed = (
+        edges_df.sparkSession.createDataFrame(
+            pd.DataFrame({"node": [source_node], "dist": [0]})
+        )
+        .select(
+            F.col("node").cast(node_type),
+            F.col("dist").cast("bigint"),
+        )
+        .localCheckpoint()
+    )
+    dist = seed
+    frontier = seed
+    for _ in range(max_iter):
+        relaxed = (
+            frontier.join(sym, frontier.node == sym._src)
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("dist") + F.col("_w")).cast("bigint").alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            relaxed.join(
+                dist.select("node", F.col("dist").alias("_old")),
+                "node",
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"weighted_sssp did not converge in {max_iter} rounds — "
+            "raise max_iter (graph diameter × max weight bound)"
+        )
+    if max_dist is not None:
+        dist = dist.filter(F.col("dist") <= max_dist)
+    return dist
+
+
 def pagerank(
     edges_df: DataFrame,
     src: str,
     dst: str,
     n_iter: int = 10,
     damping: float = 0.85,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank) after
     ``n_iter`` power iterations with uniform initialization.
@@ -1357,12 +1467,34 @@ def pagerank(
     reliable checkpoint() on a cluster). Eager: runs Spark jobs when
     called. Scale: edge frame is shuffled on src each round — a
     pre-partitioned/bucketed edge table makes every round co-located.
+
+    ``weight`` (round-9 verdict ask #3): with an edge-weight column,
+    rank flows PROPORTIONALLY to weight — each node distributes
+    rank · w_e / Σ_out w instead of rank / out_degree (the standard
+    weighted-PageRank generalization; parallel edges first sum their
+    weights). Same two-shuffle round shape; the weighted out-degree
+    is one extra integer column in the per-round join.
     """
-    edges = (
-        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    if weight is None:
+        edges = (
+            edges_df.select(
+                F.col(src).alias("_src"), F.col(dst).alias("_dst")
+            )
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+            .localCheckpoint()
+        )
+    else:
+        edges = (
+            edges_df.select(
+                F.col(src).alias("_src"),
+                F.col(dst).alias("_dst"),
+                F.col(weight).cast("double").alias("_w"),
+            )
+            .groupBy("_src", "_dst")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint()
+        )
     nodes = (
         edges.select(F.col("_src").alias("_id"))
         .union(edges.select(F.col("_dst").alias("_id")))
@@ -1377,13 +1509,16 @@ def pagerank(
         return edges_df.sparkSession.createDataFrame(
             [], f"node {node_type}, rank double"
         )
-    out_deg = edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = edges.groupBy("_src").agg(F.sum("_w").alias("_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contribs = (
             edges.join(ranks, edges._src == ranks._id)
             .join(out_deg, "_src")
-            .select(F.col("_dst").alias("_id"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .select(
+                F.col("_dst").alias("_id"),
+                (F.col("rank") * F.col("_w") / F.col("_deg")).alias("_c"),
+            )
             .groupBy("_id")
             .agg(F.sum("_c").alias("_in"))
         )

@@ -333,3 +333,144 @@ def test_n18_broadcast_gate(spark):
     plan_big = _n18_round(sym, labels, False)._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in plan_small.lower()
     assert "broadcast" not in plan_big.lower()
+
+
+def test_weighted_sssp_matches_dijkstra(spark):
+    """api.weighted_sssp vs a python Dijkstra on a hand graph whose
+    shortest paths MUST take more hops than the hop-minimal route
+    (1-2-3-4 costs 3 vs direct 1-4 cost 10), parallel edges keep the
+    lighter weight, and an unreachable component stays absent."""
+    import heapq
+
+    from glonassdatamining_spark import api
+
+    e = [
+        (1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (1, 4, 12),
+        (4, 5, 2), (7, 8, 1),  # 7-8: unreachable from 1
+    ]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint, w bigint")
+    got = {
+        r.node: r.dist
+        for r in api.weighted_sssp(
+            edges, "src", "dst", "w", source_node=1
+        ).collect()
+    }
+
+    adj: dict = {}
+    for s, d, w in e:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {1: 0}
+    pq = [(0, 1)]
+    while pq:
+        d0, v = heapq.heappop(pq)
+        if d0 > dist.get(v, 1 << 60):
+            continue
+        for nb, w in adj[v]:
+            nd = d0 + w
+            if nd < dist.get(nb, 1 << 60):
+                dist[nb] = nd
+                heapq.heappush(pq, (nd, nb))
+    assert got == dist
+    assert got[4] == 3  # the multi-hop route won
+    assert 7 not in got and 8 not in got
+
+
+def test_n19_cap_never_bites_at_fixture_scale(spark):
+    """The registered n19 truncates to dist <= _N19_CAP only so the
+    recursive-CTE oracle has a finite path-cost guard; at fixture
+    scale the cap must never bite (max distance < cap/2), so the
+    capped result IS the full single-source reachable set."""
+    from conftest import SF_DIR
+    from glonassdatamining_spark import api
+    from glonassdatamining_spark.operators.graphs import (
+        _N19_CAP,
+        _n19_weighted_edges,
+    )
+
+    edges = _n19_weighted_edges(spark, SF_DIR)
+    full = api.weighted_sssp(edges, "src", "dst", "w")  # uncapped
+    rows = full.collect()
+    assert len(rows) > 5, "fixture graph too small for n19"
+    max_dist = max(r.dist for r in rows)
+    assert max_dist < _N19_CAP / 2, (
+        f"max distance {max_dist} too close to the cap {_N19_CAP}"
+    )
+
+
+def test_weighted_pagerank_matches_power_iteration(spark):
+    """api.pagerank(weight=...) vs a dense python power iteration with
+    proportional-to-weight flow on a hand graph (dangling node 4,
+    asymmetric weights so the weighted answer differs from n2's)."""
+    from glonassdatamining_spark import api
+
+    e = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 4, 5)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint, w bigint")
+    got = {
+        r.node: r.rank
+        for r in api.pagerank(
+            edges, "src", "dst", n_iter=10, weight="w"
+        ).collect()
+    }
+
+    nodes = [1, 2, 3, 4]
+    wout = {1: 4.0, 2: 2.0, 3: 5.0}
+    rank = {v: 0.25 for v in nodes}
+    d = 0.85
+    for _ in range(10):
+        dangling = sum(rank[v] for v in nodes if v not in wout)
+        base = (1 - d) / 4 + d * dangling / 4
+        new = {v: base for v in nodes}
+        for s, t, w in e:
+            new[t] += d * rank[s] * w / wout[s]
+        rank = new
+    assert got.keys() == rank.keys()
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # unweighted flow through node 1 would split 50/50; weighted must
+    # favor 2 three-to-one — assert the weighted answer is different
+    unweighted = {
+        r.node: r.rank
+        for r in api.pagerank(edges, "src", "dst", n_iter=10).collect()
+    }
+    assert abs(got[2] - unweighted[2]) > 1e-3
+
+
+def test_n20_fixture_replay(spark):
+    """The registered n20 on the sf0.001 fixture graph vs a python
+    power-iteration replay over the same weighted symmetrized edges
+    (n18's replay discipline applied to the weighted rank)."""
+    from conftest import SF_DIR
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR, weighted=True)
+    rows = [(r.src, r.dst, r.w) for r in e.collect()]
+    assert len(rows) > 20
+    wout: dict = {}
+    sym = rows + [(d, s, w) for s, d, w in rows]
+    for s, d, w in sym:
+        wout[s] = wout.get(s, 0.0) + w
+    nodes = sorted(wout)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    damp = 0.85
+    for _ in range(10):
+        base = (1 - damp) / n  # symmetrized graph: no dangling nodes
+        new = {v: base for v in nodes}
+        for s, d, w in sym:
+            new[d] += damp * rank[s] * w / wout[s]
+        rank = new
+    got = {
+        r.node: r.rank
+        for r in registry.get("n20_weighted_pagerank")
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert got.keys() == rank.keys()
+    for v in nodes:
+        assert got[v] == pytest.approx(round(rank[v], 9), abs=1e-8)
