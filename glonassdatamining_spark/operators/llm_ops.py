@@ -3571,3 +3571,216 @@ def k8b_multilingual_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K55 — BPE merge-pair LEARNING (round-9 verdict ask #4: K9/K49
+# tokenize with a fixed "BPE-ish" regex; this LEARNS the merge table)
+# + K49b — fertility re-scored with the LEARNED tokenizer
+# --------------------------------------------------------------------------
+# Fixed merge budget (the standard BPE training contract: vocabulary
+# size is a hyperparameter, not data-derived) — 8 rounds keeps the
+# generated mirrored-CTE oracle readable while exercising multi-char
+# merges (round 5 learns m+er -> mer on the fixture corpus).
+_K55_MERGES = 8
+# Symbol-boundary separator for the canonical word encoding
+# '@c1@@c2@...@cn@' (each symbol wrapped in single '@'s): absent from
+# the corpus charset (lowercase a-z + space; filtered defensively on
+# BOTH engines). The greedy left-to-right merge application is then
+# ONE literal string replace of '@a@@b@' with '@ab@' — replace() on
+# both engines scans left to right and continues AFTER each
+# replacement, which reproduces BPE's greedy non-overlapping merge
+# order exactly ('@a@@a@@a@' -> '@aa@@a@', not '@aa@@aa@'-with-reuse).
+_K55_SEP = "@"
+
+
+def _k55_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, canonical char-split string, corpus frequency) — the
+    vocabulary-sized table BPE learning iterates on. ONE shuffle of
+    the exploded token stream; everything after is vocab-sized (the
+    property that makes corpus-scale BPE training feasible: 100 TB of
+    text folds to a vocabulary in one aggregation)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.col("w") != "") & (~F.col("w").contains(_K55_SEP)))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    return wf.select(
+        "w",
+        F.regexp_replace("w", "(.)", f"{_K55_SEP}$1{_K55_SEP}").alias("s"),
+        "f",
+    )
+
+
+def _k55_pair_counts(wf: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts, frequency-weighted: split each
+    canonical string back to its symbol array, pair (ss[i], ss[i+1]),
+    weight by word frequency. The <2-symbol guard mirrors shingles()'s
+    descending-sequence discipline."""
+    ss = F.split(F.expr("substring(s, 2, length(s) - 2)"), _K55_SEP * 2)
+    pairs = F.when(
+        F.size(ss) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ss) - 1),
+            lambda i: F.struct(
+                F.element_at(ss, i).alias("a"),
+                F.element_at(ss, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        wf.select(F.explode(pairs).alias("p"), "f")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+
+
+def _k55_learn(spark: SparkSession, sf_dir: str):
+    """Run the fixed-budget merge learning; returns (merge-table
+    DataFrame, final segmented vocabulary DataFrame). Each round: one
+    vocab-sized pair count, one deterministic argmax (count DESC,
+    then lexicographic (a, b) — binary collation on both engines),
+    one literal string replace applying the merge greedily. Rounds
+    are localCheckpoint-materialized (n18's discipline: O(1) lineage,
+    the tiny vocab frame re-used twice per round)."""
+    wf = _k55_word_freq(spark, sf_dir).localCheckpoint()
+    merges = []
+    for step in range(_K55_MERGES):
+        top1 = (
+            _k55_pair_counts(wf)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.lit(step).alias("step"), "a", "b", "cnt")
+            .localCheckpoint()
+        )
+        merges.append(top1)
+        pat = F.concat(
+            F.lit(_K55_SEP), F.col("a"), F.lit(_K55_SEP * 2), F.col("b"),
+            F.lit(_K55_SEP),
+        )
+        rep = F.concat(F.lit(_K55_SEP), F.col("a"), F.col("b"), F.lit(_K55_SEP))
+        wf = (
+            wf.crossJoin(broadcast(top1))
+            .select("w", F.replace("s", pat, rep).alias("s"), "f")
+            .localCheckpoint()
+        )
+    table = merges[0]
+    for m in merges[1:]:
+        table = table.unionByName(m)
+    return table, wf
+
+
+def _k55_oracle(R: int = _K55_MERGES) -> str:
+    sql = (
+        "WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' AND w NOT LIKE '%@%' GROUP BY w), "
+        "s0 AS (SELECT w, regexp_replace(w, '(.)', '@\\1@', 'g') AS s, f FROM wf)"
+    )
+    for r in range(R):
+        sql += (
+            f", p{r} AS (SELECT ss[i] AS a, ss[i+1] AS b, "
+            "CAST(SUM(f) AS BIGINT) AS cnt FROM "
+            f"(SELECT string_split(substring(s, 2, length(s) - 2), '@@') AS ss, f "
+            f"FROM s{r}) t, LATERAL unnest(range(1, len(ss))) AS u(i) "
+            "GROUP BY a, b)"
+            f", m{r} AS (SELECT {r} AS step, a, b, cnt FROM p{r} "
+            "ORDER BY cnt DESC, a, b LIMIT 1)"
+            f", s{r + 1} AS (SELECT w, replace(s, '@' || m.a || '@@' || m.b || '@', "
+            f"'@' || m.a || m.b || '@') AS s, f FROM s{r}, m{r} m)"
+        )
+    return sql
+
+
+@register(
+    "k55_bpe_merge_learning",
+    oracle=(
+        _k55_oracle()
+        + " SELECT step, a AS lhs, b AS rhs, a || b AS merged, "
+        "cnt AS pair_count FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(_K55_MERGES))
+        + ")"
+    ),
+    section="K55",
+)
+def k55_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (Sennrich et al. 2016's
+    training loop, fixed 8-merge budget): fold the corpus to a
+    frequency-weighted vocabulary (ONE shuffle — the step that makes
+    100 TB BPE training tractable; everything after is vocab-sized),
+    then per round count adjacent symbol pairs, take the top pair
+    (count DESC, lexicographic (a,b) tie-break — fully deterministic),
+    and apply the merge greedily left-to-right via one literal string
+    replace over the canonical '@'-wrapped symbol encoding (see
+    _K55_SEP: replace() reproduces BPE's non-overlapping merge order
+    on both engines). HASH-CHECKED: every round is integer counting +
+    string argmin, so the 8 learned (step, lhs, rhs, merged, count)
+    rows are certified identical against the generated 8-round
+    unrolled CTE oracle — the n18 discipline applied to tokenizer
+    training. The learned table is what k49b consumes; multi-char
+    merges (round 5 learns m+er→mer here) prove the rounds compose.
+
+    Scale: pair counting is a vocab-sized explode + groupBy per round
+    (8 rounds × O(vocab) — independent of corpus size after the first
+    fold); the merge apply is one codegen'd string replace. Real BPE
+    budgets (30k merges) amortize the same way; persist the vocab
+    between rounds (done: localCheckpoint) and the merge table as a
+    k14b-style artifact (k55b's persisted-index discipline if/when
+    incremental vocab updates are needed)."""
+    table, _ = _k55_learn(spark, sf_dir)
+    return table.select(
+        "step",
+        F.col("a").alias("lhs"),
+        F.col("b").alias("rhs"),
+        F.concat("a", "b").alias("merged"),
+        F.col("cnt").alias("pair_count"),
+    )
+
+
+@register(
+    "k49b_learned_fertility",
+    oracle=(
+        _k55_oracle()
+        + f", vocab AS (SELECT w, len(string_split(substring(s, 2, length(s) - 2), '@@')) "
+        f"AS n_sub FROM s{_K55_MERGES}), "
+        "tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), "
+        "scored AS (SELECT lang, t.w, v.n_sub FROM tok t JOIN vocab v ON t.w = v.w) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, "
+        "CAST(SUM(n_sub) AS BIGINT) AS learned_tokens, "
+        "ROUND(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 6) AS learned_fertility "
+        "FROM scored GROUP BY lang"
+    ),
+    section="K49",
+)
+def k49b_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k49's fertility audit re-scored with the LEARNED tokenizer
+    (round-9 verdict ask #4's cross-certification): apply k55's 8
+    learned merges to the vocabulary, count each word's resulting
+    subword segments, and roll up learned-subwords-per-whitespace-word
+    by language. Because the merge table is learned from THIS corpus,
+    fertility drops below k49's fixed-regex proxy wherever the
+    learned merges capture real corpus statistics — the measurable
+    win of training the tokenizer on the data it will tokenize.
+    HASH-CHECKED end to end: the oracle replays the entire 8-round
+    learning chain AND the scoring join, so a single drifted merge
+    would flip the hash.
+
+    Scale: learning is vocab-sized (see k55); scoring is one
+    broadcast-sized vocab map joined onto the exploded token stream —
+    at 100 TB the vocab broadcast replaces the join shuffle (AQE
+    picks it: the map is KB-scale)."""
+    _, wf = _k55_learn(spark, sf_dir)
+    ss = F.split(F.expr("substring(s, 2, length(s) - 2)"), _K55_SEP * 2)
+    vocab = wf.select("w", F.size(ss).cast("bigint").alias("n_sub"))
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    scored = tok.join(broadcast(vocab), "w")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ws_tokens"),
+        F.sum("n_sub").cast("bigint").alias("learned_tokens"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+        ).alias("learned_fertility"),
+    )

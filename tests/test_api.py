@@ -1166,3 +1166,86 @@ def test_i11b_cell_shrinks_with_density(spark):
     ratio = cells["/root/testdata/sf0.001"] / cells["/root/testdata/sf0.01"]
     assert abs(ratio - math.sqrt(10.0)) < 1e-12
     assert cells["/root/testdata/sf0.01"] < cells["/root/testdata/sf0.001"]
+
+
+def test_k55_bpe_matches_python_replay(spark):
+    """The distributed BPE learning replayed in pure python on the
+    same corpus: same frequency-weighted pair counts, same
+    (count DESC, lexicographic) tie-break, same greedy left-to-right
+    non-overlapping merge application — the 8 learned merges must
+    agree exactly (n18's replay discipline applied to tokenizer
+    training)."""
+    from collections import Counter
+
+    import duckdb
+
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.llm_ops import _K55_MERGES
+
+    words = duckdb.sql(
+        "SELECT w, COUNT(*) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        f"FROM '{SF_DIR}/documents.parquet') WHERE w <> '' GROUP BY w"
+    ).fetchall()
+    vocab = {w: (list(w), f) for w, f in words}
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges = []
+    for step in range(_K55_MERGES):
+        counts: Counter = Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        vocab = {
+            w: (apply_merge(syms, a, b), f) for w, (syms, f) in vocab.items()
+        }
+
+    got = sorted(
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in registry.get("k55_bpe_merge_learning")
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    assert got == merges
+
+
+def test_k55_greedy_overlap_semantics(spark):
+    """'@a@@a@@a@' must merge to [aa, a], never [aa, aa] — the
+    canonical-encoding replace reproduces BPE's non-overlapping
+    left-to-right order (the property the separator scheme exists
+    for)."""
+    df = spark.createDataFrame([("@a@@a@@a@",), ("@a@@a@@a@@a@",)], "s string")
+    out = df.select(
+        F.replace("s", F.lit("@a@@a@"), F.lit("@aa@")).alias("m")
+    ).collect()
+    assert [r.m for r in out] == ["@aa@@a@", "@aa@@aa@"]
+
+
+def test_k49b_learned_fertility_beats_chars(spark):
+    """Learned fertility must be strictly below character-level
+    fertility (merges exist) and >= 1 (a word is at least one
+    subword); and with the corpus-learned table it should also beat
+    k49's generic regex proxy on this single-charset corpus."""
+    from glonassdatamining_spark import registry
+
+    rows = (
+        registry.get("k49b_learned_fertility").builder(spark, SF_DIR).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 1.0 <= r.learned_fertility
+        # chars-per-word for this corpus is > 4; 8 merges must compress
+        assert r.learned_fertility < 4.0
