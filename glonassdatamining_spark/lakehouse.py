@@ -101,6 +101,7 @@ class ManifestTable:
         self.key_col = key_col
         self._mdir = os.path.join(root, "_manifests")
         self._ddir = os.path.join(root, "data")
+        self._deldir = os.path.join(root, "deletes")
 
     # -- manifest plumbing -------------------------------------------------
     def current_version(self) -> int:
@@ -117,15 +118,30 @@ class ManifestTable:
         with open(os.path.join(self._mdir, f"v{version}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[dict], op: str, expected_version: int) -> int:
+    def _commit(
+        self,
+        files: list[dict],
+        op: str,
+        expected_version: int,
+        deletes: list[dict] | None = None,
+    ) -> int:
         """Publish v{expected_version} atomically; raise CommitConflict
-        if a concurrent writer claimed it first."""
+        if a concurrent writer claimed it first. ``deletes`` lists the
+        version's positional-delete files (g16 merge-on-read tier);
+        omitted/empty means the snapshot has no live deletes — compact
+        purges deletes exactly by committing without them."""
         os.makedirs(self._mdir, exist_ok=True)
         final = os.path.join(self._mdir, f"v{expected_version}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump(
-                {"version": expected_version, "op": op, "files": files}, fh
+                {
+                    "version": expected_version,
+                    "op": op,
+                    "files": files,
+                    "deletes": deletes or [],
+                },
+                fh,
             )
             fh.flush()
             os.fsync(fh.fileno())
@@ -208,8 +224,91 @@ class ManifestTable:
 
     def append(self, df: DataFrame, n_files: int = 2) -> int:
         v = self.current_version()
-        files = self._manifest(v)["files"] + self._write_files(df, n_files)
-        return self._commit(files, "append", v + 1)
+        m = self._manifest(v)
+        files = m["files"] + self._write_files(df, n_files)
+        # existing positional deletes stay live (they reference files
+        # this append does not touch)
+        return self._commit(files, "append", v + 1, m.get("deletes"))
+
+    def delete_where(self, condition) -> dict:
+        """Row-level DELETE via POSITIONAL DELETE FILES (round-9
+        verdict ask #6 — the merge-on-read half of Iceberg/Delta
+        parity; G11–G15 were copy-on-write only): no data file is
+        rewritten. The matching rows' (data file name, row position)
+        pairs are written as one immutable delete parquet, and the new
+        manifest lists the same data files plus the delete entry;
+        every read (read / read_pruned / read_pruned_in) reconstructs
+        the live view by anti-joining on (file, pos) — see
+        :meth:`_apply_deletes`. ``compact`` MATERIALIZES deletes (it
+        rewrites through ``read()``, which applies them) and commits
+        with an empty delete list — the purge path.
+
+        The candidate scan applies the CURRENT deletes first, so rows
+        already deleted are never re-referenced (delete files stay
+        disjoint by construction). A predicate matching nothing is a
+        no-op (no snapshot committed). Optimistic concurrency is the
+        merge() protocol: positions are computed against the HEAD
+        read, and the ``os.link`` race surfaces as
+        :class:`CommitConflict` — retry by calling again (positions
+        are recomputed against the new HEAD; cheap, since a delete
+        writes only the matching positions, not data).
+
+        At 100 TB this is the cheap-delete lever: cost is
+        proportional to the MATCHED rows (one scan + a small delete
+        file), not to the table — the reason merge-on-read exists.
+        ``condition``: a Column or SQL string over the table schema.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v = self.current_version()
+        m = self._manifest(v)
+        # project (file, pos) straight off the scan relation —
+        # _metadata is only addressable there — THEN subtract the
+        # current deletes so already-deleted rows are never
+        # re-referenced (delete files stay disjoint by construction)
+        scan = self._scan(m["files"])
+        matches = scan.filter(cond).select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        cur = m.get("deletes") or []
+        if cur:
+            prior = self.spark.read.parquet(
+                *[os.path.join(self._deldir, e["file"]) for e in cur]
+            )
+            matches = matches.join(prior, ["file", "pos"], "left_anti")
+        os.makedirs(self._deldir, exist_ok=True)
+        stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
+        matches.repartition(1).write.mode("overwrite").parquet(stage)
+        entry = None
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(os.path.join(stage, name)).metadata.num_rows
+            if n_rows == 0:
+                continue
+            dst = f"{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(stage, name), os.path.join(self._deldir, dst)
+            )
+            entry = {"file": dst, "rows": n_rows}
+        shutil.rmtree(stage, ignore_errors=True)
+        if entry is None:  # predicate matched nothing
+            return {"version": v, "deleted_rows": 0, "delete_files": 0}
+        deletes = (m.get("deletes") or []) + [entry]
+        try:
+            self._commit(m["files"], "delete", v + 1, deletes)
+        except CommitConflict:
+            os.unlink(os.path.join(self._deldir, entry["file"]))
+            raise
+        return {
+            "version": v + 1,
+            "deleted_rows": entry["rows"],
+            "delete_files": len(deletes),
+        }
 
     def merge(
         self, source: DataFrame, n_files: int = 2, max_retries: int = 0
@@ -253,7 +352,9 @@ class ManifestTable:
             }
         for attempt in range(max_retries + 1):
             v = self.current_version()
-            snap = self._manifest(v)["files"]
+            m = self._manifest(v)
+            snap = m["files"]
+            deletes = m.get("deletes") or []
             touched = [
                 e
                 for e in snap
@@ -263,7 +364,12 @@ class ManifestTable:
             ]
             carried = [e for e in snap if e not in touched]
             if touched:
-                old = self._scan(touched)
+                # apply live positional deletes during the rewrite so
+                # rewritten files MATERIALIZE them; carried files keep
+                # needing their delete entries, and refs to the
+                # now-dropped touched files go stale harmlessly (they
+                # match nothing — compact purges them)
+                old = self._scan(touched, deletes)
                 merged = old.join(
                     source.select(self.key_col), self.key_col, "left_anti"
                 ).unionByName(source, allowMissingColumns=True)
@@ -271,7 +377,7 @@ class ManifestTable:
                 merged = source
             new_files = self._write_files(merged, n_files)
             try:
-                self._commit(carried + new_files, "merge", v + 1)
+                self._commit(carried + new_files, "merge", v + 1, deletes)
             except CommitConflict:
                 for e in new_files:  # orphans of the lost attempt
                     try:
@@ -289,7 +395,46 @@ class ManifestTable:
             }
 
     # -- reads -------------------------------------------------------------
-    def _scan(self, entries: list[dict]) -> DataFrame:
+    def _apply_deletes(
+        self, df: DataFrame, deletes: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read reconstruction (g16, the Iceberg-v2
+        positional-delete shape): anti-join the scan against the
+        union of the snapshot's delete files on (data file name, row
+        position within the file). ``_metadata.row_index`` is the
+        position — stable per file regardless of split parallelism —
+        so a delete written under one read plan erases the same rows
+        under any other. Delete refs to files no longer in the
+        manifest (rewritten by MERGE) simply never match — stale refs
+        are harmless and compact() purges them. The anti-join's build
+        side is the delete set, which is small by construction
+        (deletes proportional to deleted rows, not table size) —
+        AQE broadcasts it, so the read cost stays one scan."""
+        cols = df.columns
+        dels = self.spark.read.parquet(
+            *[os.path.join(self._deldir, e["file"]) for e in deletes]
+        )
+        return (
+            df.withColumn(
+                "_file",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                dels.select(
+                    F.col("file").alias("_file"), F.col("pos").alias("_pos")
+                ),
+                ["_file", "_pos"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+
+    def _scan(
+        self, entries: list[dict], deletes: list[dict] | None = None
+    ) -> DataFrame:
         """Plan a scan over exactly ``entries``' files. When the
         entries record heterogeneous per-file column lists (schema
         evolution: an append added columns), the scan runs with
@@ -312,15 +457,21 @@ class ManifestTable:
         reader = self.spark.read
         if len(col_sets) > 1:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
+        df = reader.parquet(
             *[os.path.join(self._ddir, e["file"]) for e in entries]
         )
+        if deletes:
+            df = self._apply_deletes(df, deletes)
+        return df
 
     def read(self, version: int | None = None) -> DataFrame:
         """Plan a scan over exactly this version's file list (see
-        :meth:`_scan` for the schema-evolution mergeSchema contract)."""
+        :meth:`_scan` for the schema-evolution mergeSchema contract),
+        applying the version's positional-delete files (merge-on-read;
+        a snapshot without deletes plans the identical bare scan as
+        before the g16 tier existed)."""
         m = self._manifest(version or self.current_version())
-        return self._scan(m["files"])
+        return self._scan(m["files"], m.get("deletes"))
 
     def read_pruned(
         self, col: str, lo, hi, version: int | None = None
@@ -343,7 +494,9 @@ class ManifestTable:
                 keep.append(e)
         if not keep:
             return self.read(version).filter(F.lit(False))
-        return self._scan(keep)
+        # deletes referencing skipped files simply never match the
+        # anti-join — pruning and merge-on-read compose for free
+        return self._scan(keep, m.get("deletes"))
 
     def read_pruned_in(
         self, col: str, values: list, version: int | None = None
@@ -366,18 +519,23 @@ class ManifestTable:
                 keep.append(e)
         if not keep:
             return self.read(version).filter(F.lit(False))
-        return self._scan(keep)
+        return self._scan(keep, m.get("deletes"))
 
     def history(self) -> list[dict]:
         out = []
         for v in range(1, self.current_version() + 1):
             m = self._manifest(v)
+            dels = m.get("deletes") or []
             out.append(
                 {
                     "version": v,
                     "op": m["op"],
                     "n_files": len(m["files"]),
+                    # data-file row total; live rows = this minus
+                    # deleted_rows (merge-on-read)
                     "n_rows": sum(e["rows"] for e in m["files"]),
+                    "n_delete_files": len(dels),
+                    "deleted_rows": sum(e["rows"] for e in dels),
                 }
             )
         return out
@@ -415,14 +573,24 @@ def expire_snapshots(table: ManifestTable, keep_last: int = 1) -> dict:
             os.unlink(p)
             removed_manifests += 1
     live = set()
+    live_dels = set()
     for v in range(cutoff, cur + 1):
-        live.update(e["file"] for e in table._manifest(v)["files"])
+        m = table._manifest(v)
+        live.update(e["file"] for e in m["files"])
+        live_dels.update(e["file"] for e in m.get("deletes") or [])
     removed_files = 0
     for name in os.listdir(table._ddir):
         if name.endswith(".parquet") and name not in live:
             os.unlink(os.path.join(table._ddir, name))
             removed_files += 1
+    removed_deletes = 0
+    if os.path.isdir(table._deldir):
+        for name in os.listdir(table._deldir):
+            if name.endswith(".parquet") and name not in live_dels:
+                os.unlink(os.path.join(table._deldir, name))
+                removed_deletes += 1
     return {
         "removed_manifests": removed_manifests,
         "removed_data_files": removed_files,
+        "removed_delete_files": removed_deletes,
     }

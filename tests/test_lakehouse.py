@@ -155,10 +155,10 @@ def test_merge_retry_interleaved_writers(spark, tmp_path):
     barrier = threading.Barrier(2, timeout=120)
     real_commit = t._commit
 
-    def synced_commit(files, op, expected_version):
+    def synced_commit(files, op, expected_version, deletes=None):
         if expected_version == 2:  # both first attempts target v2
             barrier.wait()
-        return real_commit(files, op, expected_version)
+        return real_commit(files, op, expected_version, deletes)
 
     t._commit = synced_commit
     results: dict[str, dict] = {}
@@ -248,7 +248,11 @@ def test_expire_snapshots_keep_more_than_history(spark, tmp_path):
 
     t = _mk(spark, tmp_path, n=100, n_files=2)
     out = expire_snapshots(t, keep_last=5)
-    assert out == {"removed_manifests": 0, "removed_data_files": 0}
+    assert out == {
+        "removed_manifests": 0,
+        "removed_data_files": 0,
+        "removed_delete_files": 0,
+    }
     assert t.read().count() == 100
 
 
@@ -387,10 +391,10 @@ def test_concurrent_merge_divergent_schemas(spark, tmp_path):
     barrier = threading.Barrier(2, timeout=120)
     real_commit = t._commit
 
-    def synced_commit(files, op, expected_version):
+    def synced_commit(files, op, expected_version, deletes=None):
         if expected_version == 2:
             barrier.wait()
-        return real_commit(files, op, expected_version)
+        return real_commit(files, op, expected_version, deletes)
 
     t._commit = synced_commit
     results: dict[str, dict] = {}
@@ -486,3 +490,124 @@ def test_read_pruned_in_exact_point_lookup(spark, tmp_path):
     assert sorted(r.k for r in got.collect()) == [5, 905]
     # unrecorded column → conservative keep-everything
     assert t.read_pruned_in("nonexistent", [1]).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# g16 — positional deletes (merge-on-read)
+# ---------------------------------------------------------------------------
+def test_positional_delete_merge_on_read(spark, tmp_path):
+    """delete_where writes a delete FILE (no data rewrite), reads
+    reconstruct the live view, time travel still sees pre-delete
+    versions, and a second delete never re-references rows the first
+    already deleted."""
+    import os as _os
+
+    df = spark.range(100).selectExpr("id AS k", "id * 10 AS v")
+    t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 4)
+    data_before = sorted(_os.listdir(t._ddir))
+    out = t.delete_where("k % 5 = 0")
+    assert out == {"version": 2, "deleted_rows": 20, "delete_files": 1}
+    # merge-on-read: data files untouched
+    assert sorted(_os.listdir(t._ddir)) == data_before
+    assert t.read().count() == 80
+    assert t.read(version=1).count() == 100  # time travel pre-delete
+    # second delete: overlapping predicate must only count LIVE rows
+    out2 = t.delete_where("k % 10 = 0 OR k % 7 = 0")
+    # k%10==0 is a subset of the already-deleted k%5==0
+    live_matches = [
+        k for k in range(100) if k % 5 != 0 and (k % 10 == 0 or k % 7 == 0)
+    ]
+    assert out2["deleted_rows"] == len(live_matches)
+    assert t.read().count() == 80 - len(live_matches)
+    # no-op predicate commits nothing
+    v = t.current_version()
+    out3 = t.delete_where("k = -1")
+    assert out3 == {"version": v, "deleted_rows": 0, "delete_files": 0}
+    assert t.current_version() == v
+
+
+def test_positional_delete_compact_materializes(spark, tmp_path):
+    """compact() rewrites through the delete-applying read and commits
+    with an empty delete list — the purge path; counts and values are
+    unchanged, delete files become expirable orphans."""
+    from glonassdatamining_spark.lakehouse import compact, expire_snapshots
+
+    df = spark.range(60).selectExpr("id AS k", "id * 3 AS v")
+    t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 3)
+    t.delete_where("k >= 40")
+    before = t.read().agg(F.sum("v")).collect()[0][0]
+    v = compact(t, n_files=2)
+    m = t._manifest(v)
+    assert m["deletes"] == []
+    assert t.read().count() == 40
+    assert t.read().agg(F.sum("v")).collect()[0][0] == before
+    out = expire_snapshots(t, keep_last=1)
+    assert out["removed_delete_files"] == 1
+
+
+def test_positional_delete_pruned_reads_compose(spark, tmp_path):
+    """read_pruned / read_pruned_in must apply deletes too — pruning
+    skips files, the anti-join erases rows; together they return
+    exactly the live rows in range."""
+    df = spark.range(100).selectExpr("id AS k", "id AS v")
+    t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 4)
+    t.delete_where("k % 3 = 0")
+    got = sorted(
+        r.k for r in t.read_pruned("k", 10, 30).filter("k BETWEEN 10 AND 30").collect()
+    )
+    assert got == [k for k in range(10, 31) if k % 3 != 0]
+    got_in = sorted(
+        r.k
+        for r in t.read_pruned_in("k", [9, 10, 11]).filter(
+            F.col("k").isin([9, 10, 11])
+        ).collect()
+    )
+    assert got_in == [10, 11]
+
+
+def test_positional_delete_two_writer_race(spark, tmp_path):
+    """Two-writer delete/append race (the round-9 verdict ask's test):
+    writer A computes a delete against HEAD, writer B's append wins
+    the version swap first → A's commit must raise CommitConflict and
+    leave the table consistent; A's retry sees B's rows."""
+    df = spark.range(50).selectExpr("id AS k", "id AS v")
+    root = str(tmp_path / "t")
+    a = ManifestTable.create(spark, root, df, "k", 2)
+    b = ManifestTable(spark, root, "k")
+
+    # interleave: A stages its delete by racing the commit — simulate
+    # by having B append FIRST under the same expected version, then
+    # A's delete_where (which re-reads HEAD) must still succeed; for
+    # the true race, grab the version before B commits and force A's
+    # commit at that stale version.
+    v_stale = a.current_version()
+    b.append(spark.range(50, 60).selectExpr("id AS k", "id AS v"), 1)
+    with pytest.raises(CommitConflict):
+        # replay A's protocol against the stale HEAD by hand
+        m = a._manifest(v_stale)
+        a._commit(m["files"], "delete", v_stale + 1, [{"file": "x", "rows": 1}])
+    # retry path: a fresh delete_where reads the new HEAD and works
+    out = a.delete_where("k >= 55")
+    assert out["deleted_rows"] == 5
+    assert a.read().count() == 55
+
+
+def test_merge_rewrites_materialize_deletes(spark, tmp_path):
+    """A COW merge after a positional delete must (a) apply the
+    delete while rewriting touched files, (b) never resurrect deleted
+    rows, (c) keep carried files' deletes live."""
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 4)
+    t.delete_where("k % 4 = 0")
+    # upsert keys 0..9 (touches only the low file(s)); deleted rows
+    # among 0..9 get re-inserted BY THE SOURCE (an upsert), others stay gone
+    src = spark.range(10).selectExpr("id AS k", "id * 100 AS v")
+    t.merge(src, n_files=1)
+    rows = {r.k: r.v for r in t.read().collect()}
+    for k in range(10):
+        assert rows[k] == k * 100  # upserted (including previously deleted)
+    for k in range(10, 100):
+        if k % 4 == 0:
+            assert k not in rows  # carried files' deletes still live
+        else:
+            assert rows[k] == k * 2
