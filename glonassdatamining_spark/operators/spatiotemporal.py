@@ -5411,3 +5411,263 @@ def i63_geodesic_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("zone", "obj_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_inside")
     )
+
+
+# ---------------------------------------------------------------------------
+# I62b — GENERAL concave×concave overlay join: BOTH rings per-row
+# data, BOTH fans exploded off their ring arrays (round-9 verdict ask
+# #2 — i62's declared next step: its district side was a
+# python-fan-decomposed 2-triangle family; here the clip fan is
+# data-driven per row, so arbitrary simple n-gons work on both sides)
+# ---------------------------------------------------------------------------
+def _i62b_oracle() -> str:
+    from glonassdatamining_spark.functions.geometry import (
+        o_clip_half_plane_cols,
+        o_ring_area,
+    )
+
+    crs = (
+        "((r0[i][1] - r0[1][1]) * (r0[i + 1][2] - r0[1][2]) "
+        "- (r0[i + 1][1] - r0[1][1]) * (r0[i][2] - r0[1][2]))"
+    )
+    crd = (
+        "((d0[j][1] - d0[1][1]) * (d0[j + 1][2] - d0[1][2]) "
+        "- (d0[j + 1][1] - d0[1][1]) * (d0[j][2] - d0[1][2]))"
+    )
+    sql = (
+        "WITH z AS MATERIALIZED (SELECT o_orderkey AS zone_id, "
+        "CAST(o_orderkey * 37 % 80 AS DOUBLE) AS zx, "
+        "CAST(o_orderkey * 43 % 80 AS DOUBLE) AS zy, "
+        "CAST(4 + o_orderkey % 6 AS DOUBLE) AS w, "
+        "CAST(3 + o_orderkey % 4 AS DOUBLE) AS h "
+        "FROM orders WHERE o_orderkey % 9 = 0), "
+        "d AS MATERIALIZED (SELECT s_suppkey AS district_id, "
+        "CAST(s_suppkey * 47 % 80 AS DOUBLE) AS dx, "
+        "CAST(s_suppkey * 61 % 80 AS DOUBLE) AS dy, "
+        "CAST(6 + s_suppkey % 5 AS DOUBLE) AS rd FROM supplier "
+        "WHERE s_suppkey <= 100), "
+        "pairs AS MATERIALIZED (SELECT zone_id, district_id, "
+        "[[zx + w, zy + h], [zx, zy], [zx - w, zy + h], [zx, zy - h]] AS r0, "
+        "[[dx + rd, dy + rd], [dx, dy], [dx - rd, dy + rd], [dx, dy - rd]] AS d0 "
+        "FROM z JOIN d ON zx - w <= dx + rd AND dx - rd <= zx + w "
+        "AND zy - h <= dy + rd AND dy - rd <= zy + h), "
+        f"ar AS MATERIALIZED (SELECT zone_id, district_id, r0, d0, "
+        f"{o_ring_area('r0')} AS sa, {o_ring_area('d0')} AS da FROM pairs), "
+        "e0 AS MATERIALIZED (SELECT zone_id, district_id, r0, d0, sa, da, "
+        "unnest([2, 3]) AS i FROM ar), "
+        "e1 AS MATERIALIZED (SELECT zone_id, district_id, r0, d0, sa, da, i, "
+        "unnest([2, 3]) AS j FROM e0), "
+        "t0 AS MATERIALIZED (SELECT zone_id, district_id, sa, da, "
+        "[r0[1], r0[i], r0[i + 1]] AS g0, "
+        f"CASE WHEN {crs} > 0 THEN 1.0 WHEN {crs} < 0 THEN -1.0 "
+        "ELSE 0.0 END AS s, "
+        f"CASE WHEN {crd} >= 0 THEN [d0[1], d0[j], d0[j + 1]] "
+        "ELSE [d0[1], d0[j + 1], d0[j]] END AS cu, "
+        f"CASE WHEN {crd} > 0 THEN 1.0 WHEN {crd} < 0 THEN -1.0 "
+        "ELSE 0.0 END AS t FROM e1), "
+        # bind the CCW clip triangle's endpoints once (the repeated-
+        # subexpression discipline o_clip's lambda needs)
+        "t0b AS MATERIALIZED (SELECT zone_id, district_id, sa, da, g0, s, t, "
+        "cu[1][1] AS u1x, cu[1][2] AS u1y, cu[2][1] AS u2x, "
+        "cu[2][2] AS u2y, cu[3][1] AS u3x, cu[3][2] AS u3y FROM t0)"
+    )
+    edges = [("u1x", "u1y", "u2x", "u2y"), ("u2x", "u2y", "u3x", "u3y"),
+             ("u3x", "u3y", "u1x", "u1y")]
+    for step, (ax, ay, bx, by) in enumerate(edges):
+        clip = o_clip_half_plane_cols(f"g{step}", ax, ay, bx, by)
+        sql += (
+            f", t{step + 1} AS MATERIALIZED (SELECT zone_id, district_id, "
+            "sa, da, s, t"
+            + (", u1x, u1y, u2x, u2y, u3x, u3y" if step < 2 else "")
+            + f", {clip} AS g{step + 1} FROM t{step}b)"
+        )
+        if step < 2:
+            sql += (
+                f", t{step + 1}b AS MATERIALIZED (SELECT * FROM t{step + 1})"
+            )
+    contrib = f"s * t * ({o_ring_area('g3')})"
+    isum = f"CAST(SUM(CAST({contrib} AS DECIMAL(28,6))) AS DOUBLE)"
+    return sql + (
+        f" SELECT zone_id, district_id, {isum} AS inter_area, "
+        f"ROUND((MAX(sa) + MAX(da)) - {isum}, 6) AS union_area, "
+        "CAST(SUM(CASE WHEN s * t < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_neg_terms FROM t3 GROUP BY zone_id, district_id "
+        f"HAVING {isum} > 0.0"
+    )
+
+
+@register("i62b_concave_overlay_general", oracle=_i62b_oracle(), section="I62")
+def i62b_concave_overlay_general(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERAL concave×concave polygon overlay JOIN — both polygons
+    arrive as PER-ROW RING ARRAYS and BOTH fan-decompose off their
+    arrays at runtime (round-9 verdict ask #2; i62's clip side was a
+    python-decomposed fixed family — this is the form that accepts
+    arbitrary simple n-gons on both sides with NO plan-build-time
+    knowledge of either shape, signed fans needing no ear clipping —
+    i60's identity applied twice):
+
+        area(Z ∩ D) = Σ_{i,j} s_i · t_j · area(T_i ∩ U_j)
+
+    Subject fan triangles (v1, v_i, v_{i+1}) carry their orientation
+    sign s_i (Sutherland–Hodgman doesn't care about subject
+    orientation — area is taken absolute); clip fan triangles carry
+    sign t_j AND are CCW-reordered per row (SH keeps the left side,
+    so the clip ring must wind CCW). Both fan indices EXPLODE
+    (n−2 × m−2 rows per candidate pair — 4 here for dart × chevron);
+    each row runs ONE 3-step clip chain with per-row endpoints bound
+    once as plain attributes (the let-binding discipline — the HOF
+    references each endpoint ~4×/step). Candidates from i59's bbox
+    grid-cell equi-join; sums ride DECIMAL(28,6); union by
+    inclusion-exclusion from the per-row shoelace areas (data-driven,
+    no closed forms). Both fixture families are REFLEX (darts ×
+    chevrons), so negative×negative fan terms are exercised on every
+    pair (counted in n_neg_terms). The oracle replays the identical
+    chain through generated MATERIALIZED CTEs; an independent
+    even-odd rasterization cross-check (incl. reflex-reflex pairs)
+    lives in tests/test_geometry.py.
+
+    Scale: i59's join shape (bounded broadcast district side, zones
+    never shuffle, linear candidate growth); per-pair cost
+    O((n−2)(m−2)·3·ring) pure-Catalyst arithmetic. The i59 blowup
+    guard applies: ONE persisted barrier (keyed 'i62b') between the
+    explode and the clip chains."""
+    from glonassdatamining_spark.functions.geometry import (
+        st_area,
+        st_area_or_zero,
+        st_clip_half_plane_cols,
+    )
+
+    _i59_release_barriers("i62b")  # rotate i62b's own generations
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    zones = o.select(
+        F.col("o_orderkey").alias("zone_id"),
+        (F.col("o_orderkey") * 37 % 80).cast("double").alias("zx"),
+        (F.col("o_orderkey") * 43 % 80).cast("double").alias("zy"),
+        (F.col("o_orderkey") % 6 + 4).cast("double").alias("w"),
+        (F.col("o_orderkey") % 4 + 3).cast("double").alias("h"),
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
+    districts = s.select(
+        F.col("s_suppkey").alias("district_id"),
+        (F.col("s_suppkey") * 47 % 80).cast("double").alias("dx"),
+        (F.col("s_suppkey") * 61 % 80).cast("double").alias("dy"),
+        (F.col("s_suppkey") % 5 + 6).cast("double").alias("rd"),
+    )
+
+    def with_cells(df, minx, maxx, miny, maxy):
+        return df.withColumn(
+            "cellx",
+            F.explode(
+                F.sequence(
+                    F.floor(minx / _I59_CELL), F.floor(maxx / _I59_CELL)
+                )
+            ),
+        ).withColumn(
+            "celly",
+            F.explode(
+                F.sequence(
+                    F.floor(miny / _I59_CELL), F.floor(maxy / _I59_CELL)
+                )
+            ),
+        )
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    zc = with_cells(
+        zones,
+        F.col("zx") - F.col("w"), F.col("zx") + F.col("w"),
+        F.col("zy") - F.col("h"), F.col("zy") + F.col("h"),
+    )
+    dc = with_cells(
+        districts,
+        F.col("dx") - F.col("rd"), F.col("dx") + F.col("rd"),
+        F.col("dy") - F.col("rd"), F.col("dy") + F.col("rd"),
+    )
+    cand = (
+        zc.join(F.broadcast(dc), ["cellx", "celly"])
+        .dropDuplicates(["zone_id", "district_id"])
+        .withColumn(
+            "r0",
+            F.array(
+                pt(F.col("zx") + F.col("w"), F.col("zy") + F.col("h")),
+                pt(F.col("zx"), F.col("zy")),
+                pt(F.col("zx") - F.col("w"), F.col("zy") + F.col("h")),
+                pt(F.col("zx"), F.col("zy") - F.col("h")),
+            ),
+        )
+        .withColumn(
+            "d0",
+            F.array(
+                pt(F.col("dx") + F.col("rd"), F.col("dy") + F.col("rd")),
+                pt(F.col("dx"), F.col("dy")),
+                pt(F.col("dx") - F.col("rd"), F.col("dy") + F.col("rd")),
+                pt(F.col("dx"), F.col("dy") - F.col("rd")),
+            ),
+        )
+        .withColumn("sa", st_area(F.col("r0")))
+        .withColumn("da", st_area(F.col("d0")))
+    )
+    e = cand.withColumn(
+        "i", F.explode(F.sequence(F.lit(2), F.size("r0") - 1))
+    ).withColumn("j", F.explode(F.sequence(F.lit(2), F.size("d0") - 1)))
+    r, d = F.col("r0"), F.col("d0")
+    v1, vi = F.element_at(r, 1), F.element_at(r, F.col("i"))
+    vj = F.element_at(r, F.col("i") + 1)
+    crs = (vi.x - v1.x) * (vj.y - v1.y) - (vj.x - v1.x) * (vi.y - v1.y)
+    d1, dj = F.element_at(d, 1), F.element_at(d, F.col("j"))
+    dk = F.element_at(d, F.col("j") + 1)
+    crd = (dj.x - d1.x) * (dk.y - d1.y) - (dk.x - d1.x) * (dj.y - d1.y)
+    t = e.select(
+        "zone_id", "district_id", "sa", "da",
+        F.array(v1, vi, vj).alias("tri"),
+        F.when(crs > 0, 1.0).when(crs < 0, -1.0).otherwise(0.0).alias("s"),
+        # clip triangle: CCW-reordered (SH needs interior-left), sign
+        # carried separately — the data-driven twin of _fan_tris_signed
+        F.when(crd >= 0, F.array(d1, dj, dk))
+        .otherwise(F.array(d1, dk, dj))
+        .alias("cu"),
+        F.when(crd > 0, 1.0).when(crd < 0, -1.0).otherwise(0.0).alias("t"),
+    )
+    u1, u2, u3 = (F.element_at(F.col("cu"), k) for k in (1, 2, 3))
+    t = t.select(
+        "zone_id", "district_id", "sa", "da", "tri", "s", "t",
+        u1.x.alias("u1x"), u1.y.alias("u1y"),
+        u2.x.alias("u2x"), u2.y.alias("u2y"),
+        u3.x.alias("u3x"), u3.y.alias("u3y"),
+    )
+    # one barrier between join/dedup/explode and the clip chains (the
+    # i59 constraint-propagation blowup discipline, i62b's generation)
+    t = _i59_barrier(t, "i62b")
+    edges = [("u1x", "u1y", "u2x", "u2y"), ("u2x", "u2y", "u3x", "u3y"),
+             ("u3x", "u3y", "u1x", "u1y")]
+    cur = "tri"
+    for step, (ax, ay, bx, by) in enumerate(edges):
+        nxt = f"g{step + 1}"
+        t = t.withColumn(
+            nxt,
+            st_clip_half_plane_cols(
+                F.col(cur), F.col(ax), F.col(ay), F.col(bx), F.col(by)
+            ),
+        )
+        cur = nxt
+    contrib = F.col("s") * F.col("t") * st_area_or_zero(F.col(cur))
+    agg = t.groupBy("zone_id", "district_id").agg(
+        F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("_inter"),
+        F.max("sa").alias("_sa"),
+        F.max("da").alias("_da"),
+        F.sum(((F.col("s") * F.col("t")) < 0).cast("bigint")).alias(
+            "n_neg_terms"
+        ),
+    )
+    return agg.filter(F.col("_inter") > 0.0).select(
+        "zone_id",
+        "district_id",
+        F.col("_inter").alias("inter_area"),
+        F.round((F.col("_sa") + F.col("_da")) - F.col("_inter"), 6).alias(
+            "union_area"
+        ),
+        "n_neg_terms",
+    )
