@@ -93,6 +93,14 @@ HEADLINE = [
     "i61_projected_local_grid",      # projected-CRS local plane + grid
     "n18_label_propagation",         # LPA community detection (4 rounds)
     "k8b_multilingual_langid",       # char-bigram profile classifier
+    # round-9 additions (BASELINE.md: no earlier baseline):
+    "i62b_concave_overlay_general",  # both-rings-per-row concave overlay
+    "i63_geodesic_geofence",         # local-plane transform + ray cast
+    "n19_weighted_sssp",             # integer-relax frontier SSSP
+    "n20_weighted_pagerank",         # proportional-flow weighted rank
+    "k55_bpe_merge_learning",        # 8-round BPE merge training
+    "k49b_learned_fertility",        # learned-tokenizer fertility rescore
+    "g16_lakehouse_positional_deletes",  # merge-on-read delete tier
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

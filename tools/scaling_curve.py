@@ -68,6 +68,10 @@ EXTRAS = [
     "k54b_neardup_split_production",
     "i53b_haversine_knn_auto",
     "i62_concave_overlay_join",
+    # round-9 additions: the last two density-retuned scale variants
+    # (parents i6/i11 stay in the headline set for the comparison)
+    "i6b_dbscan_auto",
+    "i11b_trajectory_similarity_auto",
 ]
 
 
