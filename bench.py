@@ -97,7 +97,10 @@ HEADLINE = [
     "i62b_concave_overlay_general",  # both-rings-per-row concave overlay
     "i63_geodesic_geofence",         # local-plane transform + ray cast
     "n19_weighted_sssp",             # integer-relax frontier SSSP
-    "n20_weighted_pagerank",         # proportional-flow weighted rank
+    # n20_weighted_pagerank is NOT benched (n2's precedent: a fixed
+    # 10-power-iteration kernel measures iteration pacing, ~13 s of
+    # eager checkpoints — its evidence is the replay tests + the
+    # scale-curve row, ratio 1.64x)
     "k55_bpe_merge_learning",        # 8-round BPE merge training
     "k49b_learned_fertility",        # learned-tokenizer fertility rescore
     "g16_lakehouse_positional_deletes",  # merge-on-read delete tier

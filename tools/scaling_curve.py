@@ -72,6 +72,8 @@ EXTRAS = [
     # (parents i6/i11 stay in the headline set for the comparison)
     "i6b_dbscan_auto",
     "i11b_trajectory_similarity_auto",
+    # benched-nowhere iterative kernel (n2's class) — curve row only
+    "n20_weighted_pagerank",
 ]
 
 
