@@ -934,6 +934,12 @@ def minhash_lsh_dedup(
             )
         ).alias("_band", "_band_key"),
     ).localCheckpoint()
+    if band_df_cap is None and cap_stats_out is not None:
+        # total contract (round-9 review fix): an uncapped run drops
+        # nothing — report that instead of leaving the dict untouched
+        # (a caller wiring stats unconditionally must not mistake an
+        # uncapped run for a certified-lossless capped one).
+        cap_stats_out.update(dropped_buckets=0, dropped_rows=0, max_bucket=0)
     if band_df_cap is not None:
         # one linear agg + semi-join: keep only buckets <= cap before
         # the quadratic self-join (see docstring recall argument).
@@ -963,8 +969,6 @@ def minhash_lsh_dedup(
                 dropped_rows=int(row["dropped_rows"]),
                 max_bucket=int(row["max_bucket"]),
             )
-            import logging
-
             logging.getLogger("glonassdatamining_spark.lsh").info(
                 "band_df_cap=%d dropped %d oversized buckets "
                 "(%d band postings; max bucket %d)",
@@ -1369,7 +1373,19 @@ def weighted_sssp(
     localCheckpoint-materialized (lineage O(1); reliable checkpoint()
     on a cluster, where bucketing edges by src makes every round
     co-located). Eager: runs Spark jobs when called.
+
+    The positive-integer precondition is ENFORCED, not assumed
+    (round-9 review fix): a float weight column would silently
+    truncate partial sums per relax step (two 1.9-edges would tie a
+    2.1-edge), and a weight < 1 breaks both the termination bound and
+    the oracle's path-cost-guard equivalence -- fail fast on either.
     """
+    wtype = edges_df.schema[weight].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"weighted_sssp: weight column {weight!r} must be an "
+            f"integral type (got {wtype}) -- cast or round explicitly"
+        )
     sym = (
         edges_df.select(
             F.col(src).alias("_src"),
@@ -1389,6 +1405,11 @@ def weighted_sssp(
         .agg(F.min("_w").alias("_w"))
         .localCheckpoint()
     )
+    if not sym.filter(F.col("_w") < 1).isEmpty():
+        raise ValueError(
+            "weighted_sssp: all edge weights must be >= 1 (positive "
+            "integers) -- a zero/negative length breaks termination"
+        )
     if source_node is None:
         row = sym.agg(F.min("_src")).collect()[0]  # 1-row scalar seed
         source_node = row[0]
@@ -1495,6 +1516,17 @@ def pagerank(
             .agg(F.sum("_w").alias("_w"))
             .localCheckpoint()
         )
+        # Round-9 review fix: a non-positive (parallel-summed) edge
+        # weight makes rank*w/0 or negative flow -- NaNs would
+        # propagate silently through every iteration's F.sum. The
+        # unweighted path can never hit this (deg >= 1); enforce the
+        # same invariant here. One bounded probe on the checkpointed
+        # frame.
+        if not edges.filter(F.col("_w") <= 0).isEmpty():
+            raise ValueError(
+                "pagerank: summed edge weights must be positive -- a "
+                "zero/negative out-weight makes rank flow undefined"
+            )
     nodes = (
         edges.select(F.col("_src").alias("_id"))
         .union(edges.select(F.col("_dst").alias("_id")))

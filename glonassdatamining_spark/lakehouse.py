@@ -230,6 +230,32 @@ class ManifestTable:
         # this append does not touch)
         return self._commit(files, "append", v + 1, m.get("deletes"))
 
+    def _write_delete_file(self, matches: DataFrame) -> dict | None:
+        """Write a (file, pos) frame as one immutable delete parquet;
+        returns its manifest entry, or None when the frame is empty
+        (shared by delete_where and merge's delete consolidation)."""
+        os.makedirs(self._deldir, exist_ok=True)
+        stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
+        matches.repartition(1).write.mode("overwrite").parquet(stage)
+        entry = None
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(
+                os.path.join(stage, name)
+            ).metadata.num_rows
+            if n_rows == 0:
+                continue
+            dst = f"{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(stage, name), os.path.join(self._deldir, dst)
+            )
+            entry = {"file": dst, "rows": n_rows}
+        shutil.rmtree(stage, ignore_errors=True)
+        return entry
+
     def delete_where(self, condition) -> dict:
         """Row-level DELETE via POSITIONAL DELETE FILES (round-9
         verdict ask #6 — the merge-on-read half of Iceberg/Delta
@@ -278,24 +304,7 @@ class ManifestTable:
                 *[os.path.join(self._deldir, e["file"]) for e in cur]
             )
             matches = matches.join(prior, ["file", "pos"], "left_anti")
-        os.makedirs(self._deldir, exist_ok=True)
-        stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
-        matches.repartition(1).write.mode("overwrite").parquet(stage)
-        entry = None
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            import pyarrow.parquet as pq
-
-            n_rows = pq.ParquetFile(os.path.join(stage, name)).metadata.num_rows
-            if n_rows == 0:
-                continue
-            dst = f"{uuid.uuid4().hex}.parquet"
-            os.rename(
-                os.path.join(stage, name), os.path.join(self._deldir, dst)
-            )
-            entry = {"file": dst, "rows": n_rows}
-        shutil.rmtree(stage, ignore_errors=True)
+        entry = self._write_delete_file(matches)
         if entry is None:  # predicate matched nothing
             return {"version": v, "deleted_rows": 0, "delete_files": 0}
         deletes = (m.get("deletes") or []) + [entry]
@@ -365,10 +374,7 @@ class ManifestTable:
             carried = [e for e in snap if e not in touched]
             if touched:
                 # apply live positional deletes during the rewrite so
-                # rewritten files MATERIALIZE them; carried files keep
-                # needing their delete entries, and refs to the
-                # now-dropped touched files go stale harmlessly (they
-                # match nothing — compact purges them)
+                # rewritten files MATERIALIZE them
                 old = self._scan(touched, deletes)
                 merged = old.join(
                     source.select(self.key_col), self.key_col, "left_anti"
@@ -376,14 +382,44 @@ class ManifestTable:
             else:
                 merged = source
             new_files = self._write_files(merged, n_files)
+            if deletes and touched:
+                # CONSOLIDATE the delete refs (round-9 review fix):
+                # refs to the rewritten (now-dropped) files are
+                # already materialized above — recommitting them
+                # whole would make history()'s deleted_rows overcount
+                # and break the n_rows − deleted_rows live-row
+                # arithmetic. Keep only refs to carried files,
+                # rewritten as one small delete file.
+                carried_names = [e["file"] for e in carried]
+                prior = self.spark.read.parquet(
+                    *[
+                        os.path.join(self._deldir, e["file"])
+                        for e in deletes
+                    ]
+                )
+                kept = prior.filter(F.col("file").isin(carried_names))
+                entry = self._write_delete_file(kept)
+                new_deletes = [entry] if entry else []
+            else:
+                new_deletes = deletes
             try:
-                self._commit(carried + new_files, "merge", v + 1, deletes)
+                self._commit(
+                    carried + new_files, "merge", v + 1, new_deletes
+                )
             except CommitConflict:
                 for e in new_files:  # orphans of the lost attempt
                     try:
                         os.unlink(os.path.join(self._ddir, e["file"]))
                     except FileNotFoundError:
                         pass
+                for e in new_deletes:  # consolidated-delete orphan
+                    if e not in deletes:
+                        try:
+                            os.unlink(
+                                os.path.join(self._deldir, e["file"])
+                            )
+                        except FileNotFoundError:
+                            pass
                 if attempt == max_retries:
                     raise
                 continue
@@ -404,29 +440,37 @@ class ManifestTable:
         position within the file). ``_metadata.row_index`` is the
         position — stable per file regardless of split parallelism —
         so a delete written under one read plan erases the same rows
-        under any other. Delete refs to files no longer in the
-        manifest (rewritten by MERGE) simply never match — stale refs
-        are harmless and compact() purges them. The anti-join's build
+        under any other. MERGE consolidates delete refs eagerly (refs to
+        rewritten files are dropped so history()'s deleted_rows stays
+        exact); a ref to a missing file would simply never match. The
+        anti-join's build
         side is the delete set, which is small by construction
         (deletes proportional to deleted rows, not table size) —
         AQE broadcasts it, so the read cost stays one scan."""
         cols = df.columns
+        # collision-proof join-key names: a user table may legally
+        # carry columns named _file/_pos (round-9 review fix — a
+        # withColumn on a taken name silently REPLACES the user's data)
+        fcol, pcol = "_gdm_del_file", "_gdm_del_pos"
+        while fcol in cols or pcol in cols:
+            fcol += "_"
+            pcol += "_"
         dels = self.spark.read.parquet(
             *[os.path.join(self._deldir, e["file"]) for e in deletes]
         )
         return (
             df.withColumn(
-                "_file",
+                fcol,
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ),
             )
-            .withColumn("_pos", F.col("_metadata.row_index"))
+            .withColumn(pcol, F.col("_metadata.row_index"))
             .join(
                 dels.select(
-                    F.col("file").alias("_file"), F.col("pos").alias("_pos")
+                    F.col("file").alias(fcol), F.col("pos").alias(pcol)
                 ),
-                ["_file", "_pos"],
+                [fcol, pcol],
                 "left_anti",
             )
             .select(*cols)
@@ -532,7 +576,8 @@ class ManifestTable:
                     "op": m["op"],
                     "n_files": len(m["files"]),
                     # data-file row total; live rows = this minus
-                    # deleted_rows (merge-on-read)
+                    # deleted_rows (exact: merge consolidates refs,
+                    # so no stale delete ref is ever counted)
                     "n_rows": sum(e["rows"] for e in m["files"]),
                     "n_delete_files": len(dels),
                     "deleted_rows": sum(e["rows"] for e in dels),

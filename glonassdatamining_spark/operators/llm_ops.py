@@ -3635,14 +3635,31 @@ def _k55_pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
-def _k55_learn(spark: SparkSession, sf_dir: str):
+# Session cache for the learned (merge table, segmented vocab) pair,
+# keyed (applicationId, sf_dir): the learning is deterministic, and
+# k49b consuming it should not re-run the 8 rounds k55 just ran in
+# the same session (round-9 review fix — the in-session half of the
+# k14b persisted-artifact discipline; the frames are tiny
+# localCheckpoints, so the cache holds O(vocab) rows).
+_K55_CACHE: dict = {}
+
+
+def _k55_learn(spark: SparkSession, sf_dir: str, use_cache: bool = False):
     """Run the fixed-budget merge learning; returns (merge-table
     DataFrame, final segmented vocabulary DataFrame). Each round: one
     vocab-sized pair count, one deterministic argmax (count DESC,
     then lexicographic (a, b) — binary collation on both engines),
     one literal string replace applying the merge greedily. Rounds
     are localCheckpoint-materialized (n18's discipline: O(1) lineage,
-    the tiny vocab frame re-used twice per round)."""
+    the tiny vocab frame re-used twice per round).
+
+    ``use_cache``: reuse this session's learned pair if available
+    (k49b's path — the learning is deterministic, so reuse cannot
+    change results; k55 itself always re-learns so its bench time
+    keeps measuring the training loop)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_cache and key in _K55_CACHE:
+        return _K55_CACHE[key]
     wf = _k55_word_freq(spark, sf_dir).localCheckpoint()
     merges = []
     for step in range(_K55_MERGES):
@@ -3667,6 +3684,7 @@ def _k55_learn(spark: SparkSession, sf_dir: str):
     table = merges[0]
     for m in merges[1:]:
         table = table.unionByName(m)
+    _K55_CACHE[key] = (table, wf)
     return table, wf
 
 
@@ -3768,8 +3786,10 @@ def k49b_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: learning is vocab-sized (see k55); scoring is one
     broadcast-sized vocab map joined onto the exploded token stream —
     at 100 TB the vocab broadcast replaces the join shuffle (AQE
-    picks it: the map is KB-scale)."""
-    _, wf = _k55_learn(spark, sf_dir)
+    picks it: the map is KB-scale). Within a session the learned
+    vocabulary is REUSED from k55's run (_K55_CACHE — deterministic,
+    so reuse cannot change results); a fresh session learns once."""
+    _, wf = _k55_learn(spark, sf_dir, use_cache=True)
     ss = F.split(F.expr("substring(s, 2, length(s) - 2)"), _K55_SEP * 2)
     vocab = wf.select("w", F.size(ss).cast("bigint").alias("n_sub"))
     d = load(spark, sf_dir, "documents")

@@ -1249,3 +1249,35 @@ def test_k49b_learned_fertility_beats_chars(spark):
         assert 1.0 <= r.learned_fertility
         # chars-per-word for this corpus is > 4; 8 merges must compress
         assert r.learned_fertility < 4.0
+
+
+def test_minhash_cap_stats_total_contract(spark):
+    """Round-9 review fix: cap_stats_out must be filled (with zeros)
+    even when band_df_cap is None — an uncapped run must never be
+    mistaken for a certified-lossless capped one."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc INT, content STRING"
+    )
+    stats: dict = {}
+    api.minhash_lsh_dedup(df, "doc", "content", cap_stats_out=stats)
+    assert stats == {"dropped_buckets": 0, "dropped_rows": 0, "max_bucket": 0}
+
+
+def test_k55_cache_reused_by_k49b(spark):
+    """Round-9 review fix: k49b must reuse the session's learned
+    vocabulary instead of re-running the 8 learning rounds — and the
+    cached path must produce the identical result."""
+    from glonassdatamining_spark.operators.llm_ops import (
+        _K55_CACHE,
+        _k55_learn,
+    )
+
+    _K55_CACHE.clear()
+    t1, wf1 = _k55_learn(spark, SF_DIR)
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    assert key in _K55_CACHE
+    t2, wf2 = _k55_learn(spark, SF_DIR, use_cache=True)
+    assert t2 is t1 and wf2 is wf1  # no recomputation
+    # and a forced re-learn agrees row-for-row (determinism)
+    t3, _ = _k55_learn(spark, SF_DIR)
+    assert sorted(map(tuple, t3.collect())) == sorted(map(tuple, t1.collect()))

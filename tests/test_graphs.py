@@ -474,3 +474,32 @@ def test_n20_fixture_replay(spark):
     assert got.keys() == rank.keys()
     for v in nodes:
         assert got[v] == pytest.approx(round(rank[v], 9), abs=1e-8)
+
+
+def test_weighted_sssp_rejects_bad_weights(spark):
+    """Round-9 review fix: float weights would silently truncate per
+    relax step, and weights < 1 break termination — both fail fast."""
+    from glonassdatamining_spark import api
+
+    floats = spark.createDataFrame(
+        [(1, 2, 1.5)], "src bigint, dst bigint, w double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        api.weighted_sssp(floats, "src", "dst", "w")
+    zeros = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 0)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        api.weighted_sssp(zeros, "src", "dst", "w")
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    """Round-9 review fix: a zero summed out-weight would NaN every
+    rank silently — fail fast instead."""
+    from glonassdatamining_spark import api
+
+    e = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 2)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        api.pagerank(e, "src", "dst", weight="w")

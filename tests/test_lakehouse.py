@@ -611,3 +611,42 @@ def test_merge_rewrites_materialize_deletes(spark, tmp_path):
             assert k not in rows  # carried files' deletes still live
         else:
             assert rows[k] == k * 2
+
+
+def test_positional_delete_user_columns_named_file_pos(spark, tmp_path):
+    """Round-9 review fix: a user table may legally carry columns
+    named _file/_pos (or file/pos) — merge-on-read reconstruction
+    must not clobber them."""
+    df = spark.range(20).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS _file", "id * 7 AS _pos"
+    )
+    t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 2)
+    t.delete_where("k >= 15")
+    rows = {r.k: (r._file, r._pos) for r in t.read().collect()}
+    assert len(rows) == 15
+    for k, (f, p) in rows.items():
+        assert f == str(k) and p == k * 7
+
+
+def test_merge_consolidates_delete_refs(spark, tmp_path):
+    """Round-9 review fix: after a COW merge touches files holding
+    deleted rows, history()'s deleted_rows must count only LIVE
+    delete refs — n_rows − deleted_rows equals the true live count."""
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 4)
+    t.delete_where("k % 4 = 0")  # 25 refs across all 4 files
+    src = spark.range(10).selectExpr("id AS k", "id * 100 AS v")
+    t.merge(src, n_files=1)  # touches the low file(s), upserts 0..9
+    h = t.history()[-1]
+    live = t.read().count()
+    assert h["n_rows"] - h["deleted_rows"] == live
+    # the stale refs (materialized by the rewrite) are GONE from the
+    # manifest; only refs into carried files remain
+    m = t._manifest(t.current_version())
+    carried_names = {e["file"] for e in m["files"]}
+    import os as _os
+
+    for e in m["deletes"]:
+        prior = spark.read.parquet(_os.path.join(t._deldir, e["file"]))
+        ref_files = {r.file for r in prior.select("file").distinct().collect()}
+        assert ref_files <= carried_names
