@@ -41,6 +41,7 @@ from glonassdatamining_spark.api import (  # noqa: E402,F401
     kcore,
     local_plane,
     minhash_lsh_dedup,
+    minimum_spanning_forest,
     pagerank,
     pii_scrub,
     rdp_simplify,
@@ -71,6 +72,7 @@ __all__ = [
     "kcore",
     "local_plane",
     "minhash_lsh_dedup",
+    "minimum_spanning_forest",
     "pagerank",
     "pii_scrub",
     "rdp_simplify",

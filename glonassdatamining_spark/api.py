@@ -1470,6 +1470,138 @@ def weighted_sssp(
     return dist
 
 
+def minimum_spanning_forest(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    max_iter: int = 20,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Minimum spanning forest of an undirected weighted graph via
+    distributed BORUVKA (Boruvka 1926; the provably O(log V)-round
+    distributed MST algorithm — GHS/MST-in-MapReduce's shape);
+    returns the forest's edge list (src, dst, weight), one tree per
+    connected component.
+
+    Determinism: edges are totally ordered by (weight, src, dst), so
+    ties cannot make the forest ambiguous — with a total order the
+    minimum spanning forest is UNIQUE (the standard cut-property
+    argument applied to the induced strict order), which is what
+    makes the result replayable by a python Kruskal reference in
+    tests. Each round: (1) label every edge with its endpoints'
+    current component, drop intra-component edges; (2) every
+    component picks its MINIMUM outgoing edge (one struct-min
+    aggregation — lexicographic on (w, src, dst)); (3) the chosen
+    edges contract via connected_components ON COMPONENT LABELS
+    (component-count-sized, not graph-sized), and the node->component
+    map updates through one join. Components at least halve per
+    round, so the fixpoint lands in O(log V) rounds; each round is
+    two equi-joins + one aggregation on the (shrinking) edge
+    frontier. Iterations localCheckpoint-materialized (reliable
+    checkpoint() on a cluster; bucket edges by src and every round's
+    first join is co-located). Eager: runs Spark jobs when called.
+    ``stats_out`` (connected_components' ledger discipline): filled
+    with ``rounds`` and ``frontier_edges`` (inter-component edges
+    seen per round) so the O(log V) bound is pinnable by tests
+    instead of argued.
+    """
+    e = (
+        edges_df.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).alias("_w"),
+        )
+        # parallel edges: keep the minimum weight (MSF-equivalent)
+        .groupBy("_src", "_dst")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("c"))
+        .localCheckpoint()
+    )
+    forest = None
+    rounds = 0
+    frontier_sizes: list[int] = []
+    for _ in range(max_iter):
+        ec = (
+            e.join(
+                comp.select(F.col("node").alias("_src"), F.col("c").alias("_ca")),
+                "_src",
+            )
+            .join(
+                comp.select(F.col("node").alias("_dst"), F.col("c").alias("_cb")),
+                "_dst",
+            )
+            .filter(F.col("_ca") != F.col("_cb"))
+            .localCheckpoint()
+        )
+        n_frontier = ec.count()
+        if n_frontier == 0:
+            break
+        rounds += 1
+        frontier_sizes.append(n_frontier)
+        pick = F.struct(
+            F.col("_w").alias("w"),
+            F.col("_src").alias("src"),
+            F.col("_dst").alias("dst"),
+        )
+        cand = ec.select(F.col("_ca").alias("_c"), pick.alias("_pick")).union(
+            ec.select(F.col("_cb").alias("_c"), pick.alias("_pick"))
+        )
+        chosen = (
+            cand.groupBy("_c")
+            .agg(F.min("_pick").alias("_pick"))
+            .select("_pick.src", "_pick.dst", "_pick.w")
+            # an edge minimal for BOTH its components appears twice
+            .distinct()
+            .localCheckpoint()
+        )
+        forest = chosen if forest is None else forest.unionByName(chosen)
+        # contract on COMPONENT labels (component-sized CC, not
+        # graph-sized): chosen edges form a forest over components
+        chosen_c = (
+            chosen.join(
+                comp.select(F.col("node").alias("src"), F.col("c").alias("_ca")),
+                "src",
+            )
+            .join(
+                comp.select(F.col("node").alias("dst"), F.col("c").alias("_cb")),
+                "dst",
+            )
+            .select("_ca", "_cb")
+        )
+        mapping = connected_components(chosen_c, "_ca", "_cb")
+        comp = (
+            comp.join(
+                mapping.withColumnRenamed("node", "c"), "c", "left"
+            )
+            .select(
+                "node", F.coalesce("component", F.col("c")).alias("c")
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_iter} "
+            "rounds -- components at least halve per round, so this "
+            "means max_iter < log2(V)"
+        )
+    if stats_out is not None:
+        stats_out.update(rounds=rounds, frontier_edges=frontier_sizes)
+    if forest is None:
+        node_t = e.schema["_src"].dataType.simpleString()
+        w_t = e.schema["_w"].dataType.simpleString()
+        return edges_df.sparkSession.createDataFrame(
+            [], f"src {node_t}, dst {node_t}, w {w_t}"
+        )
+    return forest.localCheckpoint()
+
+
 def pagerank(
     edges_df: DataFrame,
     src: str,

@@ -1284,3 +1284,32 @@ def n20_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(sym, "src", "dst", n_iter=10, damping=0.85, weight="w")
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register("n21_min_spanning_forest", oracle=None, section="N21")
+def n21_min_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the co-purchase graph under the n19
+    affinity distance (cost = max(1, 6 − co-occurrence): the cheapest
+    backbone connecting every co-purchased part — the classic
+    "category skeleton" of a market-basket graph), via distributed
+    Borůvka (``api.minimum_spanning_forest``: O(log V) rounds, each
+    two equi-joins + one struct-min aggregation; components contract
+    through component-label-sized connected components). The
+    (w, src, dst) total order makes the forest UNIQUE, so the result
+    is deterministic and python-replayable. rows-only: MSF is an
+    iterative fixpoint no ANSI recursive CTE can express tractably
+    (component-min selection needs per-round argmin over groups);
+    correctness rides a python KRUSKAL equality test (exact edge-set
+    match under the same total order, per-component tree properties)
+    on the fixture graph AND a hand graph in tests/test_graphs.py.
+
+    Scale: per round the inter-component edge frontier SHRINKS and
+    components at least halve; all joins are node/component-keyed
+    equi-joins — bucket edges by src on a cluster. Output: the forest
+    edges + per-edge cost (Σw = the minimum connection cost of every
+    component)."""
+    from glonassdatamining_spark.api import minimum_spanning_forest
+
+    edges = _n19_weighted_edges(spark, sf_dir)
+    msf = minimum_spanning_forest(edges, "src", "dst", "w")
+    return msf.select("src", "dst", F.col("w").cast("bigint").alias("w"))

@@ -503,3 +503,116 @@ def test_weighted_pagerank_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         api.pagerank(e, "src", "dst", weight="w")
+
+
+def _py_kruskal(edges: list) -> set:
+    """Reference Kruskal under the (w, src, dst) total order; returns
+    the unique MSF edge set as (src, dst, w) tuples."""
+    parent: dict = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    out = set()
+    for w, s, d in sorted((w, s, d) for s, d, w in edges):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            out.add((s, d, w))
+    return out
+
+
+def test_msf_matches_kruskal_hand_graph(spark):
+    """Boruvka vs Kruskal on a hand graph with ties (two weight-1
+    edges) and two components — the unique-MSF total order must make
+    them agree edge-for-edge."""
+    from glonassdatamining_spark import api
+
+    e = [
+        (1, 2, 1), (2, 3, 1), (1, 3, 2), (3, 4, 5), (1, 4, 4),
+        (10, 11, 7), (11, 12, 7), (10, 12, 8),
+    ]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint, w bigint")
+    got = {
+        (r.src, r.dst, r.w)
+        for r in api.minimum_spanning_forest(
+            edges, "src", "dst", "w"
+        ).collect()
+    }
+    want = _py_kruskal(e)
+    assert got == want
+    # 7 nodes, two components -> 5 edges
+    assert len(got) == 7 - 2
+
+
+def test_msf_matches_kruskal_fixture_graph(spark):
+    """The registered n21 on the sf0.001 co-purchase graph must equal
+    the python Kruskal edge set exactly (the unique-MSF property
+    under the shared total order), and Σw must be minimal by
+    construction."""
+    from conftest import SF_DIR
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.graphs import _n19_weighted_edges
+
+    e = [(r.src, r.dst, r.w) for r in _n19_weighted_edges(spark, SF_DIR).collect()]
+    assert len(e) > 20
+    got = {
+        (r.src, r.dst, r.w)
+        for r in registry.get("n21_min_spanning_forest")
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    want = _py_kruskal(e)
+    assert got == want
+    # forest size = nodes - components
+    nodes = {n for s, d, _ in e for n in (s, d)}
+    comps = len({frozenset()})  # recompute via union-find
+    parent: dict = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for s, d, _ in e:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comps = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - comps
+
+
+def test_msf_empty_graph(spark):
+    from glonassdatamining_spark import api
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
+    assert api.minimum_spanning_forest(edges, "src", "dst", "w").count() == 0
+
+
+def test_msf_round_count_is_logarithmic(spark):
+    """Boruvka's components at least halve per round — pin the ledger
+    on a 256-node path (the worst case for naive merging: 255 edges,
+    distinct weights) to <= ceil(log2 V) + 1 rounds, with the
+    frontier shrinking monotonically."""
+    import math
+
+    from glonassdatamining_spark import api
+
+    n = 256
+    e = [(i, i + 1, 1 + (i * 7) % 97) for i in range(n - 1)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint, w bigint")
+    stats: dict = {}
+    out = api.minimum_spanning_forest(
+        edges, "src", "dst", "w", stats_out=stats
+    )
+    assert out.count() == n - 1  # a path IS its own MSF
+    assert 1 <= stats["rounds"] <= math.ceil(math.log2(n)) + 1, stats
+    assert stats["frontier_edges"] == sorted(
+        stats["frontier_edges"], reverse=True
+    )
