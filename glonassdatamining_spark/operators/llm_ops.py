@@ -3804,3 +3804,127 @@ def k49b_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
         ).alias("learned_fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# K55b — PERSISTED BPE vocabulary artifact (the k14b build/score split
+# applied to the tokenizer: learn once, persist as ManifestTables,
+# score any corpus from the frozen artifact)
+# --------------------------------------------------------------------------
+def bpe_persist(spark: SparkSession, root: str, sf_dir: str) -> dict:
+    """BUILD step: learn the k55 merge table (session-cached) and
+    persist BOTH artifact halves as ManifestTables (k14b's substrate):
+
+    * ``{root}/merges`` — the 8 (step, lhs, rhs, pair_count) rows, the
+      frozen tokenizer definition (what real pipelines ship);
+    * ``{root}/vocab``  — the segmented vocabulary (word, canonical
+      segmentation string, n_sub), the scoring lookup table.
+
+    Scoring then reads the frozen artifact without re-learning
+    (:func:`k55b_learned_fertility_prebuilt`); NEW corpora apply the
+    frozen merges via :func:`bpe_apply_merges` (no refit — the
+    standard deploy path)."""
+    from glonassdatamining_spark.lakehouse import ManifestTable
+
+    table, wf = _k55_learn(spark, sf_dir, use_cache=True)
+    merges = table.select(
+        "step", F.col("a").alias("lhs"), F.col("b").alias("rhs"),
+        F.col("cnt").alias("pair_count"),
+    )
+    ManifestTable.create(spark, f"{root}/merges", merges, "step", 1)
+    ss = F.split(F.expr("substring(s, 2, length(s) - 2)"), _K55_SEP * 2)
+    vocab = wf.select(
+        "w", "s", F.size(ss).cast("bigint").alias("n_sub")
+    )
+    t = ManifestTable.create(spark, f"{root}/vocab", vocab, "w", 2)
+    return {"root": root, "vocab_rows": t.read().count()}
+
+
+def bpe_apply_merges(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a FROZEN merge table to unseen words (the deploy path —
+    ivf_insert's no-refit discipline): canonical-encode each word,
+    replay the merges in step order as literal replaces, return
+    (word, n_sub). The merge table is bounded by the training budget
+    (8 rows here, 30k in production — plan-literal scale), so pulling
+    it to the driver is the k14 probe-id class of bounded collect."""
+    rows = sorted(
+        # bounded <= _K55_MERGES (8) merge-table rows
+        merges.select("step", "lhs", "rhs").collect(),
+        key=lambda r: r.step,
+    )
+    s = F.regexp_replace(
+        F.col("w"), "(.)", f"{_K55_SEP}$1{_K55_SEP}"
+    )
+    for r in rows:
+        s = F.replace(
+            s,
+            F.lit(f"{_K55_SEP}{r.lhs}{_K55_SEP}{_K55_SEP}{r.rhs}{_K55_SEP}"),
+            F.lit(f"{_K55_SEP}{r.lhs}{r.rhs}{_K55_SEP}"),
+        )
+    seg = F.split(
+        F.expr(f"substring({'_seg'}, 2, length({'_seg'}) - 2)"), _K55_SEP * 2
+    )
+    return (
+        words.withColumn("_seg", s)
+        .withColumn("n_sub", F.size(seg).cast("bigint"))
+        .drop("_seg")
+    )
+
+
+@register(
+    "k55b_learned_fertility_prebuilt",
+    oracle=(
+        _k55_oracle()
+        + f", vocab AS (SELECT w, len(string_split(substring(s, 2, length(s) - 2), '@@')) "
+        f"AS n_sub FROM s{_K55_MERGES}), "
+        "tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), "
+        "scored AS (SELECT lang, t.w, v.n_sub FROM tok t JOIN vocab v ON t.w = v.w) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, "
+        "CAST(SUM(n_sub) AS BIGINT) AS learned_tokens, "
+        "ROUND(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 6) AS learned_fertility "
+        "FROM scored GROUP BY lang"
+    ),
+    section="K55",
+)
+def k55b_learned_fertility_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k49b's learned-fertility rollup scored from the PERSISTED
+    tokenizer artifact (the k14b build/query split applied to BPE —
+    what k55's docstring promises): the first call learns + persists
+    merges and vocabulary as ManifestTables (bpe_persist); every
+    later call reads the FROZEN vocab snapshot and runs ONE
+    broadcast-join scoring pass — no re-learning, the shape a deploy
+    pipeline has (tokenizer trained once, shipped, applied to every
+    corpus shard). HASH-CHECKED against the SAME re-learning oracle
+    as k49b: a hash match certifies that persist → manifest → read
+    reproduces the freshly-learned vocabulary EXACTLY (any drift in
+    the artifact round-trip flips the hash). The frozen-merge deploy
+    path for UNSEEN words (bpe_apply_merges) is equality-tested
+    against python greedy BPE in tests/test_api.py.
+
+    Scale: the artifact is vocab-sized ManifestTables (snapshot
+    isolation, stats pruning, the g11-g16 substrate); scoring is one
+    broadcast map join — learning cost is paid once per corpus
+    version, not per query."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.sources.scans import _derived_base
+
+    root = _derived_base(sf_dir, "bpe_artifact", "documents")
+    vt = ManifestTable(spark, f"{root}/vocab", "w")
+    if vt.current_version() == 0:
+        shutil.rmtree(root, ignore_errors=True)
+        bpe_persist(spark, root, sf_dir)
+    vocab = vt.read().select("w", "n_sub")
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    scored = tok.join(broadcast(vocab), "w")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ws_tokens"),
+        F.sum("n_sub").cast("bigint").alias("learned_tokens"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+        ).alias("learned_fertility"),
+    )

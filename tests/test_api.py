@@ -1281,3 +1281,70 @@ def test_k55_cache_reused_by_k49b(spark):
     # and a forced re-learn agrees row-for-row (determinism)
     t3, _ = _k55_learn(spark, SF_DIR)
     assert sorted(map(tuple, t3.collect())) == sorted(map(tuple, t1.collect()))
+
+
+def test_bpe_apply_merges_matches_python_greedy(spark):
+    """The frozen-merge deploy path (k55b): applying the persisted
+    merge table to UNSEEN words must equal python greedy BPE with the
+    same ordered merges — including overlap ('aaaa' with merge a+a ->
+    [aa, aa]) and multi-char composition."""
+    from glonassdatamining_spark.operators.llm_ops import bpe_apply_merges
+
+    merges = spark.createDataFrame(
+        [(0, "a", "a", 9), (1, "aa", "b", 5), (2, "c", "d", 3)],
+        "step INT, lhs STRING, rhs STRING, pair_count BIGINT",
+    )
+    words = ["aaaa", "aab", "aaab", "abcd", "cdcd", "x", "aaaab"]
+    df = spark.createDataFrame([(w,) for w in words], "w STRING")
+    got = {r.w: r.n_sub for r in bpe_apply_merges(df, merges).collect()}
+
+    def apply(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for w in words:
+        syms = list(w)
+        for a, b in (("a", "a"), ("aa", "b"), ("c", "d")):
+            syms = apply(syms, a, b)
+        assert got[w] == len(syms), (w, got[w], syms)
+
+
+def test_k55b_artifact_roundtrip_equals_fresh(spark, tmp_path):
+    """bpe_persist -> ManifestTable read must reproduce the freshly
+    learned vocabulary exactly (the property k55b's hash certifies at
+    sf0.01, pinned here at sf0.001 against the in-session frames)."""
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.operators.llm_ops import (
+        _K55_SEP,
+        _k55_learn,
+        bpe_persist,
+    )
+
+    root = str(tmp_path / "bpe")
+    bpe_persist(spark, root, SF_DIR)
+    table, wf = _k55_learn(spark, SF_DIR, use_cache=True)
+    persisted = {
+        r.w: (r.s, r.n_sub)
+        for r in ManifestTable(spark, f"{root}/vocab", "w").read().collect()
+    }
+    ss = F.split(F.expr("substring(s, 2, length(s) - 2)"), _K55_SEP * 2)
+    fresh = {
+        r.w: (r.s, r.n_sub)
+        for r in wf.select(
+            "w", "s", F.size(ss).cast("bigint").alias("n_sub")
+        ).collect()
+    }
+    assert persisted == fresh
+    merges = {
+        r.step: (r.lhs, r.rhs)
+        for r in ManifestTable(spark, f"{root}/merges", "step").read().collect()
+    }
+    want = {r.step: (r.a, r.b) for r in table.collect()}
+    assert merges == want

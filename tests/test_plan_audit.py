@@ -104,6 +104,7 @@ COLLECT_ALLOWED = {
     ("operators/ml_ops.py", 'li.select("l_returnflag").distinct()'),  # 3-row flag dim (j13)
     ("lakehouse.py", "1-row bounded scalar"),       # merge key-range probe
     ("operators/llm_ops.py", "bounded ≤ nlist (16) distinct probe ids"),  # ivf_query prune
+    ("operators/llm_ops.py", "bounded <= _K55_MERGES (8) merge-table rows"),  # bpe_apply_merges
     ("operators/sets.py", "1-row per-version rollup"),  # g11: 3 bounded reads
     ("operators/sets.py", "1-row per-step rollup"),     # g12: 3 bounded reads
 }
