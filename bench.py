@@ -104,6 +104,8 @@ HEADLINE = [
     "k55_bpe_merge_learning",        # 8-round BPE merge training
     "k49b_learned_fertility",        # learned-tokenizer fertility rescore
     "g16_lakehouse_positional_deletes",  # merge-on-read delete tier
+    "i64_map_matching",              # snap-to-segment traffic rollup
+    "k55b_learned_fertility_prebuilt",  # frozen-artifact scoring pass
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

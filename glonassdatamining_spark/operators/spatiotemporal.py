@@ -5671,3 +5671,157 @@ def i62b_concave_overlay_general(
         ),
         "n_neg_terms",
     )
+
+
+# ---------------------------------------------------------------------------
+# I64 — map matching: snap fixes to the nearest ROAD SEGMENT
+# (point-to-segment projection; i24 snaps to POINT POIs — segments
+# need the clamped-projection primitive, the missing piece between
+# POI snapping and full HMM map matching)
+# ---------------------------------------------------------------------------
+_I64_MAX_DIST = 3.0
+_I64_CELL = 10.0
+
+
+def _i64_oracle() -> str:
+    # Full O(fixes × segments) argmin — deliberately STRONGER than the
+    # Spark side's grid-candidate join: a hash match proves the grid
+    # loses no (fix, segment) pair within range.
+    seg = (
+        "seg AS (SELECT s_suppkey AS seg_id, "
+        "CAST(s_suppkey * 13 % 90 + 5 AS DOUBLE) AS x1, "
+        "CAST(s_suppkey * 17 % 90 + 5 AS DOUBLE) AS y1, "
+        "CAST(s_suppkey * 13 % 90 + 5 AS DOUBLE) + (3 + s_suppkey % 7) AS x2, "
+        "CAST(s_suppkey * 17 % 90 + 5 AS DOUBLE) + ((s_suppkey * 3 % 11) - 5) AS y2 "
+        "FROM supplier WHERE s_suppkey <= 100)"
+    )
+    t = (
+        "(((f.x - s.x1) * (s.x2 - s.x1) + (f.y - s.y1) * (s.y2 - s.y1)) "
+        "/ ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))"
+    )
+    tc = f"LEAST(1.0, GREATEST(0.0, {t}))"
+    cx = f"(s.x1 + {tc} * (s.x2 - s.x1))"
+    cy = f"(s.y1 + {tc} * (s.y2 - s.y1))"
+    dist = f"sqrt((f.x - {cx}) * (f.x - {cx}) + (f.y - {cy}) * (f.y - {cy}))"
+    return (
+        FIXES_CTE + ", " + seg + ", "
+        f"cand AS (SELECT f.obj_id, f.event_id, s.seg_id, {dist} AS dist "
+        "FROM fixes f CROSS JOIN seg s), "
+        "best AS (SELECT obj_id, event_id, seg_id, dist FROM cand "
+        f"WHERE dist <= {_I64_MAX_DIST!r} "
+        "QUALIFY row_number() OVER (PARTITION BY event_id "
+        "ORDER BY dist, seg_id) = 1) "
+        "SELECT seg_id, CAST(COUNT(*) AS BIGINT) AS n_fixes, "
+        "CAST(COUNT(DISTINCT obj_id) AS BIGINT) AS n_objs, "
+        "ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,6))) AS DOUBLE) "
+        "/ COUNT(*), 4) AS avg_dist "
+        "FROM best GROUP BY seg_id"
+    )
+
+
+@register("i64_map_matching", oracle=_i64_oracle(), section="I64")
+def i64_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP MATCHING, the geometric core: snap every fix to its nearest
+    ROAD SEGMENT within 3 units — clamped point-to-segment projection
+    (t = ((p−a)·(b−a))/|b−a|² clamped to [0,1], then Euclidean
+    distance to the projected point), argmin per fix with a (dist,
+    seg_id) tie-break, rolled up to per-segment traffic (fix count,
+    distinct vehicles, decimal-stable mean offset). i24 snaps to
+    POINT POIs; segments need this projection primitive — the missing
+    piece between POI snapping and HMM map matching (the transition
+    layer is i44's Markov kernel; the emission layer is THIS).
+
+    Candidates: the segment set is a bounded road geography
+    (suppliers ≤ 100 — i59's district discipline), each segment
+    exploded to the grid cells of its D-expanded bbox, each fix to
+    its single cell, broadcast equi-join on cell — a (fix, segment)
+    pair can meet in at most the fix's one cell, so no dedup is
+    needed and candidates grow LINEARLY in fixes. The ORACLE is the
+    full O(fixes×segments) argmin, deliberately stronger: the hash
+    proves the D-expanded cell cover loses no in-range pair. All
+    arithmetic is the identical IEEE expression chain on both engines
+    (projection, clamp, distance, argmin comparison), so the result
+    is hash-exact; |b−a|² > 0 by construction (dx ≥ 3).
+
+    Scale: one broadcast join + one per-fix argmin aggregation + one
+    per-segment rollup; for unbounded segment sets bucket BOTH sides
+    on cells (i3/i30's shuffle shape). At 100 TB the segment table is
+    a plan-side broadcast exactly like real road networks (10^7
+    segments ≈ GBs — partition by region and this query runs
+    per-region)."""
+    f = fixes(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
+    x1 = (F.col("s_suppkey") * 13 % 90 + 5).cast("double")
+    y1 = (F.col("s_suppkey") * 17 % 90 + 5).cast("double")
+    segs = s.select(
+        F.col("s_suppkey").alias("seg_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + (F.col("s_suppkey") % 7 + 3)).alias("x2"),
+        (y1 + ((F.col("s_suppkey") * 3 % 11) - 5)).alias("y2"),
+    )
+    d = F.lit(_I64_MAX_DIST)
+    segc = segs.withColumn(
+        "cellx",
+        F.explode(
+            F.sequence(
+                F.floor((F.least("x1", "x2") - d) / _I64_CELL),
+                F.floor((F.greatest("x1", "x2") + d) / _I64_CELL),
+            )
+        ),
+    ).withColumn(
+        "celly",
+        F.explode(
+            F.sequence(
+                F.floor((F.least("y1", "y2") - d) / _I64_CELL),
+                F.floor((F.greatest("y1", "y2") + d) / _I64_CELL),
+            )
+        ),
+    )
+    fc = f.select(
+        "obj_id",
+        "event_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _I64_CELL).alias("cellx"),
+        F.floor(F.col("y") / _I64_CELL).alias("celly"),
+    )
+    cand = fc.join(F.broadcast(segc), ["cellx", "celly"])
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    t = (
+        (F.col("x") - F.col("x1")) * dx + (F.col("y") - F.col("y1")) * dy
+    ) / (dx * dx + dy * dy)
+    tc = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx = F.col("x1") + tc * dx
+    cy = F.col("y1") + tc * dy
+    dist = F.sqrt(
+        (F.col("x") - cx) * (F.col("x") - cx)
+        + (F.col("y") - cy) * (F.col("y") - cy)
+    )
+    scored = cand.select(
+        "obj_id", "event_id", "seg_id", dist.alias("dist")
+    ).filter(F.col("dist") <= _I64_MAX_DIST)
+    best = scored.groupBy("event_id").agg(
+        F.min(
+            F.struct(
+                F.col("dist").alias("dist"), F.col("seg_id").alias("seg_id"),
+            )
+        ).alias("_b"),
+        F.first("obj_id").alias("obj_id"),
+    )
+    # obj_id rides the fix key (event_id), not the argmin — re-join
+    # would be correct too, but event_id -> obj_id is functional so
+    # first() is exact
+    out = best.select(
+        "obj_id", "event_id", F.col("_b.seg_id").alias("seg_id"),
+        F.col("_b.dist").alias("dist"),
+    )
+    from glonassdatamining_spark.stable import dsum
+
+    return out.groupBy("seg_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.countDistinct("obj_id").cast("bigint").alias("n_objs"),
+        F.round(
+            dsum("dist", "_sd").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_dist"),
+    )

@@ -972,3 +972,43 @@ def test_i62b_agrees_with_i62_on_shared_shapes(spark):
             y += step
         x += step
     assert want == pytest.approx(n_in * step * step, abs=0.5)
+
+
+def test_i64_point_to_segment_projection(spark):
+    """The clamped-projection primitive against a python reference on
+    hand cases: perpendicular foot inside the segment, clamps at both
+    endpoints, a point ON the segment (dist 0), and the argmin
+    tie-break by seg_id for equidistant segments."""
+    import math
+
+    import pytest
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        i64_map_matching,
+    )
+    from tests.conftest import SF_DIR, compare_frames, oracle_con
+
+    # the registered query's oracle is the full cross-join argmin —
+    # run the t2 comparison directly here too so this test fails
+    # loudly at sf0.001 without waiting for the mirror
+    got = i64_map_matching(spark, SF_DIR)
+    from glonassdatamining_spark.operators.spatiotemporal import _i64_oracle
+
+    want = oracle_con(SF_DIR).execute(_i64_oracle()).fetchdf()
+    compare_frames(got.toPandas(), want, "i64")
+
+    def ref(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        t = ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)
+        t = min(1.0, max(0.0, t))
+        cx, cy = x1 + t * dx, y1 + t * dy
+        return math.hypot(px - cx, py - cy)
+
+    # perpendicular foot: point (5, 3) vs segment (0,0)-(10,0) -> 3
+    assert ref(5, 3, 0, 0, 10, 0) == pytest.approx(3.0)
+    # clamp left: point (-4, 3) -> distance to (0,0) = 5
+    assert ref(-4, 3, 0, 0, 10, 0) == pytest.approx(5.0)
+    # clamp right: point (13, 4) -> distance to (10,0) = 5
+    assert ref(13, 4, 0, 0, 10, 0) == pytest.approx(5.0)
+    # on-segment -> 0
+    assert ref(7, 0, 0, 0, 10, 0) == pytest.approx(0.0)
