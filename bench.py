@@ -106,6 +106,7 @@ HEADLINE = [
     "g16_lakehouse_positional_deletes",  # merge-on-read delete tier
     "i64_map_matching",              # snap-to-segment traffic rollup
     "k55b_learned_fertility_prebuilt",  # frozen-artifact scoring pass
+    "i65_hausdorff_similarity",      # filter-and-refine metric trajectory join
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

@@ -5825,3 +5825,147 @@ def i64_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("dist", "_sd").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I65 — Hausdorff trajectory similarity (filter-and-refine): i11's
+# cell co-visitation as the COARSE filter, exact symmetric Hausdorff
+# distance as the REFINE step — a true spatial metric between
+# trajectories (i11 ranks by cell-set Jaccard, which quantizes away
+# WHERE inside the cell the object went)
+# ---------------------------------------------------------------------------
+_I65_MIN_SHARED = 3   # coarse filter: pairs must co-visit >= 3 cells
+_I65_K = 3
+
+
+def _i65_oracle() -> str:
+    dist = (
+        "sqrt((p[1] - q[1]) * (p[1] - q[1]) "
+        "+ (p[2] - q[2]) * (p[2] - q[2]))"
+    )
+
+    def h(a: str, b: str) -> str:
+        return (
+            f"list_max(list_transform({a}, p -> "
+            f"list_min(list_transform({b}, q -> {dist}))))"
+        )
+
+    return (
+        FIXES_CTE + ", sub AS (SELECT obj_id, x, y FROM fixes "
+        "WHERE obj_id % 3 = 0), "
+        "tr AS (SELECT obj_id, list([x, y]) AS pts FROM sub GROUP BY obj_id), "
+        "cells AS (SELECT DISTINCT obj_id, "
+        "CAST(floor(x / 2.0) AS BIGINT) * 100 + CAST(floor(y / 2.0) AS BIGINT) "
+        "AS cell FROM sub), "
+        "shared AS (SELECT a.obj_id AS oa, b.obj_id AS ob FROM cells a "
+        "JOIN cells b ON a.cell = b.cell AND a.obj_id < b.obj_id "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {_I65_MIN_SHARED}), "
+        "pairs AS (SELECT s.oa, s.ob, ta.pts AS pa, tb.pts AS pb "
+        "FROM shared s JOIN tr ta ON ta.obj_id = s.oa "
+        "JOIN tr tb ON tb.obj_id = s.ob), "
+        "hd AS (SELECT oa, ob, "
+        f"GREATEST({h('pa', 'pb')}, {h('pb', 'pa')}) AS h FROM pairs), "
+        "sym AS (SELECT oa AS obj_a, ob AS obj_b, h FROM hd "
+        "UNION ALL SELECT ob, oa, h FROM hd) "
+        "SELECT obj_a, obj_b, ROUND(h, 4) AS hausdorff FROM sym "
+        "QUALIFY row_number() OVER (PARTITION BY obj_a "
+        f"ORDER BY h, obj_b) <= {_I65_K}"
+    )
+
+
+@register("i65_hausdorff_similarity", oracle=_i65_oracle(), section="I65")
+def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar trajectories per object by SYMMETRIC
+    HAUSDORFF distance — max(h(A,B), h(B,A)) with h = max over A's
+    points of the min distance into B — the classic filter-and-refine
+    spatial join: i11's cell co-visitation (≥ 3 shared 2.0-unit cells
+    on the 1/3 object subset) generates candidate pairs, the exact
+    metric refines them. Unlike i11's cell-set Jaccard, Hausdorff is
+    a true metric on the POINT SETS (it sees where inside a cell the
+    object went), and it is ORDER-INSENSITIVE — min/max over a fixed
+    point set do not depend on array order — so the per-object
+    collect_list needs no sort and the hash cannot be threatened by
+    aggregation order (the same property the oracle's list() relies
+    on). The whole refine step is pure JVM higher-order functions
+    (nested transform → array_min → array_max), zero Python, zero
+    shuffle beyond the pair join.
+
+    Scale: candidates come only from the co-visitation equi-join
+    (never all-pairs); per-pair refine is O(|A|·|B|) codegen'd
+    arithmetic on arrays that are BOUNDED per object (series count,
+    not depth, grows with data — TESTDATA's shape). On a fixed extent
+    the candidate count densifies like i11 — the i11b re-bin lever
+    applies verbatim to the filter grid. Early-abandon (stop a row's
+    min-scan when it exceeds the current best) is the classic serial
+    optimization; the vectorized form trades it for batch throughput,
+    the standard columnar choice."""
+    f = fixes(spark, sf_dir).filter(F.col("obj_id") % 3 == 0)
+    sub = f.select("obj_id", "x", "y")
+    tr = sub.groupBy("obj_id").agg(
+        F.collect_list(
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y"))
+        ).alias("pts")
+    )
+    cell = (
+        F.floor(F.col("x") / 2.0).cast("bigint") * 100
+        + F.floor(F.col("y") / 2.0).cast("bigint")
+    )
+    cells = sub.select("obj_id", cell.alias("cell")).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    shared = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.obj_id") < F.col("b.obj_id")))
+        .groupBy(
+            F.col("a.obj_id").alias("oa"), F.col("b.obj_id").alias("ob")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= _I65_MIN_SHARED)
+        .select("oa", "ob")
+    )
+    pairs = (
+        shared.join(
+            tr.select(F.col("obj_id").alias("oa"), F.col("pts").alias("pa")),
+            "oa",
+        )
+        .join(
+            tr.select(F.col("obj_id").alias("ob"), F.col("pts").alias("pb")),
+            "ob",
+        )
+    )
+
+    def hdist(pa, pb):
+        return F.array_max(
+            F.transform(
+                pa,
+                lambda p: F.array_min(
+                    F.transform(
+                        pb,
+                        lambda q: F.sqrt(
+                            (p.x - q.x) * (p.x - q.x)
+                            + (p.y - q.y) * (p.y - q.y)
+                        ),
+                    )
+                ),
+            )
+        )
+
+    hd = pairs.select(
+        "oa",
+        "ob",
+        F.greatest(
+            hdist(F.col("pa"), F.col("pb")), hdist(F.col("pb"), F.col("pa"))
+        ).alias("h"),
+    )
+    sym = hd.select(
+        F.col("oa").alias("obj_a"), F.col("ob").alias("obj_b"), "h"
+    ).unionByName(
+        hd.select(
+            F.col("ob").alias("obj_a"), F.col("oa").alias("obj_b"), "h"
+        )
+    )
+    w = Window.partitionBy("obj_a").orderBy("h", "obj_b")
+    return (
+        sym.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _I65_K)
+        .select("obj_a", "obj_b", F.round("h", 4).alias("hausdorff"))
+    )

@@ -1012,3 +1012,61 @@ def test_i64_point_to_segment_projection(spark):
     assert ref(13, 4, 0, 0, 10, 0) == pytest.approx(5.0)
     # on-segment -> 0
     assert ref(7, 0, 0, 0, 10, 0) == pytest.approx(0.0)
+
+
+def test_i65_hausdorff_matches_python(spark):
+    """The registered i65 vs a pure-python reference on the sf0.001
+    fixture: same candidate filter (>= 3 shared cells), same
+    symmetric Hausdorff, same (h, obj_b) top-3 ranking."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I65_K,
+        _I65_MIN_SHARED,
+        fixes,
+        i65_hausdorff_similarity,
+    )
+    from tests.conftest import SF_DIR
+
+    pts: dict = {}
+    cells: dict = {}
+    rows = (
+        fixes(spark, SF_DIR)
+        .filter("obj_id % 3 = 0")
+        .select("obj_id", "x", "y")
+        .collect()
+    )
+    for r in rows:
+        pts.setdefault(r.obj_id, []).append((r.x, r.y))
+        cells.setdefault(r.obj_id, set()).add(
+            (math.floor(r.x / 2.0) * 100 + math.floor(r.y / 2.0))
+        )
+
+    def h(A, B):
+        return max(
+            min(math.sqrt((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2) for q in B)
+            for p in A
+        )
+
+    objs = sorted(pts)
+    sym: dict = {}
+    for i, oa in enumerate(objs):
+        for ob in objs[i + 1:]:
+            if len(cells[oa] & cells[ob]) >= _I65_MIN_SHARED:
+                d = max(h(pts[oa], pts[ob]), h(pts[ob], pts[oa]))
+                sym.setdefault(oa, []).append((d, ob))
+                sym.setdefault(ob, []).append((d, oa))
+    want = {}
+    for oa, cands in sym.items():
+        for d, ob in sorted(cands)[:_I65_K]:
+            want[(oa, ob)] = round(d, 4)
+
+    got = {
+        (r.obj_a, r.obj_b): r.hausdorff
+        for r in i65_hausdorff_similarity(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys()
+    import pytest
+
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
