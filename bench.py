@@ -106,7 +106,12 @@ HEADLINE = [
     "g16_lakehouse_positional_deletes",  # merge-on-read delete tier
     "i64_map_matching",              # snap-to-segment traffic rollup
     "k55b_learned_fertility_prebuilt",  # frozen-artifact scoring pass
-    "i65_hausdorff_similarity",      # filter-and-refine metric trajectory join
+    # i65_hausdorff_similarity / i65b are NOT benched (n20's class):
+    # the exact-metric refine is interpreted-HOF pair pacing (~0.25 ms
+    # per candidate pair — ~20 s at sf0.1's ~80k pairs), candidate-
+    # bound by construction; their evidence is the t2 hash at sf0.01
+    # AND the sf0.1 mirror, the python replay test, and the scale
+    # rows (i65b 3.14x for 10x rows with the auto re-binned filter)
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

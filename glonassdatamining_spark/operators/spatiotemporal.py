@@ -5834,7 +5834,9 @@ def i64_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trajectories (i11 ranks by cell-set Jaccard, which quantizes away
 # WHERE inside the cell the object went)
 # ---------------------------------------------------------------------------
-_I65_MIN_SHARED = 3   # coarse filter: pairs must co-visit >= 3 cells
+_I65_MIN_SHARED = 2   # coarse filter: pairs must co-visit >= 2 cells
+# (2, not 3: the sf0.001 subset has only ~6 fixes/object, and a >= 3
+# filter leaves ZERO candidate pairs there — an empty smoke tier)
 _I65_K = 3
 
 
@@ -5899,6 +5901,22 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-scan when it exceeds the current best) is the classic serial
     optimization; the vectorized form trades it for batch throughput,
     the standard columnar choice."""
+    return hausdorff_similarity(spark, sf_dir, cell_size=2.0)
+
+
+def hausdorff_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_size: float,
+    min_shared: int = _I65_MIN_SHARED,
+) -> DataFrame:
+    """The i65 kernel with a parameterized filter grid (i65b derives
+    ``cell_size`` from density — the i11b re-bin lever applied to the
+    filter-and-refine join). Cell ids pack as cx·2²⁰ + cy so sub-unit
+    cells cannot collide (i65's literal form uses ×100 to stay
+    byte-identical with its oracle; the two packings agree on which
+    objects CO-VISIT for any cell ≥ 2.0/50 — collisions need cx ≥
+    2²⁰)."""
     f = fixes(spark, sf_dir).filter(F.col("obj_id") % 3 == 0)
     sub = f.select("obj_id", "x", "y")
     tr = sub.groupBy("obj_id").agg(
@@ -5906,10 +5924,17 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("x").alias("x"), F.col("y").alias("y"))
         ).alias("pts")
     )
-    cell = (
-        F.floor(F.col("x") / 2.0).cast("bigint") * 100
-        + F.floor(F.col("y") / 2.0).cast("bigint")
-    )
+    if cell_size == 2.0:
+        # the registered i65 packing (mirrors its oracle literally)
+        cell = (
+            F.floor(F.col("x") / 2.0).cast("bigint") * 100
+            + F.floor(F.col("y") / 2.0).cast("bigint")
+        )
+    else:
+        cell = (
+            F.floor(F.col("x") / cell_size).cast("bigint") * 1048576
+            + F.floor(F.col("y") / cell_size).cast("bigint")
+        )
     cells = sub.select("obj_id", cell.alias("cell")).distinct()
     a, b = cells.alias("a"), cells.alias("b")
     shared = (
@@ -5919,7 +5944,7 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.obj_id").alias("oa"), F.col("b.obj_id").alias("ob")
         )
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= _I65_MIN_SHARED)
+        .filter(F.col("_n") >= min_shared)
         .select("oa", "ob")
     )
     pairs = (
@@ -5969,3 +5994,36 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= _I65_K)
         .select("obj_a", "obj_b", F.round("h", 4).alias("hausdorff"))
     )
+
+
+# i65b calibration: the sf0.1 operating point of the SUBSET
+# (33,524 fixes — where cell 2.0 is the parent's tuned filter grid).
+_I65B_N_REF = 33_524.0
+
+
+@register("i65b_hausdorff_similarity_auto", oracle=None, section="I65")
+def i65b_hausdorff_similarity_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """i65 with the SELF-TUNING filter grid — the i11b re-bin lever
+    applied to the filter-and-refine join's COARSE stage: the refine
+    cost is candidate-pair-bound, and on a fixed extent co-visitation
+    pairs densify quadratically (measured: 508 pairs at sf0.01 →
+    ~80k at sf0.1 with the fixed 2.0 cell — the i11 class).
+    Deriving cell = 2.0·√(N_REF/n) from one bounded count keeps the
+    expected per-cell occupancy — and hence the candidate-pair count
+    per object — flat as density grows; a finer grid makes the
+    co-visitation filter STRICTER, which is the correct direction
+    (denser data ⇒ 'similar' should mean closer). rows-only: the
+    derived cell makes the candidate pool data-dependent; correctness
+    rides (a) exact equality to i65 at n_ref = n (tests/
+    test_geometry.py), (b) the exact √10 cell-shrink property, and
+    (c) the refine step being the IDENTICAL hash-certified metric
+    kernel i65 runs."""
+    import math
+
+    f = fixes(spark, sf_dir).filter(F.col("obj_id") % 3 == 0)
+    n = f.count()  # one bounded aggregate job (i53b's plan-time scalar)
+    cell = 2.0 * math.sqrt(_I65B_N_REF / max(n, 1))
+    out = hausdorff_similarity(spark, sf_dir, cell_size=cell)
+    return out.withColumn("cell_size", F.round(F.lit(cell), 4))

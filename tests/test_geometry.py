@@ -1065,8 +1065,40 @@ def test_i65_hausdorff_matches_python(spark):
         (r.obj_a, r.obj_b): r.hausdorff
         for r in i65_hausdorff_similarity(spark, SF_DIR).collect()
     }
+    assert got, "i65 empty at sf0.001 — the smoke tier must exercise the refine"
     assert got.keys() == want.keys()
     import pytest
 
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_i65b_equals_i65_at_reference_density(spark):
+    """With the calibration count pinned to the actual subset size
+    the derived cell equals the parent's 2.0 and the auto variant
+    must reproduce i65 row-for-row (the i11b discipline applied to
+    the filter-and-refine join) — plus the exact √10 shrink."""
+    import math
+
+    from glonassdatamining_spark.operators import spatiotemporal as st
+    from tests.conftest import SF_DIR
+
+    n = st.fixes(spark, SF_DIR).filter("obj_id % 3 = 0").count()
+    orig = st._I65B_N_REF
+    try:
+        st._I65B_N_REF = float(n)
+        auto = st.i65b_hausdorff_similarity_auto(spark, SF_DIR)
+        rows = auto.collect()
+        assert {r.cell_size for r in rows} == {2.0}
+        got = {(r.obj_a, r.obj_b): r.hausdorff for r in rows}
+    finally:
+        st._I65B_N_REF = orig
+    want = {
+        (r.obj_a, r.obj_b): r.hausdorff
+        for r in st.i65_hausdorff_similarity(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # shrink property: 10x the subset fixes -> cell / sqrt(10), exact
+    cell_small = 2.0 * math.sqrt(st._I65B_N_REF / 3354.0)   # sf0.01
+    cell_big = 2.0 * math.sqrt(st._I65B_N_REF / 33524.0)    # sf0.1
+    assert cell_big < cell_small

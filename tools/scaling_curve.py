@@ -74,6 +74,11 @@ EXTRAS = [
     "i11b_trajectory_similarity_auto",
     # benched-nowhere iterative kernel (n2's class) — curve row only
     "n20_weighted_pagerank",
+    # round-9 late additions (measured separately this round; they
+    # ride this list from round 10)
+    "i64_map_matching",
+    "k55b_learned_fertility_prebuilt",
+    "i65b_hausdorff_similarity_auto",
 ]
 
 
