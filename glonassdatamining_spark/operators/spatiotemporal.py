@@ -5900,7 +5900,16 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies verbatim to the filter grid. Early-abandon (stop a row's
     min-scan when it exceeds the current best) is the classic serial
     optimization; the vectorized form trades it for batch throughput,
-    the standard columnar choice."""
+    the standard columnar choice. COST HONESTY: Catalyst evaluates
+    nested HOF lambdas interpreted (~0.25 ms per candidate pair at
+    this trajectory depth — measured 19-21 s at sf0.1's ~80k pairs),
+    so the refine constant is lambda pacing, not arithmetic; above
+    ~10^5 candidate pairs move the refine to an Arrow mapInPandas
+    batch kernel (numpy pairwise min/max — the same IEEE doubles,
+    k3's BLAS-twin discipline) and keep THIS form as the
+    hash-certified reference. i65b's auto filter grid keeps the PAIR
+    COUNT flat, so which refine engine you need is a constant, not a
+    function of corpus size."""
     return hausdorff_similarity(spark, sf_dir, cell_size=2.0)
 
 
