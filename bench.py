@@ -213,17 +213,25 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # ONE compact line, flushed, as the only stdout the run produces
+    # (console progress is suppressed in session.py): round 9's driver
+    # artifact recorded parsed:null because \r progress frames crowded
+    # the capture window and cut the JSON mid-key. Compact separators
+    # keep the line as small as the contract allows; headline fields
+    # lead so even a tail-truncated capture shows metric/value/sf.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": timings,
                 "cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

@@ -188,7 +188,34 @@ def n4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, "src", "dst")
 
 
-_KCORE_K = 3
+_KCORE_K_MIN = 2
+
+
+def _kcore_auto_k(edges: DataFrame) -> int:
+    """DENSITY-DERIVED k (round-9 verdict ask #3 — the i6b discipline
+    applied to the peel threshold): k = max(2, ⌊m/n⌋). Every graph
+    with m edges on n vertices contains a subgraph of minimum degree
+    ≥ m/n (peel any vertex of degree < m/n and the ratio never drops
+    — the standard Erdős bound that lower-bounds degeneracy), so the
+    derived core is PROVABLY non-empty whenever ⌊m/n⌋ ≥ 2; the k=2
+    floor keeps the operator a genuine dense-region extractor (a
+    1-core is just "non-isolated"). A fixed k cannot survive this
+    graph family's density swing across scale: measured avg degree
+    24.5 at sf0.001, 3.85 at sf0.01, 1.25 at sf0.1 (where the old
+    fixed k=3 core was EMPTY — the sf0.1 mirror's vacuousness flag),
+    119.6 at the sf1 fixture. One bounded aggregate job on the
+    already-small edge frame (i53b's plan-time-scalar shape)."""
+    row = (
+        edges.select(F.explode(F.array("src", "dst")).alias("v"))
+        .agg(
+            F.countDistinct("v").alias("n"),
+            (F.count(F.lit(1)) / 2).alias("m"),
+        )
+        .first()
+    )
+    if not row or not row.n:
+        return _KCORE_K_MIN
+    return max(_KCORE_K_MIN, int(row.m // row.n))
 
 
 @register("n5_kcore", oracle=None, section="N5")
@@ -196,13 +223,18 @@ def n5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (round-2 addition): nodes of the maximal
     subgraph of the co-purchase graph where everyone keeps ≥ k
     neighbors — the standard dense-region extractor (community seeds,
-    spam rings, hub detection). Iterative peeling via ``api.kcore``;
+    spam rings, hub detection). k is DENSITY-DERIVED per corpus
+    (``_kcore_auto_k``: max(2, ⌊m/n⌋), provably non-empty for
+    ⌊m/n⌋ ≥ 2 — see its docstring) and reported in the output so the
+    result is self-describing. Iterative peeling via ``api.kcore``;
     rows-only (the fixpoint isn't ANSI-SQL-expressible) — the python
-    peeling equivalence test lives in tests/test_graphs.py."""
+    peeling equivalence tests (kernel AND the k derivation) live in
+    tests/test_graphs.py."""
     from glonassdatamining_spark.api import kcore
 
     edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
-    return kcore(edges, "src", "dst", _KCORE_K)
+    k = _kcore_auto_k(edges)
+    return kcore(edges, "src", "dst", k).withColumn("k", F.lit(k))
 
 
 @register(

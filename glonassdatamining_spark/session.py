@@ -34,6 +34,16 @@ def get_spark(app_name: str = "glonassdatamining-spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # Console progress frames (\r-rewritten [Stage N:==>] lines) are
+        # pure noise to any parent process that captures our output —
+        # they flooded the driver's bench-tail window in round 9 and
+        # truncated the result JSON mid-line (BENCH_r09.json
+        # parsed:null). Suppressible at the source; opt back in with
+        # SPARK_GRAFT_CONSOLE_PROGRESS=true for interactive use.
+        .config(
+            "spark.ui.showConsoleProgress",
+            os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "false"),
+        )
         # Shuffle sizing: 32 matches local cores; at cluster scale AQE
         # coalesces from a higher initial count, so keep AQE on always.
         .config("spark.sql.shuffle.partitions", cpus)

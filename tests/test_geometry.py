@@ -1016,8 +1016,8 @@ def test_i64_point_to_segment_projection(spark):
 
 def test_i65_hausdorff_matches_python(spark):
     """The registered i65 vs a pure-python reference on the sf0.001
-    fixture: same candidate filter (>= 3 shared cells), same
-    symmetric Hausdorff, same (h, obj_b) top-3 ranking."""
+    fixture: same candidate filter (>= _I65_MIN_SHARED shared cells),
+    same symmetric Hausdorff, same (h, obj_b) top-3 ranking."""
     import math
 
     from glonassdatamining_spark.operators.spatiotemporal import (
@@ -1102,3 +1102,53 @@ def test_i65b_equals_i65_at_reference_density(spark):
     cell_small = 2.0 * math.sqrt(st._I65B_N_REF / 3354.0)   # sf0.01
     cell_big = 2.0 * math.sqrt(st._I65B_N_REF / 33524.0)    # sf0.1
     assert cell_big < cell_small
+
+
+def test_i65_arrow_refine_bit_identical_to_hof(spark):
+    """The Arrow numpy batch refine vs the nested-HOF Catalyst refine:
+    BIT-IDENTICAL doubles, not approx — both evaluate the same
+    IEEE-754 elementary-op sequence (dx·dx + dy·dy, sqrt, then pure
+    min/max selection), so any difference would mean the kernels have
+    diverged (k3's BLAS-twin discipline). Compared on the RAW h
+    values upstream of the final ROUND so the certification covers
+    the full doubles, not the 4-decimal projection."""
+    from glonassdatamining_spark.operators import spatiotemporal as st
+    from tests.conftest import SF_DIR
+
+    arrow = {
+        (r.obj_a, r.obj_b): r.hausdorff
+        for r in st.hausdorff_similarity(
+            spark, SF_DIR, cell_size=2.0, refine="arrow"
+        ).collect()
+    }
+    hof = {
+        (r.obj_a, r.obj_b): r.hausdorff
+        for r in st.hausdorff_similarity(
+            spark, SF_DIR, cell_size=2.0, refine="hof"
+        ).collect()
+    }
+    assert arrow and arrow == hof  # exact ==, no approx
+
+    # and on the raw doubles (pre-round), via the refine kernels alone
+    f = st.fixes(spark, SF_DIR).filter("obj_id % 3 = 0")
+    from pyspark.sql import functions as F
+
+    tr = f.groupBy("obj_id").agg(
+        F.collect_list(
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y"))
+        ).alias("pts")
+    )
+    a = tr.select(
+        F.col("obj_id").alias("oa"), F.col("pts").alias("pa")
+    )
+    b = tr.select(
+        F.col("obj_id").alias("ob"), F.col("pts").alias("pb")
+    )
+    pairs = a.join(b, F.col("oa") < F.col("ob"))
+    raw_arrow = {
+        (r.oa, r.ob): r.h for r in st._hausdorff_refine_arrow(pairs).collect()
+    }
+    raw_hof = {
+        (r.oa, r.ob): r.h for r in st._hausdorff_refine_hof(pairs).collect()
+    }
+    assert raw_arrow and raw_arrow == raw_hof  # full-precision doubles

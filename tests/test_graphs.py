@@ -166,6 +166,49 @@ def test_kcore_matches_python_peeling(spark):
         assert got == want, f"k={k}: {got} != {want}"
 
 
+def test_n5_density_derived_k_and_nonempty(spark):
+    """n5's density-derived k (round-9 verdict ask #3): the derived
+    k must equal the python derivation max(2, floor(m/n)) on the
+    fixture graph, the registered output must be NON-EMPTY (the whole
+    point — fixed k=3 was vacuous at sf0.1), carry the k column, and
+    equal the python peel at that k."""
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _copurchase_edges,
+        _kcore_auto_k,
+        n5_kcore,
+    )
+
+    edges_df = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR)
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    nodes = {v for e in edges for v in e}
+    want_k = max(2, len(edges) // len(nodes))
+    assert _kcore_auto_k(edges_df) == want_k
+
+    rows = n5_kcore(spark, SF_DIR).collect()
+    assert rows, "density-derived k-core must be non-empty on the fixture"
+    assert {r.k for r in rows} == {want_k}
+    want = _py_kcore(edges, want_k)
+    assert {r.node: r.core_degree for r in rows} == want
+
+
+def test_kcore_auto_k_nonempty_on_sparse_hand_graph(spark):
+    """The k=2 floor on a graph where floor(m/n) < 2: a triangle plus
+    a long tail — derived k is 2 and the triangle survives (the
+    Erdős bound doesn't apply below 2, but the floor keeps the
+    operator meaningful on sparse graphs)."""
+    from glonassdatamining_spark.api import kcore
+    from glonassdatamining_spark.operators.graphs import _kcore_auto_k
+
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    k = _kcore_auto_k(edges)
+    assert k == 2  # m/n = 7/7 = 1 -> floored to 2
+    got = {r.node for r in kcore(edges, "src", "dst", k).collect()}
+    assert got == {1, 2, 3}
+
+
 def test_kcore_hand_graph(spark):
     """Triangle 1-2-3 (the 2-core) plus a tail 3-4-5: the tail must
     peel away entirely at k=2."""
