@@ -701,6 +701,162 @@ def st_area_or_zero(ring: Column) -> Column:
     return F.when(F.size(ring) >= 3, st_area(ring)).otherwise(F.lit(0.0))
 
 
+def st_clip_tri_area_arrow(df, tri_col: str, fans, out_cols):
+    """Single-subject convenience wrapper over
+    :func:`st_clip_tri_fans_area_arrow` — see its docstring."""
+    return st_clip_tri_fans_area_arrow(df, [(tri_col, fans, out_cols)])
+
+
+def st_clip_tri_fans_area_arrow(df, subjects):
+    """ARROW BATCH twin of the 3-step ``st_clip_half_plane_cols``
+    chain + ``st_area_or_zero`` for TRIANGLE subjects clipped by
+    per-row TRIANGLE fans (the i62/i62b fan-overlay refine; round-9
+    verdict ask #2). Catalyst evaluates HOF lambdas interpreted —
+    measured ~35 µs·core per exploded fan-pair row at sf1, 22.8 s of
+    i62b's 27 s — so the clip chain, like i65's refine, moves to a
+    vectorized numpy kernel behind mapInPandas while the Catalyst
+    chain stays as the hash-certified reference twin (asserted
+    bit-identical in tests/test_geometry.py).
+
+    ``subjects`` is a list of ``(tri_col, fans, out_cols)`` triples:
+    ``tri_col`` names an ``array<struct<x,y>>`` subject triangle
+    (always exactly 3 vertices), ``fans`` is a list of 6-tuples of
+    column names — the clip triangle's vertices ``(v1x,v1y,v2x,v2y,
+    v3x,v3y)`` in the order the Catalyst chain would walk them
+    (edges (v1,v2),(v2,v3),(v3,v1)) — and one output area column per
+    fan is appended as ``out_cols[k]``. Passing ALL subject×fan
+    combinations of one candidate pair through a single call is the
+    FAN-CONTRACTION form: the whole signed-fan sum happens row-wise
+    downstream (decimal addition of the per-term casts is exact and
+    order-free), so the explode AND the group-by shuffle both
+    disappear from the plan. All other input columns pass through;
+    the subject and fan columns are consumed.
+
+    BIT-IDENTITY: every elementary op replays the Catalyst form in
+    the same order — inside test ``dxe·(vy−e1y) − dye·(vx−e1x) ≥ 0``,
+    crossing parameter ``((e1x−v1x)·ney − (e1y−v1y)·nex) /
+    ((v2x−v1x)·ney − (v2y−v1y)·nex)``, intersection
+    ``v1 + t·(v2−v1)``, then the shoelace LEFT FOLD in vertex order
+    (padding adds exact +0.0 terms, which cannot change an IEEE
+    accumulation), ``abs``, ``/2``. min/max-free selection, so no
+    ordering hazard at all. The one behavioral difference is
+    deliberate: the kernel needs NO optimizer barrier — the 6^5
+    expression-substitution blowup the Catalyst chain guards against
+    cannot happen to an opaque Python node, so the DISK_ONLY persist
+    (6.6 s at sf1) disappears from this path entirely.
+
+    Scale: zero extra shuffle (runs on the candidate join's output
+    partitions), O(rows · V) vectorized arithmetic with V ≤ 6, Arrow
+    columnar both ways."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    flat = df
+    consumed: set = set()
+    all_out: list[str] = []
+    for si, (tri_col, fans, out_cols) in enumerate(subjects):
+        names = []
+        for k in range(3):
+            v = F.element_at(F.col(tri_col), k + 1)
+            flat = flat.withColumn(f"_t{si}x{k}", v.x).withColumn(
+                f"_t{si}y{k}", v.y
+            )
+            names += [f"_t{si}x{k}", f"_t{si}y{k}"]
+        flat = flat.drop(tri_col)
+        consumed |= set(names) | {c for fan in fans for c in fan}
+        all_out += out_cols
+    keep = [f for f in flat.schema.fields if f.name not in consumed]
+    keep_names = [f.name for f in keep]
+    schema = StructType(
+        list(keep) + [StructField(oc, DoubleType()) for oc in all_out]
+    )
+
+    def _sh_step(X, Y, c, e1x, e1y, e2x, e2y):
+        # one Sutherland–Hodgman half-plane step, vectorized over rows
+        N, V = X.shape
+        dxe, dye = e2x - e1x, e2y - e1y
+        nex, ney = e1x - e2x, e1y - e2y
+        idx = np.arange(V)[None, :]
+        valid = idx < c[:, None]
+        nxt = idx + 1
+        nxt = np.where(nxt >= c[:, None], 0, nxt)
+        v1x, v1y = X, Y
+        v2x = np.take_along_axis(X, nxt, axis=1)
+        v2y = np.take_along_axis(Y, nxt, axis=1)
+        E1x, E1y = e1x[:, None], e1y[:, None]
+        in1 = (dxe[:, None] * (v1y - E1y) - dye[:, None] * (v1x - E1x)) >= 0
+        in2 = (dxe[:, None] * (v2y - E1y) - dye[:, None] * (v2x - E1x)) >= 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # non-crossing lanes divide by ~0 here — their t (and the
+            # NaN it propagates into ip) is masked out by slot validity
+            t = ((E1x - v1x) * ney[:, None] - (E1y - v1y) * nex[:, None]) / (
+                (v2x - v1x) * ney[:, None] - (v2y - v1y) * nex[:, None]
+            )
+            ipx = v1x + t * (v2x - v1x)
+            ipy = v1y + t * (v2y - v1y)
+        both = in1 & in2
+        s0v = valid & (in1 | in2)
+        s0x = np.where(both, v2x, ipx)
+        s0y = np.where(both, v2y, ipy)
+        s1v = valid & ~in1 & in2
+        cx = np.empty((N, 2 * V))
+        cy = np.empty((N, 2 * V))
+        cv = np.zeros((N, 2 * V), dtype=bool)
+        cx[:, 0::2], cy[:, 0::2], cv[:, 0::2] = s0x, s0y, s0v
+        cx[:, 1::2], cy[:, 1::2], cv[:, 1::2] = v2x, v2y, s1v
+        newc = cv.sum(axis=1)
+        W = V + 1
+        outX = np.zeros((N, W))
+        outY = np.zeros((N, W))
+        pos = np.cumsum(cv, axis=1) - 1
+        rows = np.broadcast_to(np.arange(N)[:, None], (N, 2 * V))
+        outX[rows[cv], pos[cv]] = cx[cv]
+        outY[rows[cv], pos[cv]] = cy[cv]
+        return outX, outY, newc
+
+    def _shoelace_or_zero(X, Y, c):
+        # left fold in vertex order — the exact st_area accumulation
+        N, V = X.shape
+        acc = np.zeros(N)
+        for i in range(V):
+            j = np.where(i + 1 >= c, 0, i + 1)[:, None]
+            xj = np.take_along_axis(X, j, axis=1)[:, 0]
+            yj = np.take_along_axis(Y, j, axis=1)[:, 0]
+            term = X[:, i] * yj - xj * Y[:, i]
+            acc = acc + np.where(i < c, term, 0.0)
+        return np.where(c >= 3, np.abs(acc) / 2.0, 0.0)
+
+    def kernel(batches):
+        for pdf in batches:
+            N = len(pdf)
+            out = pdf[keep_names].copy()
+            if N == 0:
+                for oc in all_out:
+                    out[oc] = np.empty(0)
+                yield out
+                continue
+            for si, (tri_col, fans, out_cols) in enumerate(subjects):
+                tX0 = np.column_stack(
+                    [pdf[f"_t{si}x{k}"].to_numpy(np.float64) for k in range(3)]
+                )
+                tY0 = np.column_stack(
+                    [pdf[f"_t{si}y{k}"].to_numpy(np.float64) for k in range(3)]
+                )
+                for fan, oc in zip(fans, out_cols):
+                    fv = [pdf[c].to_numpy(np.float64) for c in fan]
+                    X, Y = tX0, tY0
+                    c = np.full(N, 3, dtype=np.int64)
+                    for e in range(3):
+                        e1x, e1y = fv[2 * e], fv[2 * e + 1]
+                        e2x = fv[(2 * e + 2) % 6]
+                        e2y = fv[(2 * e + 3) % 6]
+                        X, Y, c = _sh_step(X, Y, c, e1x, e1y, e2x, e2y)
+                    out[oc] = _shoelace_or_zero(X, Y, c)
+            yield out
+
+    return flat.mapInPandas(kernel, schema=schema)
+
+
 def o_clip_half_plane_cols(
     r: str, e1x: str, e1y: str, e2x: str, e2y: str
 ) -> str:

@@ -1104,6 +1104,45 @@ def test_i65b_equals_i65_at_reference_density(spark):
     assert cell_big < cell_small
 
 
+def test_i62_i62b_arrow_engine_bit_identical_to_hof(spark):
+    """The Arrow fan-contraction engine vs the Catalyst clip-chain
+    engine for BOTH concave overlay joins: identical row sets with
+    EXACT == on every double (inter/union areas, n_neg_terms) — the
+    clip kernel replays the Catalyst op order element-for-element and
+    the row-wise decimal term sum is exact and order-free, so any
+    difference means the kernels diverged."""
+    from glonassdatamining_spark.operators import spatiotemporal as st
+    from tests.conftest import SF_DIR
+
+    a = {
+        (r.zone_id, r.district_id): (r.inter_area, r.union_area)
+        for r in st.i62_concave_overlay_join(
+            spark, SF_DIR, engine="arrow"
+        ).collect()
+    }
+    h = {
+        (r.zone_id, r.district_id): (r.inter_area, r.union_area)
+        for r in st.i62_concave_overlay_join(
+            spark, SF_DIR, engine="hof"
+        ).collect()
+    }
+    assert a and a == h
+
+    ab = {
+        (r.zone_id, r.district_id): (r.inter_area, r.union_area, r.n_neg_terms)
+        for r in st.i62b_concave_overlay_general(
+            spark, SF_DIR, engine="arrow"
+        ).collect()
+    }
+    hb = {
+        (r.zone_id, r.district_id): (r.inter_area, r.union_area, r.n_neg_terms)
+        for r in st.i62b_concave_overlay_general(
+            spark, SF_DIR, engine="hof"
+        ).collect()
+    }
+    assert ab and ab == hb
+
+
 def test_i65_arrow_refine_bit_identical_to_hof(spark):
     """The Arrow numpy batch refine vs the nested-HOF Catalyst refine:
     BIT-IDENTICAL doubles, not approx — both evaluate the same
