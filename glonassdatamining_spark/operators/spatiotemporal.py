@@ -5924,6 +5924,80 @@ def _i64_oracle() -> str:
     )
 
 
+def _i64_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    with_ts: bool = False,
+    with_mid: bool = False,
+) -> DataFrame:
+    """Shared (fix, segment) candidate scorer for the map-matching
+    tier: grid-candidate broadcast join + clamped point-to-segment
+    projection, filtered to dist ≤ _I64_MAX_DIST. i64 consumes the
+    bare (obj_id, event_id, seg_id, dist); i66's Viterbi additionally
+    needs the fix timestamp for chain ordering (``with_ts``) and the
+    segment midpoint for the transition cost (``with_mid``). The
+    extra columns are pure projections — the candidate set and the
+    dist chain are identical either way, so i64's hash cannot
+    move."""
+    f = fixes(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
+    x1 = (F.col("s_suppkey") * 13 % 90 + 5).cast("double")
+    y1 = (F.col("s_suppkey") * 17 % 90 + 5).cast("double")
+    segs = s.select(
+        F.col("s_suppkey").alias("seg_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + (F.col("s_suppkey") % 7 + 3)).alias("x2"),
+        (y1 + ((F.col("s_suppkey") * 3 % 11) - 5)).alias("y2"),
+    )
+    d = F.lit(_I64_MAX_DIST)
+    segc = segs.withColumn(
+        "cellx",
+        F.explode(
+            F.sequence(
+                F.floor((F.least("x1", "x2") - d) / _I64_CELL),
+                F.floor((F.greatest("x1", "x2") + d) / _I64_CELL),
+            )
+        ),
+    ).withColumn(
+        "celly",
+        F.explode(
+            F.sequence(
+                F.floor((F.least("y1", "y2") - d) / _I64_CELL),
+                F.floor((F.greatest("y1", "y2") + d) / _I64_CELL),
+            )
+        ),
+    )
+    fix_cols = ["obj_id", "event_id"] + (["ts"] if with_ts else [])
+    fc = f.select(
+        *fix_cols,
+        "x",
+        "y",
+        F.floor(F.col("x") / _I64_CELL).alias("cellx"),
+        F.floor(F.col("y") / _I64_CELL).alias("celly"),
+    )
+    cand = fc.join(F.broadcast(segc), ["cellx", "celly"])
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    t = (
+        (F.col("x") - F.col("x1")) * dx + (F.col("y") - F.col("y1")) * dy
+    ) / (dx * dx + dy * dy)
+    tc = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx = F.col("x1") + tc * dx
+    cy = F.col("y1") + tc * dy
+    dist = F.sqrt(
+        (F.col("x") - cx) * (F.col("x") - cx)
+        + (F.col("y") - cy) * (F.col("y") - cy)
+    )
+    out_cols = fix_cols + ["seg_id"]
+    proj = [*out_cols, dist.alias("dist")]
+    if with_mid:
+        proj += [
+            ((F.col("x1") + F.col("x2")) / 2.0).alias("mx"),
+            ((F.col("y1") + F.col("y2")) / 2.0).alias("my"),
+        ]
+    return cand.select(*proj).filter(F.col("dist") <= _I64_MAX_DIST)
+
+
 @register("i64_map_matching", oracle=_i64_oracle(), section="I64")
 def i64_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP MATCHING, the geometric core: snap every fix to its nearest
@@ -5954,58 +6028,7 @@ def i64_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plan-side broadcast exactly like real road networks (10^7
     segments ≈ GBs — partition by region and this query runs
     per-region)."""
-    f = fixes(spark, sf_dir)
-    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
-    x1 = (F.col("s_suppkey") * 13 % 90 + 5).cast("double")
-    y1 = (F.col("s_suppkey") * 17 % 90 + 5).cast("double")
-    segs = s.select(
-        F.col("s_suppkey").alias("seg_id"),
-        x1.alias("x1"),
-        y1.alias("y1"),
-        (x1 + (F.col("s_suppkey") % 7 + 3)).alias("x2"),
-        (y1 + ((F.col("s_suppkey") * 3 % 11) - 5)).alias("y2"),
-    )
-    d = F.lit(_I64_MAX_DIST)
-    segc = segs.withColumn(
-        "cellx",
-        F.explode(
-            F.sequence(
-                F.floor((F.least("x1", "x2") - d) / _I64_CELL),
-                F.floor((F.greatest("x1", "x2") + d) / _I64_CELL),
-            )
-        ),
-    ).withColumn(
-        "celly",
-        F.explode(
-            F.sequence(
-                F.floor((F.least("y1", "y2") - d) / _I64_CELL),
-                F.floor((F.greatest("y1", "y2") + d) / _I64_CELL),
-            )
-        ),
-    )
-    fc = f.select(
-        "obj_id",
-        "event_id",
-        "x",
-        "y",
-        F.floor(F.col("x") / _I64_CELL).alias("cellx"),
-        F.floor(F.col("y") / _I64_CELL).alias("celly"),
-    )
-    cand = fc.join(F.broadcast(segc), ["cellx", "celly"])
-    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
-    t = (
-        (F.col("x") - F.col("x1")) * dx + (F.col("y") - F.col("y1")) * dy
-    ) / (dx * dx + dy * dy)
-    tc = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
-    cx = F.col("x1") + tc * dx
-    cy = F.col("y1") + tc * dy
-    dist = F.sqrt(
-        (F.col("x") - cx) * (F.col("x") - cx)
-        + (F.col("y") - cy) * (F.col("y") - cy)
-    )
-    scored = cand.select(
-        "obj_id", "event_id", "seg_id", dist.alias("dist")
-    ).filter(F.col("dist") <= _I64_MAX_DIST)
+    scored = _i64_scored(spark, sf_dir)
     best = scored.groupBy("event_id").agg(
         F.min(
             F.struct(
@@ -6314,3 +6337,149 @@ def i65b_hausdorff_similarity_auto(
     cell = 2.0 * math.sqrt(_I65B_N_REF / max(n, 1))
     out = hausdorff_similarity(spark, sf_dir, cell_size=cell)
     return out.withColumn("cell_size", F.round(F.lit(cell), 4))
+
+
+# ---------------------------------------------------------------------------
+# I66 — HMM map matching: per-vehicle VITERBI decode over i64's
+# emission layer (round-9 verdict ask #4 — i64 is the emission
+# geometry, i44 the transition idea; this is the composition that
+# turns them into actual road-path inference)
+# ---------------------------------------------------------------------------
+_I66_BETA = 5.0    # segment-switch penalty (log-transition scale)
+_I66_GAMMA = 0.5   # per-unit network-gap penalty (midpoint distance)
+
+
+def hmm_viterbi_decode(cands: DataFrame) -> DataFrame:
+    """Per-vehicle VITERBI decode over (fix, segment) candidates —
+    the Newson–Krumm HMM map-matching shape on the fixture's
+    geometry. ``cands`` columns: (obj_id, event_id, ts, seg_id,
+    dist, mx, my) — one row per candidate segment within range of a
+    fix (i64's emission layer plus the segment midpoint).
+
+    Model: emission cost = dist² (Gaussian log-emission, σ folded
+    into the β scale); transition cost = 0 for staying on a segment,
+    else β + γ·‖midpoint(a) − midpoint(b)‖ (the network-gap proxy —
+    real road graphs use route distance; midpoint distance is its
+    deterministic fixture stand-in). The decode is the standard DP:
+    cost(t, s) = emission(t, s) + min over s' of (cost(t−1, s') +
+    trans(s', s)), ties broken by the smaller segment id at every
+    argmin, fixes ordered by (ts, event_id). Fixes with no candidate
+    segment simply do not appear in the chain (the classic HMM gap
+    convention).
+
+    Output per vehicle: matched-fix count, distinct segments on the
+    decoded path, switch count, and the final path cost (4 dp).
+    rows-only by nature (an argmin DP is not ANSI-SQL-expressible):
+    correctness rides the pure-python Viterbi replay on the fixture
+    plus a hand network where the decode provably disagrees with
+    i64's greedy per-fix argmin (tests/test_geometry.py).
+
+    Scale: ONE shuffle (groupBy obj_id), then a per-vehicle DP that
+    is linear in fixes × candidates² with candidates bounded by the
+    grid (≤ segments within 2 cells). State is one vehicle's chain —
+    at 100 TB, chunk chains by session/day exactly like i8's
+    segmentation and decode chunks independently (the standard
+    production trade: a switch penalty cannot act across a chunk
+    boundary)."""
+    import math as _math
+
+    import pandas as pd
+
+    def decode(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        obj = int(pdf["obj_id"].iloc[0])
+        pdf = pdf.sort_values(
+            ["ts", "event_id", "seg_id"], kind="mergesort"
+        )
+        # group candidate rows into per-fix lists, in time order
+        fixes_seq: list = []
+        cur_key = None
+        for ev, ts, seg, dist, mx, my in zip(
+            pdf["event_id"], pdf["ts"], pdf["seg_id"],
+            pdf["dist"], pdf["mx"], pdf["my"],
+        ):
+            key = (ts, ev)
+            if key != cur_key:
+                fixes_seq.append([])
+                cur_key = key
+            fixes_seq[-1].append((int(seg), float(dist), float(mx), float(my)))
+        # Viterbi with backpointers
+        prev: dict = {}
+        mid: dict = {}
+        back: list = []
+        for t_idx, cl in enumerate(fixes_seq):
+            cur: dict = {}
+            bp: dict = {}
+            for seg, dist, mx, my in cl:
+                mid[seg] = (mx, my)
+                em = dist * dist
+                if not prev:
+                    cur[seg] = em
+                    bp[seg] = None
+                else:
+                    best_c, best_p = None, None
+                    for p in sorted(prev):
+                        pmx, pmy = mid[p]
+                        if p == seg:
+                            tr = 0.0
+                        else:
+                            gap = _math.sqrt(
+                                (mx - pmx) * (mx - pmx)
+                                + (my - pmy) * (my - pmy)
+                            )
+                            tr = _I66_BETA + _I66_GAMMA * gap
+                        c = prev[p] + tr
+                        if best_c is None or c < best_c:
+                            best_c, best_p = c, p
+                    cur[seg] = em + best_c
+                    bp[seg] = best_p
+            back.append(bp)
+            prev = cur
+        if not prev:
+            return pd.DataFrame(
+                columns=[
+                    "obj_id", "n_fixes", "n_segs", "n_switches",
+                    "total_cost",
+                ]
+            )
+        # terminal argmin (cost, seg_id), then backtrack
+        end = min(prev, key=lambda s: (prev[s], s))
+        path = [end]
+        for bp in reversed(back[1:]):
+            path.append(bp[path[-1]])
+        path.reverse()
+        switches = sum(1 for a, b in zip(path, path[1:]) if a != b)
+        return pd.DataFrame(
+            [
+                {
+                    "obj_id": obj,
+                    "n_fixes": len(path),
+                    "n_segs": len(set(path)),
+                    "n_switches": switches,
+                    "total_cost": round(prev[end], 4),
+                }
+            ]
+        )
+
+    return cands.groupBy("obj_id").applyInPandas(
+        decode,
+        schema=(
+            "obj_id bigint, n_fixes bigint, n_segs bigint, "
+            "n_switches bigint, total_cost double"
+        ),
+    )
+
+
+@register("i66_hmm_map_matching", oracle=None, section="I66")
+def i66_hmm_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM MAP MATCHING (round-9 verdict ask #4): i64's emission
+    layer (grid-candidate point-to-segment distances) decoded by a
+    per-vehicle Viterbi DP (``hmm_viterbi_decode``) — the composition
+    i64's docstring names. Where i64 snaps each fix independently
+    (greedy argmin), the HMM trades emission cost against a
+    segment-switch penalty, so one noisy fix near a decoy segment no
+    longer breaks the inferred road path — the defining behavior,
+    proven on a hand network in tests (greedy switches, Viterbi
+    holds). rows-only by nature; python Viterbi replay on the
+    fixture is the correctness anchor."""
+    cands = _i64_scored(spark, sf_dir, with_ts=True, with_mid=True)
+    return hmm_viterbi_decode(cands)

@@ -1191,3 +1191,108 @@ def test_i65_arrow_refine_bit_identical_to_hof(spark):
         (r.oa, r.ob): r.h for r in st._hausdorff_refine_hof(pairs).collect()
     }
     assert raw_arrow and raw_arrow == raw_hof  # full-precision doubles
+
+
+def test_i66_viterbi_beats_greedy_on_hand_network(spark):
+    """The defining HMM behavior: one noisy middle fix sits slightly
+    nearer a decoy segment — greedy per-fix argmin (i64's rule)
+    switches to the decoy and back, the Viterbi decode holds the
+    path because two switches cost more than the emission gap."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        hmm_viterbi_decode,
+    )
+
+    rows = [
+        # obj, event, ts, seg, dist, mx, my
+        (1, 10, 100, 1, 0.5, 0.0, 0.0),
+        (1, 10, 100, 2, 2.0, 10.0, 0.0),
+        (1, 11, 200, 1, 1.0, 0.0, 0.0),
+        (1, 11, 200, 2, 0.8, 10.0, 0.0),  # greedy would pick seg 2 here
+        (1, 12, 300, 1, 0.5, 0.0, 0.0),
+        (1, 12, 300, 2, 2.0, 10.0, 0.0),
+    ]
+    cands = spark.createDataFrame(
+        rows,
+        "obj_id bigint, event_id bigint, ts bigint, seg_id bigint, "
+        "dist double, mx double, my double",
+    )
+    got = hmm_viterbi_decode(cands).collect()
+    assert len(got) == 1
+    r = got[0]
+    # greedy path [1, 2, 1] has 2 switches; Viterbi stays on seg 1
+    assert (r.n_fixes, r.n_segs, r.n_switches) == (3, 1, 0)
+    assert r.total_cost == round(0.5 * 0.5 + 1.0 * 1.0 + 0.5 * 0.5, 4)
+
+
+def test_i66_matches_python_viterbi_on_fixture(spark):
+    """Full-fixture replay: the distributed decode must equal an
+    independently written single-node Viterbi on the identical
+    candidate rows — same DP, same (cost, seg) tie-breaks, same
+    (ts, event_id) chain order — for EVERY vehicle."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I66_BETA,
+        _I66_GAMMA,
+        _i64_scored,
+        i66_hmm_map_matching,
+    )
+    from tests.conftest import SF_DIR
+
+    cands = _i64_scored(spark, SF_DIR, with_ts=True, with_mid=True).collect()
+    by_obj: dict = {}
+    for r in cands:
+        by_obj.setdefault(r.obj_id, []).append(r)
+
+    want = {}
+    for obj, rs in by_obj.items():
+        per_fix: dict = {}
+        for r in rs:
+            per_fix.setdefault((r.ts, r.event_id), []).append(r)
+        prev: dict = {}
+        mid: dict = {}
+        back: list = []
+        for key in sorted(per_fix):
+            cur: dict = {}
+            bp: dict = {}
+            for r in sorted(per_fix[key], key=lambda r: r.seg_id):
+                mid[r.seg_id] = (r.mx, r.my)
+                em = r.dist * r.dist
+                if not prev:
+                    cur[r.seg_id], bp[r.seg_id] = em, None
+                    continue
+                best_c, best_p = None, None
+                for p in sorted(prev):
+                    if p == r.seg_id:
+                        tr = 0.0
+                    else:
+                        pmx, pmy = mid[p]
+                        gap = math.sqrt(
+                            (r.mx - pmx) * (r.mx - pmx)
+                            + (r.my - pmy) * (r.my - pmy)
+                        )
+                        tr = _I66_BETA + _I66_GAMMA * gap
+                    c = prev[p] + tr
+                    if best_c is None or c < best_c:
+                        best_c, best_p = c, p
+                cur[r.seg_id], bp[r.seg_id] = em + best_c, best_p
+            back.append(bp)
+            prev = cur
+        end = min(prev, key=lambda s: (prev[s], s))
+        path = [end]
+        for bp in reversed(back[1:]):
+            path.append(bp[path[-1]])
+        path.reverse()
+        want[obj] = (
+            len(path),
+            len(set(path)),
+            sum(1 for a, b in zip(path, path[1:]) if a != b),
+            round(prev[end], 4),
+        )
+
+    got = {
+        r.obj_id: (r.n_fixes, r.n_segs, r.n_switches, r.total_cost)
+        for r in i66_hmm_map_matching(spark, SF_DIR).collect()
+    }
+    assert got, "i66 must be non-empty on the fixture"
+    assert got == want
