@@ -2865,3 +2865,166 @@ def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+def betweenness_sampled(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    k_sources: int = 4,
+    max_iter: int = 20,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY (round-9 verdict ask #5):
+    k-source Brandes over an undirected edge list — the standard
+    pivot estimator (Brandes–Pich): run exact single-source
+    dependency accumulation from k deterministically chosen sources
+    and scale by n/k, so bc_est(v) = (n/k)·Σ_{s∈S} δ_s(v) is an
+    unbiased estimate of Σ_s-over-ALL-sources dependencies (= 2·bc
+    for undirected graphs, endpoints excluded).
+
+    Source pivots: the k smallest md5(node) among nodes of degree ≥ 2
+    (F6's engine-independent hash discipline; the degree floor keeps
+    pivots off isolated leaves, python-replayable exactly). One
+    bounded collect (≤ k rows).
+
+    Per source, the Brandes two-phase kernel as frontier joins:
+      forward — level-synchronous BFS carrying σ (shortest-path
+      counts, exact BIGINT sums: integer aggregation is
+      order-insensitive, so no float hazard in phase 1);
+      backward — for levels d = L−1 … 1, δ(v) = Σ_{w: succ}
+      (σv/σw)·(1+δw), each per-edge term an exact double, the
+      per-node sum through DECIMAL(38,18) (the house dsum
+      discipline: shuffle order cannot move the sum).
+    O(eccentricity) rounds each way per source; every round is one
+    equi-join + one aggregation on frames that are at most
+    vertex-sized; edges localCheckpoint'ed once. On a cluster,
+    bucket edges by node and every round co-locates; the k sources
+    are independent and could dispatch as parallel jobs.
+
+    Returns (node, bc_est) for nodes with positive estimate, bc_est
+    rounded to 6 dp. ``stats_out`` (optional dict) records
+    per-source forward/backward round counts — the ledger pattern.
+    Sampling error: Brandes–Pich bound the absolute error of the
+    n/k-scaled estimator by O(n²/k · √(log n / k)) whp; with the
+    fixture's small diameters the practical error is far below the
+    rank scale, and the hand-graph test pins k = n exactness.
+    Eager: runs Spark jobs when called."""
+    spark = edges_df.sparkSession
+    sym = (
+        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(
+            edges_df.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    node_type = sym.schema["_src"].dataType
+    deg = sym.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    n_nodes = deg.count()  # 1-row-per-node frame; bounded scalar probe
+    pivots_df = (
+        deg.filter(F.col("_deg") >= 2)
+        .select(
+            F.col("_src").alias("node"),
+            F.md5(F.col("_src").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "node")
+        .limit(k_sources)
+    )
+    # bounded <= k_sources hash-picked pivot rows
+    pivots = [r.node for r in pivots_df.collect()]
+    if not pivots or not n_nodes:
+        return spark.createDataFrame(
+            [], f"node {node_type.simpleString()}, bc_est double"
+        )
+    scale = float(n_nodes) / float(len(pivots))
+
+    delta_frames = []
+    ledger: dict = {}
+    for s_node in pivots:
+        # ---- forward: levels of (node, sigma) ----
+        seed = spark.createDataFrame([(s_node, 1)], ["node", "sigma"]).select(
+            F.col("node").cast(node_type), F.col("sigma").cast("bigint")
+        )
+        levels = [seed.localCheckpoint()]
+        visited = levels[0].select("node").localCheckpoint()
+        fwd_rounds = 0
+        for _d in range(1, max_iter + 1):
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(sym, frontier.node == sym._src)
+                .groupBy(F.col("_dst").alias("node"))
+                .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+                .join(visited, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            fwd_rounds += 1
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("node")).localCheckpoint()
+        # ---- backward: dependency accumulation ----
+        bwd_rounds = 0
+        delta = None  # delta frame for level d+1: (node, sigma, delta)
+        for d in range(len(levels) - 1, 0, -1):
+            wd = levels[d]
+            if delta is not None:
+                wd = wd.join(delta.select("node", "delta"), "node", "left")
+            else:
+                wd = wd.withColumn("delta", F.lit(None).cast("double"))
+            wd = wd.select(
+                F.col("node").alias("_w"),
+                F.col("sigma").alias("_sw"),
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("_dw"),
+            )
+            lv = levels[d - 1]
+            term = (
+                (F.col("sigma").cast("double") / F.col("_sw").cast("double"))
+                * (F.lit(1.0) + F.col("_dw"))
+            ).cast("decimal(38,18)")
+            acc = (
+                lv.join(sym, lv.node == sym._src)
+                .join(wd, F.col("_dst") == F.col("_w"))
+                .groupBy(lv.node)
+                .agg(F.sum(term).cast("double").alias("_acc"))
+            )
+            delta = (
+                lv.join(acc, "node", "left")
+                .select(
+                    "node",
+                    "sigma",
+                    F.coalesce(F.col("_acc"), F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint()
+            )
+            bwd_rounds += 1
+            if d >= 1:
+                contrib = delta.filter(
+                    (F.col("delta") > 0.0) & (F.col("node") != F.lit(s_node))
+                ).select("node", "delta")
+                delta_frames.append(contrib)
+        ledger[s_node] = {"fwd_rounds": fwd_rounds, "bwd_rounds": bwd_rounds}
+    if stats_out is not None:
+        stats_out.update(
+            {"pivots": pivots, "n_nodes": n_nodes, "per_source": ledger}
+        )
+    if not delta_frames:
+        return spark.createDataFrame(
+            [], f"node {node_type.simpleString()}, bc_est double"
+        )
+    allc = delta_frames[0]
+    for fr in delta_frames[1:]:
+        allc = allc.unionByName(fr)
+    return (
+        allc.groupBy("node")
+        .agg(
+            F.sum(F.col("delta").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_bc")
+        )
+        .select(
+            "node",
+            F.round(F.col("_bc") * F.lit(scale), 6).alias("bc_est"),
+        )
+        .filter(F.col("bc_est") > 0.0)
+    )

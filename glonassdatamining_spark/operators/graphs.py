@@ -1345,3 +1345,26 @@ def n21_min_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _n19_weighted_edges(spark, sf_dir)
     msf = minimum_spanning_forest(edges, "src", "dst", "w")
     return msf.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+
+
+@register("n22_betweenness_sampled", oracle=None, section="N22")
+def n22_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY over the co-purchase graph
+    (round-9 verdict ask #5 — the classic centrality tier beyond
+    degree/PageRank): 4-source Brandes with deterministic
+    md5-hash-picked pivots of degree ≥ 2 (F6's engine-independent
+    hash discipline), scaled by n/k — the Brandes–Pich pivot
+    estimator of 2·bc(v) (each unordered pair contributes from both
+    endpoints in the exact all-sources sum; the estimator is unbiased
+    over the pivot draw; error bound documented in
+    ``api.betweenness_sampled``). σ path counts ride exact BIGINT
+    sums; δ dependency sums ride DECIMAL(38,18), so shuffle order
+    cannot move a value. rows-only (a two-phase argmin/dependency DP
+    is not ANSI-SQL-expressible): correctness rides a pure-python
+    Brandes replay on the fixture from the SAME pivots plus a
+    path-graph hand test where k = n makes the estimator exact
+    (tests/test_graphs.py)."""
+    from glonassdatamining_spark.api import betweenness_sampled
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    return betweenness_sampled(edges, "src", "dst", k_sources=4)

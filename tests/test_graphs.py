@@ -659,3 +659,99 @@ def test_msf_round_count_is_logarithmic(spark):
     assert stats["frontier_edges"] == sorted(
         stats["frontier_edges"], reverse=True
     )
+
+
+def test_n22_betweenness_exact_on_cycle(spark):
+    """C5 cycle, every node degree 2 so all 5 are pivot-eligible and
+    k = n makes the estimator EXACT: by symmetry every node carries
+    Sum_s delta_s = 2 (it is the unique middle of exactly one
+    distance-2 pair, counted from both endpoints), scale n/k = 1."""
+    from glonassdatamining_spark.api import betweenness_sampled
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {
+        r.node: r.bc_est
+        for r in betweenness_sampled(edges, "src", "dst", k_sources=5).collect()
+    }
+    assert got == {0: 2.0, 1: 2.0, 2: 2.0, 3: 2.0, 4: 2.0}
+
+
+def test_n22_betweenness_exact_on_bowtie(spark):
+    """Two triangles sharing node 3 (all degrees >= 2, k = n): node 3
+    is the unique intermediate of the 4 cross-triangle pairs ->
+    Sum_s delta_s(3) = 8; every other node has zero dependency and is
+    filtered out."""
+    from glonassdatamining_spark.api import betweenness_sampled
+
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {
+        r.node: r.bc_est
+        for r in betweenness_sampled(edges, "src", "dst", k_sources=6).collect()
+    }
+    assert got == {3: 8.0}
+
+
+def test_n22_matches_python_brandes_on_fixture(spark):
+    """Full-fixture replay: the distributed sampled Brandes must match
+    a single-node Brandes run from the SAME md5-picked pivots (same
+    degree floor, same hash order) on the identical edge list."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _copurchase_edges,
+        n22_betweenness_sampled,
+    )
+
+    edges_df = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR)
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = len(adj)
+    elig = [v for v in adj if len(adj[v]) >= 2]
+    pivots = sorted(
+        elig, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:4]
+    scale = n / len(pivots)
+
+    bc: dict = defaultdict(float)
+    for s in pivots:
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+        for v, d in delta.items():
+            if v != s:
+                bc[v] += d
+
+    want = {v: round(d * scale, 6) for v, d in bc.items() if d > 0}
+    got = {
+        r.node: r.bc_est
+        for r in n22_betweenness_sampled(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys()
+    import pytest
+
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-5), v

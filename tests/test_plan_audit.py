@@ -99,6 +99,7 @@ COLLECT_ALLOWED = {
     ("api.py", 'sym.agg(F.min("_src"))'),        # 1-row scalar seed
     ("api.py", "1-row density-quantile scalar"),  # i53b radius derivation
     ("api.py", "1-row bounded cap-audit scalar"),  # band_df_cap drop metrics
+    ("api.py", "bounded <= k_sources hash-picked pivot rows"),  # n22 pivots
     ("streaming/live.py", 'new_part.agg(F.max("event_id"))'),  # 1-row scalar
     ("streaming/live.py", 'raw.agg(F.max("event_id"))'),  # 1-row nudge scalar
     ("operators/ml_ops.py", 'li.select("l_returnflag").distinct()'),  # 3-row flag dim (j13)
