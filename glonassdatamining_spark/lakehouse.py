@@ -124,25 +124,35 @@ class ManifestTable:
         op: str,
         expected_version: int,
         deletes: list[dict] | None = None,
+        fields: list[dict] | None = None,
     ) -> int:
         """Publish v{expected_version} atomically; raise CommitConflict
         if a concurrent writer claimed it first. ``deletes`` lists the
-        version's positional-delete files (g16 merge-on-read tier);
-        omitted/empty means the snapshot has no live deletes — compact
-        purges deletes exactly by committing without them."""
+        version's delete files — positional (g16 merge-on-read tier)
+        and/or equality (``kind: "eq"``); omitted/empty means the
+        snapshot has no live deletes — compact purges deletes exactly
+        by committing without them. ``fields`` is the table's FIELD-ID
+        schema mapping ([{id, name}] — Iceberg v2's rename/drop
+        mechanism); every mutating op must thread it forward. File
+        entries are stamped with a ``seq`` (the committing version) on
+        first commit — equality deletes apply only to rows from files
+        with seq < the delete's seq (Iceberg's sequence-number rule:
+        rows inserted AFTER the delete are not erased by it)."""
         os.makedirs(self._mdir, exist_ok=True)
+        for e in files:
+            e.setdefault("seq", expected_version)
         final = os.path.join(self._mdir, f"v{expected_version}.json")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
+        manifest: dict = {
+            "version": expected_version,
+            "op": op,
+            "files": files,
+            "deletes": deletes or [],
+        }
+        if fields is not None:
+            manifest["fields"] = fields
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "version": expected_version,
-                    "op": op,
-                    "files": files,
-                    "deletes": deletes or [],
-                },
-                fh,
-            )
+            json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -156,7 +166,9 @@ class ManifestTable:
         return expected_version
 
     # -- writes ------------------------------------------------------------
-    def _write_files(self, df: DataFrame, n_files: int) -> list[dict]:
+    def _write_files(
+        self, df: DataFrame, n_files: int, field_map: dict | None = None
+    ) -> list[dict]:
         """Write ``df`` as ``n_files`` immutable parquet files, range-
         distributed on the key so per-file [min, max] spans are disjoint
         (that disjointness is what makes stats pruning bite)."""
@@ -189,21 +201,27 @@ class ManifestTable:
                         f"int/float/string for manifest stats; got "
                         f"{type(bound).__name__}"
                     )
-            entries.append(
-                {
-                    "file": dst,
-                    "rows": rows,
-                    "min_key": lo,
-                    "max_key": hi,
-                    # Per-file column list = the manifest's schema-
-                    # evolution record: readers detect heterogeneous
-                    # snapshots and plan a mergeSchema scan (read()).
-                    "columns": list(df.columns),
-                    # Full per-column [min, max] — read_pruned() skips
-                    # files on ANY recorded column, not just the key.
-                    "stats": stats,
+            entry = {
+                "file": dst,
+                "rows": rows,
+                "min_key": lo,
+                "max_key": hi,
+                # Per-file column list = the manifest's schema-
+                # evolution record: readers detect heterogeneous
+                # snapshots and plan a mergeSchema scan (read()).
+                "columns": list(df.columns),
+                # Full per-column [min, max] — read_pruned() skips
+                # files on ANY recorded column, not just the key.
+                "stats": stats,
+            }
+            if field_map is not None:
+                # physical column name AS WRITTEN -> field id: the
+                # immutable record that lets rename/drop be pure
+                # metadata ops (the file never changes; readers remap)
+                entry["field_ids"] = {
+                    c: field_map[c] for c in df.columns if c in field_map
                 }
-            )
+            entries.append(entry)
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
@@ -215,29 +233,172 @@ class ManifestTable:
         df: DataFrame,
         key_col: str,
         n_files: int = 4,
+        field_ids: bool = False,
     ) -> "ManifestTable":
+        """``field_ids=True`` opts the table into the FIELD-ID schema
+        mapping (Iceberg v2's rename/drop mechanism): every column
+        gets a stable integer id, files record (physical name → id) at
+        write time, and rename_column/drop_column become pure metadata
+        commits. Legacy (name-mapped) tables behave exactly as before
+        — the flag is the format-v2 opt-in."""
         t = cls(spark, root, key_col)
         if t.current_version() != 0:
             raise CommitConflict(f"table already exists at {root}")
-        t._commit(t._write_files(df, n_files), "create", 1)
+        fields = None
+        fmap = None
+        if field_ids:
+            fields = [
+                {"id": i + 1, "name": c} for i, c in enumerate(df.columns)
+            ]
+            fmap = {f["name"]: f["id"] for f in fields}
+        t._commit(t._write_files(df, n_files, fmap), "create", 1, None, fields)
         return t
+
+    def _fields(self, m: dict) -> list[dict] | None:
+        return m.get("fields")
+
+    def _require_identity_mapping(
+        self, m: dict, fields: list[dict], op: str
+    ) -> None:
+        """Name-binding writer ops (delete_where predicates, merge's
+        by-name source binding) are supported on field-id tables only
+        while every file's physical names still equal the current
+        mapping — i.e. before any rename/drop, or after ``compact``
+        re-baselines the physical names. Reads, appends, equality
+        deletes, renames and drops never need this."""
+        id2cur = {f["id"]: f["name"] for f in fields}
+        for e in m["files"]:
+            fm = e.get("field_ids") or {}
+            for phys, fid in fm.items():
+                if id2cur.get(fid, phys) != phys:
+                    raise NotImplementedError(
+                        f"{op} on a field-id table after rename/drop: "
+                        f"file {e['file']} stores {phys!r} for current "
+                        f"column {id2cur.get(fid)!r} — run compact() "
+                        "first to re-baseline physical names"
+                    )
+
+    @staticmethod
+    def _phys_name(
+        entry: dict, col: str, fields: list[dict] | None
+    ) -> str | None:
+        """Resolve a CURRENT column name to its physical name in one
+        file (identity for legacy tables): current name → field id →
+        the file's recorded (physical → id) mapping. None when the
+        file predates the column (prune treats it as no-stats =
+        conservatively kept)."""
+        if fields is None or not entry.get("field_ids"):
+            return col
+        fid = next((f["id"] for f in fields if f["name"] == col), None)
+        if fid is None:
+            return None
+        return next(
+            (p for p, i in entry["field_ids"].items() if i == fid), None
+        )
 
     def append(self, df: DataFrame, n_files: int = 2) -> int:
         v = self.current_version()
         m = self._manifest(v)
-        files = m["files"] + self._write_files(df, n_files)
+        fields = self._fields(m)
+        fmap = None
+        if fields is not None:
+            # additive evolution under field ids: unseen columns get
+            # fresh ids appended to the mapping (same commit)
+            fields = [dict(f) for f in fields]
+            fmap = {f["name"]: f["id"] for f in fields}
+            next_id = max((f["id"] for f in fields), default=0) + 1
+            for c in df.columns:
+                if c not in fmap:
+                    fields.append({"id": next_id, "name": c})
+                    fmap[c] = next_id
+                    next_id += 1
+        files = m["files"] + self._write_files(df, n_files, fmap)
         # existing positional deletes stay live (they reference files
-        # this append does not touch)
-        return self._commit(files, "append", v + 1, m.get("deletes"))
+        # this append does not touch); equality deletes carry their
+        # seq, so the appended rows (seq = v+1) are not erased by them
+        return self._commit(files, "append", v + 1, m.get("deletes"), fields)
 
-    def _write_delete_file(self, matches: DataFrame) -> dict | None:
-        """Write a (file, pos) frame as one immutable delete parquet;
-        returns its manifest entry, or None when the frame is empty
-        (shared by delete_where and merge's delete consolidation)."""
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME via field-id mapping (round-9 verdict ask #6 — the
+        G13 seam): a pure metadata commit — no data file changes, the
+        field keeps its id, readers remap every file's physical name
+        through (field_ids → current name). Time travel still shows
+        the old name at old versions (each manifest carries its own
+        mapping — Iceberg's snapshot-schema semantics)."""
+        v = self.current_version()
+        m = self._manifest(v)
+        fields = self._fields(m)
+        if fields is None:
+            raise ValueError(
+                "rename_column requires a field-id table "
+                "(create(..., field_ids=True))"
+            )
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        fields = [dict(f) for f in fields]
+        hit = [f for f in fields if f["name"] == old]
+        if not hit:
+            raise ValueError(f"no column {old!r}")
+        hit[0]["name"] = new
+        return self._commit(
+            m["files"], "rename_column", v + 1, m.get("deletes"), fields
+        )
+
+    def drop_column(self, name: str) -> int:
+        """DROP via field-id mapping: the field leaves the mapping —
+        data files never change, readers stop projecting the id, and
+        time travel still surfaces the column at old versions. The
+        key column cannot be dropped (stats pruning and merge key on
+        it)."""
+        if name == self.key_col:
+            raise ValueError("cannot drop the key column")
+        v = self.current_version()
+        m = self._manifest(v)
+        fields = self._fields(m)
+        if fields is None:
+            raise ValueError(
+                "drop_column requires a field-id table "
+                "(create(..., field_ids=True))"
+            )
+        kept = [dict(f) for f in fields if f["name"] != name]
+        if len(kept) == len(fields):
+            raise ValueError(f"no column {name!r}")
+        return self._commit(
+            m["files"], "drop_column", v + 1, m.get("deletes"), kept
+        )
+
+    def delete_eq(self, values: list) -> dict:
+        """EQUALITY DELETE (round-9 verdict ask #6 — the other half of
+        Iceberg v2's delete-file story): erase every row whose KEY is
+        in ``values`` by writing the values as one immutable equality-
+        delete parquet — no scan of the data at delete time at all
+        (positional deletes pay one matching scan; equality deletes
+        are O(values), the cheapest possible delete). Reads anti-join
+        rows from data files with seq < the delete's seq against the
+        value set — rows (re-)inserted AFTER the delete survive, the
+        Iceberg sequence-number rule, asserted in
+        tests/test_lakehouse.py."""
+        v = self.current_version()
+        m = self._manifest(v)
+        fields = self._fields(m)
+        if not values:
+            return {
+                "version": v,
+                "deleted_keys": 0,
+                "committed": False,
+            }
         os.makedirs(self._deldir, exist_ok=True)
+        key_field_id = None
+        if fields is not None:
+            key_field_id = next(
+                f["id"] for f in fields if f["name"] == self.key_col
+            )
+        vals = self.spark.createDataFrame(
+            [(x,) for x in values], [self.key_col]
+        )
         stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
-        matches.repartition(1).write.mode("overwrite").parquet(stage)
-        entry = None
+        vals.repartition(1).write.mode("overwrite").parquet(stage)
+        entries: list[dict] = []
         for name in sorted(os.listdir(stage)):
             if not name.endswith(".parquet"):
                 continue
@@ -252,9 +413,59 @@ class ManifestTable:
             os.rename(
                 os.path.join(stage, name), os.path.join(self._deldir, dst)
             )
-            entry = {"file": dst, "rows": n_rows}
+            entries.append(
+                {
+                    "file": dst,
+                    "rows": n_rows,
+                    "kind": "eq",
+                    "col": self.key_col,
+                    "field_id": key_field_id,
+                    "seq": v + 1,
+                }
+            )
         shutil.rmtree(stage, ignore_errors=True)
-        return entry
+        deletes = (m.get("deletes") or []) + entries
+        try:
+            self._commit(m["files"], "delete_eq", v + 1, deletes, fields)
+        except CommitConflict:
+            for entry in entries:
+                os.unlink(os.path.join(self._deldir, entry["file"]))
+            raise
+        return {
+            "version": v + 1,
+            "deleted_keys": len(values),
+            "committed": True,
+        }
+
+    def _write_delete_file(self, matches: DataFrame) -> list[dict]:
+        """Write a (file, pos) frame as immutable delete parquet(s);
+        returns ALL non-empty manifest entries (empty list when the
+        frame is empty). repartition(1) makes one staged file the
+        normal case, but every staged part is committed (round-9
+        ADVICE fix: keeping only the LAST entry while renaming every
+        file would silently unreference earlier delete rows and
+        resurrect them on read)."""
+        os.makedirs(self._deldir, exist_ok=True)
+        stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
+        matches.repartition(1).write.mode("overwrite").parquet(stage)
+        entries: list[dict] = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(
+                os.path.join(stage, name)
+            ).metadata.num_rows
+            if n_rows == 0:
+                continue
+            dst = f"{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(stage, name), os.path.join(self._deldir, dst)
+            )
+            entries.append({"file": dst, "rows": n_rows})
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
 
     def delete_where(self, condition) -> dict:
         """Row-level DELETE via POSITIONAL DELETE FILES (round-9
@@ -287,6 +498,11 @@ class ManifestTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         v = self.current_version()
         m = self._manifest(v)
+        fields = self._fields(m)
+        if fields is not None:
+            self._require_identity_mapping(
+                m, fields, "delete_where"
+            )  # post-rename predicates would bind to stale names
         # project (file, pos) straight off the scan relation —
         # _metadata is only addressable there — THEN subtract the
         # current deletes so already-deleted rows are never
@@ -298,25 +514,42 @@ class ManifestTable:
             ).alias("file"),
             F.col("_metadata.row_index").alias("pos"),
         )
-        cur = m.get("deletes") or []
+        # subtract only POSITIONAL priors — eq files carry key values,
+        # not (file, pos); a row an eq delete already erased being
+        # re-referenced positionally is harmless (deletion idempotent)
+        cur = [
+            e for e in (m.get("deletes") or []) if e.get("kind") != "eq"
+        ]
         if cur:
             prior = self.spark.read.parquet(
                 *[os.path.join(self._deldir, e["file"]) for e in cur]
             )
             matches = matches.join(prior, ["file", "pos"], "left_anti")
-        entry = self._write_delete_file(matches)
-        if entry is None:  # predicate matched nothing
-            return {"version": v, "deleted_rows": 0, "delete_files": 0}
-        deletes = (m.get("deletes") or []) + [entry]
+        entries = self._write_delete_file(matches)
+        if not entries:
+            # predicate matched nothing: NO snapshot is committed, so
+            # the head version does NOT advance (round-9 ADVICE: the
+            # no-op contract is explicit in the return — callers doing
+            # version arithmetic must branch on `committed`, not count
+            # their delete_where calls)
+            return {
+                "version": v,
+                "deleted_rows": 0,
+                "delete_files": 0,
+                "committed": False,
+            }
+        deletes = (m.get("deletes") or []) + entries
         try:
-            self._commit(m["files"], "delete", v + 1, deletes)
+            self._commit(m["files"], "delete", v + 1, deletes, fields)
         except CommitConflict:
-            os.unlink(os.path.join(self._deldir, entry["file"]))
+            for entry in entries:
+                os.unlink(os.path.join(self._deldir, entry["file"]))
             raise
         return {
             "version": v + 1,
-            "deleted_rows": entry["rows"],
+            "deleted_rows": sum(e["rows"] for e in entries),
             "delete_files": len(deletes),
+            "committed": True,
         }
 
     def merge(
@@ -362,6 +595,15 @@ class ManifestTable:
         for attempt in range(max_retries + 1):
             v = self.current_version()
             m = self._manifest(v)
+            fields = self._fields(m)
+            fmap = None
+            if fields is not None:
+                # merge binds source columns by NAME: require the
+                # physical names to still equal the current mapping
+                # (rename first, then merge, is the unsupported order
+                # — compact() re-baselines the physical names)
+                self._require_identity_mapping(m, fields, "merge")
+                fmap = {f["name"]: f["id"] for f in fields}
             snap = m["files"]
             deletes = m.get("deletes") or []
             touched = [
@@ -381,30 +623,35 @@ class ManifestTable:
                 ).unionByName(source, allowMissingColumns=True)
             else:
                 merged = source
-            new_files = self._write_files(merged, n_files)
-            if deletes and touched:
-                # CONSOLIDATE the delete refs (round-9 review fix):
+            new_files = self._write_files(merged, n_files, fmap)
+            pos_dels = [e for e in deletes if e.get("kind") != "eq"]
+            eq_dels = [e for e in deletes if e.get("kind") == "eq"]
+            if pos_dels and touched:
+                # CONSOLIDATE the positional refs (round-9 review fix):
                 # refs to the rewritten (now-dropped) files are
                 # already materialized above — recommitting them
                 # whole would make history()'s deleted_rows overcount
                 # and break the n_rows − deleted_rows live-row
                 # arithmetic. Keep only refs to carried files,
-                # rewritten as one small delete file.
+                # rewritten as one small delete file. Equality deletes
+                # carry forward UNCHANGED: their seq still precedes
+                # the carried files', and the rewritten files (seq =
+                # v+1) are correctly outside their reach — the rewrite
+                # scan above already materialized them.
                 carried_names = [e["file"] for e in carried]
                 prior = self.spark.read.parquet(
                     *[
                         os.path.join(self._deldir, e["file"])
-                        for e in deletes
+                        for e in pos_dels
                     ]
                 )
                 kept = prior.filter(F.col("file").isin(carried_names))
-                entry = self._write_delete_file(kept)
-                new_deletes = [entry] if entry else []
+                new_deletes = self._write_delete_file(kept) + eq_dels
             else:
                 new_deletes = deletes
             try:
                 self._commit(
-                    carried + new_files, "merge", v + 1, new_deletes
+                    carried + new_files, "merge", v + 1, new_deletes, fields
                 )
             except CommitConflict:
                 for e in new_files:  # orphans of the lost attempt
@@ -431,6 +678,72 @@ class ManifestTable:
             }
 
     # -- reads -------------------------------------------------------------
+    def _apply_all_deletes(
+        self,
+        df: DataFrame,
+        deletes: list[dict],
+        entries: list[dict],
+        phys_key: str,
+    ) -> DataFrame:
+        """Apply a snapshot's delete set — positional AND equality —
+        to a raw file scan. With no equality deletes this delegates
+        to the original positional path unchanged (g16's plan stays
+        byte-identical). Equality semantics: drop rows whose key
+        matches a delete's value set, but only rows from data files
+        whose seq PRECEDES the delete (the Iceberg sequence-number
+        rule — a key re-inserted after the delete survives).
+        ``phys_key`` is the key column's physical name in THIS scan
+        (renames can make it differ from key_col). _metadata is
+        materialized ONCE up front: it only resolves on the scan
+        relation, so both delete kinds ride the same projection."""
+        pos = [e for e in deletes if e.get("kind") != "eq"]
+        eq = [e for e in deletes if e.get("kind") == "eq"]
+        if not eq:
+            return self._apply_deletes(df, pos)
+        cols = df.columns
+        fcol, pcol = "_gdm_del_file", "_gdm_del_pos"
+        while fcol in cols or pcol in cols:
+            fcol += "_"
+            pcol += "_"
+        df = df.withColumn(
+            fcol,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn(pcol, F.col("_metadata.row_index"))
+        if pos:
+            dels = self.spark.read.parquet(
+                *[os.path.join(self._deldir, e["file"]) for e in pos]
+            )
+            df = df.join(
+                dels.select(
+                    F.col("file").alias(fcol), F.col("pos").alias(pcol)
+                ),
+                [fcol, pcol],
+                "left_anti",
+            )
+        for e in eq:
+            affected = [
+                f["file"]
+                for f in entries
+                if f.get("seq", 0) < e.get("seq", 0)
+            ]
+            if not affected:
+                continue
+            vals = self.spark.read.parquet(
+                os.path.join(self._deldir, e["file"])
+            )
+            vcol = vals.columns[0]
+            kcol = "_gdm_eq_key"
+            while kcol in cols:
+                kcol += "_"
+            vals = vals.select(F.col(vcol).alias(kcol))
+            df = df.join(
+                vals,
+                (F.col(phys_key) == F.col(kcol))
+                & F.col(fcol).isin(affected),
+                "left_anti",
+            )
+        return df.select(*cols)
+
     def _apply_deletes(
         self, df: DataFrame, deletes: list[dict]
     ) -> DataFrame:
@@ -505,8 +818,64 @@ class ManifestTable:
             *[os.path.join(self._ddir, e["file"]) for e in entries]
         )
         if deletes:
-            df = self._apply_deletes(df, deletes)
+            df = self._apply_all_deletes(
+                df, deletes, entries, self.key_col
+            )
         return df
+
+    def _scan_fields(
+        self,
+        entries: list[dict],
+        deletes: list[dict] | None,
+        fields: list[dict],
+    ) -> DataFrame:
+        """FIELD-ID scan (Iceberg v2 schema-mapping semantics): files
+        are grouped by their immutable (physical name → field id)
+        mapping, each group is scanned once, deletes are applied on
+        the group's raw scan (positional needs _metadata; equality
+        needs the group's PHYSICAL key name), and each group projects
+        physical names → CURRENT names through the manifest's field
+        list — so renames and drops are pure metadata and old files
+        never change. Groups union by name with missing columns as
+        NULL (a file written before a column existed surfaces NULL —
+        the additive contract, now id-addressed)."""
+        id2cur = {f["id"]: f["name"] for f in fields}
+        key_id = next(
+            (f["id"] for f in fields if f["name"] == self.key_col), None
+        )
+        groups: dict = {}
+        for e in entries:
+            fmap = e.get("field_ids") or {c: None for c in e["columns"]}
+            key = tuple(sorted(fmap.items()))
+            groups.setdefault(key, []).append(e)
+        frames = []
+        for key, group in groups.items():
+            fmap = dict(key)
+            df = self.spark.read.parquet(
+                *[os.path.join(self._ddir, e["file"]) for e in group]
+            )
+            if deletes:
+                phys_key = next(
+                    (
+                        phys
+                        for phys, fid in fmap.items()
+                        if fid == key_id
+                    ),
+                    self.key_col,
+                )
+                df = self._apply_all_deletes(df, deletes, group, phys_key)
+            sel = [
+                F.col(phys).alias(id2cur[fid])
+                for phys, fid in key
+                if fid in id2cur
+            ]
+            frames.append(df.select(*sel))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr, allowMissingColumns=True)
+        # stable column order: the manifest's field order
+        current = [f["name"] for f in fields if f["name"] in out.columns]
+        return out.select(*current)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Plan a scan over exactly this version's file list (see
@@ -515,6 +884,9 @@ class ManifestTable:
         a snapshot without deletes plans the identical bare scan as
         before the g16 tier existed)."""
         m = self._manifest(version or self.current_version())
+        fields = self._fields(m)
+        if fields is not None:
+            return self._scan_fields(m["files"], m.get("deletes"), fields)
         return self._scan(m["files"], m.get("deletes"))
 
     def read_pruned(
@@ -531,15 +903,18 @@ class ManifestTable:
         where the layout correlates (Z-order/partitioning, A8, is the
         lever)."""
         m = self._manifest(version or self.current_version())
+        fields = self._fields(m)
         keep = []
         for e in m["files"]:
-            st = e.get("stats", {}).get(col)
+            st = e.get("stats", {}).get(self._phys_name(e, col, fields))
             if st is None or not (st[1] < lo or st[0] > hi):
                 keep.append(e)
         if not keep:
             return self.read(version).filter(F.lit(False))
         # deletes referencing skipped files simply never match the
         # anti-join — pruning and merge-on-read compose for free
+        if fields is not None:
+            return self._scan_fields(keep, m.get("deletes"), fields)
         return self._scan(keep, m.get("deletes"))
 
     def read_pruned_in(
@@ -556,13 +931,16 @@ class ManifestTable:
         caller still applies the row-level filter; pruning must never
         change results."""
         m = self._manifest(version or self.current_version())
+        fields = self._fields(m)
         keep = []
         for e in m["files"]:
-            st = e.get("stats", {}).get(col)
+            st = e.get("stats", {}).get(self._phys_name(e, col, fields))
             if st is None or any(st[0] <= v <= st[1] for v in values):
                 keep.append(e)
         if not keep:
             return self.read(version).filter(F.lit(False))
+        if fields is not None:
+            return self._scan_fields(keep, m.get("deletes"), fields)
         return self._scan(keep, m.get("deletes"))
 
     def history(self) -> list[dict]:
@@ -570,6 +948,8 @@ class ManifestTable:
         for v in range(1, self.current_version() + 1):
             m = self._manifest(v)
             dels = m.get("deletes") or []
+            pos = [e for e in dels if e.get("kind") != "eq"]
+            eq = [e for e in dels if e.get("kind") == "eq"]
             out.append(
                 {
                     "version": v,
@@ -577,10 +957,14 @@ class ManifestTable:
                     "n_files": len(m["files"]),
                     # data-file row total; live rows = this minus
                     # deleted_rows (exact: merge consolidates refs,
-                    # so no stale delete ref is ever counted)
+                    # so no stale delete ref is ever counted).
+                    # Equality deletes are key-value counts, not row
+                    # positions — reported separately (an eq key may
+                    # erase 0..n rows depending on the data).
                     "n_rows": sum(e["rows"] for e in m["files"]),
                     "n_delete_files": len(dels),
-                    "deleted_rows": sum(e["rows"] for e in dels),
+                    "deleted_rows": sum(e["rows"] for e in pos),
+                    "eq_deleted_keys": sum(e["rows"] for e in eq),
                 }
             )
         return out
@@ -597,8 +981,16 @@ def compact(table: ManifestTable, n_files: int = 2) -> int:
     At 100 TB this runs per partition/key-range slice; here the
     table-wide form keeps the protocol identical."""
     v = table.current_version()
-    files = table._write_files(table.read(version=v), n_files)
-    return table._commit(files, "compact", v + 1)
+    m = table._manifest(v)
+    fields = table._fields(m)
+    fmap = (
+        {f["name"]: f["id"] for f in fields} if fields is not None else None
+    )
+    # read() applies deletes AND (on field-id tables) the current
+    # rename/drop mapping — so compact materializes deletes and
+    # RE-BASELINES physical names to the current schema in one pass
+    files = table._write_files(table.read(version=v), n_files, fmap)
+    return table._commit(files, "compact", v + 1, None, fields)
 
 
 def expire_snapshots(table: ManifestTable, keep_last: int = 1) -> dict:

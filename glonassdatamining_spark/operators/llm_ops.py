@@ -3684,6 +3684,15 @@ def _k55_learn(spark: SparkSession, sf_dir: str, use_cache: bool = False):
     table = merges[0]
     for m in merges[1:]:
         table = table.unionByName(m)
+    # Keep only the most recent entry PER APPLICATION (round-9 ADVICE:
+    # the cache pins localCheckpoint-backed frames — and their RDD
+    # blocks — for the process lifetime; a long session touching many
+    # sf_dirs would accumulate them without bound). Evicted frames'
+    # checkpoint blocks are released by the GC once unreferenced.
+    for old_key in [
+        k for k in _K55_CACHE if k[0] == key[0] and k != key
+    ]:
+        del _K55_CACHE[old_key]
     _K55_CACHE[key] = (table, wf)
     return table, wf
 
@@ -3861,13 +3870,27 @@ def bpe_apply_merges(words: DataFrame, merges: DataFrame) -> DataFrame:
             F.lit(f"{_K55_SEP}{r.lhs}{_K55_SEP}{_K55_SEP}{r.rhs}{_K55_SEP}"),
             F.lit(f"{_K55_SEP}{r.lhs}{r.rhs}{_K55_SEP}"),
         )
+    # collision-proof temp name (round-9 ADVICE: a bare withColumn
+    # would silently REPLACE a caller's existing '_seg'; same class as
+    # lakehouse._apply_deletes' reserved-name fix). 'n_sub' is the
+    # declared OUTPUT contract, so a pre-existing column of that name
+    # is a caller error — fail loudly instead of shadowing it.
+    if "n_sub" in words.columns:
+        raise ValueError(
+            "bpe_apply_merges: input already has an 'n_sub' column — "
+            "it is the function's output contract; rename it first"
+        )
+    seg_col = "_seg"
+    while seg_col in words.columns:
+        seg_col += "_"
     seg = F.split(
-        F.expr(f"substring({'_seg'}, 2, length({'_seg'}) - 2)"), _K55_SEP * 2
+        F.expr(f"substring({seg_col}, 2, length({seg_col}) - 2)"),
+        _K55_SEP * 2,
     )
     return (
-        words.withColumn("_seg", s)
+        words.withColumn(seg_col, s)
         .withColumn("n_sub", F.size(seg).cast("bigint"))
-        .drop("_seg")
+        .drop(seg_col)
     )
 
 

@@ -936,3 +936,125 @@ def g16_lakehouse_positional_deletes(
     return spark.createDataFrame(
         rows, "version INT, op STRING, n_rows BIGINT, total_price DOUBLE"
     )
+
+
+# --------------------------------------------------------------------------
+# G17 — lakehouse format-v2 parity: equality deletes + rename/drop via
+# field-id mapping (round-9 verdict ask #6 — the two seams G13/g16
+# declared out of scope)
+# --------------------------------------------------------------------------
+_G17_EQ_KEYS = list(range(55, 8800, 55))  # fixed GDPR-style id list
+
+
+def _g17_oracle() -> str:
+    keys = ", ".join(str(k) for k in _G17_EQ_KEYS)
+    base = f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    v1 = f"{base} WHERE o_orderkey % 3 = 2"
+    v2 = (
+        f"{base} WHERE o_orderkey % 3 = 2 AND o_orderkey NOT IN ({keys})"
+    )
+    # v4: the APPEND's rows are NOT subject to the earlier eq delete
+    # (Iceberg sequence rule) — appended keys in the list SURVIVE,
+    # which is exactly what the UNION ALL below encodes
+    v4 = (
+        f"{v2} UNION ALL {base} WHERE o_orderkey % 3 = 0"
+    )
+    arms = []
+    for ver, op, sql, ncols in (
+        (1, "create", v1, 3),
+        (2, "delete_eq", v2, 3),
+        (3, "rename_column", v2, 3),
+        (4, "append", v4, 3),
+        (5, "drop_column", v4, 2),
+    ):
+        arms.append(
+            f"SELECT CAST({ver} AS INT) AS version, '{op}' AS op, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+            f"AS total_price, CAST({ncols} AS INT) AS n_cols "
+            f"FROM ({sql})"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@register("g17_lakehouse_v2_schema_mapping", oracle=_g17_oracle(), section="G17")
+def g17_lakehouse_v2_schema_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lakehouse FORMAT-V2 parity (round-9 verdict ask #6): EQUALITY
+    DELETES and RENAME/DROP via FIELD-ID MAPPING, the two seams
+    G13/g16 declared out of scope. Five versions on a field-id table
+    (``create(..., field_ids=True)``): CREATE a third of orders (v1);
+    DELETE a fixed GDPR-style id list by VALUE — no data scan at
+    delete time, the cheapest delete there is (v2); RENAME
+    o_totalprice → price as a pure metadata commit — zero data IO,
+    every file keeps its physical name and readers remap through the
+    field id (v3); APPEND another third WRITTEN UNDER THE NEW NAME —
+    and, critically, appended keys that are IN the v2 delete list
+    SURVIVE, because equality deletes apply only to files whose
+    sequence number precedes the delete (Iceberg's sequence rule —
+    the oracle's UNION ALL encodes exactly that) (v4); DROP
+    o_orderstatus, again metadata-only (v5). Every version is read
+    back AFTER all five commits: the hash certifies time travel
+    across eq-delete reconstruction, per-snapshot schema (v1/v2 still
+    read o_totalprice; v3+ read price), physical-to-current remapping
+    on heterogeneous file groups, and the sequence rule — end to end.
+    Race/retry and compose-with-positional behaviors are asserted in
+    tests/test_lakehouse.py.
+
+    Scale: an equality delete is O(values) — no scan, no rewrite; a
+    rename/drop is O(1) metadata. Reads pay per-group remapping
+    projections (pure narrow) and one broadcast anti-join per delete
+    file until compact() materializes and re-baselines. This is the
+    100 TB cheap-mutation tier: the table never rewrites until YOU
+    schedule it."""
+    import shutil
+
+    from glonassdatamining_spark.lakehouse import ManifestTable
+    from glonassdatamining_spark.sources.scans import _derived_base
+    from glonassdatamining_spark.stable import dsum
+
+    root = _derived_base(sf_dir, "lakehouse_orders_v2fmt", "orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ManifestTable(spark, root, "o_orderkey")
+    if t.current_version() < 5:
+        shutil.rmtree(root, ignore_errors=True)
+        t = ManifestTable.create(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 3 == 2),
+            "o_orderkey",
+            4,
+            field_ids=True,
+        )
+        t.delete_eq(_G17_EQ_KEYS)
+        t.rename_column("o_totalprice", "price")
+        t.append(
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumnRenamed(
+                "o_totalprice", "price"
+            ),
+            2,
+        )
+        t.drop_column("o_orderstatus")
+    rows = []
+    for v, op in (
+        (1, "create"),
+        (2, "delete_eq"),
+        (3, "rename_column"),
+        (4, "append"),
+        (5, "drop_column"),
+    ):
+        df = t.read(version=v)
+        price_col = "price" if "price" in df.columns else "o_totalprice"
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(price_col, "tp"),
+        ).collect()[0]  # 1-row per-version rollup (5 versions, bounded)
+        rows.append((v, op, r["n"], float(r["tp"]), len(df.columns)))
+    return spark.createDataFrame(
+        rows,
+        "version INT, op STRING, n_rows BIGINT, total_price DOUBLE, "
+        "n_cols INT",
+    )

@@ -155,10 +155,10 @@ def test_merge_retry_interleaved_writers(spark, tmp_path):
     barrier = threading.Barrier(2, timeout=120)
     real_commit = t._commit
 
-    def synced_commit(files, op, expected_version, deletes=None):
+    def synced_commit(files, op, expected_version, deletes=None, fields=None):
         if expected_version == 2:  # both first attempts target v2
             barrier.wait()
-        return real_commit(files, op, expected_version, deletes)
+        return real_commit(files, op, expected_version, deletes, fields)
 
     t._commit = synced_commit
     results: dict[str, dict] = {}
@@ -391,10 +391,10 @@ def test_concurrent_merge_divergent_schemas(spark, tmp_path):
     barrier = threading.Barrier(2, timeout=120)
     real_commit = t._commit
 
-    def synced_commit(files, op, expected_version, deletes=None):
+    def synced_commit(files, op, expected_version, deletes=None, fields=None):
         if expected_version == 2:
             barrier.wait()
-        return real_commit(files, op, expected_version, deletes)
+        return real_commit(files, op, expected_version, deletes, fields)
 
     t._commit = synced_commit
     results: dict[str, dict] = {}
@@ -506,7 +506,12 @@ def test_positional_delete_merge_on_read(spark, tmp_path):
     t = ManifestTable.create(spark, str(tmp_path / "t"), df, "k", 4)
     data_before = sorted(_os.listdir(t._ddir))
     out = t.delete_where("k % 5 = 0")
-    assert out == {"version": 2, "deleted_rows": 20, "delete_files": 1}
+    assert out == {
+        "version": 2,
+        "deleted_rows": 20,
+        "delete_files": 1,
+        "committed": True,
+    }
     # merge-on-read: data files untouched
     assert sorted(_os.listdir(t._ddir)) == data_before
     assert t.read().count() == 80
@@ -522,7 +527,12 @@ def test_positional_delete_merge_on_read(spark, tmp_path):
     # no-op predicate commits nothing
     v = t.current_version()
     out3 = t.delete_where("k = -1")
-    assert out3 == {"version": v, "deleted_rows": 0, "delete_files": 0}
+    assert out3 == {
+        "version": v,
+        "deleted_rows": 0,
+        "delete_files": 0,
+        "committed": False,
+    }
     assert t.current_version() == v
 
 
@@ -650,3 +660,199 @@ def test_merge_consolidates_delete_refs(spark, tmp_path):
         prior = spark.read.parquet(_os.path.join(t._deldir, e["file"]))
         ref_files = {r.file for r in prior.select("file").distinct().collect()}
         assert ref_files <= carried_names
+
+
+def test_equality_delete_sequence_semantics(spark, tmp_path):
+    """Iceberg v2 equality deletes: v2 erases keys by VALUE with no
+    data scan; an append AFTER the delete re-inserting some of those
+    keys must survive (file seq > delete seq), while the original
+    rows stay erased. Time travel shows every state."""
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    out = t.delete_eq([3, 5, 7, 200])  # 200 matches nothing: fine
+    assert out == {"version": 2, "deleted_keys": 4, "committed": True}
+    assert t.read().count() == 97
+    assert t.read().filter(F.col("k").isin(3, 5, 7)).count() == 0
+    # re-insert k=5 AFTER the delete: the sequence rule keeps it
+    t.append(
+        spark.range(5, 6).select(
+            F.col("id").alias("k"),
+            F.lit(-9).cast("bigint").alias("val"),
+        )
+    )
+    got = t.read().filter(F.col("k") == 5).collect()
+    assert [r.val for r in got] == [-9], "post-delete insert must survive"
+    assert t.read().count() == 98
+    # time travel: v1 pristine, v2 erased, v3 re-inserted
+    assert t.read(version=1).count() == 100
+    assert t.read(version=2).filter(F.col("k") == 5).count() == 0
+    h = t.history()
+    assert h[1]["op"] == "delete_eq" and h[1]["eq_deleted_keys"] == 4
+    # empty value list: explicit no-op contract
+    v = t.current_version()
+    assert t.delete_eq([]) == {
+        "version": v,
+        "deleted_keys": 0,
+        "committed": False,
+    }
+
+
+def test_equality_delete_composes_with_positional_and_compact(spark, tmp_path):
+    """eq + positional deletes on one snapshot reconstruct together;
+    compact MATERIALIZES both kinds and drops the delete list."""
+    from glonassdatamining_spark.lakehouse import compact
+
+    t = _mk(spark, tmp_path, n=100, n_files=2)
+    t.delete_eq(list(range(0, 100, 10)))           # 10 keys by value
+    t.delete_where("k % 7 = 0 AND k % 10 != 0")    # positional on the rest
+    live = [k for k in range(100) if k % 10 != 0 and k % 7 != 0]
+    assert sorted(r.k for r in t.read().collect()) == live
+    v = compact(t, n_files=1)
+    m = t._manifest(v)
+    assert m["deletes"] == []
+    assert sorted(r.k for r in t.read().collect()) == live
+
+
+def test_field_id_rename_and_drop_are_metadata_only(spark, tmp_path):
+    """Rename/drop via field ids: no data file changes, reads remap
+    physical names per file, time travel keeps each version's own
+    schema, and appends after a rename write the NEW physical name
+    under the SAME field id."""
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    t = ManifestTable.create(
+        spark, str(tmp_path / "ft"), df, "k", 2, field_ids=True
+    )
+    files_v1 = {e["file"] for e in t._manifest(1)["files"]}
+    t.rename_column("val", "amount")
+    assert {e["file"] for e in t._manifest(2)["files"]} == files_v1
+    assert t.read().columns == ["k", "amount"]
+    assert t.read(version=1).columns == ["k", "val"]  # snapshot schema
+    assert t.read().filter(F.col("k") == 7).collect()[0].amount == 70
+    # append post-rename: physical name 'amount', same field id
+    t.append(
+        spark.range(50, 60).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        )
+    )
+    got = t.read()
+    assert got.count() == 60
+    assert got.filter(F.col("amount") == 550).count() == 1
+    # pruning on the RENAMED column resolves per-file physical names
+    pruned = t.read_pruned("amount", 0, 100)
+    assert sorted(r.k for r in pruned.collect() if r.k <= 10) == list(
+        range(11)
+    )
+    # drop: metadata-only, old versions still carry the column
+    t.drop_column("amount")
+    assert t.read().columns == ["k"]
+    assert "amount" in t.read(version=3).columns
+    with pytest.raises(ValueError):
+        t.drop_column("k")  # key column protected
+    with pytest.raises(ValueError):
+        t.rename_column("k", "k")  # name already exists
+
+
+def test_field_id_eq_delete_and_rename_compose(spark, tmp_path):
+    """Equality deletes keep working across a rename (values bind to
+    the field ID, reads resolve the physical key name per group)."""
+    df = spark.range(30).select(
+        F.col("id").alias("k"), F.col("id").alias("val")
+    )
+    t = ManifestTable.create(
+        spark, str(tmp_path / "fe"), df, "k", 2, field_ids=True
+    )
+    t.delete_eq([1, 2, 3])
+    t.rename_column("val", "v2")
+    assert t.read().count() == 27
+    assert t.read().columns == ["k", "v2"]
+    t.delete_eq([4])
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(30) if k not in (1, 2, 3, 4)
+    ]
+
+
+def test_merge_after_rename_requires_compact(spark, tmp_path):
+    """merge/delete_where bind by NAME: on a renamed field-id table
+    they refuse loudly; compact re-baselines physical names and they
+    work again."""
+    from glonassdatamining_spark.lakehouse import compact
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").alias("val")
+    )
+    t = ManifestTable.create(
+        spark, str(tmp_path / "fm"), df, "k", 2, field_ids=True
+    )
+    t.rename_column("val", "amount")
+    src = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("amount")
+    )
+    with pytest.raises(NotImplementedError):
+        t.merge(src)
+    with pytest.raises(NotImplementedError):
+        t.delete_where("k = 3")
+    compact(t, n_files=1)
+    out = t.merge(src)
+    assert out["version"] == t.current_version()
+    assert t.read().filter(F.col("amount") == -1).count() == 5
+    t.delete_where("k = 19")
+    assert t.read().count() == 19
+
+
+def test_two_writer_race_eq_delete_vs_append(spark, tmp_path):
+    """Round-9 ask #6's race extension: an equality delete and an
+    append race the SAME head version — exactly one wins the os.link
+    publish, the loser surfaces CommitConflict, and a retry lands on
+    the new head with BOTH effects preserved (the re-tried eq delete
+    gets a HIGHER seq than the append, so the sequence rule decides
+    the re-inserted key's fate explicitly)."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=50, n_files=2)
+    barrier = threading.Barrier(2, timeout=120)
+    real_commit = t._commit
+
+    def synced_commit(files, op, expected_version, deletes=None, fields=None):
+        if expected_version == 2:
+            barrier.wait()
+        return real_commit(files, op, expected_version, deletes, fields)
+
+    t._commit = synced_commit
+    outcomes: dict = {}
+    errors: list = []
+
+    def do_delete():
+        try:
+            outcomes["delete"] = t.delete_eq([7, 8])
+        except CommitConflict:
+            outcomes["delete_retry"] = t.delete_eq([7, 8])
+        except BaseException as exc:
+            errors.append(exc)
+
+    def do_append():
+        try:
+            outcomes["append"] = t.append(
+                spark.range(100, 105).select(
+                    F.col("id").alias("k"), F.col("id").alias("val")
+                )
+            )
+        except CommitConflict:
+            outcomes["append_retry"] = t.append(
+                spark.range(100, 105).select(
+                    F.col("id").alias("k"), F.col("id").alias("val")
+                )
+            )
+        except BaseException as exc:
+            errors.append(exc)
+
+    th_a = threading.Thread(target=do_delete)
+    th_b = threading.Thread(target=do_append)
+    th_a.start(), th_b.start()
+    th_a.join(300), th_b.join(300)
+    assert not errors, errors
+    assert t.current_version() == 3  # linear chain, one retry
+    got = t.read()
+    assert got.filter(F.col("k").isin(7, 8)).count() == 0
+    assert got.filter(F.col("k") >= 100).count() == 5
+    assert got.count() == 53
