@@ -6483,3 +6483,212 @@ def i66_hmm_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is the correctness anchor."""
     cands = _i64_scored(spark, sf_dir, with_ts=True, with_mid=True)
     return hmm_viterbi_decode(cands)
+
+
+# ---------------------------------------------------------------------------
+# I67 — EXACT SPHERICAL geofence containment (round-9 verdict ask #7:
+# the cutover target past i63's ~4% local-plane distortion bound):
+# great-circle-edge crossing parity on the unit sphere — correct at
+# continental scale, across the antimeridian, and around the poles,
+# the three places a planar ray cast is simply wrong.
+# ---------------------------------------------------------------------------
+# Fence rings as (lat, lon) vertex lists. The 7e-4-style offsets keep
+# every fixture coordinate (3-decimal lattice) off the fence planes —
+# the i19/i63 no-boundary-ambiguity discipline.
+_I67_FENCES = {
+    # straddles lon = ±180: planar ray casting on raw lon sees the
+    # ring wrap as a 320-degree-wide band and misclassifies everything
+    "antimeridian": [
+        (5.0007, 160.0007),
+        (5.0007, -160.0007),
+        (35.0007, -160.0007),
+        (35.0007, 160.0007),
+    ],
+    # pentagon of lat-75 vertices CONTAINING the north pole: a planar
+    # cast has no pole point at all (lat 90 maps to a line)
+    "polar": [
+        (75.0007, -144.0007),
+        (75.0007, -72.0007),
+        (75.0007, 0.0007),
+        (75.0007, 72.0007),
+        (75.0007, 144.0007),
+    ],
+    # ordinary concave chevron well inside the local-plane envelope —
+    # the consistency bridge to i63's planar tier (property test)
+    "midlat": [
+        (20.0007, 20.0007),
+        (35.0007, 50.0007),
+        (20.0007, 80.0007),
+        (55.0007, 80.0007),
+        (40.0007, 50.0007),
+        (55.0007, 20.0007),
+    ],
+}
+
+
+def _i67_unit(lat: float, lon: float) -> tuple:
+    import math
+
+    rl, rn = math.radians(lat), math.radians(lon)
+    return (
+        math.cos(rl) * math.cos(rn),
+        math.cos(rl) * math.sin(rn),
+        math.sin(rl),
+    )
+
+
+def _i67_edges(fence: list) -> list:
+    """Fence ring -> [(A, B, n2)] unit-vector edges with plane normals
+    n2 = A x B, all computed in PYTHON doubles and embedded as plan
+    literals in BOTH engines (repr round-trips exactly), so the fence
+    side carries zero trig-ULP exposure."""
+    vs = [_i67_unit(lat, lon) for lat, lon in fence]
+    out = []
+    for i in range(len(vs)):
+        a, b = vs[i], vs[(i + 1) % len(vs)]
+        n2 = (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+        out.append((a, b, n2))
+    return out
+
+
+def _i67_crossing_sql(a, b, n2) -> str:
+    """One edge's ARC-CROSSING predicate against the test arc P→S
+    (S = the south pole, outside every fence) as SQL text — the SAME
+    string runs through Spark's F.expr and the DuckDB oracle, so the
+    formula is a textual twin by construction. Geometry: the two
+    great circles meet at ±I (I = n1 × n2, n1 = P × S = (−py, px, 0));
+    the arcs cross iff ONE of ±I lies strictly inside BOTH minor arcs
+    (the naive 'opposite sides' sign tests alone false-positive when
+    each arc contains a DIFFERENT intersection point — the antipodal
+    trap). Strict inequalities are safe: the planted vertex offsets
+    keep fixture points off every fence plane."""
+    ax, ay, az = (repr(v) for v in a)
+    bx, by, bz = (repr(v) for v in b)
+    nx, ny, nz = (repr(v) for v in n2)
+    # I = n1 x n2 with n1 = (-py, px, 0)
+    ix = f"(px * {nz})"
+    iy = f"(py * {nz})"
+    iz = f"(-py * {ny} - px * {nx})"
+
+    def on_arcs(vx, vy, vz):
+        # strictly inside minor arc A->B: (A x V).n2 > 0 and (V x B).n2 > 0
+        axv = (
+            f"(({ay} * {vz} - {az} * {vy}) * {nx} "
+            f"+ ({az} * {vx} - {ax} * {vz}) * {ny} "
+            f"+ ({ax} * {vy} - {ay} * {vx}) * {nz})"
+        )
+        vxb = (
+            f"(({vy} * {bz} - {vz} * {by}) * {nx} "
+            f"+ ({vz} * {bx} - {vx} * {bz}) * {ny} "
+            f"+ ({vx} * {by} - {vy} * {bx}) * {nz})"
+        )
+        # strictly inside minor arc P->S: (P x V).n1 > 0 and (V x S).n1 > 0
+        # with n1 = (-py, px, 0) and S = (0, 0, -1):
+        pxv = (
+            f"((py * {vz} - pz * {vy}) * (-py) "
+            f"+ (pz * {vx} - px * {vz}) * px)"
+        )
+        vxs = f"({vx} * px + {vy} * py)"
+        return f"({axv} > 0 AND {vxb} > 0 AND {pxv} > 0 AND {vxs} > 0)"
+
+    pos = on_arcs(ix, iy, iz)
+    neg = on_arcs(f"(-{ix})", f"(-{iy})", f"(-{iz})")
+    return f"({pos} OR {neg})"
+
+
+def _i67_inside_sql(zone: str) -> str:
+    """Odd-crossing-parity containment for one fence as SQL text."""
+    terms = [
+        f"(CASE WHEN {_i67_crossing_sql(a, b, n2)} THEN 1 ELSE 0 END)"
+        for a, b, n2 in _i67_edges(_I67_FENCES[zone])
+    ]
+    return f"(({' + '.join(terms)}) % 2) = 1"
+
+
+def _i67_oracle() -> str:
+    arms = []
+    for zone in _I67_FENCES:
+        arms.append(
+            f"SELECT '{zone}' AS zone, "
+            "CAST(COUNT(CASE WHEN "
+            + _i67_inside_sql(zone)
+            + " THEN 1 END) AS BIGINT) AS n_inside, "
+            "CAST(COUNT(DISTINCT CASE WHEN "
+            + _i67_inside_sql(zone)
+            + " THEN obj_id END) AS BIGINT) AS n_objs FROM p"
+        )
+    return (
+        GEO_CTE + ", p AS (SELECT obj_id, "
+        "cos(radians(lat)) * cos(radians(lon)) AS px, "
+        "cos(radians(lat)) * sin(radians(lon)) AS py, "
+        "sin(radians(lat)) AS pz FROM geo) "
+        + " UNION ALL ".join(arms)
+    )
+
+
+@register("i67_spherical_geofence", oracle=_i67_oracle(), section="I67")
+def i67_spherical_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SPHERICAL geofence containment (round-9 verdict ask #7 —
+    the documented cutover target past i63's ~4% local-plane bound):
+    per-fence point counts by GREAT-CIRCLE crossing parity on the
+    unit sphere — draw the arc from the point to the south pole
+    (outside every fence) and count fence-edge arc crossings; odd =
+    inside. The planted fences are exactly the planar failure modes:
+    an ANTIMERIDIAN-straddling band (raw-lon ray casting sees a
+    320°-wide wrap), a POLE-enclosing pentagon (a planar cast has no
+    pole point), and a mid-latitude concave chevron that bridges to
+    the planar tier (consistency property test in tests).
+
+    Exactness architecture: fence vertices/edge normals are PYTHON
+    doubles embedded as literals in both engines (zero fence-side
+    trig exposure); only the point's unit vector runs in-engine trig,
+    and every sign test carries the planted-offset margin (the
+    i19/i63 discipline). The crossing predicate handles the ANTIPODAL
+    TRAP — two great circles meet at ±I, and naive opposite-side sign
+    tests false-positive when each arc holds a different intersection
+    point — by requiring one of ±I strictly inside BOTH minor arcs.
+    The whole predicate is ONE shared SQL text run through F.expr and
+    the DuckDB oracle (textual-twin parity by construction), and the
+    python reference in tests re-derives containment with a DIFFERENT
+    anchor point (anchor invariance — the classic correctness
+    property of crossing-parity).
+
+    Scale: pure narrow codegen arithmetic per (point, edge) — zero
+    shuffle, zero Python, fences are plan literals exactly like i19;
+    large fence SETS grid-bucket by spherical cap (the i3 pattern).
+    At 100 TB this replaces i63 wherever a fence's latitude extent
+    pushes the local-plane distortion past the documented bound."""
+    g = geo(spark, sf_dir)
+    p = g.select(
+        "obj_id",
+        F.expr("cos(radians(lat)) * cos(radians(lon))").alias("px"),
+        F.expr("cos(radians(lat)) * sin(radians(lon))").alias("py"),
+        F.expr("sin(radians(lat))").alias("pz"),
+    )
+    for zone in _I67_FENCES:
+        p = p.withColumn(f"_in_{zone}", F.expr(_i67_inside_sql(zone)))
+    aggs = []
+    for zone in _I67_FENCES:
+        aggs += [
+            F.sum(F.col(f"_in_{zone}").cast("bigint")).alias(f"n_{zone}"),
+            F.countDistinct(
+                F.when(F.col(f"_in_{zone}"), F.col("obj_id"))
+            ).alias(f"o_{zone}"),
+        ]
+    r = p.agg(*aggs)
+    arms = [
+        r.select(
+            F.lit(zone).alias("zone"),
+            F.col(f"n_{zone}").cast("bigint").alias("n_inside"),
+            F.col(f"o_{zone}").cast("bigint").alias("n_objs"),
+        )
+        for zone in _I67_FENCES
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

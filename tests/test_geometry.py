@@ -1296,3 +1296,174 @@ def test_i66_matches_python_viterbi_on_fixture(spark):
     }
     assert got, "i66 must be non-empty on the fixture"
     assert got == want
+
+
+def _sph_unit(lat, lon):
+    import math
+
+    rl, rn = math.radians(lat), math.radians(lon)
+    return (
+        math.cos(rl) * math.cos(rn),
+        math.cos(rl) * math.sin(rn),
+        math.sin(rl),
+    )
+
+
+def _sph_inside(p, fence_lls, anchor):
+    """Independent python spherical point-in-polygon: crossing parity
+    of the arc p->anchor against the fence's great-circle edges, with
+    a GENERIC anchor (the operator's SQL hard-wires the south pole —
+    anchor invariance is the classic correctness property of
+    crossing-parity, so this reference deliberately parameterizes
+    it)."""
+
+    def cross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    def dot(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    vs = [_sph_unit(lat, lon) for lat, lon in fence_lls]
+    n1 = cross(p, anchor)
+    cnt = 0
+    for i in range(len(vs)):
+        a, b = vs[i], vs[(i + 1) % len(vs)]
+        n2 = cross(a, b)
+        i0 = cross(n1, n2)
+        for v in (i0, tuple(-c for c in i0)):
+            if (
+                dot(cross(a, v), n2) > 0
+                and dot(cross(v, b), n2) > 0
+                and dot(cross(p, v), n1) > 0
+                and dot(cross(v, anchor), n1) > 0
+            ):
+                cnt += 1
+                break
+        # a minor (<180 deg) edge arc holds at most one of +-I, so
+        # each edge contributes at most one crossing
+    return cnt % 2 == 1
+
+
+def test_i67_planted_pole_and_antimeridian_cases():
+    """The two planar failure modes, pinned: the north pole is inside
+    the polar fence; lon +-179 points are inside the antimeridian
+    band while lon 0 at the same latitude is outside — and all of it
+    is anchor-invariant."""
+    from glonassdatamining_spark.operators.spatiotemporal import _I67_FENCES
+
+    anchors = [_sph_unit(-90.0, 0.0), _sph_unit(-40.0003, 123.4567)]
+    for anchor in anchors:
+        assert _sph_inside(_sph_unit(89.9, 45.0), _I67_FENCES["polar"], anchor)
+        assert _sph_inside(
+            _sph_unit(90.0, 0.0), _I67_FENCES["polar"], anchor
+        ), "the pole itself"
+        assert not _sph_inside(
+            _sph_unit(60.0, 45.0), _I67_FENCES["polar"], anchor
+        )
+        am = _I67_FENCES["antimeridian"]
+        assert _sph_inside(_sph_unit(20.0, 179.0), am, anchor)
+        assert _sph_inside(_sph_unit(20.0, -179.0), am, anchor)
+        assert not _sph_inside(_sph_unit(20.0, 0.0), am, anchor)
+        assert not _sph_inside(_sph_unit(-20.0, 179.0), am, anchor)
+
+
+def test_i67_matches_python_reference_and_anchor_invariance(spark):
+    """The registered operator's per-fence counts must equal the
+    independent python reference run from TWO different anchors on
+    the identical fixture points (anchor invariance + engine/python
+    agreement in one sweep)."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I67_FENCES,
+        geo,
+        i67_spherical_geofence,
+    )
+    from tests.conftest import SF_DIR
+
+    pts = [
+        (r.obj_id, r.lat, r.lon)
+        for r in geo(spark, SF_DIR).select("obj_id", "lat", "lon").collect()
+    ]
+    anchors = [_sph_unit(-90.0, 0.0), _sph_unit(-40.0003, 123.4567)]
+    want = {}
+    for zone, fence in _I67_FENCES.items():
+        per_anchor = []
+        for anchor in anchors:
+            inside = [
+                (obj, lat, lon)
+                for obj, lat, lon in pts
+                if _sph_inside(_sph_unit(lat, lon), fence, anchor)
+            ]
+            per_anchor.append(inside)
+        assert per_anchor[0] == per_anchor[1], f"anchor variance in {zone}"
+        want[zone] = (
+            len(per_anchor[0]),
+            len({obj for obj, _, _ in per_anchor[0]}),
+        )
+    got = {
+        r.zone: (r.n_inside, r.n_objs)
+        for r in i67_spherical_geofence(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert all(n > 0 for n, _ in got.values()), "every fence non-vacuous"
+
+
+def test_i67_midlat_consistent_with_planar_inside_envelope(spark):
+    """The i63-bridge property: on the mid-latitude fence (well
+    inside the local-plane distortion envelope) the spherical
+    classification agrees with a PLANAR lat/lon ray cast for every
+    fixture point farther than 3 degrees from the fence boundary —
+    i.e. sphere-vs-plane disagreement is confined to the edge
+    neighborhood where the great-circle arc sags away from the
+    straight lat/lon segment."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I67_FENCES,
+        geo,
+    )
+    from tests.conftest import SF_DIR
+
+    fence = _I67_FENCES["midlat"]
+
+    def planar_inside(lat, lon):
+        n = len(fence)
+        c = 0
+        for i in range(n):
+            (y1, x1), (y2, x2) = fence[i], fence[(i + 1) % n]
+            if (y1 > lat) != (y2 > lat):
+                if lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1):
+                    c += 1
+        return c % 2 == 1
+
+    def seg_dist(lat, lon):
+        best = float("inf")
+        n = len(fence)
+        for i in range(n):
+            (y1, x1), (y2, x2) = fence[i], fence[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            t = ((lon - x1) * dx + (lat - y1) * dy) / (dx * dx + dy * dy)
+            t = min(1.0, max(0.0, t))
+            best = min(
+                best, math.hypot(lon - (x1 + t * dx), lat - (y1 + t * dy))
+            )
+        return best
+
+    anchor = _sph_unit(-90.0, 0.0)
+    pts = [
+        (r.lat, r.lon)
+        for r in geo(spark, SF_DIR).select("lat", "lon").collect()
+    ]
+    checked = disagreements = 0
+    for lat, lon in pts:
+        sph = _sph_inside(_sph_unit(lat, lon), fence, anchor)
+        pla = planar_inside(lat, lon)
+        if seg_dist(lat, lon) > 3.0:
+            checked += 1
+            assert sph == pla, (lat, lon)
+        elif sph != pla:
+            disagreements += 1
+    assert checked > 50, "envelope test must actually exercise points"
