@@ -106,12 +106,17 @@ HEADLINE = [
     "g16_lakehouse_positional_deletes",  # merge-on-read delete tier
     "i64_map_matching",              # snap-to-segment traffic rollup
     "k55b_learned_fertility_prebuilt",  # frozen-artifact scoring pass
-    # i65_hausdorff_similarity / i65b are NOT benched (n20's class):
-    # the exact-metric refine is interpreted-HOF pair pacing (~0.25 ms
-    # per candidate pair — ~20 s at sf0.1's ~80k pairs), candidate-
-    # bound by construction; their evidence is the t2 hash at sf0.01
-    # AND the sf0.1 mirror, the python replay test, and the scale
-    # rows (i65b 3.14x for 10x rows with the auto re-binned filter)
+    # round-10 additions (BASELINE.md: no earlier baseline):
+    "i65_hausdorff_similarity",      # Arrow numpy batch refine (round-10
+                                     # fix: was interpreted-HOF-paced at
+                                     # ~12.7 s and excluded; now benched)
+    "i66_hmm_map_matching",          # per-vehicle Viterbi decode
+    "i67_spherical_geofence",        # great-circle crossing parity
+    "g17_lakehouse_v2_schema_mapping",  # eq deletes + field-id mapping
+    # n22_betweenness_sampled is NOT benched (n2/n20's class: a
+    # k-source iterative frontier kernel measures round pacing, not
+    # work — its evidence is the python Brandes replay, the hand-graph
+    # exactness tests, and the scale-curve row)
     # (l15/l16 bus queries are NOT benched: their duration is wall-clock
     # micro-batch trigger pacing, not work — a throughput-style number
     # would be meaningless. Their evidence is the t2 hash + live tests.)

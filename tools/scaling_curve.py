@@ -74,11 +74,13 @@ EXTRAS = [
     "i11b_trajectory_similarity_auto",
     # benched-nowhere iterative kernel (n2's class) — curve row only
     "n20_weighted_pagerank",
-    # round-9 late additions (measured separately this round; they
-    # ride this list from round 10)
-    "i64_map_matching",
-    "k55b_learned_fertility_prebuilt",
+    # round-9 late additions (measured separately in round 9; they
+    # ride this list from round 10 — i64/k55b are now in HEADLINE)
     "i65b_hausdorff_similarity_auto",
+    # round-10 additions not in HEADLINE (iterative round-paced
+    # kernels, n20's class — curve rows only)
+    "n22_betweenness_sampled",
+    "n5_kcore",
 ]
 
 
