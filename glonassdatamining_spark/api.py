@@ -2867,6 +2867,29 @@ def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _md5_graph_pivots(sym: DataFrame, k_sources: int) -> tuple:
+    """Deterministic source pivots for sampled centrality kernels:
+    the k smallest md5(node) among nodes of degree ≥ 2 (F6's
+    engine-independent hash discipline; the degree floor keeps pivots
+    off isolated leaves — python-replayable exactly via hashlib).
+    Returns (pivots, n_nodes) where n_nodes counts non-isolated
+    nodes. One bounded collect (≤ k rows) + one scalar count."""
+    deg = sym.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    n_nodes = deg.count()  # 1-row-per-node frame; bounded scalar probe
+    pivots_df = (
+        deg.filter(F.col("_deg") >= 2)
+        .select(
+            F.col("_src").alias("node"),
+            F.md5(F.col("_src").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "node")
+        .limit(k_sources)
+    )
+    # bounded <= k_sources hash-picked pivot rows
+    pivots = [r.node for r in pivots_df.collect()]
+    return pivots, n_nodes
+
+
 def betweenness_sampled(
     edges_df: DataFrame,
     src: str,
@@ -2920,19 +2943,7 @@ def betweenness_sampled(
         .localCheckpoint()
     )
     node_type = sym.schema["_src"].dataType
-    deg = sym.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    n_nodes = deg.count()  # 1-row-per-node frame; bounded scalar probe
-    pivots_df = (
-        deg.filter(F.col("_deg") >= 2)
-        .select(
-            F.col("_src").alias("node"),
-            F.md5(F.col("_src").cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "node")
-        .limit(k_sources)
-    )
-    # bounded <= k_sources hash-picked pivot rows
-    pivots = [r.node for r in pivots_df.collect()]
+    pivots, n_nodes = _md5_graph_pivots(sym, k_sources)
     if not pivots or not n_nodes:
         return spark.createDataFrame(
             [], f"node {node_type.simpleString()}, bc_est double"
@@ -3027,4 +3038,84 @@ def betweenness_sampled(
             F.round(F.col("_bc") * F.lit(scale), 6).alias("bc_est"),
         )
         .filter(F.col("bc_est") > 0.0)
+    )
+
+
+def harmonic_closeness_sampled(
+    edges_df: DataFrame,
+    src: str,
+    dst: str,
+    k_sources: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SAMPLED HARMONIC CLOSENESS centrality: h(v) = Σ_s 1/d(s, v)
+    over k deterministic pivots, scaled by n/k — the pivot estimator
+    of the full harmonic centrality Σ_{u≠v} 1/d(u, v) (Boldi–Vigna's
+    axiom-preferred closeness variant: disconnection contributes 0
+    instead of poisoning the mean, so no reachability bias term is
+    needed — the reason harmonic beats classic closeness on the
+    disconnected graphs real co-occurrence data produces).
+
+    Pivots: the shared md5-of-node discipline (``_md5_graph_pivots``).
+    Per source, ONE frontier BFS (n4's kernel shape: equi-join +
+    anti-join per level); contributions 1/d are exact doubles summed
+    through DECIMAL(38,18) so shuffle order cannot move a value.
+    O(eccentricity) rounds per source on vertex-sized frames; the k
+    sources are independent. Returns (node, harmonic_est) rounded to
+    6 dp for reached nodes. Eager: runs Spark jobs when called."""
+    spark = edges_df.sparkSession
+    sym = (
+        edges_df.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(
+            edges_df.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    node_type = sym.schema["_src"].dataType
+    pivots, n_nodes = _md5_graph_pivots(sym, k_sources)
+    if not pivots or not n_nodes:
+        return spark.createDataFrame(
+            [], f"node {node_type.simpleString()}, harmonic_est double"
+        )
+    scale = float(n_nodes) / float(len(pivots))
+    contribs = []
+    for s_node in pivots:
+        seed = spark.createDataFrame([(s_node,)], ["node"]).select(
+            F.col("node").cast(node_type)
+        )
+        visited = seed.localCheckpoint()
+        frontier = visited
+        for d in range(1, max_iter + 1):
+            nxt = (
+                frontier.join(sym, frontier.node == sym._src)
+                .select(F.col("_dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            contribs.append(
+                nxt.select("node", (F.lit(1.0) / F.lit(float(d))).alias("c"))
+            )
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+    if not contribs:
+        return spark.createDataFrame(
+            [], f"node {node_type.simpleString()}, harmonic_est double"
+        )
+    allc = contribs[0]
+    for fr in contribs[1:]:
+        allc = allc.unionByName(fr)
+    return (
+        allc.groupBy("node")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_h")
+        )
+        .select(
+            "node", F.round(F.col("_h") * F.lit(scale), 6).alias("harmonic_est")
+        )
     )

@@ -1368,3 +1368,24 @@ def n22_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
     return betweenness_sampled(edges, "src", "dst", k_sources=4)
+
+
+@register("n23_harmonic_closeness_sampled", oracle=None, section="N23")
+def n23_harmonic_closeness_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED HARMONIC CLOSENESS over the co-purchase graph — the
+    companion centrality to n22's betweenness (who is CLOSE to
+    everything vs who sits ON the paths): h(v) = Σ_s 1/d(s,v) from
+    the SAME md5-picked degree-≥2 pivots, scaled n/k
+    (``api.harmonic_closeness_sampled``; Boldi–Vigna's harmonic
+    variant — disconnected pairs contribute 0, no reachability bias,
+    exactly right for a co-occurrence graph that is a forest of
+    components at some scales). 1/d contributions ride
+    DECIMAL(38,18) sums. rows-only (frontier-BFS fixpoint);
+    correctness rides a python replay from the same pivots plus a
+    k = n exact hand graph (tests/test_graphs.py)."""
+    from glonassdatamining_spark.api import harmonic_closeness_sampled
+
+    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR)
+    return harmonic_closeness_sampled(edges, "src", "dst", k_sources=4)

@@ -1348,3 +1348,75 @@ def test_k55b_artifact_roundtrip_equals_fresh(spark, tmp_path):
     }
     want = {r.step: (r.a, r.b) for r in table.collect()}
     assert merges == want
+
+
+def test_d47_tdigest_rank_error_and_merge_consistency(spark):
+    """The t-digest rollup's contract: (a) every tier's p50/p95/p99
+    lands within 0.02 ABSOLUTE RANK ERROR of the exact empirical
+    quantile (python-sorted raw values — the D4/D20 approx-sketch
+    evidence pattern); (b) the GLOBAL tier — built purely by merging
+    the fine digests — obeys the same bound, certifying sketch
+    mergeability; (c) small groups (n <= C) are near-exact at the
+    tails (singleton edge centroids)."""
+    import bisect
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.aggregates import (
+        d47_tdigest_quantile_rollup,
+    )
+    from glonassdatamining_spark.sources import load
+
+    li = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in li:
+        v = float(r.l_extendedprice)
+        by_key.setdefault(("flag_status", f"{r.l_returnflag}/{r.l_linestatus}"), []).append(v)
+        by_key.setdefault(("flag", r.l_returnflag), []).append(v)
+        by_key.setdefault(("global", "all"), []).append(v)
+    for vals in by_key.values():
+        vals.sort()
+
+    rows = d47_tdigest_quantile_rollup(spark, SF_DIR).collect()
+    assert {(r.tier, r.key) for r in rows} == set(by_key)
+    for r in rows:
+        vals = by_key[(r.tier, r.key)]
+        assert r.n_rows == len(vals)
+        for q, est in ((0.50, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            # rank of the estimate in the exact sorted values
+            rank = bisect.bisect_left(vals, est) / len(vals)
+            assert abs(rank - q) <= 0.02, (r.tier, r.key, q, est, rank)
+
+
+def test_d47_compress_deterministic_and_weight_preserving():
+    """Kernel algebra: compression preserves total weight exactly
+    (integer-valued doubles), is deterministic (same input, same
+    output), idempotent-ish under re-compression, and keeps singleton
+    tails (the near-exact extreme-quantile property)."""
+    import random
+
+    from glonassdatamining_spark.operators.aggregates import (
+        _d47_compress,
+        _d47_quantile,
+    )
+
+    rng = random.Random(7)
+    vals = sorted(rng.uniform(0, 1000) for _ in range(5000))
+    pairs = [(v, 1.0) for v in vals]
+    c1 = _d47_compress(pairs)
+    c2 = _d47_compress(pairs)
+    assert c1 == c2, "deterministic"
+    assert sum(w for _, w in c1) == 5000.0, "weight preserved"
+    assert c1[0] == (vals[0], 1.0) and c1[-1] == (vals[-1], 1.0), (
+        "tail singletons"
+    )
+    # re-compression of an already-compressed digest stays compressed
+    c3 = _d47_compress([(m, w) for m, w in c1])
+    assert sum(w for _, w in c3) == 5000.0
+    assert len(c3) <= len(c1)
+    # min/max exact through the quantile function
+    assert _d47_quantile(c1, 0.0) == vals[0]
+    assert _d47_quantile(c1, 1.0) == vals[-1]

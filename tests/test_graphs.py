@@ -755,3 +755,68 @@ def test_n22_matches_python_brandes_on_fixture(spark):
 
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-5), v
+
+
+def test_n23_harmonic_exact_on_cycle(spark):
+    """C5, all degrees 2, k = n = 5 so the estimator is exact: each
+    node sees two nodes at distance 1 and two at distance 2 ->
+    h = 2 + 1 = 3.0 everywhere (scale n/k = 1)."""
+    from glonassdatamining_spark.api import harmonic_closeness_sampled
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {
+        r.node: r.harmonic_est
+        for r in harmonic_closeness_sampled(
+            edges, "src", "dst", k_sources=5
+        ).collect()
+    }
+    assert got == {v: 3.0 for v in range(5)}
+
+
+def test_n23_matches_python_replay_on_fixture(spark):
+    """Distributed sampled harmonic closeness == single-node BFS
+    replay from the SAME md5 pivots on the identical edge list."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _copurchase_edges,
+        n23_harmonic_closeness_sampled,
+    )
+
+    edges_df = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR)
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = len(adj)
+    elig = [v for v in adj if len(adj[v]) >= 2]
+    pivots = sorted(
+        elig, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:4]
+    scale = n / len(pivots)
+    h: dict = defaultdict(float)
+    for s in pivots:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    h[w] += 1.0 / dist[w]
+    want = {v: round(x * scale, 6) for v, x in h.items()}
+    got = {
+        r.node: r.harmonic_est
+        for r in n23_harmonic_closeness_sampled(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys()
+    import pytest
+
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), v
