@@ -3951,3 +3951,128 @@ def k55b_learned_fertility_prebuilt(
             F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
         ).alias("learned_fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# K56 — WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003, the
+# MOSS algorithm): k11's bottom-k sketch has NO detection guarantee;
+# true winnowing selects the MINIMUM k-gram hash in every sliding
+# window of w consecutive k-grams, which GUARANTEES that any shared
+# run of ≥ w + k − 1 tokens between two documents produces at least
+# one shared fingerprint — the property plagiarism/near-dup systems
+# are actually built on.
+# --------------------------------------------------------------------------
+_K56_K = 3  # k-gram width (tokens)
+_K56_W = 4  # winnowing window (k-grams); guarantee threshold t = w+k-1 = 6
+
+
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_kgrams`` and the winnowed fingerprint set ``fps``
+    (array<string>, distinct window minima of md5 k-gram hashes) to a
+    documents frame. Pure JVM HOFs over per-doc bounded arrays —
+    md5 hex compares lexicographically identically on every engine,
+    so the selection is engine-portable. Documents shorter than one
+    window use a single whole-doc window (the standard short-input
+    convention); documents with < k tokens yield no fingerprints."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.withColumn("_toks", toks)
+    n = F.size("_toks")
+    hs = F.when(
+        n >= _K56_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_K56_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("_toks", i),
+                    F.element_at("_toks", i + 1),
+                    F.element_at("_toks", i + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("_hs", hs).drop("_toks")
+    nk = F.size("_hs")
+    minima = F.transform(
+        F.sequence(F.lit(1), F.greatest(nk - (_K56_W - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice("_hs", i, _K56_W)),
+    )
+    return (
+        d.withColumn("n_kgrams", nk.cast("bigint"))
+        .withColumn(
+            "fps",
+            F.when(nk >= 1, F.array_distinct(minima)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .drop("_hs")
+    )
+
+
+def _k56_oracle() -> str:
+    # identical selection in DuckDB list algebra: md5 hex min per
+    # sliding window, distinct; slices truncate at the end on both
+    # engines, so the short-doc single-window convention matches
+    hs = (
+        "CASE WHEN len(l) >= 3 THEN list_transform("
+        "generate_series(1, len(l) - 2), i -> "
+        "md5(concat_ws(' ', l[i], l[i+1], l[i+2]))) "
+        "ELSE [] END"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, source, {hs} AS hs FROM t), "
+        "f AS (SELECT doc_id, source, len(hs) AS n_kgrams, "
+        "CASE WHEN len(hs) >= 1 THEN len(list_distinct(list_transform("
+        "generate_series(1, greatest(len(hs) - 3, 1)), "
+        "i -> list_min(hs[i:i+3])))) ELSE 0 END AS n_fps FROM h) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_kgrams) AS BIGINT) AS total_kgrams, "
+        "CAST(SUM(n_fps) AS BIGINT) AS total_fps, "
+        "ROUND(CAST(SUM(CAST(CAST(n_fps AS DOUBLE) / n_kgrams "
+        "AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_density "
+        "FROM f WHERE n_kgrams >= 1 GROUP BY source"
+    )
+
+
+@register("k56_winnowing_fingerprints", oracle=_k56_oracle(), section="K56")
+def k56_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint census per source (Schleimer 2003 —
+    MOSS): per-doc fingerprints = distinct minima of md5 3-gram
+    hashes over every sliding window of 4 k-grams, rolled up to
+    (docs, total k-grams, total fingerprints, decimal-stable mean
+    density). THE GUARANTEE (why winnowing and not k11's bottom-k):
+    any two documents sharing a run of ≥ w + k − 1 = 6 tokens MUST
+    share a fingerprint — every window inside the shared run selects
+    the same minimum on both sides; asserted on planted corpora in
+    tests, alongside the paper's expected density 2/(w+1) on random
+    input and a python replay of the exact fingerprint SETS. The
+    selection is pure engine-portable string algebra (md5 hex
+    ordering), so the rollup is t2 hash-checked.
+
+    Scale: narrow per-doc HOF arithmetic (no shuffle until the
+    per-source rollup); fingerprint sets are the JOIN KEY for
+    detection at 100 TB — explode fps → inverted-index equi-join
+    (k2b's banding shape) gives candidate pairs whose shared-run
+    guarantee replaces probabilistic MinHash recall. COST HONESTY:
+    the O(n·w) window minima run as interpreted HOF lambdas — fine at
+    fixture doc lengths (≤ a few hundred k-grams); book-length docs
+    move this kernel to an Arrow batch (i65's discipline)."""
+    d = winnowing_fingerprints(load(spark, sf_dir, "documents"))
+    per = d.filter(F.col("n_kgrams") >= 1).select(
+        "source",
+        "n_kgrams",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        (F.size("fps").cast("double") / F.col("n_kgrams")).alias("_dens"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_kgrams").cast("bigint").alias("total_kgrams"),
+        F.sum("n_fps").cast("bigint").alias("total_fps"),
+        F.round(
+            F.sum(F.col("_dens").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_density"),
+    )

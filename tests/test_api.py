@@ -1420,3 +1420,95 @@ def test_d47_compress_deterministic_and_weight_preserving():
     # min/max exact through the quantile function
     assert _d47_quantile(c1, 0.0) == vals[0]
     assert _d47_quantile(c1, 1.0) == vals[-1]
+
+
+def _py_winnow(tokens, k=3, w=4):
+    """Independent python winnowing: md5 k-gram hashes, min per
+    sliding window of w, distinct — the reference for the Spark HOF
+    selection."""
+    import hashlib
+
+    if len(tokens) < k:
+        return set(), 0
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()
+        for i in range(len(tokens) - k + 1)
+    ]
+    n = len(hs)
+    fps = {min(hs[i : i + w]) for i in range(max(n - w + 1, 1))}
+    return fps, n
+
+
+def test_k56_winnowing_guaranteed_detection(spark):
+    """The Schleimer guarantee, planted: any two docs sharing a run
+    of >= w + k - 1 = 6 tokens MUST share a fingerprint — 50 random
+    planted cases, zero misses allowed (this is exactly what k11's
+    bottom-k sketch cannot promise). Also: docs sharing NOTHING
+    (disjoint alphabets) share nothing."""
+    import random
+
+    from glonassdatamining_spark.operators.llm_ops import (
+        winnowing_fingerprints,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for case in range(50):
+        shared = [f"s{case}_{j}" for j in range(6)]  # the planted run
+        a = [f"a{case}_{j}" for j in range(rng.randint(5, 30))]
+        b = [f"b{case}_{j}" for j in range(rng.randint(5, 30))]
+        ia, ib = rng.randint(0, len(a)), rng.randint(0, len(b))
+        rows.append((2 * case, " ".join(a[:ia] + shared + a[ia:])))
+        rows.append((2 * case + 1, " ".join(b[:ib] + shared + b[ib:])))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: set(r.fps)
+        for r in winnowing_fingerprints(docs).collect()
+    }
+    for case in range(50):
+        inter = got[2 * case] & got[2 * case + 1]
+        assert inter, f"case {case}: guarantee violated"
+    # disjoint docs share nothing
+    d2 = spark.createDataFrame(
+        [(0, " ".join(f"x{j}" for j in range(40))),
+         (1, " ".join(f"y{j}" for j in range(40)))],
+        "doc_id bigint, text string",
+    )
+    g2 = {r.doc_id: set(r.fps) for r in winnowing_fingerprints(d2).collect()}
+    assert not (g2[0] & g2[1])
+
+
+def test_k56_matches_python_and_density(spark):
+    """Exact fingerprint-SET equality vs the python reference on the
+    fixture documents, plus the paper's expected density 2/(w+1) =
+    0.4 on long random-token docs (within a generous band — it is an
+    expectation, not a bound)."""
+    import random
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.llm_ops import (
+        winnowing_fingerprints,
+    )
+    from glonassdatamining_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: (set(r.fps), r.n_kgrams)
+        for r in winnowing_fingerprints(docs).collect()
+    }
+    for r in docs.collect():
+        fps, nk = _py_winnow(r.text.split(" "))
+        assert got[r.doc_id] == (fps, nk), r.doc_id
+    # density expectation on random input
+    rng = random.Random(99)
+    rows = [
+        (i, " ".join(str(rng.randrange(10**9)) for _ in range(500)))
+        for i in range(20)
+    ]
+    rdocs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    dens = [
+        len(set(r.fps)) / r.n_kgrams
+        for r in winnowing_fingerprints(rdocs).collect()
+    ]
+    avg = sum(dens) / len(dens)
+    assert 0.3 < avg < 0.5, avg  # expected 2/(w+1) = 0.4
