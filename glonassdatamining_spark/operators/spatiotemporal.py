@@ -6692,3 +6692,140 @@ def i67_spherical_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# I68 — GEODESIC polygon area (spherical excess): ST_Area on
+# GEOGRAPHY, the measure the planar shoelace (i33/i57 tier) gets
+# wrong at continental scale — per-object rings over the unit
+# sphere, via the van Oosterom–Strackee signed solid-angle formula
+# (pure dot/cross arithmetic + one atan2 per fan triangle,
+# textual-twin SQL in i67's discipline).
+# ---------------------------------------------------------------------------
+_I68_R2_KM = 40589641.0  # 6371.0² exactly (integer-valued double)
+_I68_MAX_V = 6  # ring = the object's first <= 6 fixes (time order)
+
+
+def _i68_excess_sql(dialect: str) -> str:
+    """The fan-summed signed spherical excess of ``ring`` (an array
+    of (ts, event_id, px, py, pz) structs) as SQL text. The solid
+    angle of fan triangle (A, B, C) is the van Oosterom–Strackee
+    closed form Ω = 2·atan2(A·(B×C), 1 + A·B + A·C + B·C) — one
+    atan2, no arc-length chains. The ARITHMETIC text is byte-shared
+    between dialects; only the array indexing (Spark 0-based
+    ``aggregate`` fold vs DuckDB 1-based ``list_sum``) differs —
+    fold order can reassociate the ≤4 fan-term addition across
+    engines by an ulp, absorbed by the 3-dp round at km² magnitude
+    (the i2b trig-oracle class, fixture-pinned)."""
+
+    def dot(a, b):
+        return f"({a}.px * {b}.px + {a}.py * {b}.py + {a}.pz * {b}.pz)"
+
+    def triple(a, b, c):
+        return (
+            f"({a}.px * ({b}.py * {c}.pz - {b}.pz * {c}.py) "
+            f"+ {a}.py * ({b}.pz * {c}.px - {b}.px * {c}.pz) "
+            f"+ {a}.pz * ({b}.px * {c}.py - {b}.py * {c}.px))"
+        )
+
+    if dialect == "spark":
+        a, b, c = "ring[0]", "ring[i - 1]", "ring[i]"
+    else:
+        a, b, c = "ring[1]", "ring[i]", "ring[i + 1]"
+    om = (
+        f"2 * atan2({triple(a, b, c)}, "
+        f"1 + {dot(a, b)} + {dot(a, c)} + {dot(b, c)})"
+    )
+    if dialect == "spark":
+        return (
+            "aggregate(sequence(2, size(ring) - 1), "
+            f"CAST(0.0 AS DOUBLE), (acc, i) -> acc + ({om}))"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(2, len(ring) - 1), "
+        f"i -> ({om})))"
+    )
+
+
+def _i68_oracle() -> str:
+    excess = _i68_excess_sql("duck")
+    return (
+        GEO_CTE + ", p AS (SELECT obj_id, ts, event_id, "
+        "cos(radians(lat)) * cos(radians(lon)) AS px, "
+        "cos(radians(lat)) * sin(radians(lon)) AS py, "
+        "sin(radians(lat)) AS pz FROM geo), "
+        "r AS (SELECT obj_id, (list(struct_pack(ts := ts, "
+        "event_id := event_id, px := px, py := py, pz := pz) "
+        f"ORDER BY ts, event_id))[1:{_I68_MAX_V}] AS ring FROM p "
+        "GROUP BY obj_id), "
+        f"f AS (SELECT obj_id, len(ring) AS nv, {excess} AS e FROM r "
+        "WHERE len(ring) >= 3) "
+        "SELECT obj_id, CAST(nv AS BIGINT) AS n_vertices, "
+        f"ROUND(abs(e * {_I68_R2_KM!r}), 3) AS area_km2, "
+        "CAST(sign(e) AS INT) AS winding FROM f"
+    )
+
+
+@register("i68_geodesic_polygon_area", oracle=_i68_oracle(), section="I68")
+def i68_geodesic_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEODESIC (spherical) polygon area — ST_Area on GEOGRAPHY: each
+    object's first ≤ 6 fixes (time order) form a spherical ring; its
+    SIGNED spherical excess is the fan sum of van Oosterom–Strackee
+    solid angles Ω = 2·atan2(A·(B×C), 1 + A·B + A·C + B·C) (the
+    numerically-stable closed form — no L'Huilier half-angle chains),
+    scaled by R² to km². Signed (i60's fan discipline on the sphere):
+    self-intersecting rings cancel and orientation flips the sign —
+    |area| is reported with the winding sign beside it. The planar
+    shoelace over raw lon/lat is WRONG at this scale (a degree of
+    longitude shrinks with latitude; the sphere curves): the property
+    tests pin both the small-ring agreement and an OCTANT exactness
+    check (area = 4πR²/8 — a case no planar formula can produce),
+    tests/test_geometry.py.
+
+    Engineering: the ring is array_sort over (ts, event_id)-led
+    structs — collect order can never threaten the hash — and the
+    excess is shared SQL text through F.expr and the DuckDB oracle
+    (i67's textual-twin discipline; unit vectors are the only
+    in-engine trig; the ≤4-term fan addition may reassociate across
+    engines by an ulp, absorbed by the 3-dp round). Scale: one
+    groupBy per object, bounded ring arrays, narrow arithmetic."""
+    g = geo(spark, sf_dir)
+    p = g.select(
+        "obj_id",
+        "ts",
+        "event_id",
+        F.expr("cos(radians(lat)) * cos(radians(lon))").alias("px"),
+        F.expr("cos(radians(lat)) * sin(radians(lon))").alias("py"),
+        F.expr("sin(radians(lat))").alias("pz"),
+    )
+    ring = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("px").alias("px"),
+                    F.col("py").alias("py"),
+                    F.col("pz").alias("pz"),
+                )
+            )
+        ),
+        1,
+        _I68_MAX_V,
+    )
+    per = (
+        p.groupBy("obj_id")
+        .agg(ring.alias("ring"))
+        .filter(F.size("ring") >= 3)
+    )
+    out = per.select(
+        "obj_id",
+        F.size("ring").cast("bigint").alias("n_vertices"),
+        F.expr(_i68_excess_sql("spark")).alias("_e"),
+    )
+    return out.select(
+        "obj_id",
+        "n_vertices",
+        F.round(F.abs(F.col("_e") * F.lit(_I68_R2_KM)), 3).alias("area_km2"),
+        F.signum(F.col("_e")).cast("int").alias("winding"),
+    )

@@ -1467,3 +1467,107 @@ def test_i67_midlat_consistent_with_planar_inside_envelope(spark):
         elif sph != pla:
             disagreements += 1
     assert checked > 50, "envelope test must actually exercise points"
+
+
+def _py_spherical_excess(lls):
+    """Van Oosterom–Strackee fan sum over a (lat, lon) ring — the
+    python reference for i68."""
+    import math
+
+    vs = [_sph_unit(lat, lon) for lat, lon in lls]
+
+    def dot(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    def triple(a, b, c):
+        return (
+            a[0] * (b[1] * c[2] - b[2] * c[1])
+            + a[1] * (b[2] * c[0] - b[0] * c[2])
+            + a[2] * (b[0] * c[1] - b[1] * c[0])
+        )
+
+    e = 0.0
+    a = vs[0]
+    for i in range(1, len(vs) - 1):
+        b, c = vs[i], vs[i + 1]
+        e += 2 * math.atan2(
+            triple(a, b, c), 1 + dot(a, b) + dot(a, c) + dot(b, c)
+        )
+    return e
+
+
+def test_i68_octant_exact_and_planar_divergence():
+    """(a) The octant (0,0)-(0,90)-(90,0) has spherical area exactly
+    4π/8 steradians — a case NO planar formula can produce; (b) a
+    0.2°-scale ring agrees with the cos-corrected planar shoelace to
+    <1%; (c) a 40°-wide high-latitude ring diverges from the same
+    planar estimate by >5% — the reason the geodesic tier exists."""
+    import math
+
+    e = _py_spherical_excess([(0.0, 0.0), (0.0, 90.0), (90.0, 0.0)])
+    assert abs(abs(e) - math.pi / 2) < 1e-12
+
+    def planar_km2(lls):
+        # lat/lon shoelace with the local cos-lat metric (i61's idea)
+        lat0 = sum(lat for lat, _ in lls) / len(lls)
+        kx = 111.195 * math.cos(math.radians(lat0))
+        ky = 111.195
+        pts = [(lon * kx, lat * ky) for lat, lon in lls]
+        s = 0.0
+        for i in range(len(pts)):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % len(pts)]
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2
+
+    small = [(10.0, 10.0), (10.0, 10.2), (10.2, 10.2), (10.2, 10.0)]
+    sph = abs(_py_spherical_excess(small)) * 6371.0**2
+    pla = planar_km2(small)
+    assert abs(sph - pla) / pla < 0.01
+
+    big = [(40.0, 0.0), (40.0, 40.0), (80.0, 40.0), (80.0, 0.0)]
+    sph_b = abs(_py_spherical_excess(big)) * 6371.0**2
+    pla_b = planar_km2(big)
+    assert abs(sph_b - pla_b) / pla_b > 0.05
+
+
+def test_i68_matches_python_on_fixture(spark):
+    """Per-object replay: i68's (n_vertices, area, winding) must
+    equal the python fan sum over the SAME time-ordered first-6
+    rings."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I68_MAX_V,
+        _I68_R2_KM,
+        geo,
+        i68_geodesic_polygon_area,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = geo(spark, SF_DIR).select(
+        "obj_id", "ts", "event_id", "lat", "lon"
+    ).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.obj_id, []).append((r.ts, r.event_id, r.lat, r.lon))
+    want = {}
+    for obj, fx in per.items():
+        fx.sort()
+        ring = [(lat, lon) for _, _, lat, lon in fx[:_I68_MAX_V]]
+        if len(ring) < 3:
+            continue
+        e = _py_spherical_excess(ring)
+        want[obj] = (
+            len(ring),
+            round(abs(e * _I68_R2_KM), 3),
+            (e > 0) - (e < 0),
+        )
+    got = {
+        r.obj_id: (r.n_vertices, r.area_km2, r.winding)
+        for r in i68_geodesic_polygon_area(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys() and got
+    import pytest
+
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2] == want[k][2], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-2), k
