@@ -113,6 +113,9 @@ HEADLINE = [
     "i66_hmm_map_matching",          # per-vehicle Viterbi decode
     "i67_spherical_geofence",        # great-circle crossing parity
     "g17_lakehouse_v2_schema_mapping",  # eq deletes + field-id mapping
+    "i68_geodesic_polygon_area",     # spherical-excess ST_Area
+    "k56_winnowing_fingerprints",    # MOSS guaranteed-detection census
+    "d47_tdigest_quantile_rollup",   # mergeable quantile sketch tiers
     # n22_betweenness_sampled is NOT benched (n2/n20's class: a
     # k-source iterative frontier kernel measures round pacing, not
     # work — its evidence is the python Brandes replay, the hand-graph

@@ -81,6 +81,7 @@ EXTRAS = [
     # kernels, n20's class — curve rows only)
     "n22_betweenness_sampled",
     "n5_kcore",
+    "n23_harmonic_closeness_sampled",
 ]
 
 
