@@ -116,6 +116,11 @@ HEADLINE = [
     "i68_geodesic_polygon_area",     # spherical-excess ST_Area
     "k56_winnowing_fingerprints",    # MOSS guaranteed-detection census
     "d47_tdigest_quantile_rollup",   # mergeable quantile sketch tiers
+    # round-11 additions (BASELINE.md: no earlier baseline):
+    "n8b_clustering_coefficient_capped",  # n8 wedge with the super-hub cap
+    "i48b_knn_local_index",          # per-partition KD-tree kNN engine
+    "i69_frechet_similarity",        # order-aware Frechet DP refine
+    "i70_cascaded_union_area",       # N-ary signed-fan union
     # n22_betweenness_sampled is NOT benched (n2/n20's class: a
     # k-source iterative frontier kernel measures round pacing, not
     # work — its evidence is the python Brandes replay, the hand-graph
@@ -222,25 +227,74 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # ONE compact line, flushed, as the only stdout the run produces
-    # (console progress is suppressed in session.py): round 9's driver
-    # artifact recorded parsed:null because \r progress frames crowded
-    # the capture window and cut the JSON mid-key. Compact separators
-    # keep the line as small as the contract allows; headline fields
-    # lead so even a tail-truncated capture shows metric/value/sf.
-    print(
-        json.dumps(
+    # (console progress is suppressed in session.py). The driver keeps
+    # only the LAST 2000 stdout chars, so the whole line MUST fit in
+    # that window (round 9/10 artifacts recorded parsed:null because
+    # the line outgrew it). Two levers (round-10 verdict ask #1):
+    #   1. per-query values rounded to 2 decimals;
+    #   2. if the full map still pushes the line past the window, the
+    #      inline map shrinks to the 25 BASELINE.md queries + n_queries
+    #      (the FULL map ships in the committed BENCH_quiet_r*.json);
+    # and `value`/`sf` sit at the END of the object so any future
+    # truncation cuts query entries, not the verdict fields.
+    BASELINE_25 = [
+        "q1_pricing_summary", "q5_local_supplier_volume",
+        "q18_large_volume_customer", "n1_connected_components",
+        "a3_predicate_pushdown", "c2_shuffle_join", "c9_asof_join",
+        "c12_knn_join", "d5_rollup", "d8_percentiles",
+        "e8_sessionization", "f3_global_topk", "h5_array_funcs",
+        "i3_distance_self_join", "i6_dbscan", "i12_hotspot_zscore",
+        "i11_trajectory_similarity", "i17_comovement",
+        "k2b_minhash_lsh_dedup", "k3_cosine_topk", "k8_langid_heuristic",
+        "k22_unigram_loglik", "l9_stream_stream_join", "l3_session_window",
+        "m2_grouped_map_udf",
+    ]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def payload_line(qmap: dict[str, float], cmap: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
                 "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
-                "cold": cold,
+                "n_queries": len(timings),
+                "queries": {n: round(t, 2) for n, t in qmap.items()},
+                "cold": {n: round(t, 2) for n, t in cmap.items()},
+                "total": total,
+                "value": total,
+                "sf": sf_val,
             },
             separators=(",", ":"),
-        ),
-        flush=True,
-    )
+        )
+
+    # Full-resolution sidecar (quiet-run artifact): the stdout line
+    # deliberately shrinks to fit the driver's capture window, so the
+    # complete per-query map is exported here when requested
+    # (BENCH_quiet_r*.json is built from this).
+    full_out = os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT")
+    if full_out:
+        with open(full_out, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "unit": "sec",
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "cold": cold,
+                    "total": total,
+                    "value": total,
+                    "sf": sf_val,
+                },
+                fh,
+            )
+
+    LIMIT = 1950  # headroom under the driver's 2000-char tail window
+    line = payload_line(timings, cold)
+    if len(line) > LIMIT:
+        subset = {n: timings[n] for n in BASELINE_25 if n in timings}
+        line = payload_line(subset, cold)
+    if len(line) > LIMIT:  # last resort: verdict fields only
+        line = payload_line({}, {})
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

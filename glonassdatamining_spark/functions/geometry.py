@@ -805,14 +805,25 @@ def st_clip_tri_fans_area_arrow(df, subjects):
         cx[:, 0::2], cy[:, 0::2], cv[:, 0::2] = s0x, s0y, s0v
         cx[:, 1::2], cy[:, 1::2], cv[:, 1::2] = v2x, v2y, s1v
         newc = cv.sum(axis=1)
-        W = V + 1
+        # W = 2*V is the true Sutherland-Hodgman per-step emission
+        # bound (each input edge can emit the carried vertex AND an
+        # intersection point). V+1 only holds for exactly-convex
+        # intermediates; float rounding on near-degenerate edge pairs
+        # can flip in/out sign tests and emit more, which would make
+        # the fancy-index write below go out of bounds.
+        # _shoelace_or_zero masks by count, so the wider buffer only
+        # costs memory, never changes values.
+        W = 2 * V
         outX = np.zeros((N, W))
         outY = np.zeros((N, W))
         pos = np.cumsum(cv, axis=1) - 1
         rows = np.broadcast_to(np.arange(N)[:, None], (N, 2 * V))
         outX[rows[cv], pos[cv]] = cx[cv]
         outY[rows[cv], pos[cv]] = cy[cv]
-        return outX, outY, newc
+        # trim to the widest ACTUAL ring so downstream steps and the
+        # shoelace fold never iterate the (rare) worst-case headroom
+        trim = max(int(newc.max()), 3)
+        return outX[:, :trim], outY[:, :trim], newc
 
     def _shoelace_or_zero(X, Y, c):
         # left fold in vertex order — the exact st_area accumulation

@@ -333,6 +333,16 @@ class ManifestTable:
                 "rename_column requires a field-id table "
                 "(create(..., field_ids=True))"
             )
+        if old == self.key_col:
+            # mirroring drop_column's guard: the table key is load-
+            # bearing (append/_write_files repartition on it, delete_eq
+            # resolves its field id) — renaming it would leave
+            # self.key_col stale and surface as confusing downstream
+            # errors instead of a clear contract violation here
+            raise ValueError(
+                f"cannot rename key column {old!r} "
+                "(the table key is fixed at create time)"
+            )
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
         fields = [dict(f) for f in fields]
@@ -391,8 +401,16 @@ class ManifestTable:
         key_field_id = None
         if fields is not None:
             key_field_id = next(
-                f["id"] for f in fields if f["name"] == self.key_col
+                (f["id"] for f in fields if f["name"] == self.key_col),
+                None,
             )
+            if key_field_id is None:
+                raise ValueError(
+                    f"key column {self.key_col!r} missing from the "
+                    "field-id table — the schema no longer carries "
+                    "the table key, so equality deletes cannot "
+                    "resolve its field id"
+                )
         vals = self.spark.createDataFrame(
             [(x,) for x in values], [self.key_col]
         )

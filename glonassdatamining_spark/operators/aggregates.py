@@ -2420,6 +2420,9 @@ def d46_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tier by MERGING SKETCHES, never re-touching raw rows (D20's
 # HLL-rollup story applied to quantiles).
 # ---------------------------------------------------------------------------
+_D47_SALT = 64  # merge-tree fan-in bound: level-1 merges run per
+# (group, partition_id % SALT) so one task sees ~n_partials/64
+# digests; level-2 sees exactly 64. Raise with cluster size.
 _D47_C = 100  # compression parameter. SIZE HONESTY: this weight-cap
 # merging variant bounds the digest at O(C·log(n/C)) centroids (the
 # tails hold ~C/4 singletons per side and the body ~C/4·2ln(n/C) —
@@ -2428,109 +2431,146 @@ _D47_C = 100  # compression parameter. SIZE HONESTY: this weight-cap
 # growth is the price of near-exact tail quantiles.
 
 
-def _d47_compress(pairs):
-    """Deterministic t-digest compression (Dunning's k1 size bound):
-    given (mean, weight) pairs SORTED by (mean, weight), greedily
-    merge a centroid into its predecessor while the merged weight
-    stays within the local capacity 4·n·q(1−q)/C (q = the centroid's
-    cumulative midpoint rank) — small caps at the tails keep extreme
-    quantiles near-exact, the defining t-digest property. Pure
-    python over ≤ a few hundred pairs; deterministic because the
-    input order is a total sort and the walk is left-to-right."""
-    if not pairs:
-        return []
-    total = float(sum(w for _, w in pairs))
-    out = [list(pairs[0])]
-    acc = 0.0  # cumulative weight BEFORE the current output centroid
-    for m, w in pairs[1:]:
-        cm, cw = out[-1]
-        q = (acc + (cw + w) / 2.0) / total
-        cap = 4.0 * total * q * (1.0 - q) / _D47_C
-        if cw + w <= cap:
-            # weighted mean update (exact double ops, deterministic)
-            out[-1][0] = (cm * cw + m * w) / (cw + w)
-            out[-1][1] = cw + w
-        else:
-            acc += cw
-            out.append([m, w])
-    return [(float(m), float(w)) for m, w in out]
+def _d47_make_kernels():
+    """Factory returning the three d47 python kernels as NESTED
+    functions, so cloudpickle pickles them BY VALUE into executor
+    closures (the _make_dtw discipline, api.py): a module-level
+    function reached from a pandas-UDF closure is pickled by
+    module+qualname REFERENCE, which breaks when the driver runs
+    the query from outside the repo (the real driver's shape —
+    caught by this round's driver simulation)."""
+
+    def compress(pairs):
+        """Deterministic t-digest compression (Dunning's k1 size
+        bound): given (mean, weight) pairs SORTED by (mean, weight),
+        greedily merge a centroid into its predecessor while the
+        merged weight stays within the local capacity 4*n*q(1-q)/C
+        (q = the centroid's cumulative midpoint rank) — small caps at
+        the tails keep extreme quantiles near-exact, the defining
+        t-digest property. Pure python over <= a few hundred pairs;
+        deterministic because the input order is a total sort and the
+        walk is left-to-right."""
+        if not pairs:
+            return []
+        total = float(sum(w for _, w in pairs))
+        out = [list(pairs[0])]
+        acc = 0.0  # cumulative weight BEFORE the current output centroid
+        for m, w in pairs[1:]:
+            cm, cw = out[-1]
+            q = (acc + (cw + w) / 2.0) / total
+            cap = 4.0 * total * q * (1.0 - q) / _D47_C
+            if cw + w <= cap:
+                # weighted mean update (exact double ops, deterministic)
+                out[-1][0] = (cm * cw + m * w) / (cw + w)
+                out[-1][1] = cw + w
+            else:
+                acc += cw
+                out.append([m, w])
+        return [(float(m), float(w)) for m, w in out]
+
+    def quantile(cents, q):
+        """Standard t-digest quantile estimate: piecewise-linear
+        interpolation between centroid midpoints in cumulative-weight
+        space; exact at the extremes when the edge centroids are
+        singletons."""
+        if not cents:
+            return None
+        total = sum(w for _, w in cents)
+        target = q * total
+        cum = 0.0
+        for i, (m, w) in enumerate(cents):
+            lo = cum + w / 2.0
+            if target < lo:
+                if i == 0:
+                    return cents[0][0]
+                pm, pw = cents[i - 1]
+                plo = cum - pw / 2.0
+                t = (target - plo) / (lo - plo) if lo > plo else 0.0
+                return pm + t * (m - pm)
+            cum += w
+        return cents[-1][0]
+
+    def partial_rows(pdf):
+        """BOUNDED-STATE partial-digest build over ONE Arrow batch:
+        group the batch locally by (returnflag, linestatus), sort
+        each in-batch slice, cap-compress it to a partial digest.
+        Worker state is the Arrow batch (bounded by
+        spark.sql.execution.arrow.maxRecordsPerBatch, default 10k
+        rows) plus O(C*log) centroids per in-batch group — NEVER the
+        whole group. Unit-driven directly in tests/test_api.py
+        (round-10 verdict ask #2)."""
+        rows = []
+        for (rf, ls), g in pdf.groupby(
+            ["l_returnflag", "l_linestatus"], sort=True
+        ):
+            vals = sorted(float(v) for v in g["l_extendedprice"])
+            rows.append(
+                {
+                    "l_returnflag": rf,
+                    "l_linestatus": ls,
+                    "digest": compress([(v, 1.0) for v in vals]),
+                    "n_rows": len(vals),
+                }
+            )
+        return rows
+
+    return compress, quantile, partial_rows
 
 
-def _d47_quantile(cents, q):
-    """Standard t-digest quantile estimate: piecewise-linear
-    interpolation between centroid midpoints in cumulative-weight
-    space; exact at the extremes when the edge centroids are
-    singletons."""
-    if not cents:
-        return None
-    total = sum(w for _, w in cents)
-    target = q * total
-    cum = 0.0
-    for i, (m, w) in enumerate(cents):
-        lo = cum + w / 2.0
-        if target < lo:
-            if i == 0:
-                return cents[0][0]
-            pm, pw = cents[i - 1]
-            plo = cum - pw / 2.0
-            t = (target - plo) / (lo - plo) if lo > plo else 0.0
-            return pm + t * (m - pm)
-        cum += w
-    return cents[-1][0]
+_d47_compress, _d47_quantile, _d47_partial_rows = _d47_make_kernels()
 
 
 @register("d47_tdigest_quantile_rollup", oracle=None, section="D47")
 def d47_tdigest_quantile_rollup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """MERGEABLE QUANTILE SKETCH ROLLUP (t-digest): per-(returnflag,
-    linestatus) digests of l_extendedprice built in ONE pass over the
-    raw rows, then rolled up to per-returnflag and GLOBAL tiers by
-    merging the SKETCHES (concatenate centroids, re-sort, re-compress
-    — the same deterministic kernel), never re-reading raw data:
-    exactly how a 100 TB pipeline serves p50/p95/p99 at every
-    granularity of a cube from one base pass (D13's tier story; D20's
-    HLL-rollup story for quantiles). Digests are array<struct<m,w>>
-    columns — plain data, so they persist, shuffle, and merge like
-    any other value.
+    """MERGEABLE QUANTILE SKETCH ROLLUP (t-digest): the BUILD is
+    bounded-state end-to-end (round-10 verdict ask #2) — mapInPandas
+    over the INPUT partitions emits one cap-compressed PARTIAL digest
+    per (returnflag, linestatus) per Arrow batch (state = one 10k-row
+    batch + O(C·log) centroids, never a whole group), then the merge
+    kernel rolls partials up through a SALTED TREE (per-group-per-salt
+    first, then per-group) so no single merge task ever concatenates
+    more than ~(input_partials / _D47_SALT) digests — at 100 TB with
+    ~800k input partitions and ~10 KB partials that is ~tens of MB per
+    level-1 task, and the level-2 fan-in is exactly _D47_SALT digests.
+    Coarser tiers (per-returnflag, GLOBAL) merge the fine digests the
+    same way, never re-reading raw data: how a 100 TB pipeline serves
+    p50/p95/p99 at every granularity of a cube from one base pass
+    (D13's tier story; D20's HLL-rollup story for quantiles). Digests
+    are array<struct<m,w>> columns — plain data, so they persist,
+    shuffle, and merge like any other value.
 
     Error story (Dunning's k1 bound, compression C=100): rank error
     is O(q(1−q)/C) — tightest at the tails, the property that makes
     t-digest THE production quantile sketch; asserted ≤ 0.02 absolute
-    rank error at q ∈ {0.5, 0.9, 0.95, 0.99} against exact sorted
-    values, plus build-vs-merge consistency, in tests/test_api.py.
-    rows-only by nature (a sketch is approximate by contract — D4/D20
-    precedent); determinism: the centroid walk is a total-sorted
-    left-to-right fold, so any shuffle order yields the same digest
-    after the in-kernel re-sort.
+    rank error at q ∈ {0.5, 0.95, 0.99} against exact sorted values
+    on EVERY tier, plus partial-build boundedness, in
+    tests/test_api.py. rows-only by nature (a sketch is approximate
+    by contract — D4/D20 precedent); determinism: for a fixed input
+    layout the batch slicing, the salt (spark_partition_id), and the
+    total-sorted left-to-right merge walk are all deterministic.
 
-    Scale: one shuffle to the finest group tier; every coarser tier
-    is a groupBy over DIGESTS (≤ C centroids each — KBs), so the
-    rollup network cost is proportional to group counts, not rows.
-    At 100 TB the same digests land in the lakehouse as columns and
-    answer any-quantile queries without a raw scan."""
+    Scale: ONE pass over raw rows with map-side compression (the
+    shuffle carries KB digests, not rows), then group-count-sized
+    merge tiers. At 100 TB the same digests land in the lakehouse as
+    columns and answer any-quantile queries without a raw scan."""
     import pandas as pd
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice"
     )
 
-    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        vals = sorted(float(v) for v in pdf["l_extendedprice"])
-        cents = _d47_compress([(v, 1.0) for v in vals])
-        return pd.DataFrame(
-            [
-                {
-                    "l_returnflag": pdf["l_returnflag"].iloc[0],
-                    "l_linestatus": pdf["l_linestatus"].iloc[0],
-                    "digest": cents,
-                    "n_rows": len(vals),
-                }
-            ]
-        )
+    _PARTIAL_COLS = ["l_returnflag", "l_linestatus", "digest", "n_rows"]
 
-    fine = li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
-        build,
+    def build_partials(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _d47_partial_rows(pdf), columns=_PARTIAL_COLS
+            )
+
+    partials = li.mapInPandas(
+        build_partials,
         schema=(
             "l_returnflag string, l_linestatus string, "
             "digest array<struct<m double, w double>>, n_rows bigint"
@@ -2551,6 +2591,30 @@ def d47_tdigest_quantile_rollup(
             return pd.DataFrame([row])
 
         return m
+
+    # salted tree merge: level 1 bounds any single task's fan-in to
+    # ~(n_partials / _D47_SALT); level 2's fan-in is exactly the salt
+    # count. spark_partition_id is deterministic for a fixed layout.
+    lvl1 = (
+        partials.withColumn(
+            "_salt", F.spark_partition_id() % F.lit(_D47_SALT)
+        )
+        .groupBy("l_returnflag", "l_linestatus", "_salt")
+        .applyInPandas(
+            mk_merge(["l_returnflag", "l_linestatus", "_salt"]),
+            schema=(
+                "l_returnflag string, l_linestatus string, _salt int, "
+                "digest array<struct<m double, w double>>, n_rows bigint"
+            ),
+        )
+    )
+    fine = lvl1.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        mk_merge(["l_returnflag", "l_linestatus"]),
+        schema=(
+            "l_returnflag string, l_linestatus string, "
+            "digest array<struct<m double, w double>>, n_rows bigint"
+        ),
+    )
 
     mid = fine.groupBy("l_returnflag").applyInPandas(
         mk_merge(["l_returnflag"]),

@@ -395,6 +395,105 @@ def n8_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N8B_CAP = 32  # max neighbors a node contributes as the wedge CENTER
+
+
+@register(
+    "n8b_clustering_coefficient_capped",
+    oracle=(
+        "WITH " + _EDGES_SQL + ", "
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges), "
+        "capped AS (SELECT src, dst FROM ("
+        "  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn "
+        f"  FROM sym) WHERE rn <= {_N8B_CAP}), "
+        "deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src), "
+        "cdeg AS (SELECT src AS node, COUNT(*) AS cd FROM capped GROUP BY src), "
+        "tri AS (SELECT a.src AS node, COUNT(*) AS t "
+        "FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN edges e ON e.src = a.dst AND e.dst = b.dst GROUP BY a.src) "
+        "SELECT d.node, CAST(d.degree AS BIGINT) AS degree, "
+        "CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles, "
+        "ROUND(CASE WHEN c.cd >= 2 "
+        "THEN 2.0 * COALESCE(t.t, 0) / (c.cd * (c.cd - 1)) "
+        "ELSE 0.0 END, 4) AS clustering_coeff "
+        "FROM deg d JOIN cdeg c USING (node) LEFT JOIN tri t USING (node)"
+    ),
+    section="N8",
+)
+def n8b_clustering_coefficient_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N8 with the super-hub cap APPLIED (round-10 verdict ask #3 —
+    the last uncapped wedge join in the headline): each node
+    contributes at most ``_N8B_CAP`` neighbors — the first by
+    neighbor id, the DETERMINISTIC rank the oracle replays exactly
+    (n16b's discipline, graphs.py:_n16b_impl) — to the wedge join
+    where it is the CENTER, bounding candidate growth at
+    Σ min(deg, cap)² instead of the Σ deg² cliff that put n8's sf1
+    ratio at 9.5× (and retired n16 at 15.5×). Degrees stay EXACT
+    (uncapped); triangle counts and the coefficient are computed over
+    the capped adjacency — the standard sampled-neighborhood local
+    clustering estimate, with the denominator using the CAPPED degree
+    so the ratio stays a within-[0,1] density of the sampled
+    neighborhood. With the cap raised above the graph's max degree
+    the output is IDENTICAL to n8 (asserted in tests/test_graphs.py
+    via the parameterized impl); the registered cap of 32 BINDS on
+    the fixture graph, so the hash-checked result exercises the
+    capped path itself. n8 keeps its headline row as the exact
+    twin."""
+    return _n8b_impl(spark, sf_dir, _N8B_CAP)
+
+
+def _n8b_impl(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    capped = (
+        sym.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
+    )
+    cdeg = capped.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("cd")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+    ).select(
+        F.col("a.src").alias("node"),
+        F.col("a.dst").alias("v"),
+        F.col("b.dst").alias("w"),
+    )
+    tri = (
+        wedges.join(
+            e, (F.col("v") == F.col("src")) & (F.col("w") == F.col("dst"))
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(cdeg, "node")
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("cd") >= 2,
+                    2.0
+                    * F.coalesce("t", F.lit(0))
+                    / (F.col("cd") * (F.col("cd") - 1)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 @register(
     "n9_node_similarity",
     oracle=(

@@ -3364,21 +3364,22 @@ def i47_revisit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _I48_EPS = 1.5
 _I48_K = 3
+_I48_ORACLE = (
+    FIXES_CTE + ", sub AS (SELECT * FROM fixes WHERE event_id % 3 = 0), "
+    "p AS (SELECT a.event_id AS event_id, b.event_id AS neighbor_id, "
+    "sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d "
+    "FROM sub a JOIN sub b ON a.event_id <> b.event_id "
+    f"WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {_I48_EPS}) "
+    "SELECT event_id, neighbor_id, ROUND(d, 4) AS dist, "
+    "CAST(row_number() OVER w AS BIGINT) AS rank "
+    "FROM p WINDOW w AS (PARTITION BY event_id ORDER BY d, neighbor_id) "
+    f"QUALIFY row_number() OVER w <= {_I48_K}"
+)
 
 
 @register(
     "i48_bounded_knn_join",
-    oracle=(
-        FIXES_CTE + ", sub AS (SELECT * FROM fixes WHERE event_id % 3 = 0), "
-        "p AS (SELECT a.event_id AS event_id, b.event_id AS neighbor_id, "
-        "sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d "
-        "FROM sub a JOIN sub b ON a.event_id <> b.event_id "
-        f"WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {_I48_EPS}) "
-        "SELECT event_id, neighbor_id, ROUND(d, 4) AS dist, "
-        "CAST(row_number() OVER w AS BIGINT) AS rank "
-        "FROM p WINDOW w AS (PARTITION BY event_id ORDER BY d, neighbor_id) "
-        f"QUALIFY row_number() OVER w <= {_I48_K}"
-    ),
+    oracle=_I48_ORACLE,
     section="I48",
 )
 def i48_bounded_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6108,8 +6109,9 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar trajectories per object by SYMMETRIC
     HAUSDORFF distance — max(h(A,B), h(B,A)) with h = max over A's
     points of the min distance into B — the classic filter-and-refine
-    spatial join: i11's cell co-visitation (≥ 3 shared 2.0-unit cells
-    on the 1/3 object subset) generates candidate pairs, the exact
+    spatial join: i11's cell co-visitation (>= _I65_MIN_SHARED = 2
+    shared 2.0-unit cells on the 1/3 object subset) generates
+    candidate pairs, the exact
     metric refines them. Unlike i11's cell-set Jaccard, Hausdorff is
     a true metric on the POINT SETS (it sees where inside a cell the
     object went), and it is ORDER-INSENSITIVE — min/max over a fixed
@@ -6828,4 +6830,716 @@ def i68_geodesic_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vertices",
         F.round(F.abs(F.col("_e") * F.lit(_I68_R2_KM)), 3).alias("area_km2"),
         F.signum(F.col("_e")).cast("int").alias("winding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I69 — discrete FRECHET trajectory similarity (round-10 verdict ask
+# #4): the ORDER-AWARE companion of i65's Hausdorff under the same
+# filter-and-refine join. Hausdorff treats a trajectory as a point
+# SET; Frechet couples the two traversals monotonically — a vehicle
+# that drives a road out-and-back is Hausdorff-identical to one that
+# drives it once, but Frechet-far (the property the replay test pins
+# on a hand pair). PAPERS.md's REPOSE top-k-similarity provenance
+# names it beside DTW/Hausdorff as the canonical trajectory metric.
+# ---------------------------------------------------------------------------
+_I69_K = 3
+
+
+def _make_frechet_dp_batch():
+    """Factory so the DP kernel pickles BY VALUE into the
+    mapInPandas closure (the _make_dtw discipline — a module-level
+    function would pickle by reference and break when the driver
+    runs from outside the repo)."""
+
+    def dp_batch(pax, pay, pbx, pby):
+        """Discrete-Frechet DP over a BATCH of trajectory pairs,
+        vectorized across pairs AND along anti-diagonals: pad the batch's
+        distance tensor to (P, N, M) with +inf (inf padding cannot help a
+        min-over-paths, so padded lanes never leak into real cells), then
+        sweep the N+M-1 anti-diagonals — every cell on diagonal k depends
+        only on diagonals k-1 and k-2, so each sweep step is one numpy
+        expression over all P pairs at once. Recurrence (Eiter-Mannila):
+        c(i,j) = max(d(i,j), min(c(i-1,j), c(i-1,j-1), c(i,j-1))),
+        c(0,0) = d(0,0); answer = c(n-1, m-1). d uses the IDENTICAL
+        IEEE-754 chain as i65's refine (dx*dx + dy*dy then sqrt); the DP
+        itself is arithmetic-free min/max selection, so the batch kernel
+        is bit-identical to a scalar python replay (asserted in
+        tests/test_geometry.py)."""
+        import numpy as np
+
+        P = len(pax)
+        na = np.array([len(a) for a in pax], dtype=np.int64)
+        nb = np.array([len(b) for b in pbx], dtype=np.int64)
+        N, M = int(na.max()), int(nb.max())
+        d = np.full((P, N, M), np.inf)
+        for p in range(P):
+            ax = np.asarray(pax[p], dtype=np.float64)
+            ay = np.asarray(pay[p], dtype=np.float64)
+            bx = np.asarray(pbx[p], dtype=np.float64)
+            by = np.asarray(pby[p], dtype=np.float64)
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by[None, :]
+            d[p, : na[p], : nb[p]] = np.sqrt(dx * dx + dy * dy)
+        out = np.empty(P, dtype=np.float64)
+        prev = np.full((P, N), np.inf)
+        prev2 = np.full((P, N), np.inf)
+        last = na + nb - 2
+        for k in range(N + M - 1):
+            i_lo, i_hi = max(0, k - M + 1), min(N - 1, k)
+            ii = np.arange(i_lo, i_hi + 1)
+            dk = d[:, ii, k - ii]
+            cur = np.full((P, N), np.inf)
+            if k == 0:
+                cur[:, 0] = dk[:, 0]
+            else:
+                pj = prev[:, ii]  # c(i, j-1): diag k-1, same i
+                iim1 = np.maximum(ii - 1, 0)
+                m1 = (ii >= 1)[None, :]
+                pi = np.where(m1, prev[:, iim1], np.inf)    # c(i-1, j)
+                pij = np.where(m1, prev2[:, iim1], np.inf)  # c(i-1, j-1)
+                cur[:, i_lo : i_hi + 1] = np.maximum(
+                    dk, np.minimum(pj, np.minimum(pi, pij))
+                )
+            hit = last == k
+            if hit.any():
+                out[hit] = cur[hit, na[hit] - 1]
+            prev2, prev = prev, cur
+        return out
+
+    return dp_batch
+
+
+_frechet_dp_batch = _make_frechet_dp_batch()
+
+
+def _frechet_refine_arrow(pairs: DataFrame) -> DataFrame:
+    """Arrow batch refine for i69: candidate pairs stream through
+    mapInPandas as flat ordered-coordinate arrays; the DP runs in
+    LENGTH-SORTED SUB-BATCHES sized to a ~32 MB padded tensor budget
+    (argsort by n+m groups like-sized pairs so padding waste stays
+    low; outputs land back in input order via the index array). Zero
+    extra shuffle — the map runs on the pair join's output
+    partitions, one Python worker per core (i65's refine shape)."""
+    import numpy as np
+    import pandas as pd
+
+    oa_t = dict(pairs.dtypes)["oa"]
+    BUDGET = 4_000_000  # padded doubles per sub-batch (~32 MB)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"oa": [], "ob": [], "fr": []})
+                continue
+            pax, pay = pdf["pax"].values, pdf["pay"].values
+            pbx, pby = pdf["pbx"].values, pdf["pby"].values
+            na = np.array([len(a) for a in pax], dtype=np.int64)
+            nb = np.array([len(b) for b in pbx], dtype=np.int64)
+            order = np.argsort(na + nb, kind="stable")
+            frs = np.empty(n, dtype=np.float64)
+            s = 0
+            while s < n:
+                e = s
+                nmax = mmax = 1
+                while e < n:
+                    p = order[e]
+                    nm = max(nmax, na[p]) * max(mmax, nb[p])
+                    if e > s and nm * (e - s + 1) > BUDGET:
+                        break
+                    nmax, mmax = max(nmax, na[p]), max(mmax, nb[p])
+                    e += 1
+                idx = order[s:e]
+                frs[idx] = _frechet_dp_batch(
+                    [pax[p] for p in idx],
+                    [pay[p] for p in idx],
+                    [pbx[p] for p in idx],
+                    [pby[p] for p in idx],
+                )
+                s = e
+            yield pd.DataFrame(
+                {"oa": pdf["oa"], "ob": pdf["ob"], "fr": frs}
+            )
+
+    return pairs.mapInPandas(
+        kernel, schema=f"oa {oa_t}, ob {oa_t}, fr double"
+    )
+
+
+def frechet_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_size: float | None = None,
+    min_shared: int = _I65_MIN_SHARED,
+) -> DataFrame:
+    """i69 kernel: i65's filter-and-refine join with the exact metric
+    swapped for order-aware discrete Frechet. ORDERING is the load-
+    bearing difference from i65 — trajectories collect as
+    array_sort(collect_list(struct(ts, event_id, x, y))), a total
+    deterministic order (ts, then the unique event_id tiebreak), so
+    the DP sees the actual traversal sequence regardless of shuffle
+    order. ``cell_size=None`` derives the filter grid from density
+    (i65b's auto lever, applied from the START per the round-10
+    verdict ask — the refine cost is candidate-bound and co-visitation
+    pairs densify quadratically on a fixed grid)."""
+    import math
+
+    f = fixes(spark, sf_dir).filter(F.col("obj_id") % 3 == 0)
+    sub = f.select("obj_id", "event_id", "ts", "x", "y")
+    if cell_size is None:
+        n = f.count()  # one bounded aggregate (i53b's plan-time scalar)
+        cell_size = 2.0 * math.sqrt(_I65B_N_REF / max(n, 1))
+    tr = (
+        sub.groupBy("obj_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("event_id"),
+                        F.col("x").alias("x"),
+                        F.col("y").alias("y"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            "obj_id",
+            F.transform("seq", lambda s: s.x).alias("xs"),
+            F.transform("seq", lambda s: s.y).alias("ys"),
+        )
+    )
+    cell = (
+        F.floor(F.col("x") / cell_size).cast("bigint") * 1048576
+        + F.floor(F.col("y") / cell_size).cast("bigint")
+    )
+    cells = sub.select("obj_id", cell.alias("cell")).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.obj_id") < F.col("b.obj_id")),
+        )
+        .groupBy(
+            F.col("a.obj_id").alias("oa"), F.col("b.obj_id").alias("ob")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select("oa", "ob")
+    )
+    pairs = (
+        shared.join(
+            tr.select(
+                F.col("obj_id").alias("oa"),
+                F.col("xs").alias("pax"),
+                F.col("ys").alias("pay"),
+            ),
+            "oa",
+        )
+        .join(
+            tr.select(
+                F.col("obj_id").alias("ob"),
+                F.col("xs").alias("pbx"),
+                F.col("ys").alias("pby"),
+            ),
+            "ob",
+        )
+    )
+    fr = _frechet_refine_arrow(pairs)
+    sym = fr.select(
+        F.col("oa").alias("obj_a"), F.col("ob").alias("obj_b"), "fr"
+    ).unionByName(
+        fr.select(
+            F.col("ob").alias("obj_a"), F.col("oa").alias("obj_b"), "fr"
+        )
+    )
+    w = Window.partitionBy("obj_a").orderBy("fr", "obj_b")
+    return (
+        sym.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _I69_K)
+        .select("obj_a", "obj_b", F.round("fr", 4).alias("frechet"))
+    )
+
+
+@register("i69_frechet_similarity", oracle=None, section="I69")
+def i69_frechet_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar trajectories per object by DISCRETE FRECHET
+    distance — the order-aware coupling metric (min over monotone
+    couplings of the max coupled-point distance), under i65's
+    filter-and-refine join with the i65b auto filter grid from the
+    start. rows-only by nature: the metric is an iterative DP (not
+    ANSI-SQL-expressible — the n2/n20 iterative-kernel class) and the
+    auto grid makes the candidate pool data-dependent. Correctness
+    rides (a) an exact scalar python-DP replay of the batch kernel on
+    random ragged pairs, (b) hand trajectories with known Frechet
+    values including an out-and-back pair where Frechet >> Hausdorff
+    (the order-awareness certificate), and (c) the candidate stage
+    being i65's hash-certified co-visitation shape
+    (tests/test_geometry.py).
+
+    Scale: candidate pairs stay ~flat under the density-derived grid
+    (i65b's measured lever); the refine is one mapInPandas over the
+    pair join's partitions — O(n*m) work per pair, vectorized across
+    pairs and anti-diagonals, sub-batched to a fixed memory budget;
+    zero shuffles beyond the candidate equi-join."""
+    return frechet_similarity(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# I48B — per-partition LOCAL SPATIAL INDEX for the bounded kNN join
+# (round-10 verdict ask #6 — STARK's BTW-2017 live per-partition
+# R-tree, realized as a scipy-free KD-tree inside applyInPandas):
+# partition space into COARSE cells, ship each cell its points plus
+# an eps halo, build a bucketed KD-tree per cell, serve every probe
+# from it. Same exact semantics as i48 (identical oracle, identical
+# hash); the index replaces the 9-cell candidate PATCH SCAN with
+# branch-and-bound leaf visits — the measured candidates-probed
+# reduction is the operator's reason to exist.
+# ---------------------------------------------------------------------------
+_I48B_CELL_MULT = 6.0  # coarse cell = mult * eps (halo overhead ~ 1/mult)
+_I48B_BUCKET = 16      # KD-tree leaf bucket size
+
+
+def _make_kd_kernels():
+    """Factory so the KD-tree kernels pickle BY VALUE into the
+    applyInPandas closure (the _make_dtw discipline)."""
+
+    def kd_build(x, y, bucket=_I48B_BUCKET):
+        """Array-backed KD-tree with bucket leaves: nodes are tuples
+        ('L', idx) | (axis, median, left, right), split on the wider
+        axis at the median (deterministic — numpy median of the cell's
+        coordinates). Build is O(n log n) per cell; pure numpy + python
+        tuples, no scipy."""
+        import numpy as np
+
+        def rec(idx):
+            if len(idx) <= bucket:
+                return ("L", idx)
+            xs, ys = x[idx], y[idx]
+            axis = 0 if xs.ptp() >= ys.ptp() else 1
+            vals = xs if axis == 0 else ys
+            med = float(np.median(vals))
+            left, right = idx[vals <= med], idx[vals > med]
+            if len(left) == 0 or len(right) == 0:
+                return ("L", idx)
+            return (axis, med, rec(left), rec(right))
+
+        import numpy as np
+
+        return rec(np.arange(len(x)))
+
+
+    def kd_knn(tree, x, y, ids, qx, qy, qid, k, eps, stats=None):
+        """Branch-and-bound kNN probe with i48's EXACT contract: best-k
+        by (distance, neighbor_id) — ties on distance resolved toward the
+        smaller id, the far subtree explored when the axis distance EQUALS
+        the current bound (an equal-distance smaller-id neighbor may live
+        there), candidates at d == eps included. Distances use the
+        identical IEEE chain as the grid form (dx*dx + dy*dy, then sqrt),
+        so results are bit-identical. ``stats`` (optional 1-element list)
+        accumulates candidates examined."""
+        import bisect
+
+        import numpy as np
+
+        best: list = []
+
+        def bound():
+            return best[-1][0] if len(best) == k else eps
+
+        def rec(node):
+            if node[0] == "L":
+                idx = node[1]
+                if stats is not None:
+                    stats[0] += len(idx)
+                dx = qx - x[idx]
+                dy = qy - y[idx]
+                d = np.sqrt(dx * dx + dy * dy)
+                for dist, bid in zip(d.tolist(), ids[idx].tolist()):
+                    if bid == qid or dist > eps:
+                        continue
+                    item = (dist, bid)
+                    if len(best) < k:
+                        bisect.insort(best, item)
+                    elif item < best[-1]:
+                        best.pop()
+                        bisect.insort(best, item)
+                return
+            axis, med, left, right = node
+            qv = qx if axis == 0 else qy
+            near, far = (left, right) if qv <= med else (right, left)
+            rec(near)
+            if abs(qv - med) <= min(eps, bound()):
+                rec(far)
+
+        rec(tree)
+        return best
+
+    return kd_build, kd_knn
+
+
+_kd_build, _kd_knn = _make_kd_kernels()
+
+
+def _i48b_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_mult: float = _I48B_CELL_MULT,
+    stats: bool = False,
+) -> DataFrame:
+    """i48's kNN with the per-partition KD-tree engine. Build-side
+    halo: every point is shipped to each coarse cell whose rectangle
+    lies within eps of it (a 3x3 explode narrowed by a cheap
+    rect-distance filter — expected copies ~ (1 + 2/cell_mult)^2, vs
+    the grid form's flat 9x probe explode), so each cell's tree can
+    answer its HOME probes exactly with zero cross-cell traffic.
+    ONE shuffle on the coarse cell key; the tree build amortizes over
+    the cell's probes (STARK's repeated-query argument).
+
+    ``stats=True`` returns per-cell (n_probes, n_examined) instead —
+    the candidates-probed diagnostic the SCALE.md row records against
+    the grid kernel's 9-cell patch scan."""
+    import pandas as pd
+
+    eps = _I48_EPS
+    H = cell_mult * eps
+    f = fixes(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "x", "y"
+    )
+    copies = []
+    for dcx in (-1, 0, 1):
+        for dcy in (-1, 0, 1):
+            cx = F.floor(F.col("x") / H) + dcx
+            cy = F.floor(F.col("y") / H) + dcy
+            # distance from the point to cell (cx,cy)'s rectangle
+            ddx = F.greatest(
+                cx * H - F.col("x"), F.col("x") - (cx + 1) * H, F.lit(0.0)
+            )
+            ddy = F.greatest(
+                cy * H - F.col("y"), F.col("y") - (cy + 1) * H, F.lit(0.0)
+            )
+            copies.append(
+                F.struct(
+                    cx.cast("bigint").alias("cx"),
+                    cy.cast("bigint").alias("cy"),
+                    (ddx * ddx + ddy * ddy <= eps * eps).alias("keep"),
+                    F.lit(dcx == 0 and dcy == 0).alias("is_home"),
+                )
+            )
+    parts = (
+        f.select(
+            "event_id", "x", "y",
+            F.explode(F.array(*copies)).alias("c"),
+        )
+        .filter(F.col("c.keep"))
+        .select(
+            "event_id", "x", "y",
+            F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+            F.col("c.is_home").alias("is_home"),
+        )
+    )
+    out_schema = (
+        "event_id bigint, neighbor_id bigint, d double, rank bigint"
+        if not stats
+        else "cx bigint, cy bigint, n_probes bigint, n_examined bigint"
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        ids = pdf["event_id"].to_numpy(np.int64)
+        tree = _kd_build(x, y)
+        home = pdf["is_home"].to_numpy(bool)
+        st = [0] if stats else None
+        rows = []
+        n_probes = 0
+        for qx, qy, qid in zip(x[home], y[home], ids[home]):
+            n_probes += 1
+            best = _kd_knn(
+                tree, x, y, ids, qx, qy, qid, _I48_K, eps, stats=st
+            )
+            if not stats:
+                for r, (dist, bid) in enumerate(best, 1):
+                    rows.append((int(qid), int(bid), float(dist), r))
+        if stats:
+            return pd.DataFrame(
+                [
+                    (
+                        int(pdf["cx"].iloc[0]),
+                        int(pdf["cy"].iloc[0]),
+                        n_probes,
+                        int(st[0]),
+                    )
+                ],
+                columns=["cx", "cy", "n_probes", "n_examined"],
+            )
+        return pd.DataFrame(
+            rows, columns=["event_id", "neighbor_id", "d", "rank"]
+        )
+
+    res = parts.groupBy("cx", "cy").applyInPandas(kernel, out_schema)
+    if stats:
+        return res
+    return res.select(
+        "event_id", "neighbor_id", F.round("d", 4).alias("dist"), "rank"
+    )
+
+
+@register("i48b_knn_local_index", oracle=_I48_ORACLE, section="I48")
+def i48b_knn_local_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i48's eps-bounded kNN served from a PER-PARTITION KD-TREE
+    (STARK's live per-partition index, the one execution feature of
+    that surface with no analogue here until now): coarse spatial
+    partitioning + eps build-side halo + a bucketed KD-tree per cell,
+    probes answered by branch-and-bound instead of the 9-cell patch
+    scan. SAME ORACLE AS i48 — the hash certifies the index returns
+    the identical neighbor sets, distances, and tie order as the grid
+    kernel (also asserted directly against i48's output in
+    tests/test_geometry.py). Scale: one shuffle on the coarse cell,
+    halo duplication ~(1 + 2/cell_mult)^2 ~ 1.8x at the registered
+    mult (vs the grid form's flat 9x probe explode), tree build
+    amortized over each cell's probes, candidates examined per probe
+    measured well below the patch scan (the SCALE.md diagnostic
+    row)."""
+    return _i48b_impl(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# I70 — N-ary CASCADED UNION area (round-10 verdict ask #8, closing
+# "missing" #3): the signed-fan inclusion-exclusion of i60/i62
+# extended from pairs to N overlapping polygons per group.
+# area(U P_p) = sum over non-empty subsets S of (-1)^{|S|+1} *
+# area(INTERSECT_{p in S} P_p), and each subset intersection expands
+# through the fan identity 1_P = sum_i s_i 1_{T_i} into pure
+# triangle-tuple terms — every term a CONVEX chain of half-plane
+# clips (intersections of triangles stay convex), so the area algebra
+# is exact up to IEEE rounding, for arbitrary simple (incl. concave)
+# rings.
+# ---------------------------------------------------------------------------
+_I70_MAX_N = 4  # bounded members per group: 2^N - 1 subsets is the
+# exponential honesty line; at 100 TB big unions decompose by grid
+# cell (i59's candidate join) with THIS kernel as the per-cell measure
+
+
+def _make_i70_union():
+    """Factory (by-value pickling discipline) for the pure-python
+    N-ary union kernel; module name `_i70_union_area` for tests."""
+
+    def tri_fan(ring):
+        # CCW-normalized fan triangles with orientation signs
+        a2 = 0.0
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            a2 += x1 * y2 - x2 * y1
+        if a2 < 0:
+            ring = ring[::-1]
+        tris = []
+        for i in range(1, len(ring) - 1):
+            t = (ring[0], ring[i], ring[i + 1])
+            cross = (t[1][0] - t[0][0]) * (t[2][1] - t[0][1]) - (
+                t[2][0] - t[0][0]
+            ) * (t[1][1] - t[0][1])
+            if cross == 0.0:
+                continue
+            s = 1.0 if cross > 0 else -1.0
+            # store CCW-oriented vertices for the half-plane tests
+            tris.append((s, t if cross > 0 else (t[0], t[2], t[1])))
+        return tris
+
+    def clip_area(tup):
+        # area of the intersection of CCW triangles tup[0..k-1]:
+        # clip the first by every edge of the rest (convex chain)
+        poly = list(tup[0])
+        for tri in tup[1:]:
+            for e in range(3):
+                e1, e2 = tri[e], tri[(e + 1) % 3]
+                dx, dy = e2[0] - e1[0], e2[1] - e1[1]
+                out = []
+                m = len(poly)
+                if m == 0:
+                    return 0.0
+                for i in range(m):
+                    v1, v2 = poly[i], poly[(i + 1) % m]
+                    in1 = dx * (v1[1] - e1[1]) - dy * (v1[0] - e1[0]) >= 0
+                    in2 = dx * (v2[1] - e1[1]) - dy * (v2[0] - e1[0]) >= 0
+                    if in1 and in2:
+                        out.append(v2)
+                    elif in1 or in2:
+                        t = (
+                            (e1[0] - v1[0]) * (e1[1] - e2[1])
+                            - (e1[1] - v1[1]) * (e1[0] - e2[0])
+                        ) / (
+                            (v2[0] - v1[0]) * (e1[1] - e2[1])
+                            - (v2[1] - v1[1]) * (e1[0] - e2[0])
+                        )
+                        ip = (
+                            v1[0] + t * (v2[0] - v1[0]),
+                            v1[1] + t * (v2[1] - v1[1]),
+                        )
+                        out.append(ip)
+                        if in2:
+                            out.append(v2)
+                poly = out
+        if len(poly) < 3:
+            return 0.0
+        acc = 0.0
+        for i in range(len(poly)):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % len(poly)]
+            acc += x1 * y2 - x2 * y1
+        return abs(acc) / 2.0
+
+    def inter_area(fans):
+        # sum over fan tuples of sign-product * triangle-tuple area
+        from itertools import product
+
+        total = 0.0
+        for tup in product(*fans):
+            s = 1.0
+            for sign, _ in tup:
+                s *= sign
+            total += s * clip_area([t for _, t in tup])
+        return total
+
+    def union_area(rings):
+        """Exact union area of up to _I70_MAX_N simple rings by
+        inclusion-exclusion over subset intersections, each expanded
+        through the signed triangle-fan identity. Deterministic:
+        subsets and fan tuples enumerate in fixed lexicographic
+        order."""
+        from itertools import combinations
+
+        rings = [r for r in rings if len(r) >= 3]
+        if not rings:
+            return 0.0
+        if len(rings) > _I70_MAX_N:
+            raise ValueError(
+                f"cascaded union bounded at N={_I70_MAX_N} members"
+            )
+        fans = [tri_fan(r) for r in rings]
+        total = 0.0
+        for k in range(1, len(rings) + 1):
+            sgn = 1.0 if k % 2 == 1 else -1.0
+            for sub in combinations(range(len(rings)), k):
+                total += sgn * inter_area([fans[i] for i in sub])
+        return total
+
+    return union_area
+
+
+_i70_union_area = _make_i70_union()
+
+
+@register("i70_cascaded_union_area", oracle=None, section="I70")
+def i70_cascaded_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADED UNION: exact total-footprint area of up to 4
+    overlapping zone polygons per district group — the N-ary form of
+    i60/i62's pairwise booleans (the third-ask-in-a-row seam the
+    round-10 verdict queued). Zones are i62-style data-driven quads
+    (even members concave darts — the signed-fan negative-triangle
+    path exercised in every group); groups of 4 consecutive order
+    keys share a district center so overlaps actually occur. Output
+    per district: n_zones, sum of member areas, union area, and
+    overlap = sum − union (≥ 0, the double-counted mass).
+
+    rows-only by nature (subset inclusion-exclusion over fan tuples
+    is an iterative enumeration, not ANSI SQL); correctness rides (a)
+    hand-exact cases — disjoint squares sum, nested squares take the
+    outer, a known three-square chain; (b) a rasterization
+    cross-check on the fixture groups; (c) union ≤ sum and
+    union ≥ max-member properties on every group; (d) the kernel's
+    N=2 terms being algebraically the i60 identity the t2-hashed
+    pairwise engines certify (tests/test_geometry.py).
+
+    Scale: one groupBy (district) with bounded collect (≤ 4 rings ×
+    ≤ 6 vertices); per-group work 2^N·fan-tuple clip chains — N is
+    the honesty bound (_I70_MAX_N = 4, asserted); at 100 TB unions of
+    thousands of polygons decompose by grid cell (i59's bbox
+    candidate join) and THIS kernel measures each cell's bounded
+    cohort, cell areas then summing exactly."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    district = (F.col("o_orderkey") / 20).cast("bigint")
+    # shared district center + per-member offset => guaranteed overlap
+    cx = (district * 37 % 70 + 15).cast("double") + (
+        F.col("o_orderkey") % 4
+    ).cast("double") * 2.0
+    cy = (district * 53 % 70 + 15).cast("double") + (
+        F.col("o_orderkey") % 3
+    ).cast("double") * 2.0
+    w = (F.col("o_orderkey") % 6 + 3).cast("double")
+    h = (F.col("o_orderkey") % 4 + 2).cast("double")
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    apex = F.when(F.col("o_orderkey") % 2 == 0, cy).otherwise(cy + 2 * h)
+    z = o.select(
+        district.alias("district_id"),
+        F.col("o_orderkey").alias("member_id"),
+        F.array(
+            pt(cx + w, cy + h), pt(cx, apex), pt(cx - w, cy + h),
+            pt(cx, cy - h),
+        ).alias("ring"),
+    )
+    wnd = Window.partitionBy("district_id").orderBy("member_id")
+    grouped = (
+        z.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") <= _I70_MAX_N)
+        .groupBy("district_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("member_id", "ring"))
+            ).alias("members")
+        )
+    )
+    union_area = _i70_union_area
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, members in zip(pdf["district_id"], pdf["members"]):
+                rings = [
+                    [(float(p["x"]), float(p["y"])) for p in m["ring"]]
+                    for m in members
+                ]
+                sum_a = 0.0
+                for r in rings:
+                    acc = 0.0
+                    for i in range(len(r)):
+                        x1, y1 = r[i]
+                        x2, y2 = r[(i + 1) % len(r)]
+                        acc += x1 * y2 - x2 * y1
+                    sum_a += abs(acc) / 2.0
+                ua = union_area(rings)
+                rows.append(
+                    {
+                        "district_id": int(did),
+                        "n_zones": len(rings),
+                        "sum_area": round(sum_a, 6),
+                        "union_area": round(ua, 6),
+                        "overlap_area": round(sum_a - ua, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "district_id", "n_zones", "sum_area",
+                    "union_area", "overlap_area",
+                ],
+            )
+
+    return grouped.mapInPandas(
+        kernel,
+        schema=(
+            "district_id bigint, n_zones int, sum_area double, "
+            "union_area double, overlap_area double"
+        ),
     )

@@ -972,6 +972,9 @@ def e22_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select("event_type", "d", "cnt", med.alias("med7"))
 
 
+_E23_TOP = 5  # alert budget: K most weekday-deviant days per type
+
+
 @register(
     "e23_seasonal_anomaly_days",
     oracle=(
@@ -980,29 +983,37 @@ def e22_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", dow AS (SELECT event_type, "
         "CAST(date_part('isodow', d) AS INT) AS dow, "
         "CAST(SUM(cnt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS nd "
-        "FROM daily GROUP BY 1, 2) "
-        "SELECT daily.event_type, d, cnt, "
+        "FROM daily GROUP BY 1, 2), "
+        "scored AS (SELECT daily.event_type, d, cnt, "
         "CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS expected, "
-        "CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) AS ratio, "
-        "CASE WHEN CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) "
-        ">= 1.2 THEN 'high' ELSE 'low' END AS direction "
+        "CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) AS ratio "
         "FROM daily JOIN dow ON daily.event_type = dow.event_type "
-        "AND CAST(date_part('isodow', d) AS INT) = dow.dow "
-        "WHERE CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) >= 1.2 "
-        "OR CAST(cnt AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) <= 0.8"
+        "AND CAST(date_part('isodow', d) AS INT) = dow.dow) "
+        "SELECT event_type, d, cnt, expected, ratio, "
+        "CASE WHEN ratio >= 1.0 THEN 'high' ELSE 'low' END AS direction, "
+        "CAST(ratio >= 1.2 OR ratio <= 0.8 AS INT) AS is_extreme "
+        "FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        f"ORDER BY abs(ratio - 1.0) DESC, d) <= {_E23_TOP}"
     ),
     section="E23",
 )
 def e23_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-adjusted anomaly days: each day's count compared to
     ITS OWN weekday's mean for that event type (E21's seasonal
-    component used as the expectation), flagging ±20% deviations —
-    the correct form of daily-volume alerting (a raw-mean threshold
-    misfires every weekend). Composes the shared daily rollup with a
+    component used as the expectation), returning the K MOST DEVIANT
+    days per type ranked by |ratio − 1| — the alert-budget form of
+    daily-volume alerting ("page me on the K worst days"), which is
+    NON-VACUOUS AT EVERY SCALE by construction (round-10 verdict ask
+    #5: the previous fixed ±20% filter returned zero rows on the
+    sf0.1 fixture's flatter daily profile, a silent empty-vs-empty
+    hash pass). The fixed ±20% contract survives as the ``is_extreme``
+    flag column; ``direction`` reads off which side of expectation
+    the day fell. Composes the shared daily rollup with a
     broadcast-size (type × weekday) expectation join; all state exact
-    integers, the ratio one identical IEEE division chain on both
-    engines (boundary days are deterministic because both engines
-    compare the same double)."""
+    integers, the ratio (and the |ratio−1| rank key) one identical
+    IEEE chain on both engines, ties broken by day — fully
+    deterministic."""
     daily = _daily_counts(spark, sf_dir)
     dow_of = (F.weekday("d") + 1).cast("int")
     dow = daily.groupBy(
@@ -1013,17 +1024,33 @@ def e23_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     expected = F.col("s").cast("double") / F.col("nd").cast("double")
     ratio = F.col("cnt").cast("double") / expected
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("ratio") - 1.0).desc(), "d"
+    )
     return (
         daily.withColumn("dow", dow_of)
         .join(F.broadcast(dow), ["event_type", "dow"])
-        .filter((ratio >= 1.2) | (ratio <= 0.8))
         .select(
             "event_type",
             "d",
             "cnt",
             expected.alias("expected"),
             ratio.alias("ratio"),
-            F.when(ratio >= 1.2, "high").otherwise("low").alias("direction"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _E23_TOP)
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            "expected",
+            "ratio",
+            F.when(F.col("ratio") >= 1.0, "high")
+            .otherwise("low")
+            .alias("direction"),
+            ((F.col("ratio") >= 1.2) | (F.col("ratio") <= 0.8))
+            .cast("int")
+            .alias("is_extreme"),
         )
     )
 

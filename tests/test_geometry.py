@@ -1571,3 +1571,355 @@ def test_i68_matches_python_on_fixture(spark):
     for k in want:
         assert got[k][0] == want[k][0] and got[k][2] == want[k][2], k
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-2), k
+
+
+def _py_frechet(A, B):
+    """Scalar python discrete-Frechet DP (Eiter-Mannila) — the
+    independent reference for the i69 batch kernel."""
+    import math
+
+    n, m = len(A), len(B)
+    c = [[0.0] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            d = math.sqrt(
+                (A[i][0] - B[j][0]) ** 2 + (A[i][1] - B[j][1]) ** 2
+            )
+            if i == 0 and j == 0:
+                c[i][j] = d
+            elif i == 0:
+                c[i][j] = max(d, c[0][j - 1])
+            elif j == 0:
+                c[i][j] = max(d, c[i - 1][0])
+            else:
+                c[i][j] = max(
+                    d, min(c[i - 1][j], c[i - 1][j - 1], c[i][j - 1])
+                )
+    return c[n - 1][m - 1]
+
+
+def test_i69_batch_dp_bit_identical_to_python():
+    """The padded anti-diagonal batch DP must equal the scalar python
+    DP BIT-FOR-BIT on random ragged pairs (inf padding and the
+    diagonal sweep are selection-only — no arithmetic differs), and
+    on degenerate shapes (1-point trajectories)."""
+    import random
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _frechet_dp_batch,
+    )
+
+    rng = random.Random(5)
+    pax, pay, pbx, pby, want = [], [], [], [], []
+    for _ in range(40):
+        n, m = rng.randint(1, 17), rng.randint(1, 23)
+        A = [(rng.uniform(0, 50), rng.uniform(0, 50)) for _ in range(n)]
+        B = [(rng.uniform(0, 50), rng.uniform(0, 50)) for _ in range(m)]
+        pax.append([p[0] for p in A])
+        pay.append([p[1] for p in A])
+        pbx.append([p[0] for p in B])
+        pby.append([p[1] for p in B])
+        want.append(_py_frechet(A, B))
+    got = _frechet_dp_batch(pax, pay, pbx, pby)
+    assert list(got) == want, "batch DP must be bit-identical"
+
+
+def test_i69_order_awareness_frechet_vs_hausdorff():
+    """The certificate that Frechet is ORDER-AWARE where Hausdorff is
+    not: an out-and-back traversal of a line is Hausdorff-close to a
+    single pass but Frechet-far (the coupling must backtrack, which
+    monotone couplings cannot)."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _frechet_dp_batch,
+    )
+
+    A = [(float(i), 0.0) for i in range(11)]          # one pass 0..10
+    B = (
+        [(float(i), 0.1) for i in range(11)]          # out ...
+        + [(float(10 - i), 0.1) for i in range(1, 11)]  # ... back
+        + [(float(i), 0.1) for i in range(1, 11)]     # ... out again
+    )
+
+    def h(X, Y):
+        return max(
+            min(math.dist(p, q) for q in Y) for p in X
+        )
+
+    hausdorff = max(h(A, B), h(B, A))
+    frechet = _frechet_dp_batch(
+        [[p[0] for p in A]], [[p[1] for p in A]],
+        [[p[0] for p in B]], [[p[1] for p in B]],
+    )[0]
+    assert hausdorff <= 0.2
+    assert frechet >= 5.0, frechet
+    assert frechet == _py_frechet(A, B)
+
+
+def test_i69_spark_matches_python(spark):
+    """The registered i69 vs a pure-python reference at sf0.001: same
+    auto-grid candidate filter, same ts/event_id traversal order,
+    same (frechet, obj_b) top-3 ranking. Non-empty at the smoke tier
+    (the refine must actually run)."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I65B_N_REF,
+        _I65_MIN_SHARED,
+        _I69_K,
+        fixes,
+        i69_frechet_similarity,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = (
+        fixes(spark, SF_DIR)
+        .filter("obj_id % 3 = 0")
+        .select("obj_id", "event_id", "ts", "x", "y")
+        .collect()
+    )
+    n = len(rows)
+    cell = 2.0 * math.sqrt(_I65B_N_REF / max(n, 1))
+    seq: dict = {}
+    cells: dict = {}
+    for r in rows:
+        seq.setdefault(r.obj_id, []).append((r.ts, r.event_id, r.x, r.y))
+        cells.setdefault(r.obj_id, set()).add(
+            (math.floor(r.x / cell), math.floor(r.y / cell))
+        )
+    pts = {
+        o: [(x, y) for _, _, x, y in sorted(v)] for o, v in seq.items()
+    }
+    objs = sorted(pts)
+    sym: dict = {}
+    for i, oa in enumerate(objs):
+        for ob in objs[i + 1:]:
+            if len(cells[oa] & cells[ob]) >= _I65_MIN_SHARED:
+                d = _py_frechet(pts[oa], pts[ob])
+                sym.setdefault(oa, []).append((d, ob))
+                sym.setdefault(ob, []).append((d, oa))
+    want = {}
+    for oa, cands in sym.items():
+        for d, ob in sorted(cands)[:_I69_K]:
+            want[(oa, ob)] = round(d, 4)
+
+    got = {
+        (r.obj_a, r.obj_b): r.frechet
+        for r in i69_frechet_similarity(spark, SF_DIR).collect()
+    }
+    assert got, "i69 empty at sf0.001 — the smoke tier must exercise the DP"
+    assert got.keys() == want.keys()
+    import pytest
+
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_i48b_local_index_identical_to_grid_kernel(spark):
+    """STARK-parity requirement (round-10 verdict ask #6): the
+    KD-tree engine must return the IDENTICAL result frame as i48's
+    grid kernel — same probes, same neighbors, same raw distances,
+    same (dist, neighbor_id) tie order — at the smoke fixture. Also
+    pins the halo contract: every probe's eps-ball is fully served
+    from its home cell."""
+    from glonassdatamining_spark import registry
+    from tests.conftest import SF_DIR
+
+    a = (
+        registry.get("i48_bounded_knn_join")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        registry.get("i48b_knn_local_index")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for col in ("event_id", "neighbor_id", "dist", "rank"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_i48b_stats_mode_examines_fewer_candidates(spark):
+    """The index must actually PRUNE: candidates examined per probe
+    (KD-tree leaf visits) stays below the grid kernel's 9-cell patch
+    scan average on the same data — the reduction the SCALE.md row
+    measures at sf0.1/sf1."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I48_EPS,
+        _i48b_impl,
+        fixes,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    st = _i48b_impl(spark, SF_DIR, stats=True).agg(
+        F.sum("n_probes").alias("p"), F.sum("n_examined").alias("e")
+    ).collect()[0]
+    kd_per_probe = st.e / st.p
+    # grid kernel's probe cost: candidate pairs in the 9-cell patch
+    f = fixes(spark, SF_DIR).filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "x", "y"
+    )
+    eps = _I48_EPS
+    cell = f.select(
+        "event_id",
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    probe = cell.alias("a")
+    build = cell.alias("b")
+    patch = (
+        probe.crossJoin(F.broadcast(spark.range(9)))
+        .select(
+            F.col("a.event_id").alias("a_id"),
+            (F.col("cx") + F.col("id") % 3 - 1).alias("cx"),
+            (F.col("cy") + F.floor(F.col("id") / 3) - 1).alias("cy"),
+        )
+    )
+    n_pairs = (
+        patch.join(
+            build.select(
+                F.col("b.event_id").alias("b_id"), "cx", "cy"
+            ),
+            ["cx", "cy"],
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .count()
+    )
+    n_probes = f.count()
+    grid_per_probe = n_pairs / n_probes
+    assert kd_per_probe < grid_per_probe, (kd_per_probe, grid_per_probe)
+
+
+def test_i70_union_kernel_hand_exact():
+    """Hand-exact cascaded-union cases: disjoint squares sum; nested
+    squares take the outer; a 3-square chain with known pairwise
+    overlaps; a concave dart member (negative fan triangle) — all
+    exact to float round-off."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _i70_union_area,
+    )
+
+    sq = lambda x, y, s: [(x, y), (x + s, y), (x + s, y + s), (x, y + s)]
+    # disjoint
+    assert abs(_i70_union_area([sq(0, 0, 2), sq(10, 0, 3)]) - 13.0) < 1e-9
+    # nested
+    assert abs(_i70_union_area([sq(0, 0, 10), sq(2, 2, 2)]) - 100.0) < 1e-9
+    # chain: [0,4]x[0,4], [2,6]x[0,4], [4,8]x[0,4] — union 8x4=32
+    got = _i70_union_area([sq(0, 0, 4), sq(2, 0, 4), sq(4, 0, 4)])
+    assert abs(got - 32.0) < 1e-9, got
+    # four-way overlap of the same square (idempotence of union)
+    got4 = _i70_union_area([sq(0, 0, 4)] * 4)
+    assert abs(got4 - 16.0) < 1e-9, got4
+    # concave dart (apex pulled inside) union with a disjoint square:
+    # dart area = kite(2w x 2h /2... ) computed by shoelace directly
+    dart = [(3.0, 2.0), (0.0, 0.0), (-3.0, 2.0), (0.0, -2.0)]
+
+    def shoelace(r):
+        acc = 0.0
+        for i in range(len(r)):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % len(r)]
+            acc += x1 * y2 - x2 * y1
+        return abs(acc) / 2.0
+
+    want = shoelace(dart) + 4.0
+    got = _i70_union_area([dart, sq(50, 50, 2)])
+    assert abs(got - want) < 1e-9, (got, want)
+    # CW-wound input normalizes
+    assert abs(_i70_union_area([sq(0, 0, 2)[::-1]]) - 4.0) < 1e-9
+    # bound honored
+    import pytest
+
+    with pytest.raises(ValueError):
+        _i70_union_area([sq(0, 0, 1)] * 5)
+
+
+def test_i70_spark_properties_and_raster(spark):
+    """The registered i70 on the smoke fixture: every district obeys
+    max-member <= union <= sum (with overlap = sum - union >= 0), at
+    least one district genuinely overlaps (the planted shared-center
+    layout), and each district's union matches a 400x-per-unit
+    even-odd RASTER estimate within the discretization tolerance —
+    the independent cross-check the verdict asked to ride next to
+    the hand-exact cases."""
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _i70_union_area,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = (
+        registry.get("i70_cascaded_union_area")
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    assert rows
+    assert any(r.overlap_area > 1e-6 for r in rows), "no overlap planted?"
+    for r in rows:
+        assert r.union_area <= r.sum_area + 1e-6, r
+        assert r.overlap_area >= -1e-6, r
+    # raster cross-check: rebuild the rings in python from the same
+    # arithmetic and point-sample even-odd membership
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet') "
+        "WHERE o_orderkey % 5 = 0"
+    ).fetchall()
+    groups: dict = {}
+    for (k,) in o:
+        d = k // 20
+        cx = d * 37 % 70 + 15 + (k % 4) * 2.0
+        cy = d * 53 % 70 + 15 + (k % 3) * 2.0
+        w, h = k % 6 + 3, k % 4 + 2
+        apex = cy if k % 2 == 0 else cy + 2 * h
+        ring = [
+            (cx + w, cy + h), (cx, apex), (cx - w, cy + h), (cx, cy - h)
+        ]
+        groups.setdefault(d, []).append((k, ring))
+
+    def even_odd(px, py, ring):
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xc = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if px < xc:
+                    inside = not inside
+        return inside
+
+    got = {r.district_id: r.union_area for r in rows}
+    checked = 0
+    for d, members in sorted(groups.items())[:12]:
+        members = [r for _, r in sorted(members)[:4]]
+        xs = [x for r in members for x, _ in r]
+        ys = [y for r in members for _, y in r]
+        x0, x1 = min(xs) - 0.5, max(xs) + 0.5
+        y0, y1 = min(ys) - 0.5, max(ys) + 0.5
+        STEP = 0.05
+        nx = int(math.ceil((x1 - x0) / STEP))
+        ny = int(math.ceil((y1 - y0) / STEP))
+        hits = 0
+        for ix in range(nx):
+            px = x0 + (ix + 0.5) * STEP
+            for iy in range(ny):
+                py = y0 + (iy + 0.5) * STEP
+                if any(even_odd(px, py, r) for r in members):
+                    hits += 1
+        est = hits * STEP * STEP
+        exact = got[d]
+        assert abs(est - exact) <= max(0.05 * exact, 0.5), (d, est, exact)
+        checked += 1
+    assert checked > 0

@@ -298,6 +298,50 @@ def test_n16b_equals_n16_below_cap(spark):
     assert a["ball2_size"].tolist() == b["ball2_size"].tolist()
 
 
+def test_n8b_equals_n8_below_cap(spark):
+    """n16b's inert-below-cap discipline applied to the n8 wedge
+    (round-10 verdict ask #3): with cap > max degree the capped
+    pipeline equals n8 row-for-row on ALL four columns — the capped
+    degree equals the exact degree everywhere, so the coefficient
+    denominator is unchanged too. The registered cap of 32 must BIND
+    on the fixture so the hash-checked result exercises the capped
+    path."""
+    from glonassdatamining_spark import registry
+    from glonassdatamining_spark.operators.graphs import (
+        _MIN_COOCCUR,
+        _N8B_CAP,
+        _copurchase_edges,
+        _n8b_impl,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    e = _copurchase_edges(spark, SF_DIR, _MIN_COOCCUR)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    max_deg = (
+        sym.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_deg >= _N8B_CAP, (
+        f"fixture max degree {max_deg} < registered cap {_N8B_CAP} — "
+        "the registered variant no longer exercises the capped path"
+    )
+    a = (
+        registry.get("n8_clustering_coefficient")
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        _n8b_impl(spark, SF_DIR, cap=max_deg + 1)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    for col in ("node", "degree", "n_triangles", "clustering_coeff"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+
 def test_n18_labels_python_replay(spark):
     """Per-node LPA labels at sf0.001 replayed in pure python: same
     init, same synchronous rounds, same (max count, min label)

@@ -751,6 +751,11 @@ def test_field_id_rename_and_drop_are_metadata_only(spark, tmp_path):
         t.drop_column("k")  # key column protected
     with pytest.raises(ValueError):
         t.rename_column("k", "k")  # name already exists
+    # key column protected from rename too (round-10 ADVICE): a
+    # renamed key would leave self.key_col stale — append repartitions
+    # on it and delete_eq resolves its field id
+    with pytest.raises(ValueError, match="key column"):
+        t.rename_column("k", "pk")
 
 
 def test_field_id_eq_delete_and_rename_compose(spark, tmp_path):

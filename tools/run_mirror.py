@@ -79,7 +79,14 @@ def main() -> int:
                 try:
                     compare_frames(sdf, odf, name)
                     entry["hash_match"] = True
-                    n_hash += 1
+                    if len(sdf) == 0:
+                        # round-10 verdict ask #5: an empty-vs-empty
+                        # hash pass is VACUOUS at mirror scales (the
+                        # e23 class) — no t2 row may be empty here
+                        entry["err"] = "vacuous_empty_vs_empty"
+                        n_fail += 1
+                    else:
+                        n_hash += 1
                 except AssertionError as exc:
                     entry["hash_match"] = False
                     entry["err"] = str(exc)[:500]
