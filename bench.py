@@ -119,6 +119,7 @@ HEADLINE = [
     # round-11 additions (BASELINE.md: no earlier baseline):
     "n8b_clustering_coefficient_capped",  # n8 wedge with the super-hub cap
     "i48b_knn_local_index",          # per-partition KD-tree kNN engine
+    "i48c_unbounded_knn",            # expanding-ring exact unbounded kNN
     "i69_frechet_similarity",        # order-aware Frechet DP refine
     "i70_cascaded_union_area",       # N-ary signed-fan union
     # n22_betweenness_sampled is NOT benched (n2/n20's class: a

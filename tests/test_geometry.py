@@ -1923,3 +1923,47 @@ def test_i70_spark_properties_and_raster(spark):
         assert abs(est - exact) <= max(0.05 * exact, 0.5), (d, est, exact)
         checked += 1
     assert checked > 0
+
+
+def test_i48c_expanding_ring_serves_isolated_points(spark):
+    """The unbounded form's reason to exist: a planted ISOLATED pair
+    hundreds of units from the main cluster (invisible to any single
+    eps-ring — i48's documented gap) must surface with its true
+    neighbors and distances, proving the ring escalation actually
+    runs; the dense cluster's points must match a python brute force
+    exactly, including the (dist, id) tie order."""
+    import math
+
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        unbounded_knn,
+    )
+
+    pts = [
+        # dense cluster near origin
+        (1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 1.0), (4, 1.0, 1.0),
+        (5, 2.0, 0.5),
+        # isolated pair, ~700 away, 3.0 apart
+        (100, 700.0, 700.0), (101, 703.0, 700.0),
+        # lone point even farther
+        (200, -500.0, -500.0),
+    ]
+    df = spark.createDataFrame(pts, "event_id bigint, x double, y double")
+    got = {}
+    for r in unbounded_knn(df, k=3, eps=1.5).collect():
+        got.setdefault(r.event_id, []).append(
+            (r.rank, r.neighbor_id, r.dist)
+        )
+    # python brute force with the same tie order
+    want = {}
+    for eid, x, y in pts:
+        ds = sorted(
+            (math.sqrt((x - bx) ** 2 + (y - by) ** 2), bid)
+            for bid, bx, by in pts
+            if bid != eid
+        )[:3]
+        want[eid] = [(i + 1, bid, round(d, 4)) for i, (d, bid) in enumerate(ds)]
+    assert set(got) == set(want), (set(got), set(want))
+    for eid in want:
+        assert sorted(got[eid]) == want[eid], (eid, got[eid], want[eid])
+    # the isolated pair's nearest neighbor really is the far partner
+    assert got[100][0][1] == 101 and abs(got[100][0][2] - 3.0) < 1e-9
