@@ -122,6 +122,7 @@ HEADLINE = [
     "i48c_unbounded_knn",            # expanding-ring exact unbounded kNN
     "i69_frechet_similarity",        # order-aware Frechet DP refine
     "i70_cascaded_union_area",       # N-ary signed-fan union
+    "k56b_winnowing_detection_join", # guaranteed-detection dedup pairs
     # n22_betweenness_sampled is NOT benched (n2/n20's class: a
     # k-source iterative frontier kernel measures round pacing, not
     # work — its evidence is the python Brandes replay, the hand-graph

@@ -82,6 +82,8 @@ EXTRAS = [
     "n22_betweenness_sampled",
     "n5_kcore",
     "n23_harmonic_closeness_sampled",
+    # round-11 additions not in HEADLINE
+    "k14c_pq_ann_adc",
 ]
 
 
