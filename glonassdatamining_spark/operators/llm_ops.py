@@ -4296,11 +4296,9 @@ def k14c_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books_t = ManifestTable(spark, f"{root}/codebooks", "m")
     if books_t.current_version() == 0:
-        # bounded _PQ_SAMPLE-row codebook training sample (sorted ids
-        # => deterministic; PQ codebooks train on a sample by design)
-        sample_rows = (
-            unit.orderBy("vec_id").limit(_PQ_SAMPLE).collect()
-        )
+        # sorted ids => deterministic; PQ codebooks by design
+        # train on a sample (bounded _PQ_SAMPLE rows)
+        sample_rows = unit.orderBy("vec_id").limit(_PQ_SAMPLE).collect()
         sample = np.array([r.u for r in sample_rows], dtype=np.float64)
         books = _pq_train(sample, _PQ_M, _PQ_KSUB, _PQ_ITERS, seed=42)
         m, ksub, sub = books.shape
@@ -4344,8 +4342,8 @@ def k14c_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cb:
         books[r.m, r.c] = r.cv
     # code table: M small ints per vector — the 16x-compressed frame,
-    # collectable/broadcastable to ~1e8 vectors (documented crossover:
-    # beyond that codes ride k14's IVF posting lists instead)
+    # (crossover: beyond ~1e8 vectors codes ride k14's IVF lists)
+    # collectable/broadcastable to ~1e8 vectors at 16 B each
     code_rows = ManifestTable(spark, f"{root}/codes", "vec_id").read().collect()
     code_ids = np.array([r.vec_id for r in code_rows], dtype=np.int64)
     codes = np.array([r.codes for r in code_rows], dtype=np.int32)

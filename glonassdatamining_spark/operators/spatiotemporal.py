@@ -7099,7 +7099,7 @@ def i69_frechet_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reduction is the operator's reason to exist.
 # ---------------------------------------------------------------------------
 _I48B_CELL_MULT = 6.0  # coarse cell = mult * eps (halo overhead ~ 1/mult)
-_I48B_BUCKET = 16      # KD-tree leaf bucket size
+_I48B_BUCKET = 8       # KD-tree leaf bucket size
 
 
 def _make_kd_kernels():
