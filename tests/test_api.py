@@ -1391,6 +1391,36 @@ def test_d47_tdigest_rank_error_and_merge_consistency(spark):
             assert abs(rank - q) <= 0.02, (r.tier, r.key, q, est, rank)
 
 
+def test_d47_vectorized_unit_build_bit_identical():
+    """Round-11 optimization (guide §4.2): the build stage's
+    vectorized unit-weight compress (binary-searched cluster
+    boundaries + cross-cluster sequential-fold means) must be
+    BIT-IDENTICAL — means and weights, tuple-exact — to the reference
+    greedy walk ``compress([(v, 1.0) ...])`` it replaced, across
+    sizes bracketing the Arrow batch range and boundary cases."""
+    import random
+
+    import numpy as np
+
+    from glonassdatamining_spark.operators.aggregates import (
+        _d47_compress,
+        _d47_compress_sorted_units,
+    )
+
+    rng = random.Random(11)
+    for n in (0, 1, 2, 5, 99, 100, 101, 1_000, 9_999, 10_000, 20_000):
+        vals = np.sort(
+            np.array([rng.lognormvariate(7, 1.2) for _ in range(n)])
+        )
+        ref = _d47_compress([(float(v), 1.0) for v in vals])
+        assert _d47_compress_sorted_units(vals) == ref, n
+    # ties / constant runs (boundary of the accept test)
+    vals = np.sort(np.array([1.0] * 500 + [2.0] * 500))
+    assert _d47_compress_sorted_units(vals) == _d47_compress(
+        [(float(v), 1.0) for v in vals]
+    )
+
+
 def test_d47_compress_deterministic_and_weight_preserving():
     """Kernel algebra: compression preserves total weight exactly
     (integer-valued doubles), is deterministic (same input, same
