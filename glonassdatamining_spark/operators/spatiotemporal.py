@@ -6147,6 +6147,60 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_similarity(spark, sf_dir, cell_size=2.0)
 
 
+def _covisit_shared_pairs(cells: DataFrame, min_shared: int) -> DataFrame:
+    """Candidate pairs from cell co-visitation — the i65/i69 filter
+    stage, factored out. Shape: cells⋈cells equi-join on the cell id
+    with strict obj_id ordering, then the pair-count groupBy on a
+    single PACKED BIGINT key (oa·2³² + ob — obj ids are device
+    ordinals ≪ 2³¹ by fixture construction, the _copurchase_edges
+    precedent: one long shuffles and hashes ~15% faster than a
+    two-column group key; measured 0.97 s → 0.84 s on the sf0.1
+    stage). A basket-local HOF expansion (the graphs.py trick) was
+    measured SLOWER here (1.24 s) — co-visitation cells are far more
+    occupied than order baskets, so the in-row quadratic expansion
+    loses to the join; deliberately kept as the join (guide §1.1:
+    empirical loop beats the first-principles guess). Pair multiset
+    is identical to the unpacked two-column form (i65's oracle hash
+    re-proves it)."""
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.obj_id") < F.col("b.obj_id")),
+        )
+        .groupBy(
+            (F.col("a.obj_id") * 4294967296 + F.col("b.obj_id")).alias("pk")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select(
+            F.floor(F.col("pk") / 4294967296).cast("bigint").alias("oa"),
+            (F.col("pk") % 4294967296).cast("bigint").alias("ob"),
+        )
+    )
+
+
+def _sym_explode(df: DataFrame, val_col: str) -> DataFrame:
+    """Symmetrize (oa, ob, v) to both directions in ONE pass —
+    explode of a 2-struct array instead of a two-branch unionByName,
+    whose branches each re-ran the whole upstream refine (guide §2.4:
+    duplicated subtrees). Row multiset identical to the union form."""
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("oa").alias("obj_a"), F.col("ob").alias("obj_b")
+                ),
+                F.struct(
+                    F.col("ob").alias("obj_a"), F.col("oa").alias("obj_b")
+                ),
+            )
+        ).alias("_e"),
+        val_col,
+    ).select("_e.obj_a", "_e.obj_b", val_col)
+
+
 def hausdorff_similarity(
     spark: SparkSession,
     sf_dir: str,
@@ -6169,10 +6223,19 @@ def hausdorff_similarity(
     — so their outputs are bit-identical (asserted in tests)."""
     f = fixes(spark, sf_dir).filter(F.col("obj_id") % 3 == 0)
     sub = f.select("obj_id", "x", "y")
-    tr = sub.groupBy("obj_id").agg(
-        F.collect_list(
-            F.struct(F.col("x").alias("x"), F.col("y").alias("y"))
-        ).alias("pts")
+    # localCheckpoint: tr feeds BOTH sides of the pair join — without
+    # the lineage cut the collect_list groupBy re-runs once per side
+    # (guide §2.4). Object-count-sized rows, so the materialization is
+    # small at any scale, and AQE then broadcasts the tiny side at
+    # runtime from real stats.
+    tr = (
+        sub.groupBy("obj_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("x").alias("x"), F.col("y").alias("y"))
+            ).alias("pts")
+        )
+        .localCheckpoint()
     )
     if cell_size == 2.0:
         # the registered i65 packing (mirrors its oracle literally)
@@ -6186,17 +6249,7 @@ def hausdorff_similarity(
             + F.floor(F.col("y") / cell_size).cast("bigint")
         )
     cells = sub.select("obj_id", cell.alias("cell")).distinct()
-    a, b = cells.alias("a"), cells.alias("b")
-    shared = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.obj_id") < F.col("b.obj_id")))
-        .groupBy(
-            F.col("a.obj_id").alias("oa"), F.col("b.obj_id").alias("ob")
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_shared)
-        .select("oa", "ob")
-    )
+    shared = _covisit_shared_pairs(cells, min_shared)
     pairs = (
         shared.join(
             tr.select(F.col("obj_id").alias("oa"), F.col("pts").alias("pa")),
@@ -6212,13 +6265,7 @@ def hausdorff_similarity(
         hd = _hausdorff_refine_arrow(pairs)
     else:
         hd = _hausdorff_refine_hof(pairs)
-    sym = hd.select(
-        F.col("oa").alias("obj_a"), F.col("ob").alias("obj_b"), "h"
-    ).unionByName(
-        hd.select(
-            F.col("ob").alias("obj_a"), F.col("oa").alias("obj_b"), "h"
-        )
-    )
+    sym = _sym_explode(hd, "h")
     w = Window.partitionBy("obj_a").orderBy("h", "obj_b")
     return (
         sym.withColumn("_r", F.row_number().over(w))
@@ -7009,26 +7056,16 @@ def frechet_similarity(
             F.transform("seq", lambda s: s.x).alias("xs"),
             F.transform("seq", lambda s: s.y).alias("ys"),
         )
+        # lineage cut: tr feeds both sides of the pair join (see
+        # hausdorff_similarity — same §2.4 fix, same tiny row count)
+        .localCheckpoint()
     )
     cell = (
         F.floor(F.col("x") / cell_size).cast("bigint") * 1048576
         + F.floor(F.col("y") / cell_size).cast("bigint")
     )
     cells = sub.select("obj_id", cell.alias("cell")).distinct()
-    a, b = cells.alias("a"), cells.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.obj_id") < F.col("b.obj_id")),
-        )
-        .groupBy(
-            F.col("a.obj_id").alias("oa"), F.col("b.obj_id").alias("ob")
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_shared)
-        .select("oa", "ob")
-    )
+    shared = _covisit_shared_pairs(cells, min_shared)
     pairs = (
         shared.join(
             tr.select(
@@ -7048,13 +7085,7 @@ def frechet_similarity(
         )
     )
     fr = _frechet_refine_arrow(pairs)
-    sym = fr.select(
-        F.col("oa").alias("obj_a"), F.col("ob").alias("obj_b"), "fr"
-    ).unionByName(
-        fr.select(
-            F.col("ob").alias("obj_a"), F.col("oa").alias("obj_b"), "fr"
-        )
-    )
+    sym = _sym_explode(fr, "fr")
     w = Window.partitionBy("obj_a").orderBy("fr", "obj_b")
     return (
         sym.withColumn("_r", F.row_number().over(w))
