@@ -748,15 +748,29 @@ def set_similarity_topk(
             F.min(F.col("b._sz")).alias("_szb"),
         )
     )
-    sym = half.unionByName(
-        half.select(
-            F.col("obj_b").alias("obj_a"),
-            F.col("obj_a").alias("obj_b"),
-            "_inter",
-            F.col("_szb").alias("_sza"),
-            F.col("_sza").alias("_szb"),
-        )
-    )
+    # Symmetrize in ONE pass — explode of a 2-struct array. The former
+    # two-branch unionByName re-ran the whole inverted-index join +
+    # pair groupBy once per branch (optimization guide §2.4: duplicated
+    # subtrees); row multiset is identical.
+    sym = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("obj_a"),
+                    F.col("obj_b"),
+                    F.col("_sza"),
+                    F.col("_szb"),
+                ),
+                F.struct(
+                    F.col("obj_b").alias("obj_a"),
+                    F.col("obj_a").alias("obj_b"),
+                    F.col("_szb").alias("_sza"),
+                    F.col("_sza").alias("_szb"),
+                ),
+            )
+        ).alias("_e"),
+        "_inter",
+    ).select("_e.obj_a", "_e.obj_b", "_inter", "_e._sza", "_e._szb")
     jac = F.col("_inter").cast("double") / (
         F.col("_sza") + F.col("_szb") - F.col("_inter")
     )
