@@ -30,6 +30,29 @@ from glonassdatamining_spark.sources import load
 _MIN_COOCCUR_CC = 3  # sparse graph → small components (oracle-friendly)
 _MIN_COOCCUR = 2  # denser graph for triangle counting / PageRank
 
+# Scale-adaptive partition sizing for ITERATIVE graph state (round-11,
+# guide §2.2 "fewer, larger reduce partitions"): the co-purchase graph
+# is thousands of edges at fixture scales, yet every per-round frame
+# inherited spark.sql.shuffle.partitions (= core count) — each of the
+# ~dozen tiny jobs an iterative kernel runs paid 32-96 task launches
+# for rows that fit in one. Partition count derives from DATA SIZE via
+# one bounded limit-count (ceil(n / _ROWS_PER_PART), capped at
+# defaultParallelism), so big graphs keep full parallelism — at 100 TB
+# the cap binds and behavior is unchanged — while small state collapses
+# to a few tasks. Parameterized via env for cluster tuning.
+_ROWS_PER_PART = int(
+    __import__("os").environ.get("SPARK_GRAFT_GRAPH_ROWS_PER_PART", "100000")
+)
+
+
+def _adaptive_parts(df: DataFrame) -> int:
+    """ceil(bounded_count / _ROWS_PER_PART) in [1, defaultParallelism].
+    Call on a CHECKPOINTED frame — the probe is one bounded job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cap = _ROWS_PER_PART * par
+    n = df.limit(cap).count()
+    return max(1, min(par, -(-n // _ROWS_PER_PART)))
+
 
 def _copurchase_edges(
     spark: SparkSession,
@@ -1121,6 +1144,10 @@ def _modularity_by_community(e: DataFrame, lab: DataFrame) -> DataFrame:
     its labels FROM the degree rollup, so re-deriving it here would
     pay the symmetrize+groupBy shuffle twice — round-8 review fix);
     without one it is computed from ``e``."""
+    # both callers pass a checkpointed edge list → the sizing probe is
+    # one bounded job; coalesce is narrow (guide §2.2, _adaptive_parts)
+    n_parts = _adaptive_parts(e)
+    e = e.coalesce(n_parts)
     if "d" not in lab.columns:
         sym = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1128,7 +1155,10 @@ def _modularity_by_community(e: DataFrame, lab: DataFrame) -> DataFrame:
         deg = sym.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("d")
         )
-        lab = lab.join(deg, "node")
+        # vertex-sized lineage cut: la, lb and ds all read this frame —
+        # without it the symmetrize + degree groupBy + join re-run once
+        # per branch (guide §2.4)
+        lab = lab.join(deg, "node").localCheckpoint()
     mm = e.agg(F.count(F.lit(1)).alias("m"))
     la = lab.select(F.col("node").alias("src"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("dst"), F.col("community").alias("cb"))
@@ -1254,10 +1284,17 @@ def _n18_labels(
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # size every per-round frame to the graph, not the core count
+    # (guide §2.2; see _adaptive_parts) — coalesce on the checkpointed
+    # frame is narrow (no shuffle), and each round's aggregate output
+    # coalesces the same way before its checkpoint
+    n_parts = _adaptive_parts(sym)
+    sym = sym.coalesce(n_parts)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
+        .coalesce(n_parts)
         .localCheckpoint()
     )
     # Hybrid broadcast gate (n1's probe shape): one bounded
@@ -1271,6 +1308,7 @@ def _n18_labels(
             _n18_round(sym, labels, small_vertex_set)
             .groupBy("node")
             .agg(F.mode("lbl", True).alias("lbl"))
+            .coalesce(n_parts)
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
