@@ -22,6 +22,29 @@ from pyspark.sql.functions import broadcast
 
 _CC_LOG = logging.getLogger("glonassdatamining_spark.cc")
 
+# Scale-adaptive partition sizing for iterative kernel STATE (round-11
+# optimization, guide §2.2 "fewer, larger reduce partitions"): frontier
+# / distance frames are often thousands of rows at fixture scales yet
+# inherit the core-count shuffle partitioning, so every one of a
+# kernel's dozens of tiny jobs pays a core-count task launch. Partition
+# count derives from DATA via one bounded limit-count
+# (ceil(n / _ROWS_PER_PART), capped at defaultParallelism) — at scale
+# the cap binds and parallelism is unchanged. Env-tunable for clusters.
+# (Same pattern as operators/graphs.py:_adaptive_parts; duplicated here
+# because operators/* imports api, not the reverse.)
+_ROWS_PER_PART = int(
+    __import__("os").environ.get("SPARK_GRAFT_STATE_ROWS_PER_PART", "100000")
+)
+
+
+def adaptive_partitions(df: DataFrame) -> int:
+    """ceil(bounded_count / _ROWS_PER_PART) in [1, defaultParallelism].
+    Call on a CHECKPOINTED frame — the probe is one bounded job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cap = _ROWS_PER_PART * par
+    n = df.limit(cap).count()
+    return max(1, min(par, -(-n // _ROWS_PER_PART)))
+
 
 # --------------------------------------------------------------------------
 # sessionization
@@ -1329,6 +1352,9 @@ def bfs_hops(
         .distinct()
         .localCheckpoint()
     )
+    # per-round frames sized to the graph, not the core count (§2.2)
+    n_parts = adaptive_partitions(sym)
+    sym = sym.coalesce(n_parts)
     if source_node is None:
         row = sym.agg(F.min("_src")).collect()[0]
         source_node = row[0]
@@ -1349,11 +1375,12 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(d).cast("bigint"))
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).coalesce(n_parts).localCheckpoint()
         frontier = nxt
     return visited
 
@@ -1419,6 +1446,9 @@ def weighted_sssp(
         .agg(F.min("_w").alias("_w"))
         .localCheckpoint()
     )
+    # per-round frames sized to the graph, not the core count (§2.2)
+    n_parts = adaptive_partitions(sym)
+    sym = sym.coalesce(n_parts)
     if not sym.filter(F.col("_w") < 1).isEmpty():
         raise ValueError(
             "weighted_sssp: all edge weights must be >= 1 (positive "
@@ -1464,6 +1494,7 @@ def weighted_sssp(
             )
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .select("node", "dist")
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         if improved.isEmpty():
@@ -1471,6 +1502,7 @@ def weighted_sssp(
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         frontier = improved
