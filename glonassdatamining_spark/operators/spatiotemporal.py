@@ -4784,7 +4784,9 @@ def _i60_oracle() -> str:
 
 
 @register("i60_concave_overlay_booleans", oracle=_i60_oracle(), section="I60")
-def i60_concave_overlay_booleans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def i60_concave_overlay_booleans(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
     """Boolean AREA measures (intersection / union / difference) for a
     CONCAVE-CONCAVE polygon pair — the vatti-class gap the round-7
     verdict named (i57/i58/i59 are convex-clip only). Method: the
@@ -4842,6 +4844,10 @@ def i60_concave_overlay_booleans(spark: SparkSession, sf_dir: str) -> DataFrame:
             pt(cx, cy - h),
         ).alias("r0"),
     )
+    # subject rings are statically 4 vertices → 2 fan triangles; the
+    # default 'arrow' engine fan-contracts them (round-11, guide §4.1)
+    if engine == "arrow":
+        return concave_overlay_areas(z, engine="arrow", nv=4)
     return concave_overlay_areas(z)
 
 
@@ -4849,12 +4855,25 @@ def concave_overlay_areas(
     z: DataFrame,
     clip_tris=None,
     clip_area: float | None = None,
+    engine: str = "hof",
+    nv: int | None = None,
 ) -> DataFrame:
     """The i60 measure kernel over (zone_id, r0) rows: signed fan
     explode → per-triangle convex clips against the (python-fanned)
     clip triangles → decimal-stable signed sum. Factored out so unit
     tests can feed hand-constructed concave rings (tests/
-    test_geometry.py's reference cases)."""
+    test_geometry.py's reference cases).
+
+    engine='arrow' (round-11 optimization, guide §4.1) is the i62b
+    FAN CONTRACTION applied to this kernel: requires the statically
+    known subject vertex count ``nv`` (one row per zone — every fan
+    triangle unrolls as columns), clips all subject-tri × clip-tri
+    combinations in one vectorized Arrow kernel pass
+    (st_clip_tri_fans_area_arrow), and folds the signed sum ROW-WISE
+    (decimal addition of the per-term casts is exact and order-free) —
+    the fan explode, the interpreted HOF clip chains, and the groupBy
+    shuffle all drop out of the plan. Bit-identity vs 'hof' is
+    asserted in tests/test_geometry.py."""
     from glonassdatamining_spark.functions.geometry import (
         st_area,
         st_area_or_zero,
@@ -4871,19 +4890,100 @@ def concave_overlay_areas(
     # negative. No-op (and no hash impact) for CCW input — the i60
     # fixture and oracle are CCW by construction.
     r = F.col("r0")
-    nv = F.size(r)
+    nvz = F.size(r)
     signed2 = F.aggregate(
         F.transform(
-            F.sequence(F.lit(1), nv),
+            F.sequence(F.lit(1), nvz),
             lambda i: F.element_at(r, i).x
-            * F.element_at(r, (i % nv) + 1).y
-            - F.element_at(r, (i % nv) + 1).x * F.element_at(r, i).y,
+            * F.element_at(r, (i % nvz) + 1).y
+            - F.element_at(r, (i % nvz) + 1).x * F.element_at(r, i).y,
         ),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     z = z.withColumn("r0", F.when(signed2 < 0, F.reverse(r)).otherwise(r))
     z = z.withColumn("sa", st_area(F.col("r0")))
+    if engine == "arrow":
+        if nv is None:
+            raise ValueError(
+                "concave_overlay_areas(engine='arrow') needs the static "
+                "subject vertex count nv"
+            )
+        from glonassdatamining_spark.functions.geometry import (
+            st_clip_tri_fans_area_arrow,
+        )
+
+        idxs = list(range(2, nv))  # fan triangle indices (v1, v_i, v_{i+1})
+        t = z
+        r = F.col("r0")
+        for i in idxs:
+            v1 = F.element_at(r, 1)
+            vi = F.element_at(r, F.lit(i))
+            vj = F.element_at(r, F.lit(i + 1))
+            cross = (
+                (vi.x - v1.x) * (vj.y - v1.y)
+                - (vj.x - v1.x) * (vi.y - v1.y)
+            )
+            t = t.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
+                f"s{i}",
+                F.when(cross > 0, 1.0).when(cross < 0, -1.0).otherwise(0.0),
+            )
+        # literal clip-triangle vertices as columns — constant-fold to
+        # the identical doubles st_clip_half_plane would inject
+        nj = len(clip_tris)
+        for j, (_tsign, tri) in enumerate(clip_tris):
+            for k, (px, py) in enumerate(tri):
+                t = t.withColumn(f"f{j}v{k}x", F.lit(float(px)))
+                t = t.withColumn(f"f{j}v{k}y", F.lit(float(py)))
+        fancols = {
+            j: tuple(f"f{j}v{k}{ax}" for k in range(3) for ax in ("x", "y"))
+            for j in range(nj)
+        }
+        subjects = [
+            (
+                f"tri{i}",
+                [fancols[j] for j in range(nj)],
+                [f"a{i}_{j}" for j in range(nj)],
+            )
+            for i in idxs
+        ]
+        t = t.select(
+            "zone_id",
+            "sa",
+            *[f"s{i}" for i in idxs],
+            *[f"tri{i}" for i in idxs],
+            *[c for j in range(nj) for c in fancols[j]],
+        )
+        t = st_clip_tri_fans_area_arrow(t, subjects)
+
+        def term_i(i):
+            # same left-to-right double fold over the clip family as
+            # the hof chain's `areas` accumulation
+            areas = None
+            for j, (tsign, _tri) in enumerate(clip_tris):
+                a = F.col(f"a{i}_{j}")
+                if tsign < 0:
+                    a = -a
+                areas = a if areas is None else areas + a
+            return (F.col(f"s{i}") * areas).cast("decimal(28,6)")
+
+        inter = term_i(idxs[0])
+        for i in idxs[1:]:
+            inter = inter + term_i(i)
+        inter = inter.cast("double")
+        nneg = (F.col(f"s{idxs[0]}") < 0).cast("bigint")
+        for i in idxs[1:]:
+            nneg = nneg + (F.col(f"s{i}") < 0).cast("bigint")
+        return t.select(
+            "zone_id",
+            F.round("sa", 6).alias("subj_area"),
+            inter.alias("inter_area"),
+            F.round((F.col("sa") + F.lit(clip_area)) - inter, 6).alias(
+                "union_area"
+            ),
+            F.round(F.col("sa") - inter, 6).alias("diff_area"),
+            nneg.alias("n_neg_tris"),
+        )
     e = z.select(
         "zone_id",
         "sa",

@@ -1143,6 +1143,31 @@ def test_i62_i62b_arrow_engine_bit_identical_to_hof(spark):
     assert ab and ab == hb
 
 
+def test_i60_arrow_engine_bit_identical_to_hof(spark):
+    """The i60 arrow fan-contraction (round-11) vs the Catalyst
+    explode + HOF clip-chain + groupBy reference: identical row sets
+    with EXACT == on every column — the Arrow kernel replays the
+    Catalyst op order element-for-element, the per-clip-tri double
+    fold keeps the hof chain's left-to-right order, and the row-wise
+    decimal term sum is exact, so any difference means divergence."""
+    from glonassdatamining_spark.operators import spatiotemporal as st
+    from tests.conftest import SF_DIR
+
+    a = {
+        r.zone_id: tuple(r)
+        for r in st.i60_concave_overlay_booleans(
+            spark, SF_DIR, engine="arrow"
+        ).collect()
+    }
+    h = {
+        r.zone_id: tuple(r)
+        for r in st.i60_concave_overlay_booleans(
+            spark, SF_DIR, engine="hof"
+        ).collect()
+    }
+    assert a and a == h
+
+
 def test_i65_arrow_refine_bit_identical_to_hof(spark):
     """The Arrow numpy batch refine vs the nested-HOF Catalyst refine:
     BIT-IDENTICAL doubles, not approx — both evaluate the same
