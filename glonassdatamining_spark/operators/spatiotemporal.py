@@ -7779,30 +7779,42 @@ def unbounded_knn(f: DataFrame, k: int, eps: float) -> DataFrame:
         cands = (
             probe.join(build, ["cx", "cy"])
             .filter(F.col("a_id") != F.col("b_id"))
-            .select("a_id", "ax", "ay", "b_id", d_expr.alias("d"))
+            # project the probe coords away pre-shuffle — the window
+            # only needs (a_id, b_id, d) (guide §2.1)
+            .select("a_id", "b_id", d_expr.alias("d"))
         )
         w = Window.partitionBy("a_id").orderBy("d", "b_id")
         topk = (
             cands.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= k)
         )
-        # proven iff the k-th candidate exists AND sits inside the ring
-        per = topk.groupBy("a_id").agg(
-            F.count(F.lit(1)).alias("_n"), F.max("d").alias("_dmax")
+        # proven iff the k-th candidate exists AND sits inside the ring.
+        # Round-11 (guide §2.4, §2.1): the per-point stats ride WINDOW
+        # aggregates over the a_id partitioning the row_number window
+        # already established — the old groupBy + join-back pair cost
+        # two extra Exchanges — and the retired frame is checkpointed
+        # ONCE so the frontier anti-join reads it instead of re-running
+        # the whole candidate join + window lineage a second time per
+        # round (proven_ids was unmaterialized before: the round's
+        # heavy subtree executed twice).
+        wp = Window.partitionBy("a_id")
+        retired = (
+            topk.withColumn("_n", F.count(F.lit(1)).over(wp))
+            .withColumn("_dmax", F.max("d").over(wp))
+            .filter((F.col("_n") >= k) & (F.col("_dmax") <= F.lit(cell)))
+            .select("a_id", "b_id", "d", "_r")
+            .localCheckpoint()
         )
-        proven_ids = per.filter(
-            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(cell))
-        ).select("a_id")
         done_parts.append(
-            topk.join(proven_ids, "a_id").select(
+            retired.select(
                 F.col("a_id").alias("event_id"),
                 F.col("b_id").alias("neighbor_id"),
                 "d",
                 F.col("_r").cast("bigint").alias("rank"),
-            ).localCheckpoint()
+            )
         )
         frontier = frontier.join(
-            proven_ids, frontier.a_id == proven_ids.a_id, "left_anti"
+            retired.select("a_id"), "a_id", "left_anti"
         ).localCheckpoint()
         cell *= 2.0
     out = done_parts[0]
