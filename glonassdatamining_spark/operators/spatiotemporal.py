@@ -5298,54 +5298,40 @@ def i62_concave_overlay_join(
         (F.col("s_suppkey") % 5 + 6).cast("double").alias("rd"),
     )
 
-    def with_cells(df, minx, maxx, miny, maxy):
-        return df.withColumn(
-            "cellx",
-            F.explode(
-                F.sequence(
-                    F.floor(minx / _I59_CELL), F.floor(maxx / _I59_CELL)
-                )
+    # Candidate generation (round-11, guide §3.4): bbox-overlap
+    # broadcast theta-join — the oracle's own `pairs` CTE — instead of
+    # the i59 grid equi-join: the district side is bounded (≤100 rows,
+    # broadcast), so BNLJ gives the exact bbox-candidate set with no
+    # cell explode and no dropDuplicates Exchange. Output identical:
+    # both engines and the oracle filter inter > 0, so any candidate
+    # superset of the intersecting pairs yields the same rows. (See
+    # i62b's cand comment; the grid join remains i59's scale form for
+    # unbounded clip sides.)
+    # Zone ring built per ZONE pre-join (round-11, guide §2.1) — the
+    # old per-pair construction repeated it once per candidate
+    zones = zones.withColumn(
+        "r0",
+        F.array(
+            F.struct(
+                (F.col("zx") + F.col("w")).alias("x"),
+                (F.col("zy") + F.col("h")).alias("y"),
             ),
-        ).withColumn(
-            "celly",
-            F.explode(
-                F.sequence(
-                    F.floor(miny / _I59_CELL), F.floor(maxy / _I59_CELL)
-                )
+            F.struct(F.col("zx").alias("x"), F.col("zy").alias("y")),
+            F.struct(
+                (F.col("zx") - F.col("w")).alias("x"),
+                (F.col("zy") + F.col("h")).alias("y"),
             ),
-        )
-
-    zc = with_cells(
-        zones,
-        F.col("zx") - F.col("w"), F.col("zx") + F.col("w"),
-        F.col("zy") - F.col("h"), F.col("zy") + F.col("h"),
+            F.struct(
+                F.col("zx").alias("x"),
+                (F.col("zy") - F.col("h")).alias("y"),
+            ),
+        ),
     )
-    dc = with_cells(
-        districts,
-        F.col("dx") - F.col("rd"), F.col("dx") + F.col("rd"),
-        F.col("dy") - F.col("rd"), F.col("dy") + F.col("rd"),
-    )
-    cand = (
-        zc.join(F.broadcast(dc), ["cellx", "celly"])
-        .dropDuplicates(["zone_id", "district_id"])
-        .withColumn(
-            "r0",
-            F.array(
-                F.struct(
-                    (F.col("zx") + F.col("w")).alias("x"),
-                    (F.col("zy") + F.col("h")).alias("y"),
-                ),
-                F.struct(F.col("zx").alias("x"), F.col("zy").alias("y")),
-                F.struct(
-                    (F.col("zx") - F.col("w")).alias("x"),
-                    (F.col("zy") + F.col("h")).alias("y"),
-                ),
-                F.struct(
-                    F.col("zx").alias("x"),
-                    (F.col("zy") - F.col("h")).alias("y"),
-                ),
-            ),
-        )
+    bbox_pred = (
+        (F.col("zx") - F.col("w") <= F.col("dx") + F.col("rd"))
+        & (F.col("dx") - F.col("rd") <= F.col("zx") + F.col("w"))
+        & (F.col("zy") - F.col("h") <= F.col("dy") + F.col("rd"))
+        & (F.col("dy") - F.col("rd") <= F.col("zy") + F.col("h"))
     )
     if engine == "arrow":
         # FAN CONTRACTION over the Arrow clip kernel — i62b's form
@@ -5354,11 +5340,12 @@ def i62_concave_overlay_join(
         # row-wise in one kernel pass; explode, barrier, and group-by
         # shuffle all drop out of the plan (see i62b's arrow branch
         # for the exactness argument; asserted vs 'hof' in tests).
+        # Per-side fan derivations run PRE-join (guide §2.1).
         from glonassdatamining_spark.functions.geometry import (
             st_clip_tri_fans_area_arrow,
         )
 
-        t = cand
+        zt = zones
         r = F.col("r0")
         for i in (2, 3):
             v1 = F.element_at(r, 1)
@@ -5368,17 +5355,19 @@ def i62_concave_overlay_join(
                 (vi.x - v1.x) * (vj.y - v1.y)
                 - (vj.x - v1.x) * (vi.y - v1.y)
             )
-            t = t.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
+            zt = zt.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
                 f"s{i}",
                 F.when(cross > 0, 1.0).when(cross < 0, -1.0).otherwise(0.0),
             )
+        dt = districts
         for j, (_tsign, fan) in enumerate(_I62_CLIP_FANS):
             for k, (ox, oy) in enumerate(fan):
-                t = t.withColumn(
+                dt = dt.withColumn(
                     f"f{j}v{k}x", F.col("dx") + F.col("rd") * F.lit(ox)
                 ).withColumn(
                     f"f{j}v{k}y", F.col("dy") + F.col("rd") * F.lit(oy)
                 )
+        t = zt.join(F.broadcast(dt), bbox_pred)
         fancols = {
             j: tuple(f"f{j}v{k}{ax}" for k in range(3) for ax in ("x", "y"))
             for j in (0, 1)
@@ -5417,6 +5406,7 @@ def i62_concave_overlay_join(
             ).alias("union_area"),
         )
 
+    cand = zones.join(F.broadcast(districts), bbox_pred)
     e = cand.withColumn("i", F.explode(F.array(F.lit(2), F.lit(3))))
     r = F.col("r0")
     v1 = F.element_at(r, 1)
@@ -5755,59 +5745,48 @@ def i62b_concave_overlay_general(
         (F.col("s_suppkey") % 5 + 6).cast("double").alias("rd"),
     )
 
-    def with_cells(df, minx, maxx, miny, maxy):
-        return df.withColumn(
-            "cellx",
-            F.explode(
-                F.sequence(
-                    F.floor(minx / _I59_CELL), F.floor(maxx / _I59_CELL)
-                )
-            ),
-        ).withColumn(
-            "celly",
-            F.explode(
-                F.sequence(
-                    F.floor(miny / _I59_CELL), F.floor(maxy / _I59_CELL)
-                )
-            ),
-        )
-
     def pt(x, y):
         return F.struct(x.alias("x"), y.alias("y"))
 
-    zc = with_cells(
-        zones,
-        F.col("zx") - F.col("w"), F.col("zx") + F.col("w"),
-        F.col("zy") - F.col("h"), F.col("zy") + F.col("h"),
-    )
-    dc = with_cells(
-        districts,
-        F.col("dx") - F.col("rd"), F.col("dx") + F.col("rd"),
-        F.col("dy") - F.col("rd"), F.col("dy") + F.col("rd"),
-    )
-    cand = (
-        zc.join(F.broadcast(dc), ["cellx", "celly"])
-        .dropDuplicates(["zone_id", "district_id"])
-        .withColumn(
-            "r0",
-            F.array(
-                pt(F.col("zx") + F.col("w"), F.col("zy") + F.col("h")),
-                pt(F.col("zx"), F.col("zy")),
-                pt(F.col("zx") - F.col("w"), F.col("zy") + F.col("h")),
-                pt(F.col("zx"), F.col("zy") - F.col("h")),
-            ),
-        )
-        .withColumn(
-            "d0",
-            F.array(
-                pt(F.col("dx") + F.col("rd"), F.col("dy") + F.col("rd")),
-                pt(F.col("dx"), F.col("dy")),
-                pt(F.col("dx") - F.col("rd"), F.col("dy") + F.col("rd")),
-                pt(F.col("dx"), F.col("dy") - F.col("rd")),
-            ),
-        )
-        .withColumn("sa", st_area(F.col("r0")))
-        .withColumn("da", st_area(F.col("d0")))
+    # Candidate generation (round-11, guide §3.4): the district side is
+    # BOUNDED (≤100 rows, broadcast), so the bbox-overlap theta-join —
+    # the oracle's own `pairs` CTE — beats the i59 grid equi-join
+    # outright: exact bbox-candidate set (146 k pairs at sf0.1 vs 520 k
+    # grid-cell survivors at cell=32), no cell explode, and the
+    # dropDuplicates Exchange disappears (output identical either way:
+    # both engines and the oracle filter inter > 0, so any candidate
+    # superset of the intersecting pairs yields the same rows). The
+    # grid join remains the declared scale form for UNBOUNDED clip
+    # sides (i59); with a bounded broadcast side BNLJ is strictly less
+    # work per row than 4-cell explode + hash probe + dedup.
+    # Per-SIDE derivations run pre-join (round-11, guide §2.1): r0/sa
+    # depend only on the zone (16.7 k rows at sf0.1), d0/da only on the
+    # district (100 rows) — computing them per candidate PAIR (146 k
+    # rows) paid the interpreted shoelace HOF ~9× more than needed.
+    # Same expressions on the same doubles → bit-identical values.
+    zones = zones.withColumn(
+        "r0",
+        F.array(
+            pt(F.col("zx") + F.col("w"), F.col("zy") + F.col("h")),
+            pt(F.col("zx"), F.col("zy")),
+            pt(F.col("zx") - F.col("w"), F.col("zy") + F.col("h")),
+            pt(F.col("zx"), F.col("zy") - F.col("h")),
+        ),
+    ).withColumn("sa", st_area(F.col("r0")))
+    districts = districts.withColumn(
+        "d0",
+        F.array(
+            pt(F.col("dx") + F.col("rd"), F.col("dy") + F.col("rd")),
+            pt(F.col("dx"), F.col("dy")),
+            pt(F.col("dx") - F.col("rd"), F.col("dy") + F.col("rd")),
+            pt(F.col("dx"), F.col("dy") - F.col("rd")),
+        ),
+    ).withColumn("da", st_area(F.col("d0")))
+    bbox_pred = (
+        (F.col("zx") - F.col("w") <= F.col("dx") + F.col("rd"))
+        & (F.col("dx") - F.col("rd") <= F.col("zx") + F.col("w"))
+        & (F.col("zy") - F.col("h") <= F.col("dy") + F.col("rd"))
+        & (F.col("dy") - F.col("rd") <= F.col("zy") + F.col("h"))
     )
     if engine == "arrow":
         # FAN CONTRACTION over the Arrow clip kernel (round-9 verdict
@@ -5825,7 +5804,10 @@ def i62b_concave_overlay_general(
             st_clip_tri_fans_area_arrow,
         )
 
-        t = cand
+        # fan derivations per SIDE, pre-join (see cand comment): tri/s
+        # from the zone ring, CCW clip vertices/t from the district
+        # ring — the join output carries only flat kernel columns
+        zt = zones
         r, d = F.col("r0"), F.col("d0")
         for i in (2, 3):
             v1 = F.element_at(r, 1)
@@ -5835,10 +5817,11 @@ def i62b_concave_overlay_general(
                 (vi.x - v1.x) * (vj.y - v1.y)
                 - (vj.x - v1.x) * (vi.y - v1.y)
             )
-            t = t.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
+            zt = zt.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
                 f"s{i}",
                 F.when(crs > 0, 1.0).when(crs < 0, -1.0).otherwise(0.0),
             )
+        dt = districts
         for j in (2, 3):
             d1 = F.element_at(d, 1)
             dj = F.element_at(d, F.lit(j))
@@ -5847,7 +5830,7 @@ def i62b_concave_overlay_general(
                 (dj.x - d1.x) * (dk.y - d1.y)
                 - (dk.x - d1.x) * (dj.y - d1.y)
             )
-            t = t.withColumn(
+            dt = dt.withColumn(
                 f"cu{j}",
                 F.when(crd >= 0, F.array(d1, dj, dk)).otherwise(
                     F.array(d1, dk, dj)
@@ -5859,10 +5842,11 @@ def i62b_concave_overlay_general(
             cu = F.col(f"cu{j}")
             for k in (1, 2, 3):
                 uk = F.element_at(cu, k)
-                t = t.withColumn(f"u{j}{k}x", uk.x).withColumn(
+                dt = dt.withColumn(f"u{j}{k}x", uk.x).withColumn(
                     f"u{j}{k}y", uk.y
                 )
-            t = t.drop(f"cu{j}")
+            dt = dt.drop(f"cu{j}")
+        t = zt.join(F.broadcast(dt), bbox_pred)
         fan_cols = {
             j: tuple(
                 f"u{j}{k}{ax}" for k in (1, 2, 3) for ax in ("x", "y")
@@ -5915,6 +5899,7 @@ def i62b_concave_overlay_general(
             "n_neg_terms",
         )
 
+    cand = zones.join(F.broadcast(districts), bbox_pred)
     e = cand.withColumn(
         "i", F.explode(F.sequence(F.lit(2), F.size("r0") - 1))
     ).withColumn("j", F.explode(F.sequence(F.lit(2), F.size("d0") - 1)))
