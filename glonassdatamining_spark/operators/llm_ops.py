@@ -3657,33 +3657,52 @@ def _k55_learn(spark: SparkSession, sf_dir: str, use_cache: bool = False):
     (k49b's path — the learning is deterministic, so reuse cannot
     change results; k55 itself always re-learns so its bench time
     keeps measuring the training loop)."""
+    from glonassdatamining_spark.api import adaptive_partitions
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if use_cache and key in _K55_CACHE:
         return _K55_CACHE[key]
     wf = _k55_word_freq(spark, sf_dir).localCheckpoint()
-    merges = []
+    # Round-11 (guide §2.2): the vocab frame is VOCAB-sized (31 rows on
+    # the fixture corpus) yet inherited the corpus groupBy's core-count
+    # partitioning — every one of the 16 per-round jobs launched ~32
+    # tasks for rows that fit in one. Size the iterative state to the
+    # data (bounded probe, capped at defaultParallelism — a real 100 TB
+    # vocab keeps full parallelism).
+    n_parts = adaptive_partitions(wf)
+    wf = wf.coalesce(n_parts)
+    # Round-11 (guide §2.2/§5.2 bounded driver scalar): each round's
+    # argmax pair is ONE row — the bfs_hops source-node precedent —
+    # so collect it (takeOrdered, no full sort) and apply the merge as
+    # a LITERAL string replace. This halves the per-round job count
+    # (the separate top1 localCheckpoint job, the crossJoin, and the
+    # final 8-way union all drop out); the argmax itself (count DESC,
+    # lexicographic (a, b)) is unchanged and fully deterministic.
+    merge_rows = []
     for step in range(_K55_MERGES):
-        top1 = (
+        rows = (
             _k55_pair_counts(wf)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .select(F.lit(step).alias("step"), "a", "b", "cnt")
-            .localCheckpoint()
+            .limit(1)  # 1-row bounded argmax scalar (TakeOrdered, no full sort)
+            .collect()
         )
-        merges.append(top1)
-        pat = F.concat(
-            F.lit(_K55_SEP), F.col("a"), F.lit(_K55_SEP * 2), F.col("b"),
-            F.lit(_K55_SEP),
+        if not rows:  # no ≥2-symbol word left: later rounds learn nothing
+            break
+        a, b, cnt = rows[0]["a"], rows[0]["b"], rows[0]["cnt"]
+        merge_rows.append((step, a, b, cnt))
+        pat = _K55_SEP + a + _K55_SEP * 2 + b + _K55_SEP
+        rep = _K55_SEP + a + b + _K55_SEP
+        # Literal replace is NARROW: no per-round checkpoint needed —
+        # lineage stays (checkpointed base) -> k narrow selects, and
+        # each round's argmax job recomputes only O(vocab) string
+        # replaces. One final materialization below serves k55b/k49b.
+        wf = wf.select(
+            "w", F.replace("s", F.lit(pat), F.lit(rep)).alias("s"), "f"
         )
-        rep = F.concat(F.lit(_K55_SEP), F.col("a"), F.col("b"), F.lit(_K55_SEP))
-        wf = (
-            wf.crossJoin(broadcast(top1))
-            .select("w", F.replace("s", pat, rep).alias("s"), "f")
-            .localCheckpoint()
-        )
-    table = merges[0]
-    for m in merges[1:]:
-        table = table.unionByName(m)
+    wf = wf.localCheckpoint()
+    table = spark.createDataFrame(
+        merge_rows, "step int, a string, b string, cnt bigint"
+    )
     # Keep only the most recent entry PER APPLICATION (round-9 ADVICE:
     # the cache pins localCheckpoint-backed frames — and their RDD
     # blocks — for the process lifetime; a long session touching many

@@ -106,6 +106,7 @@ COLLECT_ALLOWED = {
     ("lakehouse.py", "1-row bounded scalar"),       # merge key-range probe
     ("operators/llm_ops.py", "bounded ≤ nlist (16) distinct probe ids"),  # ivf_query prune
     ("operators/llm_ops.py", "bounded <= _K55_MERGES (8) merge-table rows"),  # bpe_apply_merges
+    ("operators/llm_ops.py", "1-row bounded argmax scalar"),  # k55 per-round top pair
     ("operators/llm_ops.py", "train on a sample (bounded _PQ_SAMPLE rows)"),  # k14c codebook sample
     ("operators/llm_ops.py", "bounded M*ksub (256) codebook rows"),  # k14c codebook read
     ("operators/llm_ops.py", "collectable/broadcastable to ~1e8 vectors"),  # k14c code table (16 B/vec; crossover documented)
