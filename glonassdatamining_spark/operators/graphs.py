@@ -103,6 +103,20 @@ def _copurchase_edges(
     return counted.select(*cols)
 
 
+def _edges_ckpt(
+    spark: SparkSession, sf_dir: str, min_cooccur: int, weighted: bool = False
+) -> DataFrame:
+    """Checkpointed co-purchase edge list, coalesced to a data-derived
+    partition count (guide §2.2): the fixture graph is a few thousand
+    edges yet the checkpoint inherits the pair-count groupBy's
+    core-count partitioning, so every downstream stage paid ~32 task
+    launches for rows that fit in one. `_adaptive_parts` caps at
+    defaultParallelism — at 100 TB the cap binds and parallelism is
+    unchanged; coalesce is narrow (no shuffle, no value change)."""
+    e = _copurchase_edges(spark, sf_dir, min_cooccur, weighted).localCheckpoint()
+    return e.coalesce(_adaptive_parts(e))
+
+
 _EDGES_SQL_CC = (
     "edges AS ("
     "  SELECT a.l_partkey AS src, b.l_partkey AS dst"
@@ -172,7 +186,7 @@ def n3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     each triangle {a<b<c} counted exactly once via the two-join
     compact-forward shape. On a cluster both joins hash-shuffle on
     node keys (or broadcast when the edge list fits)."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -314,7 +328,7 @@ def n7_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index discipline as i11/k30 applied to graph adjacency."""
     from pyspark.sql.functions import broadcast
 
-    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -381,7 +395,7 @@ def n8_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, never all-pairs; both joins broadcast when the edge list is
     small and shuffle on node keys otherwise (AQE picks). The tiny
     edge list is checkpointed once and fans into all three uses."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -469,7 +483,7 @@ def n8b_clustering_coefficient_capped(
 
 
 def _n8b_impl(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -550,7 +564,7 @@ def n9_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins. At 100 TB: hub nodes bound the wedge fanout — cap or
     sample super-hub adjacency (the standard cut) before this join;
     the fixture graph's max degree is small so no cap is declared."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -613,7 +627,7 @@ def n10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge scan is O(|E|). Degree products DECIMAL(38)-summed exactly
     (D30's discipline); the r fold is one identically-ordered double
     expression on both engines."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     du = deg.select(F.col("src").alias("_u"), F.col("d").alias("ds"))
@@ -688,7 +702,7 @@ def n11_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     as N1's recursive-CTE closure, then the same two rollups."""
     from glonassdatamining_spark.api import connected_components
 
-    edges = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR_CC).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR_CC)
     comp = connected_components(edges, "src", "dst")
     v = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices")
@@ -750,7 +764,7 @@ def n12_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension broadcast against it and against the degree-annotated
     edge list (two vertex-sized equi-joins, N10's ends shape) — the
     threshold cross multiplies work by |ks|=4, never by |V|."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -826,7 +840,7 @@ def n13_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so the tie-break cannot move G). Scale shape: degree
     rollup + ONE global-order rank window (the E3 two-tier rewrite
     at extreme cardinality) + one moment aggregate."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1000,7 +1014,7 @@ def n16_two_hop_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge list is localCheckpoint-ed (twin-branch discipline):
     both sides of the wedge self-join replay the full lineitem
     basket extraction otherwise — measured 4.5 s → 1.7 s at sf0.1."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     hop2 = (
         sym.alias("a")
@@ -1009,10 +1023,11 @@ def n16_two_hop_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.src").alias("v"), F.col("b.dst").alias("w"))
     )
     ball = sym.select(F.col("src").alias("v"), F.col("dst").alias("w")).union(hop2)
-    return (
-        ball.distinct()
-        .groupBy(F.col("v").alias("node"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ball2_size"))
+    # Round-11 (guide §2.1): DISTINCT-then-count re-shuffled the ball
+    # by (v, w) and again by v; count_distinct dedups (v, w) inside
+    # the v-partitioned aggregate — one Exchange fewer, same values.
+    return ball.groupBy(F.col("v").alias("node")).agg(
+        F.count_distinct("w").cast("bigint").alias("ball2_size")
     )
 
 
@@ -1060,7 +1075,7 @@ def n16b_two_hop_ball_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _n16b_impl(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
     capped = (
@@ -1073,10 +1088,11 @@ def _n16b_impl(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
         .select(F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
     )
     ball = sym.select(F.col("src").alias("v"), F.col("dst").alias("w")).union(hop2)
-    return (
-        ball.distinct()
-        .groupBy(F.col("v").alias("node"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ball2_size"))
+    # Round-11 (guide §2.1): DISTINCT-then-count re-shuffled the ball
+    # by (v, w) and again by v; count_distinct dedups (v, w) inside
+    # the v-partitioned aggregate — one Exchange fewer, same values.
+    return ball.groupBy(F.col("v").alias("node")).agg(
+        F.count_distinct("w").cast("bigint").alias("ball2_size")
     )
 
 
@@ -1121,7 +1137,7 @@ def n17_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND two label joins read it), a vertex-sized label frame
     broadcast onto both endpoints, a 1-row m scalar broadcast.
     Community count is 2 — every aggregate is O(1) rows out."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -1352,7 +1368,7 @@ def n18_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys — the n1/CC shape; rounds are fixed (4), so total cost
     is 4·O(E) with checkpointed lineage. On a cluster, bucket sym by
     dst so every round's join is co-located (the module's doctrine)."""
-    e = _copurchase_edges(spark, sf_dir, _MIN_COOCCUR).localCheckpoint()
+    e = _edges_ckpt(spark, sf_dir, _MIN_COOCCUR)
     lab = _n18_labels(e)
     return _modularity_by_community(e, lab)
 

@@ -57,6 +57,11 @@ BNLJ_ALLOWED = {
     "g10_scd2_asof_lookup",   # 3-row probe-instant dim, broadcast (n12's ladder shape)
     "n17_modularity",         # 1-row edge-count m scalar, broadcast
     "n18_label_propagation",  # same fold: 1-row m scalar, broadcast
+    "i62_concave_overlay_join",      # bounded <=100-row district dim,
+                                     # broadcast bbox theta-join (r11:
+                                     # exact candidates; i59 keeps the
+                                     # grid form for unbounded sides)
+    "i62b_concave_overlay_general",  # same bounded broadcast bbox join
     "d44_kendall_tau_b",      # <=35-cell contingency table x itself
                               # (i41's constant-grid shape) + 1-row scalars
 }
