@@ -922,20 +922,31 @@ def g16_lakehouse_positional_deletes(
         t.delete_where("o_orderkey % 5 = 0")
         t.append(o.filter(F.col("o_orderkey") % 3 == 1), 2)
         t.delete_where("o_orderkey % 7 = 0")
-    rows = []
+    # Round-11 (guide §2.4/§5.2): the four per-version rollups ran as
+    # four SEQUENTIAL collect jobs — wall time was their sum. One lazy
+    # union evaluates all four scan branches inside a single job (the
+    # version scans parallelize across tasks) and drops the driver
+    # collects entirely. Same rows: each branch is the identical
+    # 1-row aggregate, version/op now literal columns.
+    parts = []
     for v, op in ((1, "create"), (2, "delete"), (3, "append"), (4, "delete")):
-        r = (
+        parts.append(
             t.read(version=v)
             .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 dsum("o_totalprice", "tp"),
             )
-            .collect()[0]  # 1-row per-version rollup (4 versions, bounded)
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(op).alias("op"),
+                "n_rows",
+                F.col("tp").cast("double").alias("total_price"),
+            )
         )
-        rows.append((v, op, r["n"], float(r["tp"])))
-    return spark.createDataFrame(
-        rows, "version INT, op STRING, n_rows BIGINT, total_price DOUBLE"
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1038,7 +1049,10 @@ def g17_lakehouse_v2_schema_mapping(
             2,
         )
         t.drop_column("o_orderstatus")
-    rows = []
+    # Round-11 (guide §2.4/§5.2): five sequential collect jobs → one
+    # lazy union (see g16) — version scans parallelize in a single
+    # job, no driver collects. n_cols stays a schema-derived literal.
+    parts = []
     for v, op in (
         (1, "create"),
         (2, "delete_eq"),
@@ -1048,13 +1062,19 @@ def g17_lakehouse_v2_schema_mapping(
     ):
         df = t.read(version=v)
         price_col = "price" if "price" in df.columns else "o_totalprice"
-        r = df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            dsum(price_col, "tp"),
-        ).collect()[0]  # 1-row per-version rollup (5 versions, bounded)
-        rows.append((v, op, r["n"], float(r["tp"]), len(df.columns)))
-    return spark.createDataFrame(
-        rows,
-        "version INT, op STRING, n_rows BIGINT, total_price DOUBLE, "
-        "n_cols INT",
-    )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum(price_col, "tp"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(op).alias("op"),
+                "n_rows",
+                F.col("tp").cast("double").alias("total_price"),
+                F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
