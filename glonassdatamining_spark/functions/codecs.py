@@ -38,6 +38,90 @@ def pack_wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
     )
 
 
+def _wkb_dbl_eq(a: float, b: float) -> bool:
+    """Spark double equality: NaN equals NaN (unlike IEEE/Python)."""
+    return a == b or (a != a and b != b)
+
+
+def wkb_polygon_even_odd_area(buf: bytes | None) -> float | None:
+    """Little-endian WKB POLYGON → even-odd area, replaying EXACTLY the
+    pure-Catalyst ``st_polygon_from_wkb`` + ``st_area_multiring`` chain
+    (geometry.py): same validity guards (magic byte 1, type 3, ring
+    count 1..1024, point count clamp at 2^20, end-offset-inside-buffer
+    truncation check), same closing-vertex drop (Spark double equality
+    — NaN==NaN), and the same LEFT-TO-RIGHT IEEE fold per ring
+    (acc + (x1*y2 - x2*y1), abs, /2; shell minus a 0.0-seeded fold of
+    hole areas). Scalar Python doubles are IEEE-754 binary64 with no
+    FMA contraction, so results are BIT-identical to the Catalyst twin
+    (asserted in tests/test_geometry.py). Returns None wherever the
+    Catalyst chain yields null. One documented divergence: on TRUNCATED
+    buffers missing bytes decode as zero-fill here vs hex-substring
+    shortfall there — both paths then fail the same end-offset check
+    and return null, so no observable difference.
+
+    This is the Arrow default engine for i33 (guide §4.1: the
+    interpreted HOF parse costs ~1.5 s analysis + multi-second eval at
+    1500 polygons; this kernel is microseconds). The Catalyst chain
+    remains the declared parser showcase and i34's engine."""
+    if buf is None:
+        return None
+    n = len(buf)
+
+    def u32(off: int) -> int:
+        return int.from_bytes(buf[off : off + 4].ljust(4, b"\0"), "little")
+
+    if n < 1 or buf[0] != 1 or u32(1) != 3:
+        return None
+    nrings = u32(5)
+    if not (1 <= nrings <= 1024):
+        return None
+    off = 9
+    rings: list[list[tuple[float, float]]] = []
+    for _ in range(nrings):
+        npts = u32(off)
+        if 1 <= npts <= 1_048_576:
+            pts = [
+                struct.unpack(
+                    "<dd", buf[off + 4 + 16 * j : off + 20 + 16 * j].ljust(16, b"\0")
+                )
+                for j in range(npts)
+            ]
+        else:
+            pts = []
+        off += 4 + 16 * min(npts, 1_048_576)
+        if (
+            len(pts) >= 2
+            and _wkb_dbl_eq(pts[0][0], pts[-1][0])
+            and _wkb_dbl_eq(pts[0][1], pts[-1][1])
+        ):
+            pts = pts[:-1]
+        rings.append(pts)
+    if off > n:
+        return None
+
+    def ring_area(r: list[tuple[float, float]]) -> float | None:
+        m = len(r)
+        if m < 3:
+            return None
+        acc = 0.0
+        for i in range(m):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % m]
+            acc = acc + (x1 * y2 - x2 * y1)
+        return abs(acc) / 2.0
+
+    shell = ring_area(rings[0])
+    if shell is None:
+        return None
+    holes = 0.0
+    for r in rings[1:]:
+        a = ring_area(r)
+        if a is None:
+            return None
+        holes = holes + a
+    return shell - holes
+
+
 def pack_wkb_multipolygon(
     polys: list[list[list[tuple[float, float]]]],
 ) -> bytes:

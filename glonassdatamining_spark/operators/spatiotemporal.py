@@ -2261,6 +2261,36 @@ def _encode_mpoly_udf():
     return _ENCODE_UDFS["mpoly"]
 
 
+def _measure_poly_area_udf():
+    """Module-singleton Arrow measure UDF for i33's default engine:
+    WKB bytes → even-odd area via the shared
+    ``codecs.wkb_polygon_even_odd_area`` kernel (bit-identical to the
+    Catalyst parse+measure chain — see its docstring and the
+    equivalence test). dtype=object keeps None → SQL NULL (a float64
+    Series would smuggle NaN instead)."""
+    if "poly_area" in _ENCODE_UDFS:
+        return _ENCODE_UDFS["poly_area"]
+    import pandas as pd
+
+    pkg_root = _pkg_root()
+
+    def _area_fn(wkb):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.functions.codecs import (
+            wkb_polygon_even_odd_area,
+        )
+
+        return pd.Series(
+            [wkb_polygon_even_odd_area(b) for b in wkb], dtype="object"
+        )
+
+    _ENCODE_UDFS["poly_area"] = F.pandas_udf(_area_fn, "double")
+    return _ENCODE_UDFS["poly_area"]
+
+
 def _hole_wkb_bytes(bb: DataFrame) -> DataFrame:
     """bb(obj_id, x0..hy1) → (obj_id, wkb): Arrow-batched pandas
     encoder packing each shell+hole polygon to little-endian WKB
@@ -2363,18 +2393,39 @@ def _hole_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     section="I33",
 )
-def i33_wkb_polygon_hole_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+def i33_wkb_polygon_hole_area(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
     """WKB polygons-with-holes, end to end (round-3 judge ask): each
     object's inflated trajectory bbox becomes a shell + centered
     half-size hole, packed to little-endian WKB (Arrow pandas
-    encoder), parsed back by the PURE-Catalyst WKB reader (hex slices
-    + exact IEEE-754 bit reconstruction — functions/geometry.py), and
-    measured with the even-odd multi-ring shoelace. The oracle never
-    sees WKB: it recomputes shell−hole area straight from min/max
-    aggregates with the identical left-to-right IEEE fold, so one
-    flipped byte, swapped vertex, or lossy double anywhere in the
-    encode→parse→measure chain breaks the hash. Scale: one groupBy
-    (the bbox agg); encode/parse/measure are narrow per-row work."""
+    encoder), parsed back and measured with the even-odd multi-ring
+    shoelace. The oracle never sees WKB: it recomputes shell−hole area
+    straight from min/max aggregates with the identical left-to-right
+    IEEE fold, so one flipped byte, swapped vertex, or lossy double
+    anywhere in the encode→parse→measure chain breaks the hash.
+
+    ENGINES (round-11, guide §4.1): the default 'arrow' engine runs
+    parse+measure as ONE Arrow batch over the shared
+    ``codecs.wkb_polygon_even_odd_area`` kernel — the interpreted-HOF
+    Catalyst parse costs ~1.5 s of driver ANALYSIS (a ~thousand-node
+    expression tree) plus multi-second interpreted eval per run at
+    1500 polygons, vs microseconds of scalar-double Python that
+    replays the identical IEEE fold (bit-identity asserted vs the
+    'hof' twin in tests/test_geometry.py). engine='hof' keeps the
+    PURE-Catalyst WKB reader (hex slices + exact IEEE-754 bit
+    reconstruction — functions/geometry.py) — the certification twin,
+    and still i34's declared engine. Scale: one groupBy (the bbox
+    agg); encode/parse/measure are narrow per-row work either way."""
+    if engine == "arrow":
+        wkb = _bench_frame(
+            spark,
+            ("hole_wkb_bytes", sf_dir),
+            lambda: _hole_wkb_bytes(_hole_geo(spark, sf_dir)),
+        )
+        return wkb.select(
+            "obj_id", _measure_poly_area_udf()(F.col("wkb")).alias("area")
+        )
     from glonassdatamining_spark.functions.geometry import st_area_multiring
 
     geo = _hole_rings_frame(spark, sf_dir)
@@ -6734,6 +6785,79 @@ def _i67_crossing_sql(a, b, n2) -> str:
     return f"({pos} OR {neg})"
 
 
+def i67_inside_flags_np(px, py, pz, zone: str):
+    """Numpy twin of ``_i67_inside_sql``: odd-crossing-parity
+    containment for one fence over unit-vector arrays, replaying the
+    SQL text's EXACT IEEE-754 op sequence (same products, same
+    left-to-right sums, same strict sign tests — numpy elementwise
+    mul/add are plain binary64 ops with no FMA contraction), so the
+    booleans are bit-identical to the Catalyst/oracle predicate by
+    determinism, not by margin. This is i67's default 'arrow' engine
+    kernel (guide §4.1): the generated SQL predicate is ~36 KB of text
+    whose single codegen method blows past the JVM JIT's huge-method
+    limit, leaving the hot loop INTERPRETED at ~26 µs/row."""
+    import numpy as np
+
+    cnt = np.zeros(px.shape[0], dtype=np.int64)
+    for a, b, n2 in _i67_edges(_I67_FENCES[zone]):
+        ax, ay, az = a
+        bx, by, bz = b
+        nx, ny, nz = n2
+        # I = n1 x n2 with n1 = (-py, px, 0) — hoisting into arrays is
+        # safe (recomputation would produce the same bits anyway)
+        ix = px * nz
+        iy = py * nz
+        iz = -py * ny - px * nx
+
+        def on_arcs(vx, vy, vz):
+            axv = ((ay * vz - az * vy) * nx + (az * vx - ax * vz) * ny) + (
+                ax * vy - ay * vx
+            ) * nz
+            vxb = ((vy * bz - vz * by) * nx + (vz * bx - vx * bz) * ny) + (
+                vx * by - vy * bx
+            ) * nz
+            pxv = (py * vz - pz * vy) * (-py) + (pz * vx - px * vz) * px
+            vxs = vx * px + vy * py
+            return (axv > 0) & (vxb > 0) & (pxv > 0) & (vxs > 0)
+
+        cnt += (on_arcs(ix, iy, iz) | on_arcs(-ix, -iy, -iz)).astype(
+            np.int64
+        )
+    return (cnt % 2) == 1
+
+
+def _i67_flags_udf():
+    """Module-singleton Arrow UDF: (px, py, pz) → struct of per-fence
+    inside booleans via :func:`i67_inside_flags_np`. Fence edges ride
+    the closure as plain Python tuples (no executor-side repo import
+    needed beyond numpy)."""
+    if "i67_flags" in _ENCODE_UDFS:
+        return _ENCODE_UDFS["i67_flags"]
+    import pandas as pd
+
+    zones = list(_I67_FENCES)
+    pkg_root = _pkg_root()
+
+    def _fn(px, py, pz):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.operators.spatiotemporal import (
+            i67_inside_flags_np,
+        )
+
+        X, Y, Z = px.to_numpy(), py.to_numpy(), pz.to_numpy()
+        return pd.DataFrame(
+            {z: i67_inside_flags_np(X, Y, Z, z) for z in zones}
+        )
+
+    _ENCODE_UDFS["i67_flags"] = F.pandas_udf(
+        _fn, "struct<" + ",".join(f"{z}:boolean" for z in zones) + ">"
+    )
+    return _ENCODE_UDFS["i67_flags"]
+
+
 def _i67_inside_sql(zone: str) -> str:
     """Odd-crossing-parity containment for one fence as SQL text."""
     terms = [
@@ -6765,7 +6889,9 @@ def _i67_oracle() -> str:
 
 
 @register("i67_spherical_geofence", oracle=_i67_oracle(), section="I67")
-def i67_spherical_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def i67_spherical_geofence(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
     """EXACT SPHERICAL geofence containment (round-9 verdict ask #7 —
     the documented cutover target past i63's ~4% local-plane bound):
     per-fence point counts by GREAT-CIRCLE crossing parity on the
@@ -6803,8 +6929,21 @@ def i67_spherical_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cos(radians(lat)) * sin(radians(lon))").alias("py"),
         F.expr("sin(radians(lat))").alias("pz"),
     )
-    for zone in _I67_FENCES:
-        p = p.withColumn(f"_in_{zone}", F.expr(_i67_inside_sql(zone)))
+    if engine == "arrow":
+        # Default engine (round-11, guide §4.1): ONE Arrow batch
+        # evaluates all fence predicates via the numpy twin (see
+        # i67_inside_flags_np — the 36 KB SQL predicate's codegen
+        # method exceeds the JIT huge-method limit and runs
+        # interpreted). Field extraction dedupes to a single UDF eval.
+        fl = _i67_flags_udf()(F.col("px"), F.col("py"), F.col("pz"))
+        p = p.select(
+            "obj_id",
+            "px", "py", "pz",
+            *[fl.getField(z).alias(f"_in_{z}") for z in _I67_FENCES],
+        )
+    else:
+        for zone in _I67_FENCES:
+            p = p.withColumn(f"_in_{zone}", F.expr(_i67_inside_sql(zone)))
     aggs = []
     for zone in _I67_FENCES:
         aggs += [
@@ -6814,18 +6953,22 @@ def i67_spherical_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"o_{zone}"),
         ]
     r = p.agg(*aggs)
-    arms = [
-        r.select(
-            F.lit(zone).alias("zone"),
-            F.col(f"n_{zone}").cast("bigint").alias("n_inside"),
-            F.col(f"o_{zone}").cast("bigint").alias("n_objs"),
-        )
+    # One wide row → 3 output rows via stack (round-11, guide §2.2):
+    # the old 3-arm union re-selected from `r` per arm, and a
+    # non-exchange subtree is NOT reused across union branches — the
+    # plan carried THREE full scan→trig→aggregate copies (see
+    # plans/r11/i67_..._before.txt). stack on the single aggregated
+    # row computes the expensive pass once; values/casts identical.
+    stack_args = ", ".join(
+        f"'{zone}', CAST(n_{zone} AS BIGINT), CAST(o_{zone} AS BIGINT)"
         for zone in _I67_FENCES
-    ]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out
+    )
+    return r.select(
+        F.expr(
+            f"stack({len(_I67_FENCES)}, {stack_args}) "
+            "AS (zone, n_inside, n_objs)"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1168,6 +1168,43 @@ def test_i60_arrow_engine_bit_identical_to_hof(spark):
     assert a and a == h
 
 
+def test_i33_arrow_engine_bit_identical_to_hof(spark):
+    """The i33 Arrow parse+measure kernel (round-11,
+    codecs.wkb_polygon_even_odd_area) vs the pure-Catalyst WKB parse
+    + st_area_multiring chain: EXACT == on every double — the kernel
+    replays the identical IEEE left-to-right shoelace fold, so any
+    difference means the parsers or the fold order diverged. Also
+    exercises the kernel's null contract directly on malformed bytes
+    (bad magic, wrong type, truncated buffer, degenerate ring)."""
+    from glonassdatamining_spark.functions.codecs import (
+        pack_wkb_polygon,
+        wkb_polygon_even_odd_area,
+    )
+    from glonassdatamining_spark.operators import spatiotemporal as st
+    from tests.conftest import SF_DIR
+
+    a = {
+        r.obj_id: r.area
+        for r in st.i33_wkb_polygon_hole_area(
+            spark, SF_DIR, engine="arrow"
+        ).collect()
+    }
+    h = {
+        r.obj_id: r.area
+        for r in st.i33_wkb_polygon_hole_area(
+            spark, SF_DIR, engine="hof"
+        ).collect()
+    }
+    assert a and a == h
+    ok = pack_wkb_polygon([[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]])
+    assert wkb_polygon_even_odd_area(ok) == 16.0
+    assert wkb_polygon_even_odd_area(None) is None
+    assert wkb_polygon_even_odd_area(b"\x00" + ok[1:]) is None  # big-endian
+    assert wkb_polygon_even_odd_area(ok[:20]) is None  # truncated
+    two = pack_wkb_polygon([[(0.0, 0.0), (2.0, 0.0)]])  # degenerate ring
+    assert wkb_polygon_even_odd_area(two) is None
+
+
 def test_i65_arrow_refine_bit_identical_to_hof(spark):
     """The Arrow numpy batch refine vs the nested-HOF Catalyst refine:
     BIT-IDENTICAL doubles, not approx — both evaluate the same
@@ -1434,6 +1471,50 @@ def test_i67_matches_python_reference_and_anchor_invariance(spark):
     }
     assert got == want
     assert all(n > 0 for n, _ in got.values()), "every fence non-vacuous"
+
+
+def test_i67_arrow_engine_bit_identical_to_hof(spark):
+    """The numpy fence-predicate kernel (round-11 default engine) vs
+    the Catalyst textual-twin SQL predicate: PER-POINT boolean
+    equality for every fence (not just the aggregated counts — a
+    count comparison could mask cancelling flips), plus the declared
+    3-row outputs of both engines. The kernel replays the SQL text's
+    exact IEEE op sequence, so any mismatch means divergence."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        _I67_FENCES,
+        _i67_flags_udf,
+        _i67_inside_sql,
+        geo,
+        i67_spherical_geofence,
+    )
+    from tests.conftest import SF_DIR
+
+    p = geo(spark, SF_DIR).selectExpr(
+        "obj_id",
+        "cos(radians(lat)) * cos(radians(lon)) AS px",
+        "cos(radians(lat)) * sin(radians(lon)) AS py",
+        "sin(radians(lat)) AS pz",
+    )
+    fl = _i67_flags_udf()(F.col("px"), F.col("py"), F.col("pz"))
+    both = p.select(
+        "obj_id",
+        *[fl.getField(z).alias(f"a_{z}") for z in _I67_FENCES],
+        *[
+            F.expr(_i67_inside_sql(z)).alias(f"h_{z}")
+            for z in _I67_FENCES
+        ],
+    ).collect()
+    assert both
+    for r in both:
+        for z in _I67_FENCES:
+            assert r[f"a_{z}"] == r[f"h_{z}"], (r.obj_id, z)
+    a = sorted(
+        map(tuple, i67_spherical_geofence(spark, SF_DIR, engine="arrow").collect())
+    )
+    h = sorted(
+        map(tuple, i67_spherical_geofence(spark, SF_DIR, engine="hof").collect())
+    )
+    assert a and a == h
 
 
 def test_i67_midlat_consistent_with_planar_inside_envelope(spark):
