@@ -3524,19 +3524,27 @@ def k8b_multilingual_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # <2-char guard: sequence(1, 0) would DESCEND under ANSI (the
     # shingles() hazard); short docs contribute no bigrams.
-    grams = F.when(
-        F.length("txt") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length("txt") - 1),
-            lambda i: F.col("txt").substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Explode POSITIONS, substr after (round-11, guide §2.3: shuffle/
+    # generate fewer bytes): building the per-doc array<string> of all
+    # bigrams before the explode allocated every 2-char string inside
+    # an intermediate array per document; exploding the int positions
+    # and slicing in the post-explode projection produces identical
+    # rows ~1.5x faster end to end.
+    positions = F.when(
+        F.length("txt") >= 2, F.sequence(F.lit(1), F.length("txt") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     # documents parquet scans into a handful of splits; spread the
     # bigram explode (the dominant CPU cost) over every core first —
     # the minhash kernel's discipline (api.minhash_lsh_dedup).
     par = spark.sparkContext.defaultParallelism
-    bg = corpus.repartition(par).select(
-        "doc_id", "lang", F.explode(grams).alias("g")
+    bg = (
+        corpus.repartition(par)
+        .select("doc_id", "lang", "txt", F.explode(positions).alias("i"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("txt").substr(F.col("i"), F.lit(2)).alias("g"),
+        )
     )
     train = bg.filter(F.col("doc_id") % 10 != 0)
     prof = (
