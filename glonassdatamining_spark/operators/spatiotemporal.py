@@ -1976,6 +1976,101 @@ _SEG_INTERSECT_SQL = """
 """.replace("\n", " ")
 
 
+def i31_crossings_np(x, y) -> int:
+    """Numpy twin of i31's in-row HOF pair scan: count non-adjacent
+    intersecting segment pairs of ONE time-ordered polyline, replaying
+    ``segments_intersect``'s exact arithmetic (same subtractions and
+    products — IEEE binary64, no FMA — so every sign test agrees with
+    the Catalyst/oracle predicate bit-for-bit). The bbox guard is
+    applied as a conjunct instead of a short-circuit: with non-null
+    coords, `when(~overlap, False).otherwise(hit)` ≡ `overlap & hit`.
+    The i31 'arrow' engine calls this per trajectory (guide §4.1: the
+    interpreted HOF pair scan costs ~µs per PAIR; this is one
+    vectorized O(m²) numpy pass per object)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    m = x.shape[0] - 1  # segments
+    if m < 3:
+        return 0
+    ax1, ay1, ax2, ay2 = x[:-1], y[:-1], x[1:], y[1:]
+
+    def col(v):  # a-side (s) varies down rows
+        return v[:, None]
+
+    def row(v):  # b-side (t) varies across columns
+        return v[None, :]
+
+    # d1..d4 exactly as _cross: (px-ox)*(qy-oy) - (py-oy)*(qx-ox)
+    bdx, bdy = row(ax2 - ax1), row(ay2 - ay1)
+    d1 = bdx * (col(ay1) - row(ay1)) - bdy * (col(ax1) - row(ax1))
+    d2 = bdx * (col(ay2) - row(ay1)) - bdy * (col(ax2) - row(ax1))
+    adx, ady = col(ax2 - ax1), col(ay2 - ay1)
+    d3 = adx * (row(ay1) - col(ay1)) - ady * (row(ax1) - col(ax1))
+    d4 = adx * (row(ay2) - col(ay1)) - ady * (row(ax2) - col(ax1))
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    aminx, amaxx = np.minimum(ax1, ax2), np.maximum(ax1, ax2)
+    aminy, amaxy = np.minimum(ay1, ay2), np.maximum(ay1, ay2)
+
+    def on_seg_b(rx, ry):  # r within bbox of the b (t) segment
+        return (
+            (rx >= row(aminx)) & (rx <= row(amaxx))
+            & (ry >= row(aminy)) & (ry <= row(amaxy))
+        )
+
+    def on_seg_a(rx, ry):  # r within bbox of the a (s) segment
+        return (
+            (rx >= col(aminx)) & (rx <= col(amaxx))
+            & (ry >= col(aminy)) & (ry <= col(amaxy))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg_b(col(ax1), col(ay1)))
+        | ((d2 == 0) & on_seg_b(col(ax2), col(ay2)))
+        | ((d3 == 0) & on_seg_a(row(ax1), row(ay1)))
+        | ((d4 == 0) & on_seg_a(row(ax2), row(ay2)))
+    )
+    overlap = (
+        (col(aminx) <= row(amaxx)) & (row(aminx) <= col(amaxx))
+        & (col(aminy) <= row(amaxy)) & (row(aminy) <= col(amaxy))
+    )
+    hit = overlap & (proper | touch)
+    # non-adjacent forward pairs only: t index j >= i + 2
+    i_idx = np.arange(m)
+    valid = row(i_idx) >= col(i_idx) + 2
+    return int(np.count_nonzero(hit & valid))
+
+
+def _i31_crossings_udf():
+    """Module-singleton Arrow UDF: (xs, ys point arrays) → crossing
+    count via :func:`i31_crossings_np`."""
+    if "i31_cross" in _ENCODE_UDFS:
+        return _ENCODE_UDFS["i31_cross"]
+    import pandas as pd
+
+    pkg_root = _pkg_root()
+
+    def _fn(xs, ys):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from glonassdatamining_spark.operators.spatiotemporal import (
+            i31_crossings_np,
+        )
+
+        return pd.Series(
+            [i31_crossings_np(a, b) for a, b in zip(xs, ys)],
+            dtype="int64",
+        )
+
+    _ENCODE_UDFS["i31_cross"] = F.pandas_udf(_fn, "long")
+    return _ENCODE_UDFS["i31_cross"]
+
+
 @register(
     "i31_path_self_intersections",
     oracle=(
@@ -1999,18 +2094,25 @@ _SEG_INTERSECT_SQL = """
     ),
     section="I31",
 )
-def i31_path_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+def i31_path_self_intersections(
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
+) -> DataFrame:
     """Trajectory self-crossing count (loop detection): per object,
     count non-adjacent segment pairs of the time-ordered polyline that
     intersect — the GNSS diagnostic for circling/looping behavior.
-    The whole O(m²)-per-trajectory pair scan runs INSIDE one row as
-    codegen'd higher-order functions (sequence → slice → filter with
-    the orientation test) — one shuffle total (the groupBy building
-    each trajectory array); no join, no Python. The oracle re-derives
-    the identical count via a SQL segment self-join with the same
-    IEEE-exact cross products. Per-row memory is one trajectory —
-    bound it upstream with rdp_simplify (i14) for pathological
-    tracks."""
+    One shuffle total (the groupBy building each trajectory array); no
+    join. The oracle re-derives the identical count via a SQL segment
+    self-join with the same IEEE-exact cross products.
+
+    ENGINES (round-11, guide §4.1): 'arrow' (default) runs the
+    O(m²)-per-trajectory pair scan as one vectorized numpy pass per
+    object (:func:`i31_crossings_np` — bit-identical sign tests,
+    asserted vs 'hof' in tests/test_geometry.py). 'hof' keeps the
+    in-row codegen'd higher-order form (sequence → slice → filter with
+    the orientation test) — the certification twin; its per-PAIR
+    interpreted-lambda cost dominated the old runtime (~6.6 M pairs at
+    sf0.1). Per-row memory is one trajectory either way — bound it
+    upstream with rdp_simplify (i14) for pathological tracks."""
     from glonassdatamining_spark.functions.geometry import segments_intersect
 
     f = fixes(spark, sf_dir)
@@ -2019,6 +2121,14 @@ def i31_path_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", "x", "y"))
         ).alias("pts")
     )
+    if engine == "arrow":
+        return traj.select(
+            "obj_id",
+            _i31_crossings_udf()(
+                F.transform("pts", lambda p: p.x),
+                F.transform("pts", lambda p: p.y),
+            ).alias("n_crossings"),
+        )
     n = F.size(F.col("pts"))
     segs = F.when(
         n >= 2,

@@ -316,6 +316,57 @@ def _pair_scan(pred):
     ).otherwise(F.lit(0).cast("long"))
 
 
+def test_i31_arrow_engine_bit_identical_to_hof(spark):
+    """The numpy pair-scan kernel (round-11 default engine) vs the
+    in-row HOF pair scan: identical per-object crossing counts on the
+    fixture corpus, and identical counts on adversarial synthetic
+    polylines (collinear touches, shared endpoints, vertical/
+    horizontal overlaps, degenerate <3-segment paths) fed through the
+    kernel directly against the Catalyst predicate."""
+    from glonassdatamining_spark.operators.spatiotemporal import (
+        i31_crossings_np,
+        i31_path_self_intersections,
+    )
+    from tests.conftest import SF_DIR
+
+    a = {
+        r.obj_id: r.n_crossings
+        for r in i31_path_self_intersections(
+            spark, SF_DIR, engine="arrow"
+        ).collect()
+    }
+    h = {
+        r.obj_id: r.n_crossings
+        for r in i31_path_self_intersections(
+            spark, SF_DIR, engine="hof"
+        ).collect()
+    }
+    assert a and a == h
+
+    cases = [
+        # figure-eight: one proper crossing
+        [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)],
+        # collinear touch: third segment passes through first's endpoint
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0), (-1.0, -1.0)],
+        # degenerate: 2 segments (no non-adjacent pairs)
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)],
+        # vertical overlap retrace
+        [(0.0, 0.0), (0.0, 3.0), (1.0, 3.0), (0.5, 3.0), (0.5, -1.0)],
+    ]
+    for pts in cases:
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        got = i31_crossings_np(xs, ys)
+        df = spark.createDataFrame(
+            [([{"x": px, "y": py} for px, py in pts],)],
+            "pts array<struct<x:double,y:double>>",
+        ).select(_segs_col(len(pts) - 1).alias("segs"))
+        want = df.select(
+            _pair_scan(G.segments_intersect).alias("n")
+        ).collect()[0].n
+        assert got == want, (pts, got, want)
+
+
 def test_bbox_guard_makes_pathological_trajectory_subquadratic(spark):
     """Round-3 judge ask: the in-row O(m²) self-intersection scan must
     not pay the exact orientation test on every pair. On a monotone
