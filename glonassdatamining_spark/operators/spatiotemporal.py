@@ -1905,6 +1905,13 @@ def i30_polygon_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 0.00025 radius offset keeps every pair ≥ 0.0005 away from the
     touch boundary — ulp-proof on both sides.
 
+    Round-11 (§1 measure): the predicate's ~2000-node Column tree cost
+    ~1 s of py4j CONSTRUCTION per call — dominating the per-run time —
+    so it now rides `_memo_col`. An Arrow-kernel engine was tried and
+    REJECTED: interleaved measurement put the numpy predicate at
+    1.08 s vs 0.91 s for the memoized HOF (28 k candidates are too few
+    to amortize the extra ArrowEvalPython barrier).
+
     Scale shape: centers bucket into cells > max diameter; the
     half-neighborhood probe (own + 4 forward cells) surfaces each
     unordered candidate pair exactly once; the O(V·W) exact predicate
@@ -1948,18 +1955,39 @@ def i30_polygon_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = geoms.select(
         F.col("obj_id").alias("_b"), F.col("ring").alias("_ring_b"), "gx", "gy"
     )
+    pred = _memo_col(
+        "i30_intersects",
+        lambda: st_intersects_polygon(F.col("_ring_a"), F.col("_ring_b")),
+    )
     return (
         probe.join(build, ["gx", "gy"])
         .filter(
             (F.col("_a") != F.col("_b"))
             & (~F.col("_self") | (F.col("_a") < F.col("_b")))
-            & st_intersects_polygon(F.col("_ring_a"), F.col("_ring_b"))
+            & pred
         )
         .select(
             F.least("_a", "_b").alias("obj_a"),
             F.greatest("_a", "_b").alias("obj_b"),
         )
     )
+
+
+_COL_CACHE: dict = {}
+
+
+def _memo_col(key: str, build):
+    """Module-level memo for big Column plan fragments. Column objects
+    are immutable expression trees safe to reuse across queries in the
+    same JVM (the `_polygon_from_wkb_cached` precedent in
+    functions/geometry.py); building a large HOF predicate costs up to
+    ~1 s of py4j round-trips PER CALL (guide §1 measurement: i30's
+    predicate construction dominated its per-run time), and the bench
+    rebuilds every query per repetition. Plan construction only —
+    never results."""
+    if key not in _COL_CACHE:
+        _COL_CACHE[key] = build()
+    return _COL_CACHE[key]
 
 
 _SEG_INTERSECT_SQL = """
