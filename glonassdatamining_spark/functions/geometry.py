@@ -670,6 +670,9 @@ def st_clip_half_plane(
     )
 
 
+_CLIP_STEP_CACHE: dict = {}
+
+
 def st_convex_clip(
     df, ring_col: str, clip: list[tuple[float, float]], out_col: str
 ):
@@ -682,15 +685,34 @@ def st_convex_clip(
     empty/degenerate; pair with st_area_or_zero). O(k·n) per row,
     embarrassingly parallel — the ST_Intersection kernel for
     zone-overlay workloads; ST_Union area follows by
-    inclusion-exclusion (|A|+|B|−|A∩B|) for convex pairs."""
+    inclusion-exclusion (|A|+|B|−|A∩B|) for convex pairs.
+
+    The k step Columns are memoized per (ring_col, clip, out_col):
+    each step only references fixed attribute NAMES, and Column
+    objects are immutable plan fragments safe to reuse within the JVM
+    (the `_polygon_from_wkb_cached` precedent). Building them anew
+    cost ~0.9 s of py4j round-trips per i57 call — most of that
+    query's per-run time (round-11, guide §1)."""
     k = len(clip)
-    cur = ring_col
-    for idx in range(k):
-        nxt = out_col if idx == k - 1 else f"_clip_{out_col}_{idx}"
-        df = df.withColumn(
-            nxt, st_clip_half_plane(F.col(cur), clip[idx], clip[(idx + 1) % k])
-        )
-        cur = nxt
+    key = (ring_col, tuple((float(a), float(b)) for a, b in clip), out_col)
+    steps = _CLIP_STEP_CACHE.get(key)
+    if steps is None:
+        steps = []
+        cur = ring_col
+        for idx in range(k):
+            nxt = out_col if idx == k - 1 else f"_clip_{out_col}_{idx}"
+            steps.append(
+                (
+                    nxt,
+                    st_clip_half_plane(
+                        F.col(cur), clip[idx], clip[(idx + 1) % k]
+                    ),
+                )
+            )
+            cur = nxt
+        _CLIP_STEP_CACHE[key] = steps
+    for nxt, col in steps:
+        df = df.withColumn(nxt, col)
     return df.drop(*[f"_clip_{out_col}_{i}" for i in range(k - 1)])
 
 
