@@ -2149,12 +2149,19 @@ def k38_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     even when no single prior doc matches it (which is why it
     complements pairwise dedup k2/k29/k30).
 
-    Plan: distinct-trigram explode → global min(doc_id) per trigram
-    (one map-side-combinable shuffle on the trigram key) → equi-join
-    back → per-doc fold. Never pairwise. At 100 TB the trigram key
-    space is the corpus vocabulary³ but the JOIN is equi on hash keys
-    — exactly the k30 inverted-index shape; salting the head trigrams
-    (stopword runs) is the known skew lever."""
+    Plan (round-11, guide §2.3 — shuffle fewer bytes): distinct-
+    trigram explode → global min(doc_id) per trigram (one map-side-
+    combinable shuffle on the trigram key) → count WINNERS per doc
+    (`groupBy(first_doc)`) → join the two tiny PER-DOC aggregates
+    (n_tri, n_novel). The old form equi-joined the full trigram
+    explode (~1 M string rows at sf0.1) back to the per-trigram mins;
+    since the min-doc of a trigram always CONTAINS that trigram,
+    `count(*) group by first_doc` is exactly the per-doc novel count —
+    identical output (hash-checked), with the join input shrunk from
+    corpus-trigram scale to |docs| rows. Never pairwise. At 100 TB the
+    trigram key space is the corpus vocabulary³ but the shuffles stay
+    equi on hash keys — the k30 inverted-index shape; salting the head
+    trigrams (stopword runs) is the known skew lever."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     ).filter(F.size("w") >= 3)
@@ -2170,20 +2177,31 @@ def k38_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tri"),
     )
-    first = tris.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("bigint")
-    return (
-        tris.join(first, "tri")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tri"),
-            novel.alias("n_novel"),
-            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "novelty"
-            ),
-        )
+    # (An in-row n_tri via size(array_distinct(...)) on the probe side
+    # was tried and measured SLOWER than this tiny aggregate — the
+    # rebuilt trigram array costs more than the map-side-combined
+    # count shuffle.)
+    per_doc = tris.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+    winners = (
+        tris.groupBy("tri")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    joined = per_doc.join(winners, "doc_id", "left").select(
+        "doc_id",
+        "n_tri",
+        F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tri",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_tri").cast("double")).alias(
+            "novelty"
+        ),
     )
 
 
