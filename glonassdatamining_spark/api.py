@@ -2787,24 +2787,34 @@ def heavy_hitters(
     )
 
     def mg_partial(batches):
-        ctr: dict = {}
+        # Batched Misra-Gries (round-11, guide §4.3 — move the hot loop
+        # out of per-token Python): count each Arrow batch exactly with
+        # Counter (C-speed), then MG-MERGE into the running sketch —
+        # add counts, subtract the (cap+1)-th largest, keep positives
+        # (Agarwal/Cormode et al., "Mergeable Summaries" 2012: the
+        # merged sketch undercounts any token by at most N/(cap+1),
+        # STRICTLY tighter than the per-token form's N/cap, so the
+        # candidate-completeness bound below still holds). State is
+        # O(cap) between batches (+ one batch's vocabulary transiently
+        # — bounded by the Arrow batch size, not the input). The final
+        # output is invariant to sketch internals: pass 2 recounts
+        # candidates exactly and re-applies the integer threshold.
+        import heapq
+        from collections import Counter
+
+        ctr: Counter = Counter()
         total = 0
         for pdf in batches:
+            batch = Counter()
             for toks in pdf[tokens_col]:
                 total += len(toks)
-                for t in toks:
-                    if t in ctr:
-                        ctr[t] += 1
-                    elif len(ctr) < cap:
-                        ctr[t] = 1
-                    else:
-                        dead = []
-                        for k in ctr:
-                            ctr[k] -= 1
-                            if ctr[k] == 0:
-                                dead.append(k)
-                        for k in dead:
-                            del ctr[k]
+                batch.update(toks)
+            ctr.update(batch)
+            if len(ctr) > cap:
+                kth = heapq.nlargest(cap + 1, ctr.values())[-1]
+                ctr = Counter(
+                    {t: c - kth for t, c in ctr.items() if c > kth}
+                )
         yield pd.DataFrame(
             {"token": list(ctr) + [None], "c": list(ctr.values()) + [total]}
         )

@@ -1522,19 +1522,26 @@ def i24_snap_to_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant (≲ thousands). Tie-break on poi_id keeps the argmin
     deterministic in both engines."""
     f = fixes(spark, sf_dir)
-    cand = F.array(
-        *[
-            F.struct(
-                (
-                    (F.col("x") - F.lit(px)) * (F.col("x") - F.lit(px))
-                    + (F.col("y") - F.lit(py)) * (F.col("y") - F.lit(py))
-                ).alias("d2"),
-                F.lit(k).alias("poi_id"),
+    # The 25-struct literal argmin tree costs ~0.5 s of py4j
+    # construction per call (round-11 §1 measurement) — memoized like
+    # every other fixed-name Column fragment.
+    best = _memo_col(
+        "i24_best_poi",
+        lambda: F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            (F.col("x") - F.lit(px)) * (F.col("x") - F.lit(px))
+                            + (F.col("y") - F.lit(py)) * (F.col("y") - F.lit(py))
+                        ).alias("d2"),
+                        F.lit(k).alias("poi_id"),
+                    )
+                    for k, px, py in _POIS
+                ]
             )
-            for k, px, py in _POIS
-        ]
+        ),
     )
-    best = F.array_min(cand)
     snapped = f.select(
         best.getField("poi_id").alias("poi_id"),
         F.sqrt(best.getField("d2")).alias("dist"),
