@@ -773,20 +773,26 @@ def st_clip_tri_fans_area_arrow(df, subjects):
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    flat = df
+    # Subject flattening as ONE select (round-11 guide §1/driver: the
+    # old per-vertex withColumn chain cost 12 analyzer passes + py4j
+    # round-trips per call — plan construction, same analyzed plan).
     consumed: set = set()
     all_out: list[str] = []
+    vert_cols: list = []
+    tri_names: list[str] = []
     for si, (tri_col, fans, out_cols) in enumerate(subjects):
         names = []
         for k in range(3):
             v = F.element_at(F.col(tri_col), k + 1)
-            flat = flat.withColumn(f"_t{si}x{k}", v.x).withColumn(
-                f"_t{si}y{k}", v.y
-            )
+            vert_cols += [
+                v.x.alias(f"_t{si}x{k}"),
+                v.y.alias(f"_t{si}y{k}"),
+            ]
             names += [f"_t{si}x{k}", f"_t{si}y{k}"]
-        flat = flat.drop(tri_col)
+        tri_names.append(tri_col)
         consumed |= set(names) | {c for fan in fans for c in fan}
         all_out += out_cols
+    flat = df.select("*", *vert_cols).drop(*tri_names)
     keep = [f for f in flat.schema.fields if f.name not in consumed]
     keep_names = [f.name for f in keep]
     schema = StructType(

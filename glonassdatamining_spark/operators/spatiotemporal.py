@@ -5085,20 +5085,28 @@ def concave_overlay_areas(
     # error). Normalize: reverse the ring when its signed shoelace is
     # negative. No-op (and no hash impact) for CCW input — the i60
     # fixture and oracle are CCW by construction.
-    r = F.col("r0")
-    nvz = F.size(r)
-    signed2 = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), nvz),
-            lambda i: F.element_at(r, i).x
-            * F.element_at(r, (i % nvz) + 1).y
-            - F.element_at(r, (i % nvz) + 1).x * F.element_at(r, i).y,
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    def _guard_col():
+        r = F.col("r0")
+        nvz = F.size(r)
+        signed2 = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), nvz),
+                lambda i: F.element_at(r, i).x
+                * F.element_at(r, (i % nvz) + 1).y
+                - F.element_at(r, (i % nvz) + 1).x * F.element_at(r, i).y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(signed2 < 0, F.reverse(r)).otherwise(r).alias("r0")
+
+    # fused memoized stages (round-11, the _memo_col discipline: the
+    # guard/sa/fan projections reference the fixed attribute name r0
+    # only — plan construction only, identical analyzed plan)
+    z = z.select("zone_id", _memo_col("i60_guard_r0", _guard_col))
+    z = z.select(
+        "*", _memo_col("i60_sa", lambda: st_area(F.col("r0")).alias("sa"))
     )
-    z = z.withColumn("r0", F.when(signed2 < 0, F.reverse(r)).otherwise(r))
-    z = z.withColumn("sa", st_area(F.col("r0")))
     if engine == "arrow":
         if nv is None:
             raise ValueError(
@@ -5110,27 +5118,37 @@ def concave_overlay_areas(
         )
 
         idxs = list(range(2, nv))  # fan triangle indices (v1, v_i, v_{i+1})
-        t = z
-        r = F.col("r0")
-        for i in idxs:
-            v1 = F.element_at(r, 1)
-            vi = F.element_at(r, F.lit(i))
-            vj = F.element_at(r, F.lit(i + 1))
-            cross = (
-                (vi.x - v1.x) * (vj.y - v1.y)
-                - (vj.x - v1.x) * (vi.y - v1.y)
-            )
-            t = t.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
-                f"s{i}",
-                F.when(cross > 0, 1.0).when(cross < 0, -1.0).otherwise(0.0),
-            )
-        # literal clip-triangle vertices as columns — constant-fold to
-        # the identical doubles st_clip_half_plane would inject
+        # memo key covers every parameter the fan columns depend on
+        _fan_key = f"i60_fan_{nv}_{clip_tris!r}"
+
+        def _fan_cols():
+            r = F.col("r0")
+            out = []
+            for i in idxs:
+                v1 = F.element_at(r, 1)
+                vi = F.element_at(r, F.lit(i))
+                vj = F.element_at(r, F.lit(i + 1))
+                cross = (
+                    (vi.x - v1.x) * (vj.y - v1.y)
+                    - (vj.x - v1.x) * (vi.y - v1.y)
+                )
+                out.append(F.array(v1, vi, vj).alias(f"tri{i}"))
+                out.append(
+                    F.when(cross > 0, 1.0)
+                    .when(cross < 0, -1.0)
+                    .otherwise(0.0)
+                    .alias(f"s{i}")
+                )
+            # literal clip-triangle vertices as columns — constant-fold
+            # to the identical doubles st_clip_half_plane would inject
+            for j, (_tsign, tri) in enumerate(clip_tris):
+                for k, (px, py) in enumerate(tri):
+                    out.append(F.lit(float(px)).alias(f"f{j}v{k}x"))
+                    out.append(F.lit(float(py)).alias(f"f{j}v{k}y"))
+            return out
+
         nj = len(clip_tris)
-        for j, (_tsign, tri) in enumerate(clip_tris):
-            for k, (px, py) in enumerate(tri):
-                t = t.withColumn(f"f{j}v{k}x", F.lit(float(px)))
-                t = t.withColumn(f"f{j}v{k}y", F.lit(float(py)))
+        t = z.select("*", *_memo_col(_fan_key, _fan_cols))
         fancols = {
             j: tuple(f"f{j}v{k}{ax}" for k in range(3) for ax in ("x", "y"))
             for j in range(nj)
@@ -5504,30 +5522,38 @@ def i62_concave_overlay_join(
     # i62b's cand comment; the grid join remains i59's scale form for
     # unbounded clip sides.)
     # Zone ring built per ZONE pre-join (round-11, guide §2.1) — the
-    # old per-pair construction repeated it once per candidate
-    zones = zones.withColumn(
-        "r0",
-        F.array(
-            F.struct(
-                (F.col("zx") + F.col("w")).alias("x"),
-                (F.col("zy") + F.col("h")).alias("y"),
-            ),
-            F.struct(F.col("zx").alias("x"), F.col("zy").alias("y")),
-            F.struct(
-                (F.col("zx") - F.col("w")).alias("x"),
-                (F.col("zy") + F.col("h")).alias("y"),
-            ),
-            F.struct(
-                F.col("zx").alias("x"),
-                (F.col("zy") - F.col("h")).alias("y"),
-            ),
+    # old per-pair construction repeated it once per candidate.
+    # Memoized fused select (the _memo_col discipline: fixed attribute
+    # names only, plan construction only — identical analyzed plan).
+    zones = zones.select(
+        "*",
+        _memo_col(
+            "i62_r0",
+            lambda: F.array(
+                F.struct(
+                    (F.col("zx") + F.col("w")).alias("x"),
+                    (F.col("zy") + F.col("h")).alias("y"),
+                ),
+                F.struct(F.col("zx").alias("x"), F.col("zy").alias("y")),
+                F.struct(
+                    (F.col("zx") - F.col("w")).alias("x"),
+                    (F.col("zy") + F.col("h")).alias("y"),
+                ),
+                F.struct(
+                    F.col("zx").alias("x"),
+                    (F.col("zy") - F.col("h")).alias("y"),
+                ),
+            ).alias("r0"),
         ),
     )
-    bbox_pred = (
-        (F.col("zx") - F.col("w") <= F.col("dx") + F.col("rd"))
-        & (F.col("dx") - F.col("rd") <= F.col("zx") + F.col("w"))
-        & (F.col("zy") - F.col("h") <= F.col("dy") + F.col("rd"))
-        & (F.col("dy") - F.col("rd") <= F.col("zy") + F.col("h"))
+    bbox_pred = _memo_col(
+        "i62_bbox",
+        lambda: (
+            (F.col("zx") - F.col("w") <= F.col("dx") + F.col("rd"))
+            & (F.col("dx") - F.col("rd") <= F.col("zx") + F.col("w"))
+            & (F.col("zy") - F.col("h") <= F.col("dy") + F.col("rd"))
+            & (F.col("dy") - F.col("rd") <= F.col("zy") + F.col("h"))
+        ),
     )
     if engine == "arrow":
         # FAN CONTRACTION over the Arrow clip kernel — i62b's form
@@ -5541,28 +5567,44 @@ def i62_concave_overlay_join(
             st_clip_tri_fans_area_arrow,
         )
 
-        zt = zones
-        r = F.col("r0")
-        for i in (2, 3):
-            v1 = F.element_at(r, 1)
-            vi = F.element_at(r, F.lit(i))
-            vj = F.element_at(r, F.lit(i) + 1)
-            cross = (
-                (vi.x - v1.x) * (vj.y - v1.y)
-                - (vj.x - v1.x) * (vi.y - v1.y)
-            )
-            zt = zt.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
-                f"s{i}",
-                F.when(cross > 0, 1.0).when(cross < 0, -1.0).otherwise(0.0),
-            )
-        dt = districts
-        for j, (_tsign, fan) in enumerate(_I62_CLIP_FANS):
-            for k, (ox, oy) in enumerate(fan):
-                dt = dt.withColumn(
-                    f"f{j}v{k}x", F.col("dx") + F.col("rd") * F.lit(ox)
-                ).withColumn(
-                    f"f{j}v{k}y", F.col("dy") + F.col("rd") * F.lit(oy)
+        def _zt_cols():
+            r = F.col("r0")
+            out = []
+            for i in (2, 3):
+                v1 = F.element_at(r, 1)
+                vi = F.element_at(r, F.lit(i))
+                vj = F.element_at(r, F.lit(i) + 1)
+                cross = (
+                    (vi.x - v1.x) * (vj.y - v1.y)
+                    - (vj.x - v1.x) * (vi.y - v1.y)
                 )
+                out.append(F.array(v1, vi, vj).alias(f"tri{i}"))
+                out.append(
+                    F.when(cross > 0, 1.0)
+                    .when(cross < 0, -1.0)
+                    .otherwise(0.0)
+                    .alias(f"s{i}")
+                )
+            return out
+
+        def _dt_cols():
+            out = []
+            for j, (_tsign, fan) in enumerate(_I62_CLIP_FANS):
+                for k, (ox, oy) in enumerate(fan):
+                    out.append(
+                        (F.col("dx") + F.col("rd") * F.lit(ox)).alias(
+                            f"f{j}v{k}x"
+                        )
+                    )
+                    out.append(
+                        (F.col("dy") + F.col("rd") * F.lit(oy)).alias(
+                            f"f{j}v{k}y"
+                        )
+                    )
+            return out
+
+        zt = zones.select("*", *_memo_col("i62_zt", _zt_cols))
+        dt = districts.select("*", *_memo_col("i62_dt", _dt_cols))
         t = zt.join(F.broadcast(dt), bbox_pred)
         fancols = {
             j: tuple(f"f{j}v{k}{ax}" for k in range(3) for ax in ("x", "y"))
@@ -5771,7 +5813,15 @@ def i63_geodesic_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(
             pts.filter(
-                point_in_polygon(F.col("xk"), F.col("yk"), fence)
+                # fixed-name (xk, yk) crossing-parity tree over a
+                # literal fence — memoized per zone (round-11, the
+                # _memo_col discipline; plan construction only)
+                _memo_col(
+                    f"i63_pip_{zone}",
+                    lambda fence=fence: point_in_polygon(
+                        F.col("xk"), F.col("yk"), fence
+                    ),
+                )
             ).select("zone", "obj_id")
         )
     u = parts[0].unionByName(parts[1])
@@ -5960,29 +6010,43 @@ def i62b_concave_overlay_general(
     # district (100 rows) — computing them per candidate PAIR (146 k
     # rows) paid the interpreted shoelace HOF ~9× more than needed.
     # Same expressions on the same doubles → bit-identical values.
-    zones = zones.withColumn(
-        "r0",
-        F.array(
-            pt(F.col("zx") + F.col("w"), F.col("zy") + F.col("h")),
-            pt(F.col("zx"), F.col("zy")),
-            pt(F.col("zx") - F.col("w"), F.col("zy") + F.col("h")),
-            pt(F.col("zx"), F.col("zy") - F.col("h")),
+    # Plan-construction memo (round-11, the _memo_col discipline): all
+    # projections below reference FIXED attribute names only, so the
+    # Column trees are reusable across calls; withColumn chains are
+    # fused into single select() stages (one analyzer pass each). Same
+    # expressions on the same doubles -> identical analyzed plan.
+    zones = zones.select(
+        "*",
+        _memo_col(
+            "i62b_r0",
+            lambda: F.array(
+                pt(F.col("zx") + F.col("w"), F.col("zy") + F.col("h")),
+                pt(F.col("zx"), F.col("zy")),
+                pt(F.col("zx") - F.col("w"), F.col("zy") + F.col("h")),
+                pt(F.col("zx"), F.col("zy") - F.col("h")),
+            ).alias("r0"),
         ),
-    ).withColumn("sa", st_area(F.col("r0")))
-    districts = districts.withColumn(
-        "d0",
-        F.array(
-            pt(F.col("dx") + F.col("rd"), F.col("dy") + F.col("rd")),
-            pt(F.col("dx"), F.col("dy")),
-            pt(F.col("dx") - F.col("rd"), F.col("dy") + F.col("rd")),
-            pt(F.col("dx"), F.col("dy") - F.col("rd")),
+    ).select("*", _memo_col("i62b_sa", lambda: st_area(F.col("r0")).alias("sa")))
+    districts = districts.select(
+        "*",
+        _memo_col(
+            "i62b_d0",
+            lambda: F.array(
+                pt(F.col("dx") + F.col("rd"), F.col("dy") + F.col("rd")),
+                pt(F.col("dx"), F.col("dy")),
+                pt(F.col("dx") - F.col("rd"), F.col("dy") + F.col("rd")),
+                pt(F.col("dx"), F.col("dy") - F.col("rd")),
+            ).alias("d0"),
         ),
-    ).withColumn("da", st_area(F.col("d0")))
-    bbox_pred = (
-        (F.col("zx") - F.col("w") <= F.col("dx") + F.col("rd"))
-        & (F.col("dx") - F.col("rd") <= F.col("zx") + F.col("w"))
-        & (F.col("zy") - F.col("h") <= F.col("dy") + F.col("rd"))
-        & (F.col("dy") - F.col("rd") <= F.col("zy") + F.col("h"))
+    ).select("*", _memo_col("i62b_da", lambda: st_area(F.col("d0")).alias("da")))
+    bbox_pred = _memo_col(
+        "i62_bbox",
+        lambda: (
+            (F.col("zx") - F.col("w") <= F.col("dx") + F.col("rd"))
+            & (F.col("dx") - F.col("rd") <= F.col("zx") + F.col("w"))
+            & (F.col("zy") - F.col("h") <= F.col("dy") + F.col("rd"))
+            & (F.col("dy") - F.col("rd") <= F.col("zy") + F.col("h"))
+        ),
     )
     if engine == "arrow":
         # FAN CONTRACTION over the Arrow clip kernel (round-9 verdict
@@ -6002,46 +6066,68 @@ def i62b_concave_overlay_general(
 
         # fan derivations per SIDE, pre-join (see cand comment): tri/s
         # from the zone ring, CCW clip vertices/t from the district
-        # ring — the join output carries only flat kernel columns
-        zt = zones
-        r, d = F.col("r0"), F.col("d0")
-        for i in (2, 3):
-            v1 = F.element_at(r, 1)
-            vi = F.element_at(r, F.lit(i))
-            vj = F.element_at(r, F.lit(i) + 1)
-            crs = (
-                (vi.x - v1.x) * (vj.y - v1.y)
-                - (vj.x - v1.x) * (vi.y - v1.y)
-            )
-            zt = zt.withColumn(f"tri{i}", F.array(v1, vi, vj)).withColumn(
-                f"s{i}",
-                F.when(crs > 0, 1.0).when(crs < 0, -1.0).otherwise(0.0),
-            )
-        dt = districts
-        for j in (2, 3):
-            d1 = F.element_at(d, 1)
-            dj = F.element_at(d, F.lit(j))
-            dk = F.element_at(d, F.lit(j) + 1)
-            crd = (
-                (dj.x - d1.x) * (dk.y - d1.y)
-                - (dk.x - d1.x) * (dj.y - d1.y)
-            )
-            dt = dt.withColumn(
-                f"cu{j}",
-                F.when(crd >= 0, F.array(d1, dj, dk)).otherwise(
-                    F.array(d1, dk, dj)
-                ),
-            ).withColumn(
-                f"t{j}",
-                F.when(crd > 0, 1.0).when(crd < 0, -1.0).otherwise(0.0),
-            )
-            cu = F.col(f"cu{j}")
-            for k in (1, 2, 3):
-                uk = F.element_at(cu, k)
-                dt = dt.withColumn(f"u{j}{k}x", uk.x).withColumn(
-                    f"u{j}{k}y", uk.y
+        # ring — the join output carries only flat kernel columns.
+        # Fused into single memoized select stages (fixed-name inputs).
+        def _zt_cols():
+            r = F.col("r0")
+            out = []
+            for i in (2, 3):
+                v1 = F.element_at(r, 1)
+                vi = F.element_at(r, F.lit(i))
+                vj = F.element_at(r, F.lit(i) + 1)
+                crs = (
+                    (vi.x - v1.x) * (vj.y - v1.y)
+                    - (vj.x - v1.x) * (vi.y - v1.y)
                 )
-            dt = dt.drop(f"cu{j}")
+                out.append(F.array(v1, vi, vj).alias(f"tri{i}"))
+                out.append(
+                    F.when(crs > 0, 1.0)
+                    .when(crs < 0, -1.0)
+                    .otherwise(0.0)
+                    .alias(f"s{i}")
+                )
+            return out
+
+        def _dt_cu_cols():
+            d = F.col("d0")
+            out = []
+            for j in (2, 3):
+                d1 = F.element_at(d, 1)
+                dj = F.element_at(d, F.lit(j))
+                dk = F.element_at(d, F.lit(j) + 1)
+                crd = (
+                    (dj.x - d1.x) * (dk.y - d1.y)
+                    - (dk.x - d1.x) * (dj.y - d1.y)
+                )
+                out.append(
+                    F.when(crd >= 0, F.array(d1, dj, dk))
+                    .otherwise(F.array(d1, dk, dj))
+                    .alias(f"cu{j}")
+                )
+                out.append(
+                    F.when(crd > 0, 1.0)
+                    .when(crd < 0, -1.0)
+                    .otherwise(0.0)
+                    .alias(f"t{j}")
+                )
+            return out
+
+        def _dt_flat_cols():
+            out = []
+            for j in (2, 3):
+                cu = F.col(f"cu{j}")
+                for k in (1, 2, 3):
+                    uk = F.element_at(cu, k)
+                    out.append(uk.x.alias(f"u{j}{k}x"))
+                    out.append(uk.y.alias(f"u{j}{k}y"))
+            return out
+
+        zt = zones.select("*", *_memo_col("i62b_zt", _zt_cols))
+        dt = (
+            districts.select("*", *_memo_col("i62b_dt_cu", _dt_cu_cols))
+            .select("*", *_memo_col("i62b_dt_flat", _dt_flat_cols))
+            .drop("cu2", "cu3")
+        )
         t = zt.join(F.broadcast(dt), bbox_pred)
         fan_cols = {
             j: tuple(
@@ -7612,30 +7698,37 @@ def _i48b_impl(
     f = fixes(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
         "event_id", "x", "y"
     )
-    copies = []
-    for dcx in (-1, 0, 1):
-        for dcy in (-1, 0, 1):
-            cx = F.floor(F.col("x") / H) + dcx
-            cy = F.floor(F.col("y") / H) + dcy
-            # distance from the point to cell (cx,cy)'s rectangle
-            ddx = F.greatest(
-                cx * H - F.col("x"), F.col("x") - (cx + 1) * H, F.lit(0.0)
-            )
-            ddy = F.greatest(
-                cy * H - F.col("y"), F.col("y") - (cy + 1) * H, F.lit(0.0)
-            )
-            copies.append(
-                F.struct(
-                    cx.cast("bigint").alias("cx"),
-                    cy.cast("bigint").alias("cy"),
-                    (ddx * ddx + ddy * ddy <= eps * eps).alias("keep"),
-                    F.lit(dcx == 0 and dcy == 0).alias("is_home"),
+
+    def _halo_col():
+        # 9-cell halo copies with the rect-distance filter — fixed
+        # attribute names (x, y) only, so the Column tree is memoized
+        # per cell_mult (round-11, the _memo_col discipline)
+        copies = []
+        for dcx in (-1, 0, 1):
+            for dcy in (-1, 0, 1):
+                cx = F.floor(F.col("x") / H) + dcx
+                cy = F.floor(F.col("y") / H) + dcy
+                # distance from the point to cell (cx,cy)'s rectangle
+                ddx = F.greatest(
+                    cx * H - F.col("x"), F.col("x") - (cx + 1) * H, F.lit(0.0)
                 )
-            )
+                ddy = F.greatest(
+                    cy * H - F.col("y"), F.col("y") - (cy + 1) * H, F.lit(0.0)
+                )
+                copies.append(
+                    F.struct(
+                        cx.cast("bigint").alias("cx"),
+                        cy.cast("bigint").alias("cy"),
+                        (ddx * ddx + ddy * ddy <= eps * eps).alias("keep"),
+                        F.lit(dcx == 0 and dcy == 0).alias("is_home"),
+                    )
+                )
+        return F.explode(F.array(*copies)).alias("c")
+
     parts = (
         f.select(
             "event_id", "x", "y",
-            F.explode(F.array(*copies)).alias("c"),
+            _memo_col(f"i48b_halo_{cell_mult!r}", _halo_col),
         )
         .filter(F.col("c.keep"))
         .select(
