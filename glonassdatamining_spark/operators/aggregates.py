@@ -15,6 +15,8 @@ returns HUGEINT, which pandas can't hold losslessly).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2679,19 +2681,38 @@ def d47_tdigest_quantile_rollup(
     # salted tree merge: level 1 bounds any single task's fan-in to
     # ~(n_partials / _D47_SALT); level 2's fan-in is exactly the salt
     # count. spark_partition_id is deterministic for a fixed layout.
-    lvl1 = (
-        partials.withColumn(
-            "_salt", F.spark_partition_id() % F.lit(_D47_SALT)
-        )
-        .groupBy("l_returnflag", "l_linestatus", "_salt")
-        .applyInPandas(
-            mk_merge(["l_returnflag", "l_linestatus", "_salt"]),
-            schema=(
-                "l_returnflag string, l_linestatus string, _salt int, "
-                "digest array<struct<m double, w double>>, n_rows bigint"
-            ),
-        )
+    # DEPTH-ADAPTIVE (round-11, guide §2.2 — size the tree to the
+    # data, not a constant): when the input has <= _D47_SALT scan
+    # partitions, every salt class holds exactly one partition's
+    # partials, so level 1 cannot reduce any fine-merge fan-in below
+    # what the per-group partial count already is — the stage is one
+    # full shuffle + Python pass of pure overhead. Skip it there; at
+    # 100 TB (~800k partitions) the guard binds and the tree is
+    # unchanged. Digest VALUES on the skipped path differ only in
+    # merge association order — a t-digest is approximate by contract
+    # (rows-only query; the <= 0.02 rank-error assertion holds on
+    # every tier for either tree shape, and both paths stay
+    # deterministic for a fixed layout). Env-tunable like the other
+    # scale knobs.
+    lvl1_min_parts = int(
+        os.environ.get("SPARK_GRAFT_D47_TREE_MIN_PARTS", str(_D47_SALT))
     )
+    if li.rdd.getNumPartitions() > lvl1_min_parts:
+        lvl1 = (
+            partials.withColumn(
+                "_salt", F.spark_partition_id() % F.lit(_D47_SALT)
+            )
+            .groupBy("l_returnflag", "l_linestatus", "_salt")
+            .applyInPandas(
+                mk_merge(["l_returnflag", "l_linestatus", "_salt"]),
+                schema=(
+                    "l_returnflag string, l_linestatus string, _salt int, "
+                    "digest array<struct<m double, w double>>, n_rows bigint"
+                ),
+            )
+        )
+    else:
+        lvl1 = partials
     fine = lvl1.groupBy("l_returnflag", "l_linestatus").applyInPandas(
         mk_merge(["l_returnflag", "l_linestatus"]),
         schema=(

@@ -4515,14 +4515,21 @@ def i57_zone_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r0"),
     )
     clipped = st_convex_clip(z, "r0", _I57_CLIP, "rc")
-    inter = st_area_or_zero(F.col("rc"))
-    subj = st_area_or_zero(F.col("r0"))
-    return clipped.select(
-        "zone_id",
-        F.size("rc").cast("int").alias("n_vertices"),
-        F.round(inter, 6).alias("inter_area"),
-        F.round(subj + F.lit(_I57_CLIP_AREA) - inter, 6).alias("union_area"),
-    )
+
+    def _out_cols():
+        # the two shoelace HOF trees + rounding — fixed names (r0, rc),
+        # memoized (round-11, the _memo_col discipline)
+        inter = st_area_or_zero(F.col("rc"))
+        subj = st_area_or_zero(F.col("r0"))
+        return [
+            F.size("rc").cast("int").alias("n_vertices"),
+            F.round(inter, 6).alias("inter_area"),
+            F.round(subj + F.lit(_I57_CLIP_AREA) - inter, 6).alias(
+                "union_area"
+            ),
+        ]
+
+    return clipped.select("zone_id", *_memo_col("i57_out", _out_cols))
 
 
 # ---------------------------------------------------------------------------

@@ -1391,6 +1391,49 @@ def test_d47_tdigest_rank_error_and_merge_consistency(spark):
             assert abs(rank - q) <= 0.02, (r.tier, r.key, q, est, rank)
 
 
+def test_d47_salted_tree_path_rank_error(spark, monkeypatch):
+    """Round-11 depth-adaptive merge tree: at fixture scales the input
+    has <= _D47_SALT scan partitions so the level-1 salted merge is
+    skipped (it cannot reduce any fan-in there). Force the TREE path
+    via its env knob and assert (a) the identical tier/key set and
+    n_rows, and (b) the same <= 0.02 rank-error bound on every tier —
+    the salted level-1 stage must stay a correctness no-op whenever
+    the guard engages it."""
+    import bisect
+
+    from conftest import SF_DIR
+    from glonassdatamining_spark.operators.aggregates import (
+        d47_tdigest_quantile_rollup,
+    )
+    from glonassdatamining_spark.sources import load
+
+    monkeypatch.setenv("SPARK_GRAFT_D47_TREE_MIN_PARTS", "0")
+    li = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in li:
+        v = float(r.l_extendedprice)
+        by_key.setdefault(
+            ("flag_status", f"{r.l_returnflag}/{r.l_linestatus}"), []
+        ).append(v)
+        by_key.setdefault(("flag", r.l_returnflag), []).append(v)
+        by_key.setdefault(("global", "all"), []).append(v)
+    for vals in by_key.values():
+        vals.sort()
+
+    rows = d47_tdigest_quantile_rollup(spark, SF_DIR).collect()
+    assert {(r.tier, r.key) for r in rows} == set(by_key)
+    for r in rows:
+        vals = by_key[(r.tier, r.key)]
+        assert r.n_rows == len(vals)
+        for q, est in ((0.50, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            rank = bisect.bisect_left(vals, est) / len(vals)
+            assert abs(rank - q) <= 0.02, (r.tier, r.key, q, est, rank)
+
+
 def test_d47_vectorized_unit_build_bit_identical():
     """Round-11 optimization (guide §4.2): the build stage's
     vectorized unit-weight compress (binary-searched cluster
